@@ -1,7 +1,263 @@
 package graft.queries
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import graft.functions.TextFns
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+/** Deduplication operators over `documents` / `embeddings`: exact
+  * (hash-groupBy), normalized-exact, n-gram Jaccard, MinHash+LSH,
+  * SimHash, and embedding-cosine near-dup — the standard LLM-corpus
+  * dedup toolbox.
+  *
+  * Scale notes (100 TB):
+  *  - exact dedup is a single hash aggregation on the content key —
+  *    shuffle carries (hash, min-id, count) only;
+  *  - the Jaccard inverted index joins on shingle, so a pathologically
+  *    hot shingle would skew — production would drop top-frequency
+  *    shingles or salt; at fixture scale it is exact;
+  *  - MinHash/LSH is the scale path: 128-hash signatures (1 KB/doc)
+  *    replace shingle sets; candidates come from 32-band bucket joins
+  *    and only candidates are verified with exact Jaccard. With r=4,
+  *    b=32 the miss probability at j=0.8 is (1-0.8^4)^32 ≈ 3e-9, so
+  *    LSH output equals the exact-Jaccard oracle at the 0.5 threshold
+  *    (nearest real pairs are at j≈0.9+).
+  */
 object Dedup {
-  def defs: Seq[QueryDef] = Seq.empty
+
+  private val ShingleK = 3
+  private val NumPerms = 128
+  private val BandRows = 4 // 32 bands x 4 rows
+
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(TextFns.shingles(TextFns.tokens(col("text")), ShingleK)).as("g"))
+
+  /** Exact dedup: one survivor (min doc_id) per identical text. */
+  private def exact(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+
+  private val exactSql =
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
+
+  /** Exact dedup on whitespace/case-normalized text. */
+  private def exactNorm(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .groupBy(regexp_replace(lower(col("text")), "\\s+", " ").as("norm"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+
+  private val exactNormSql =
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents
+      |GROUP BY regexp_replace(lower(text), '\s+', ' ', 'g')
+      |ORDER BY keep_id""".stripMargin
+
+  /** Exact all-pairs Jaccard >= 0.5 over distinct 3-word shingles,
+    * via an inverted-index join (no O(n²) cross join).
+    */
+  private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(s, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("g"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("g"))
+    val inter = a.join(b, a("g") === b("g") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / col("n_union"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
+        col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Shared oracle for the two shingle-Jaccard queries: DuckDB computes
+    * exact all-pairs Jaccard over the same distinct 3-shingles.
+    */
+  private val jaccardSql =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS g
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |  WHERE len(ws) >= 3),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, n_inter,
+      |  sa.n + sb.n - n_inter AS n_union,
+      |  CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+      |FROM inter
+      |  JOIN sizes sa ON doc_a = sa.doc_id
+      |  JOIN sizes sb ON doc_b = sb.doc_id
+      |WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** MinHash + LSH near-dup: 128 xxhash64 min-hashes per doc, banded
+    * 32×4; bucket-join candidates, then exact-Jaccard verification of
+    * candidates only. Output equals the exact oracle (recall argument
+    * in the object Scaladoc).
+    */
+  private def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(s, dir)
+
+    // (doc_id, k, h): 128 hashes per shingle, min per (doc, k)
+    val minh = sh
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), lit(NumPerms - 1)),
+        k => xxhash64(k, col("g")))).as(Seq("k", "h")))
+      .groupBy(col("doc_id"), col("k"))
+      .agg(min(col("h")).as("h"))
+
+    // band key = hash of the band's (k, h) rows in k order
+    val bands = minh
+      .withColumn("band", (col("k") / BandRows).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(xxhash64(array_sort(collect_list(struct(col("k"), col("h")))))
+        .as("band_key"))
+
+    val ca = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
+    val cb = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
+    val candidates = ca.join(cb, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+
+    // exact verification of candidates only
+    val sets = sh.groupBy(col("doc_id")).agg(collect_set(col("g")).as("gs"))
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("gs").as("ga")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("gs").as("gb")), "doc_b")
+      .withColumn("n_inter", size(array_intersect(col("ga"), col("gb"))))
+      .withColumn("n_union",
+        size(col("ga")) + size(col("gb")) - col("n_inter"))
+      .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
+        col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 60-bit SimHash per document over distinct tokens; bit b of the
+    * per-token hash comes from md5 hex digits 2..16 (see
+    * TextFns.tokenBit), so the oracle reproduces it in SQL.
+    */
+  private def simhashDf(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(TextFns.tokens(col("text")))).as("tok"))
+    toks
+      .select(col("doc_id"), col("tok"),
+        explode(sequence(lit(0), lit(59))).as("b"))
+      .withColumn("contrib",
+        when(TextFns.tokenBit(col("tok"), col("b")) === 1, 1).otherwise(-1))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("contrib")).as("s"))
+      .withColumn("term",
+        when(col("s") > 0,
+          pow(lit(2.0), (lit(59) - col("b")).cast("double")).cast("long"))
+          .otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term")).as("simhash"))
+  }
+
+  private def simhash(s: SparkSession, dir: String): DataFrame =
+    simhashDf(s, dir).orderBy(col("doc_id"))
+
+  private val simhashCte =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      |  FROM documents),
+      |bits AS (
+      |  SELECT doc_id, b,
+      |    CASE WHEN (
+      |      (strpos('0123456789abcdef',
+      |         substring(substring(md5(tok), 2, 15), 1 + (b // 4), 1)) - 1)
+      |      >> (3 - (b % 4))) & 1 = 1 THEN 1 ELSE -1 END AS contrib
+      |  FROM toks, (SELECT unnest(range(0, 60)) AS b)),
+      |sums AS (SELECT doc_id, b, sum(contrib) AS s FROM bits GROUP BY 1, 2),
+      |sims AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << (59 - b)) ELSE 0 END)
+      |      AS simhash
+      |  FROM sums GROUP BY doc_id)""".stripMargin
+
+  private val simhashSql =
+    simhashCte + "\nSELECT doc_id, simhash FROM sims ORDER BY doc_id"
+
+  /** SimHash near-dup pairs: Hamming distance <= 3 on the 60-bit
+    * simhash. Brute-force pairs at fixture scale; at 100 TB the join
+    * key becomes a 15-bit band of the simhash (pigeonhole: distance
+    * <= 3 over 4 bands forces one identical band).
+    */
+  private def simhashHamming(s: SparkSession, dir: String): DataFrame = {
+    val sh = simhashDf(s, dir)
+    val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("ha"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("hb"))
+    a.crossJoin(b)
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val simhashHammingSql =
+    simhashCte +
+      """
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Embedding near-dup: pairs with cosine >= 0.45. All-pairs at
+    * fixture scale (the Similarity module holds the ANN scale path);
+    * the double cosine is bit-identical to DuckDB's (TextFns.cosine).
+    */
+  private def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosv", TextFns.cosine(col("va"), col("vb")))
+      .filter(col("cosv") >= 0.45)
+      .select(col("id_a"), col("id_b"), col("cosv"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val embeddingNearDupSql =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                         CAST(b.embedding AS DOUBLE[])) AS cosv
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                             CAST(b.embedding AS DOUBLE[])) >= 0.45
+      |ORDER BY id_a, id_b""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("dd_exact", exact, Some(exactSql)),
+    QueryDef("dd_exact_norm", exactNorm, Some(exactNormSql)),
+    QueryDef("dd_ngram_jaccard", ngramJaccard, Some(jaccardSql)),
+    QueryDef("dd_minhash_lsh", minhashLsh, Some(jaccardSql)),
+    QueryDef("dd_simhash", simhash, Some(simhashSql)),
+    QueryDef("dd_simhash_hamming", simhashHamming, Some(simhashHammingSql)),
+    QueryDef("dd_embedding_neardup", embeddingNearDup, Some(embeddingNearDupSql)))
 }
