@@ -1,7 +1,144 @@
 package graft.queries
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
+/** The reference's migration pipeline re-expressed over the parquet
+  * fixtures (they stand in for JDBC sources, FIXTURES.md §B): typed
+  * target-schema casts, SQL-literal rendering, table inventory
+  * guards, and byte-bounded batch planning.
+  *
+  *  - literal rendering ports extract/format.rs:15-40 semantics
+  *    (quoted + doubled quotes for strings, 0x-hex for binary, plain
+  *    for numerics, scale-padded decimal text);
+  *  - the typed cast mirrors TableSchemaMapper output types
+  *    (double→decimal, timestamp→datetime text, string→char);
+  *  - row-count guards mirror inserter.rs:152-172 (K8);
+  *  - batch planning re-interprets the reference's greedy byte-bounded
+  *    batching (table_migrator.rs:116-167) as a distributed cumulative
+  *    sum — the greedy reset loop is inherently sequential, so the
+  *    scalable plan buckets by running byte total; the sequential
+  *    greedy loop itself lives in the sink writer (graft.engine).
+  */
 object Migration {
-  def defs: Seq[QueryDef] = Seq.empty
+
+  /** SQL-literal rendering of `part` rows (format.rs parity: P2-P10). */
+  private def literalRender(s: SparkSession, dir: String): DataFrame = {
+    val quoted = concat(lit("'"),
+      regexp_replace(
+        regexp_replace(col("p_name"), "\\\\", "\\\\\\\\"),
+        "'", "''"),
+      lit("'"))
+    Tables(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        col("p_partkey").cast("string").as("key_lit"),
+        quoted.as("name_lit"),
+        col("p_retailprice").cast(DecimalType(12, 2)).cast("string")
+          .as("price_lit"),
+        concat(lit("0x"), lower(hex(col("p_brand").cast("binary"))))
+          .as("brand_hex_lit"))
+      .orderBy(col("p_partkey"))
+  }
+
+  private val literalRenderSql =
+    """SELECT p_partkey,
+      |  CAST(p_partkey AS VARCHAR) AS key_lit,
+      |  '''' || replace(replace(p_name, '\', '\\'), '''', '''''') || ''''
+      |    AS name_lit,
+      |  CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS VARCHAR) AS price_lit,
+      |  '0x' || lower(hex(CAST(p_brand AS BLOB))) AS brand_hex_lit
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Read→map: lineitem through its migration target types (the
+    * DataFrame equivalent of stream_rows + TableSchemaMapper).
+    */
+  private def typedCast(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem")
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_quantity").cast(DecimalType(12, 2)).as("quantity_dec"),
+        col("l_extendedprice").cast(DecimalType(12, 2)).as("price_dec"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss")
+          .as("shipdate_dt"),
+        col("l_returnflag").as("returnflag_ch"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private val typedCastSql =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(l_quantity AS DECIMAL(12,2)) AS quantity_dec,
+      |  CAST(l_extendedprice AS DECIMAL(12,2)) AS price_dec,
+      |  strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS shipdate_dt,
+      |  l_returnflag AS returnflag_ch
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Table inventory + row-count guards (fetch_tables / K8 parity):
+    * every fixture table with its row count and emptiness flag.
+    */
+  private def tableInventory(s: SparkSession, dir: String): DataFrame = {
+    Tables.names.map { t =>
+      Tables(s, dir, t)
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit(t).as("table_name"), col("n_rows"),
+          (col("n_rows") === 0).as("is_empty"))
+    }.reduce(_ unionAll _).orderBy(col("table_name"))
+  }
+
+  private val tableInventorySql =
+    Tables.names.map(t =>
+      s"SELECT '$t' AS table_name, count(*) AS n_rows, count(*) = 0 AS is_empty FROM $t")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+
+  /** Byte-bounded batch planning over rendered literal rows: batch id
+    * = floor(running-bytes / max_batch_bytes), then per-batch totals.
+    * (Distributed re-interpretation of the reference's greedy loop —
+    * see object Scaladoc.)
+    */
+  private def batchPlan(s: SparkSession, dir: String): DataFrame = {
+    val maxBytes = 8192L
+    val rowBytes =
+      // rendered as: (key,'name',price) + ","  — RESERVED_BYTES-style
+      // slack is constant per row so it folds into the length sum
+      length(col("p_partkey").cast("string")) +
+        length(col("p_name")) + lit(2) +
+        length(col("p_retailprice").cast(DecimalType(12, 2)).cast("string")) +
+        lit(4)
+    val w = Window.orderBy(col("p_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "part")
+      .withColumn("row_bytes", rowBytes)
+      .withColumn("running", sum(col("row_bytes")).over(w))
+      .withColumn("batch_id",
+        floor((col("running") - 1).cast("double") / maxBytes).cast("long"))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("row_bytes")).as("batch_bytes"))
+      .orderBy(col("batch_id"))
+  }
+
+  private val batchPlanSql =
+    """WITH sized AS (
+      |  SELECT p_partkey,
+      |    length(CAST(p_partkey AS VARCHAR)) + length(p_name) + 2
+      |      + length(CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS VARCHAR))
+      |      + 4 AS row_bytes
+      |  FROM part),
+      |running AS (
+      |  SELECT *, sum(row_bytes) OVER (ORDER BY p_partkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+      |  FROM sized)
+      |SELECT CAST(floor(CAST(running - 1 AS DOUBLE) / 8192) AS BIGINT)
+      |    AS batch_id,
+      |  count(*) AS n_rows, sum(row_bytes) AS batch_bytes
+      |FROM running GROUP BY 1 ORDER BY batch_id""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("mig_literal_render", literalRender, Some(literalRenderSql)),
+    QueryDef("mig_typed_cast", typedCast, Some(typedCastSql)),
+    QueryDef("mig_table_inventory", tableInventory, Some(tableInventorySql)),
+    QueryDef("mig_batch_plan", batchPlan, Some(batchPlanSql)))
 }

@@ -1,7 +1,139 @@
 package graft.queries
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
+/** Multimodal-column plumbing: image/audio/video payloads are opaque
+  * `binary` columns with typed metadata. The container has no codec
+  * libraries, so the decode step is a clearly-marked deterministic
+  * STUB (`fakeDecode`) — but everything around it is the real Spark
+  * shape: BinaryType columns, explicit result schema, per-partition
+  * batch iteration via `mapPartitions`, and frame/feature extraction
+  * as narrow map stages.
+  *
+  * The `documents.text` bytes stand in for media payloads (the
+  * fixtures ship no real blobs); `fakeDecode` derives metadata from
+  * the leading bytes exactly like a header parse would, and the
+  * DuckDB oracle reproduces the same arithmetic, so even the stubbed
+  * pipeline is hash-checked end-to-end.
+  *
+  * Scale notes: decode is embarrassingly parallel (narrow map over
+  * partitions); at 100 TB the only knob that matters is input split
+  * size (`spark.sql.files.maxPartitionBytes`) so a partition of blobs
+  * fits executor memory.
+  */
 object Multimodal {
-  def defs: Seq[QueryDef] = Seq.empty
+
+  /** Blob-level metadata: size + content hash + magic bytes. */
+  private def blobMeta(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .select(
+        col("doc_id"),
+        octet_length(col("blob")).as("n_bytes"),
+        sha2(col("blob"), 256).as("sha256_hex"),
+        lower(hex(substring(col("blob"), 1, 4))).as("magic_hex"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val blobMetaSql =
+    """SELECT doc_id,
+      |  octet_length(CAST(text AS BLOB)) AS n_bytes,
+      |  sha256(text) AS sha256_hex,
+      |  lower(hex(substring(text, 1, 4))) AS magic_hex
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Result schema of the stub decoder. */
+  private case class DecodedMeta(
+      doc_id: Long, width: Int, height: Int, channels: Int, px0: Int)
+
+  /** STUB DECODER — stands in for an image codec (libjpeg etc., not in
+    * this container). Deterministic header-parse fake: dimensions and
+    * first-pixel are derived from the leading payload bytes. Replace
+    * the body with a real codec call; the mapPartitions plumbing,
+    * schema and partitioning stay unchanged.
+    */
+  private def fakeDecode(docId: Long, blob: Array[Byte]): DecodedMeta = {
+    def b(i: Int): Int = if (i < blob.length) blob(i) & 0xff else 0
+    DecodedMeta(
+      doc_id = docId,
+      width = 64 + b(0) % 64,
+      height = 64 + b(1) % 64,
+      channels = 1 + blob.length % 3,
+      px0 = b(2))
+  }
+
+  /** Decode stage: typed Dataset → mapPartitions (the real batch shape
+    * a codec UDF runs in) → typed result.
+    */
+  private def decodeStub(s: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.product[DecodedMeta]
+    val rows = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+    rows.mapPartitions { it: Iterator[Row] =>
+      it.map(r => fakeDecode(r.getLong(0), r.getAs[Array[Byte]](1)))
+    }(enc)
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  // documents.text is ASCII, so byte(i) == ascii(char at i+1); the
+  // oracle mirrors fakeDecode's arithmetic directly in SQL.
+  private val decodeStubSql =
+    """SELECT doc_id,
+      |  64 + (ascii(substring(text, 1, 1)) % 64) AS width,
+      |  64 + (ascii(substring(text, 2, 1)) % 64) AS height,
+      |  1 + (octet_length(CAST(text AS BLOB)) % 3) AS channels,
+      |  ascii(substring(text, 3, 1)) AS px0
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Frame sampling: every 7th byte, first 5 frames per payload — the
+    * video-frame-sample access pattern as a narrow map.
+    */
+  private def frameSample(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), lit(4))).as("frame_idx"))
+      .filter(length(col("text")) > col("frame_idx") * 7)
+      .select(col("doc_id"), col("frame_idx"),
+        ascii(col("text").substr(col("frame_idx") * 7 + 1, lit(1)))
+          .as("frame_byte"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  private val frameSampleSql =
+    """SELECT doc_id, frame_idx,
+      |  ascii(substring(text, frame_idx * 7 + 1, 1)) AS frame_byte
+      |FROM documents, (SELECT unnest(range(0, 5)) AS frame_idx)
+      |WHERE length(text) > frame_idx * 7
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** Feature extraction: 8-dim normalized byte features per payload —
+    * the embedding-from-media stage, emitted long-form.
+    */
+  private def featureExtract(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), lit(8))).as("pos"))
+      .filter(length(col("text")) >= col("pos"))
+      .select(col("doc_id"), col("pos"),
+        (ascii(col("text").substr(col("pos"), lit(1))).cast("double") / 255.0)
+          .as("feat"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  private val featureExtractSql =
+    """SELECT doc_id, pos,
+      |  CAST(ascii(substring(text, pos, 1)) AS DOUBLE) / 255.0 AS feat
+      |FROM documents, (SELECT unnest(range(1, 9)) AS pos)
+      |WHERE length(text) >= pos
+      |ORDER BY doc_id, pos""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("mm_blob_meta", blobMeta, Some(blobMetaSql)),
+    QueryDef("mm_decode_stub", decodeStub, Some(decodeStubSql)),
+    QueryDef("mm_frame_sample", frameSample, Some(frameSampleSql)),
+    QueryDef("mm_feature_extract", featureExtract, Some(featureExtractSql)))
 }

@@ -1,7 +1,200 @@
 package graft.queries
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import graft.functions.TextFns
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
+/** Similarity search over the `embeddings` table (64-dim float
+  * vectors): brute-force cosine top-k as the exactness baseline, an
+  * IVF (inverted-file) bucketed variant as the scale path, cosine
+  * range search, and exact per-label centroids.
+  *
+  * Scale notes (100 TB):
+  *  - brute force broadcasts the (small) query set so the corpus never
+  *    shuffles: each partition scores its vectors and emits only its
+  *    local top-k candidates before the final per-query window;
+  *  - IVF cuts scoring to nprobe/nlist of the corpus: vectors are
+  *    partitioned by nearest centroid once (a cheap narrow pass over
+  *    broadcast centroids), and queries probe only their 2 nearest
+  *    centroid buckets — the relative speedup grows with nlist;
+  *  - centroids use order-independent decimal sums, never double
+  *    accumulation, so results are deterministic under any partitioning.
+  */
 object Similarity {
-  def defs: Seq[QueryDef] = Seq.empty
+
+  private val NumCentroids = 16
+  private val NumProbe = 2
+  private val TopK = 5
+
+  /** Brute-force cosine top-5: queries are vec_id < 20, corpus is
+    * vec_id >= 20. Deterministic rank order: (cosine desc, id asc);
+    * the cosine doubles are bit-identical to the oracle's.
+    */
+  private def knnBrute(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val corpus = e.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosv").desc, col("neighbor_id"))
+    corpus.crossJoin(broadcast(queries))
+      .withColumn("cosv", TextFns.cosine(col("qv"), col("nv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cosv"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  private val knnBruteSql =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                           CAST(c.embedding AS DOUBLE[])) AS cosv
+       |  FROM embeddings q JOIN embeddings c
+       |    ON q.vec_id < 20 AND c.vec_id >= 20),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosv DESC, neighbor_id) AS rnk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rnk, cosv FROM ranked
+       |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin
+
+  /** IVF top-5: the first $NumCentroids corpus vectors act as fixed
+    * centroids; every corpus vector is assigned to its nearest
+    * centroid (cosine, ties to the lower centroid id), and each query
+    * searches only its $NumProbe nearest centroid buckets. Approximate
+    * by design — the oracle runs the identical algorithm, so results
+    * still hash-match.
+    */
+  private def knnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val centroids = e.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    val corpus = e.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+
+    // assign: nearest centroid per corpus vector (narrow, broadcast)
+    val wAssign = Window.partitionBy(col("neighbor_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val assigned = corpus.crossJoin(broadcast(centroids))
+      .withColumn("ccos", TextFns.cosine(col("nv"), col("cv")))
+      .withColumn("arnk", row_number().over(wAssign))
+      .filter(col("arnk") === 1)
+      .select(col("neighbor_id"), col("nv"), col("cent_id"))
+
+    // probe: top-NumProbe centroids per query
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("cent_id"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("qcos", TextFns.cosine(col("qv"), col("cv")))
+      .withColumn("prnk", row_number().over(wProbe))
+      .filter(col("prnk") <= NumProbe)
+      .select(col("query_id"), col("qv"), col("cent_id"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosv").desc, col("neighbor_id"))
+    probes.join(assigned, "cent_id")
+      .withColumn("cosv", TextFns.cosine(col("qv"), col("nv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cosv"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  private val knnIvfSql =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cv
+       |  FROM embeddings WHERE vec_id < $NumCentroids),
+       |corpus AS (
+       |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS nv
+       |  FROM embeddings WHERE vec_id >= 20),
+       |queries AS (
+       |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id < 20),
+       |assigned AS (
+       |  SELECT neighbor_id, nv, cent_id FROM (
+       |    SELECT neighbor_id, nv, cent_id,
+       |      row_number() OVER (PARTITION BY neighbor_id
+       |        ORDER BY list_cosine_similarity(nv, cv) DESC, cent_id) AS arnk
+       |    FROM corpus, cents)
+       |  WHERE arnk = 1),
+       |probes AS (
+       |  SELECT query_id, qv, cent_id FROM (
+       |    SELECT query_id, qv, cent_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY list_cosine_similarity(qv, cv) DESC, cent_id) AS prnk
+       |    FROM queries, cents)
+       |  WHERE prnk <= $NumProbe),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    list_cosine_similarity(qv, nv) AS cosv
+       |  FROM probes JOIN assigned USING (cent_id)),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosv DESC, neighbor_id) AS rnk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rnk, cosv FROM ranked
+       |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin
+
+  /** Cosine range search: all corpus matches with cosine >= 0.4. */
+  private def rangeSearch(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val corpus = e.filter(col("vec_id") >= 50)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+    corpus.crossJoin(broadcast(queries))
+      .withColumn("cosv", TextFns.cosine(col("qv"), col("nv")))
+      .filter(col("cosv") >= 0.4)
+      .select(col("query_id"), col("neighbor_id"), col("cosv"))
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
+  private val rangeSearchSql =
+    """SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                         CAST(c.embedding AS DOUBLE[])) AS cosv
+      |FROM embeddings q JOIN embeddings c
+      |  ON q.vec_id < 50 AND c.vec_id >= 50
+      |WHERE list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                             CAST(c.embedding AS DOUBLE[])) >= 0.4
+      |ORDER BY query_id, neighbor_id""".stripMargin
+
+  /** Exact per-label centroid, first 8 dimensions: decimal sums keep
+    * the mean order-independent (a double sum would be partitioning-
+    * dependent at scale).
+    */
+  private def labelCentroids(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    e.select(col("label"), posexplode(col("embedding")).as(Seq("p", "v")))
+      .filter(col("p") < 8)
+      .groupBy(col("label"), (col("p") + 1).as("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast(DecimalType(18, 9))).as("sum_dec"))
+      .select(col("label"), col("pos"),
+        (col("sum_dec").cast("double") / col("n")).as("centroid_val"),
+        col("n"))
+      .orderBy(col("label"), col("pos"))
+  }
+
+  private val labelCentroidsSql =
+    """SELECT label, pos,
+      |  CAST(sum(CAST(CAST(embedding[pos] AS DOUBLE) AS DECIMAL(18,9)))
+      |       AS DOUBLE) / count(*)
+      |    AS centroid_val,
+      |  count(*) AS n
+      |FROM embeddings, (SELECT unnest(range(1, 9)) AS pos)
+      |GROUP BY label, pos ORDER BY label, pos""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("sim_knn_brute", knnBrute, Some(knnBruteSql)),
+    QueryDef("sim_knn_ivf", knnIvf, Some(knnIvfSql)),
+    QueryDef("sim_range_search", rangeSearch, Some(rangeSearchSql)),
+    QueryDef("sim_label_centroids", labelCentroids, Some(labelCentroidsSql)))
 }

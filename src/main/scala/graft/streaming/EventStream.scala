@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming counterparts of the batch event analytics:
+  * the same parquet data driven through `readStream` → watermark →
+  * windowed/sessionized aggregation → memory sink, processed to
+  * completion so the result is a deterministic batch DataFrame.
+  *
+  * At production scale the source would be Kafka/files-on-arrival with
+  * the identical plan: watermarks bound state, window aggregations
+  * partial-aggregate before the shuffle, and session windows keep one
+  * state entry per active (user, session).
+  */
+object EventStream {
+
+  /** events.parquet schema when read with nanosAsLong (ts: raw nanos). */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private def streamingEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      // streaming file source needs a directory; filter to the events
+      // file since the fixture dir holds one parquet per table
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Run a streaming aggregation to completion into a memory sink and
+    * return the sink table.
+    */
+  private def runToCompletion(spark: SparkSession, agg: DataFrame,
+      name: String, mode: String): DataFrame = {
+    spark.catalog.dropTempView(name)
+    val q = agg.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+
+  /** Tumbling 1-hour windows by type — streaming complete mode, so the
+    * result equals the batch `ev_hourly_by_type` aggregation and can
+    * share its DuckDB oracle.
+    */
+  def hourlyTumbling(spark: SparkSession, dir: String): DataFrame = {
+    val agg = streamingEvents(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).as("total_value"))
+    runToCompletion(spark, agg, "evs_hourly_sink", "complete")
+      .select(col("w.start").as("hour"), col("event_type"), col("n"),
+        col("total_value"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  /** Session windows (30-minute gap) per user — append mode with a
+    * 1-hour watermark; sessions still open at end-of-input are
+    * withheld by design, so this gets a rows-only check.
+    */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame = {
+    val agg = streamingEvents(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    runToCompletion(spark, agg, "evs_session_sink", "append")
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+}
