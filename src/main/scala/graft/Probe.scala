@@ -1,7 +1,9 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
+
+import graft.engine._
+import graft.mapping.{TypeRegistry, UserOverrides}
 
 /** Dev scratchpad: ad-hoc plan/exactness probes. Not part of the
   * driver contract; edited freely during development.
@@ -16,24 +18,33 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val ev = Tables(spark, "/root/testdata/sf0.01", "events")
-    ev.printSchema()
-    ev.selectExpr("max(ts)", "min(ts)").show(false)
+    val out = "/tmp/mig_out"
+    if (!sys.env.contains("GRAFT_KEEP_OUT")) org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
 
-    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
-    val q = e.filter(col("vec_id") === 0)
-      .select(col("embedding").as("qv"))
-    val cosDf = e.crossJoin(q).select(col("vec_id"),
-      (aggregate(zip_with(col("embedding"), col("qv"),
-          (x, y) => x.cast("double") * y.cast("double")),
-          lit(0.0), (a, x) => a + x) /
-        (sqrt(aggregate(transform(col("embedding"),
-          x => x.cast("double") * x.cast("double")), lit(0.0), (a, x) => a + x)) *
-          sqrt(aggregate(transform(col("qv"),
-            x => x.cast("double") * x.cast("double")), lit(0.0), (a, x) => a + x))))
-        .as("cosv"))
-    cosDf.filter(col("vec_id").isin(1, 2, 3, 4, 5)).orderBy("vec_id")
-      .collect().foreach(r => println(s"${r.getLong(0)} ${java.lang.Double.toString(r.getDouble(1))}"))
+    val overrides = UserOverrides.fromToml(
+      """[mappings]
+        |nvarchar = "varchar(5000)"
+        |[mappings.columns]
+        |"documents.text" = "longtext"
+        |"lineitem.Bogus" = "int"
+        |""".stripMargin).fold(e => sys.error(e), identity)
+
+    val src = new ParquetFixtureSource("/root/testdata/sf0.001", spark)
+    val writer = new ScriptTargetWriter(out)
+    val migrator = new Migrator(spark, src, writer,
+      TypeRegistry.withDefaults().withUserOverrides(overrides),
+      MigrationOptions(formatSnakeCase = true, createConstraints = true,
+        maxConcurrentTasks = 4))
+
+    val t0 = System.nanoTime()
+    val results = migrator.run()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val total = results.map(_.rowsMigrated).sum
+    println(f"migrated ${results.size} tables, $total rows in $secs%.2f s " +
+      f"(${total / secs}%.0f rows/s)")
+    results.sortBy(_.tableName).foreach(r =>
+      println(f"  ${r.tableName}%-12s created=${r.created} rows=${r.rowsMigrated}"))
+    migrator.warnings.foreach(w => println(s"  WARN: $w"))
     spark.stop()
   }
 }

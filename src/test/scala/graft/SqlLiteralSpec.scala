@@ -1,0 +1,86 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{SqlDdl, SqlLiteral}
+import graft.types._
+
+/** Literal rendering parity (/root/reference/src/extract/format.rs:220-446)
+  * and DDL text assertions (insert/query.rs:137-338).
+  */
+class SqlLiteralSpec extends AnyFunSuite {
+
+  test("null renders NULL for every shape") {
+    assert(SqlLiteral.render(null) == "NULL")
+    assert(SqlLiteral.render(None) == "NULL")
+  }
+
+  test("bit renders 0/1; numbers plain; float unquoted (format.rs:395-413)") {
+    assert(SqlLiteral.render(true) == "1")
+    assert(SqlLiteral.render(false) == "0")
+    assert(SqlLiteral.render(42) == "42")
+    assert(SqlLiteral.render(-7L) == "-7")
+    assert(SqlLiteral.render(1.5) == "1.5")
+  }
+
+  test("strings quoted with doubled quotes (format.rs:57-61)") {
+    assert(SqlLiteral.render("O'Brien") == "'O''Brien'")
+    assert(SqlLiteral.render("plain") == "'plain'")
+  }
+
+  test("binary renders unquoted lowercase hex (format.rs:352-362)") {
+    assert(SqlLiteral.render(Array(0xff.toByte, 0xab.toByte)) == "0xffab")
+  }
+
+  test("decimal quoted, scale preserved (format_numeric_value :42-55)") {
+    assert(SqlLiteral.render(new java.math.BigDecimal("123.45")) == "'123.45'")
+    assert(SqlLiteral.render(new java.math.BigDecimal("123.40")) == "'123.40'")
+  }
+
+  test("timestamps quoted, fraction trimmed to 3/6/9 like chrono %.f") {
+    assert(SqlLiteral.render(Timestamp.valueOf("2024-01-02 03:04:05")) ==
+      "'2024-01-02 03:04:05'")
+    assert(SqlLiteral.render(Timestamp.valueOf("2024-01-02 03:04:05.123")) ==
+      "'2024-01-02 03:04:05.123'")
+    assert(SqlLiteral.render(Timestamp.valueOf("2024-01-02 03:04:05.123456")) ==
+      "'2024-01-02 03:04:05.123456'")
+    assert(SqlLiteral.render(java.time.LocalDateTime.parse("2024-01-02T03:04:05.5")) ==
+      "'2024-01-02 03:04:05.500'")
+  }
+
+  test("value tuple keeps reference shape '(v1, v2) '") {
+    assert(SqlLiteral.valueTuple(Seq(1, "a")) == "(1, 'a') ")
+  }
+
+  test("insert statement and create table DDL text (query.rs:137-338)") {
+    val cols = Seq(
+      TargetColumn("id", MySqlType(MySqlBaseType.Int), isNullable = false,
+        Some(Constraint.PrimaryKey)),
+      TargetColumn("name", MySqlType(MySqlBaseType.Varchar, length = Some(50)),
+        isNullable = true, None))
+    assert(SqlDdl.insertStatement("Users", cols) ==
+      "INSERT INTO `Users` (`id`, `name`) VALUES")
+    assert(SqlDdl.createTable("Users", cols) ==
+      "CREATE TABLE `Users` (`id` int PRIMARY KEY NOT NULL, `name` varchar(50) NULL)")
+    assert(SqlDdl.resetQuery(Seq("a", "b"), SqlDdl.Truncate) ==
+      "TRUNCATE TABLE `a`;\nTRUNCATE TABLE `b`;")
+  }
+
+  test("constraint DDL: FK cascade text + skip list (query.rs:242-256)") {
+    val cols = Seq(
+      TargetColumn("org_id", MySqlType(MySqlBaseType.Int), isNullable = true,
+        Some(Constraint.ForeignKey("Orgs", "id"))),
+      TargetColumn("ghost_id", MySqlType(MySqlBaseType.Int), isNullable = true,
+        Some(Constraint.ForeignKey("Ghost", "id"))),
+      TargetColumn("code", MySqlType(MySqlBaseType.Int), isNullable = true,
+        Some(Constraint.Unique)))
+    val (sql, skipped) = SqlDdl.createConstraints("T", cols, Seq("Orgs", "T"))
+    assert(sql.contains(
+      "SET FOREIGN_KEY_CHECKS=0; ALTER TABLE `T` " +
+        "ADD FOREIGN KEY(`org_id`) REFERENCES `Orgs`(`id`) ON DELETE CASCADE, " +
+        "ADD UNIQUE(`code`)"))
+    assert(skipped == Seq("ghost_id -> Ghost.id"))
+  }
+}
