@@ -1,9 +1,9 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
-import graft.engine._
-import graft.mapping.{TypeRegistry, UserOverrides}
+import graft.functions.{MinHashSignature, TextFns}
 
 /** Dev scratchpad: ad-hoc plan/exactness probes. Not part of the
   * driver contract; edited freely during development.
@@ -11,40 +11,52 @@ import graft.mapping.{TypeRegistry, UserOverrides}
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.1"
 
-    val out = "/tmp/mig_out"
-    if (!sys.env.contains("GRAFT_KEEP_OUT")) org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
 
-    val overrides = UserOverrides.fromToml(
-      """[mappings]
-        |nvarchar = "varchar(5000)"
-        |[mappings.columns]
-        |"documents.text" = "longtext"
-        |"lineitem.Bogus" = "int"
-        |""".stripMargin).fold(e => sys.error(e), identity)
+    Tables(spark, dir, "documents").count() // warmup
 
-    val src = new ParquetFixtureSource("/root/testdata/sf0.001", spark)
-    val writer = new ScriptTargetWriter(out)
-    val migrator = new Migrator(spark, src, writer,
-      TypeRegistry.withDefaults().withUserOverrides(overrides),
-      MigrationOptions(formatSnakeCase = true, createConstraints = true,
-        maxConcurrentTasks = 4))
+    val docsHof = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextFns.shingles(TextFns.tokens(col("text")), 3).as("gs"))
+    time("shingles HOF")(docsHof.select(sum(size(col("gs")))).collect())
 
-    val t0 = System.nanoTime()
-    val results = migrator.run()
-    val secs = (System.nanoTime() - t0) / 1e9
-    val total = results.map(_.rowsMigrated).sum
-    println(f"migrated ${results.size} tables, $total rows in $secs%.2f s " +
-      f"(${total / secs}%.0f rows/s)")
-    results.sortBy(_.tableName).foreach(r =>
-      println(f"  ${r.tableName}%-12s created=${r.created} rows=${r.rowsMigrated}"))
-    migrator.warnings.foreach(w => println(s"  WARN: $w"))
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.WordShingles(col("text"), 3).as("gs"))
+      .filter(size(col("gs")) > 0)
+    time("shingles codegen")(docs.select(sum(size(col("gs")))).collect())
+
+    val sigs = docs
+      .withColumn("sig", MinHashSignature(col("gs"), 128))
+    time("sigs")(sigs.select(min(element_at(col("sig"), 1))).collect())
+
+    val bands = sigs
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(31)),
+          b => xxhash64(b, slice(col("sig"), b * 4 + 1, lit(4)))))
+          .as(Seq("band", "band_key")))
+    time("bands")(bands.count())
+
+    val ca = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
+    val cb = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
+    val candidates = ca.join(cb, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    time("candidates")(println("n_cand=" + candidates.count()))
+
     spark.stop()
   }
 }

@@ -29,12 +29,25 @@ object TextFns {
     * `list_cosine_similarity(CAST(x AS DOUBLE[]), ...)` (verified
     * empirically), so full-precision doubles can be oracle-compared.
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+  def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+
+  /** Sequential double-accumulation dot product of two float arrays —
+    * the codegen'd [[FloatVecDot]] expression (bit-identical to the
+    * equivalent `aggregate(zip_with(...))` fold and to DuckDB's
+    * DOUBLE[] kernel).
+    */
+  def dot(x: Column, y: Column): Column = FloatVecDot(x, y)
+
+  /** `sqrt(dot(v, v))` — precompute once per vector so pairwise scoring
+    * does one fold instead of three; the value (and thus the cosine) is
+    * bit-identical to the inline form.
+    */
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine from a pairwise dot and two precomputed norms. */
+  def cosineFrom(dotAB: Column, normA: Column, normB: Column): Column =
+    dotAB / (normA * normB)
 
   /** 60-bit document SimHash over distinct tokens.
     *

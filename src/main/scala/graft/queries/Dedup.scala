@@ -32,7 +32,7 @@ object Dedup {
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
       .select(col("doc_id"),
-        explode(TextFns.shingles(TextFns.tokens(col("text")), ShingleK)).as("g"))
+        explode(graft.functions.WordShingles(col("text"), ShingleK)).as("g"))
 
   /** Exact dedup: one survivor (min doc_id) per identical text. */
   private def exact(s: SparkSession, dir: String): DataFrame =
@@ -117,20 +117,21 @@ object Dedup {
   private def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val sh = docShingles(s, dir)
 
-    // (doc_id, k, h): 128 hashes per shingle, min per (doc, k)
-    val minh = sh
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(0), lit(NumPerms - 1)),
-        k => xxhash64(k, col("g")))).as(Seq("k", "h")))
-      .groupBy(col("doc_id"), col("k"))
-      .agg(min(col("h")).as("h"))
+    // Signature as one codegen'd expression per doc (TextFns /
+    // MinHashSignature): no 128x-row explode and no (doc, k) shuffle —
+    // at 100 TB only docs x 1KB signatures move.
+    val sigs = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.WordShingles(col("text"), ShingleK).as("gs"))
+      .filter(size(col("gs")) > 0)
+      .withColumn("sig", graft.functions.MinHashSignature(col("gs"), NumPerms))
 
-    // band key = hash of the band's (k, h) rows in k order
-    val bands = minh
-      .withColumn("band", (col("k") / BandRows).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(xxhash64(array_sort(collect_list(struct(col("k"), col("h")))))
-        .as("band_key"))
+    // band key = hash of the band's 4-hash slice
+    val bands = sigs
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(NumPerms / BandRows - 1)),
+          b => xxhash64(b, slice(col("sig"), b * BandRows + 1, lit(BandRows)))))
+          .as(Seq("band", "band_key")))
 
     val ca = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
     val cb = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
@@ -158,24 +159,10 @@ object Dedup {
     * per-token hash comes from md5 hex digits 2..16 (see
     * TextFns.tokenBit), so the oracle reproduces it in SQL.
     */
-  private def simhashDf(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables(s, dir, "documents")
-      .select(col("doc_id"),
-        explode(array_distinct(TextFns.tokens(col("text")))).as("tok"))
-    toks
-      .select(col("doc_id"), col("tok"),
-        explode(sequence(lit(0), lit(59))).as("b"))
-      .withColumn("contrib",
-        when(TextFns.tokenBit(col("tok"), col("b")) === 1, 1).otherwise(-1))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("contrib")).as("s"))
-      .withColumn("term",
-        when(col("s") > 0,
-          pow(lit(2.0), (lit(59) - col("b")).cast("double")).cast("long"))
-          .otherwise(0L))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("term")).as("simhash"))
-  }
+  private def simhashDf(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), graft.functions.SimHash60(
+        array_distinct(TextFns.tokens(col("text")))).as("simhash"))
 
   private def simhash(s: SparkSession, dir: String): DataFrame =
     simhashDf(s, dir).orderBy(col("doc_id"))
@@ -207,11 +194,25 @@ object Dedup {
     * <= 3 over 4 bands forces one identical band).
     */
   private def simhashHamming(s: SparkSession, dir: String): DataFrame = {
+    // Pigeonhole banding instead of the O(n²) cross join: distance <= 3
+    // over 4 bands of 15 bits forces at least one identical band, so a
+    // band-bucket join finds every qualifying pair (no recall loss);
+    // only band-collision candidates pay the popcount. This is the
+    // plan that survives 100 TB — candidates scale with collisions,
+    // not with n².
     val sh = simhashDf(s, dir)
-    val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("ha"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("hb"))
-    a.crossJoin(b)
+    val bands = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 15).bitwiseAND(lit(0x7fffL))): _*))
+        .as(Seq("band_idx", "band_val")))
+    val a = bands.select(col("doc_id").as("doc_a"), col("simhash").as("ha"),
+      col("band_idx"), col("band_val"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("simhash").as("hb"),
+      col("band_idx"), col("band_val"))
+    a.join(b, Seq("band_idx", "band_val"))
       .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("ha"), col("hb"))
+      .distinct()
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("hamming") <= 3)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
@@ -232,12 +233,19 @@ object Dedup {
     * the double cosine is bit-identical to DuckDB's (TextFns.cosine).
     */
   private def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    // Norms precomputed once per vector (bit-identical to the inline
+    // cosine): the O(n²) pair scan then does one dot-product fold per
+    // pair instead of three.
     val e = Tables(s, dir, "embeddings")
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      .withColumn("nrm", TextFns.norm(col("embedding")))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+      col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+      col("nrm").as("nb"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosv", TextFns.cosine(col("va"), col("vb")))
+      .withColumn("cosv", TextFns.cosineFrom(
+        TextFns.dot(col("va"), col("vb")), col("na"), col("nb")))
       .filter(col("cosv") >= 0.45)
       .select(col("id_a"), col("id_b"), col("cosv"))
       .orderBy(col("id_a"), col("id_b"))

@@ -35,14 +35,18 @@ object Similarity {
     */
   private def knnBrute(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
+      .withColumn("nrm", TextFns.norm(col("embedding")))
     val queries = e.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
     val corpus = e.filter(col("vec_id") >= 20)
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+        col("nrm").as("nn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosv").desc, col("neighbor_id"))
     corpus.crossJoin(broadcast(queries))
-      .withColumn("cosv", TextFns.cosine(col("qv"), col("nv")))
+      .withColumn("cosv", TextFns.cosineFrom(
+        TextFns.dot(col("qv"), col("nv")), col("qn"), col("nn")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= TopK)
       .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cosv"))
@@ -145,12 +149,16 @@ object Similarity {
   /** Cosine range search: all corpus matches with cosine >= 0.4. */
   private def rangeSearch(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
+      .withColumn("nrm", TextFns.norm(col("embedding")))
     val queries = e.filter(col("vec_id") < 50)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
     val corpus = e.filter(col("vec_id") >= 50)
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+        col("nrm").as("nn"))
     corpus.crossJoin(broadcast(queries))
-      .withColumn("cosv", TextFns.cosine(col("qv"), col("nv")))
+      .withColumn("cosv", TextFns.cosineFrom(
+        TextFns.dot(col("qv"), col("nv")), col("qn"), col("nn")))
       .filter(col("cosv") >= 0.4)
       .select(col("query_id"), col("neighbor_id"), col("cosv"))
       .orderBy(col("query_id"), col("neighbor_id"))
