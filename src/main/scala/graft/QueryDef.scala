@@ -30,5 +30,6 @@ object QueryDef {
       queries.Similarity.defs ++
       queries.Events.defs ++
       queries.Multimodal.defs ++
-      queries.Migration.defs
+      queries.Migration.defs ++
+      queries.SqlApi.defs
 }

@@ -138,5 +138,11 @@ object Events {
         .select(col("hour"), col("event_type"), col("n"), col("total_value")),
       Some(hourlySql)),
     QueryDef("evs_session_windows",
-      (s, d) => graft.streaming.EventStream.sessionWindows(s, d), None))
+      (s, d) => graft.streaming.EventStream.sessionWindows(s, d), None),
+    // flatMapGroupsWithState running counts: single-batch input means
+    // the final state equals the batch GROUP BY, so it is oracle-able.
+    QueryDef("evs_user_running_counts",
+      (s, d) => graft.streaming.EventStream.userRunningCounts(s, d),
+      Some("""SELECT user_id, count(*) AS n_events
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)))
 }

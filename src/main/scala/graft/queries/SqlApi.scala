@@ -1,0 +1,100 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The SQL entry point: temp views + `spark.sql(...)` + the custom
+  * functions registered in graft.functions.Registry — proving a SQL
+  * user gets the same engine (Catalyst plans the text identically to
+  * the Column API).
+  */
+object SqlApi {
+
+  private def withViews(s: SparkSession, dir: String,
+      tables: Seq[String])(sql: String): DataFrame = {
+    graft.functions.Registry.registerAll(s)
+    tables.foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+    s.sql(sql)
+  }
+
+  /** Pricing rollup through the SQL surface. */
+  private def revenue(s: SparkSession, dir: String): DataFrame =
+    withViews(s, dir, Seq("lineitem", "part"))(
+      """SELECT p_type,
+        |  count(*) AS n_items,
+        |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)))
+        |    AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_quantity > 10
+        |GROUP BY p_type
+        |ORDER BY p_type""".stripMargin)
+
+  private val revenueSql =
+    """SELECT p_type, count(*) AS n_items,
+      |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_quantity > 10
+      |GROUP BY p_type ORDER BY p_type""".stripMargin
+
+  /** Custom expressions through SQL: shingle counts + simhash via the
+    * registered functions (the oracle recomputes simhash from its own
+    * md5-bit SQL, so this also re-proves cross-engine bit parity
+    * through the SQL surface).
+    */
+  private def textFunctions(s: SparkSession, dir: String): DataFrame =
+    withViews(s, dir, Seq("documents"))(
+      """SELECT doc_id,
+        |  size(word_shingles(text, 3)) AS n_shingles,
+        |  simhash60(array_distinct(split(text, ' '))) AS simhash
+        |FROM documents ORDER BY doc_id""".stripMargin)
+
+  private val textFunctionsSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      |  FROM documents),
+      |bits AS (
+      |  SELECT doc_id, b,
+      |    CASE WHEN (
+      |      (strpos('0123456789abcdef',
+      |         substring(substring(md5(tok), 2, 15), 1 + (b // 4), 1)) - 1)
+      |      >> (3 - (b % 4))) & 1 = 1 THEN 1 ELSE -1 END AS contrib
+      |  FROM toks, (SELECT unnest(range(0, 60)) AS b)),
+      |sums AS (SELECT doc_id, b, sum(contrib) AS s FROM bits GROUP BY 1, 2),
+      |sims AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << (59 - b)) ELSE 0 END)
+      |      AS simhash
+      |  FROM sums GROUP BY doc_id),
+      |counts AS (
+      |  SELECT doc_id,
+      |    len(list_distinct(list_transform(range(1, len(ws) - 1),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS n_shingles
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+      |SELECT doc_id, n_shingles, simhash
+      |FROM counts JOIN sims USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** float_vec_dot through SQL against DuckDB's list_inner_product
+    * (both sequential double kernels).
+    */
+  private def vecDot(s: SparkSession, dir: String): DataFrame =
+    withViews(s, dir, Seq("embeddings"))(
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  float_vec_dot(a.embedding, b.embedding) AS dp
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.vec_id < 10 AND b.vec_id >= 10 AND b.vec_id < 40
+        |ORDER BY id_a, id_b""".stripMargin)
+
+  private val vecDotSql =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  list_inner_product(CAST(a.embedding AS DOUBLE[]),
+      |                     CAST(b.embedding AS DOUBLE[])) AS dp
+      |FROM embeddings a JOIN embeddings b
+      |  ON a.vec_id < 10 AND b.vec_id >= 10 AND b.vec_id < 40
+      |ORDER BY id_a, id_b""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("sqlapi_revenue_by_type", revenue, Some(revenueSql)),
+    QueryDef("sqlapi_text_functions", textFunctions, Some(textFunctionsSql)),
+    QueryDef("sqlapi_vec_dot", vecDot, Some(vecDotSql)))
+}

@@ -204,7 +204,25 @@ object TextAnalysis {
       |  WHERE len(ws) >= 2)
       |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 15""".stripMargin
 
+  /** Sketch-based cardinality: HLL++ distinct-word estimates per
+    * source vs the exact count. No oracle — DuckDB's approx sketch
+    * differs from Spark's by design; the accompanying spec asserts the
+    * estimate lands within rsd of exact. At 100 TB the sketch is the
+    * only viable plan: fixed memory per group, no distinct shuffle.
+    */
+  private def vocabHll(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "documents")
+      .select(col("source"), explode(TextFns.tokens(col("text"))).as("word"))
+      .groupBy(col("source"))
+      .agg(
+        approx_count_distinct(col("word"), rsd = 0.02).as("approx_vocab"),
+        countDistinct(col("word")).as("exact_vocab"),
+        count(lit(1)).as("n_words"))
+      .orderBy(col("source"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("ta_vocab_hll", vocabHll, None),
     QueryDef("ta_token_stats", tokenStats, Some(tokenStatsSql)),
     QueryDef("ta_quality_score", quality, Some(qualitySql)),
     QueryDef("ta_lang_id", langId, Some(langIdSql)),

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions._
+
+/** Custom-expression semantics: each codegen expression must agree
+  * with the built-in (interpreted) composition it replaced, on both
+  * the codegen and interpreted evaluation paths.
+  */
+class ExpressionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+  private def embs = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+
+  /** Run the same check with whole-stage codegen on and off, so both
+    * doGenCode and nullSafeEval are exercised.
+    */
+  private def bothPaths(check: => Unit): Unit = {
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    check
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try check
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("FloatVecDot equals the aggregate/zip_with fold bit-for-bit") {
+    bothPaths {
+      val hof = aggregate(
+        zip_with(col("a"), col("b"), (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      val rows = embs.select(col("embedding").as("a"), col("vec_id"))
+        .crossJoin(embs.limit(3).select(col("embedding").as("b")))
+        .limit(200)
+        .select(FloatVecDot(col("a"), col("b")).as("fast"), hof.as("ref"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      }
+    }
+  }
+
+  test("WordShingles equals the transform/array_distinct chain") {
+    bothPaths {
+      val ws = split(col("text"), " ")
+      val hof = when(size(ws) < 3, array().cast("array<string>"))
+        .otherwise(array_distinct(transform(
+          sequence(lit(0), size(ws) - 3),
+          i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2),
+            element_at(ws, i + 3)))))
+      val diff = docs
+        .select(WordShingles(col("text"), 3).as("fast"), hof.as("ref"))
+        .filter(not(col("fast") === col("ref")))
+        .count()
+      assert(diff == 0)
+    }
+  }
+
+  test("WordShingles edge cases: short docs, k=1") {
+    import spark.implicits._
+    bothPaths {
+      val df = Seq("one two", "a", "", "x y z", "x y z x y z").toDF("text")
+      val got = df.select(WordShingles(col("text"), 3).as("g"))
+        .collect().map(_.getSeq[String](0))
+      assert(got(0).isEmpty && got(1).isEmpty && got(2).isEmpty)
+      assert(got(3) == Seq("x y z"))
+      assert(got(4) == Seq("x y z", "y z x", "z x y")) // distinct, first-occurrence order
+      val k1 = df.select(WordShingles(col("text"), 1).as("g"))
+        .collect().map(_.getSeq[String](0))
+      assert(k1(3) == Seq("x", "y", "z"))
+    }
+  }
+
+  test("MinHashSignature: deterministic, monotone under subset growth") {
+    bothPaths {
+      val sig = docs.select(col("doc_id"),
+        MinHashSignature(WordShingles(col("text"), 3), 16).as("sig"))
+      val rows = sig.collect()
+      assert(rows.forall(_.getSeq[Long](1).size == 16))
+      // identical input => identical signature
+      val again = sig.collect()
+      assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+    }
+  }
+
+  test("SimHash60 matches the explicit md5-bit pipeline") {
+    bothPaths {
+      // reference computation in Scala, mirroring the oracle SQL
+      val texts = docs.select(col("doc_id"), col("text")).limit(50).collect()
+      val expected = texts.map { r =>
+        val toks = r.getString(1).split(' ').distinct
+        val counts = new Array[Int](60)
+        for (t <- toks) {
+          val hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(t.getBytes("UTF-8"))
+            .map(b => f"${b & 0xff}%02x").mkString
+          for (b <- 0 until 60) {
+            val nibble = Integer.parseInt(hex.substring(1 + b / 4, 2 + b / 4), 16)
+            val bit = (nibble >> (3 - b % 4)) & 1
+            counts(b) += (if (bit == 1) 1 else -1)
+          }
+        }
+        var sim = 0L
+        for (b <- 0 until 60) if (counts(b) > 0) sim |= 1L << (59 - b)
+        r.getLong(0) -> sim
+      }.toMap
+      val got = docs.limit(50)
+        .select(col("doc_id"),
+          SimHash60(array_distinct(split(col("text"), " "))).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected)
+    }
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract smoke + properties the DuckDB oracle can't express
+  * (sketch accuracy, streaming equivalences).
+  */
+class QueriesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query name has either an oracle or a documented rows-only check") {
+    val oracles = SparkEntry.oracleSql.keySet
+    val all = SparkEntry.queries.keySet
+    assert(oracles.subsetOf(all))
+    val rowsOnly = all -- oracles
+    // rows-only queries must be the intentionally non-SQL-expressible ops
+    assert(rowsOnly == Set("ta_vocab_hll", "evs_session_windows"))
+  }
+
+  test("ta_vocab_hll: HLL estimate within 3x rsd of exact") {
+    val rows = SparkEntry.queries("ta_vocab_hll")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_vocab").toDouble
+      val exact = r.getAs[Long]("exact_vocab").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.06,
+        s"approx=$approx exact=$exact")
+    }
+  }
+
+  test("streaming session windows nest inside batch sessions") {
+    val streamed = SparkEntry.queries("evs_session_windows")(spark, dir).count()
+    val batch = SparkEntry.queries("ev_sessionize")(spark, dir).count()
+    assert(streamed > 0 && streamed <= batch)
+  }
+}
