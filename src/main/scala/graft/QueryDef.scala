@@ -25,6 +25,7 @@ object QueryDef {
   /** All query modules, in inventory order. */
   def all: Seq[QueryDef] =
     queries.Relational.defs ++
+      queries.Relational2.defs ++
       queries.TextAnalysis.defs ++
       queries.Dedup.defs ++
       queries.Similarity.defs ++
