@@ -26,6 +26,7 @@ object QueryDef {
   def all: Seq[QueryDef] =
     queries.Relational.defs ++
       queries.Relational2.defs ++
+      queries.Relational3.defs ++
       queries.TextAnalysis.defs ++
       queries.Dedup.defs ++
       queries.Similarity.defs ++

@@ -1,0 +1,133 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Third batch: bucketed range join, custom-aggregate top-k, salted
+  * skew-safe aggregation, exact percentiles.
+  */
+object Relational3 {
+
+  /** Interval/range join — (purchase event, order) pairs of the same
+    * customer within ±24 h. A plain inequality join degenerates to a
+    * nested-loop at scale; the scalable plan buckets time by the
+    * interval width and equi-joins on (key, bucket) with each event
+    * probing its two adjacent buckets, then applies the exact range
+    * filter — cardinality scales with true matches, not n².
+    */
+  private def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val winUs = 600000000L // 10 minutes
+    val base = Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val right = base.select(col("event_id").as("id_b"),
+      col("user_id").as("ub"), col("us").as("us_b"))
+      .withColumn("bucket", floor(col("us_b") / winUs))
+    val left = base.select(col("event_id").as("id_a"),
+      col("user_id").as("ua"), col("us").as("us_a"))
+      .withColumn("bucket",
+        explode(array(floor(col("us_a") / winUs) - 1,
+          floor(col("us_a") / winUs), floor(col("us_a") / winUs) + 1)))
+    left.join(right,
+        left("ua") === right("ub") && left("bucket") === right("bucket"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("us_a") - col("us_b")) <= winUs)
+      .select(col("id_a"), col("id_b"), (col("us_b") - col("us_a")).as("delta_us"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val rangeJoinSql =
+    """SELECT a.event_id AS id_a, b.event_id AS id_b,
+      |  epoch_us(b.ts) - epoch_us(a.ts) AS delta_us
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+      | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 600000000
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Top-3 orders per customer via the custom bounded-buffer
+    * [[graft.operators.TopKAggregator]] (map-side top-k, k rows per
+    * group cross the shuffle) — same result contract as the window
+    * form (q06), same oracle shape. Prices scaled to exact cents.
+    */
+  private def topkAggregate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = new graft.operators.TopKAggregator(3)
+    Tables(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._3, r._2)) // (value=cents, tie=orderkey asc)
+      .agg(agg.toColumn)
+      .flatMap { case (cust, top) =>
+        top.zipWithIndex.map { case ((cents, okey), i) =>
+          (cust, okey, java.math.BigDecimal.valueOf(cents, 2), i + 1)
+        }
+      }
+      .toDF("o_custkey", "o_orderkey", "price", "rn")
+      .withColumn("price", col("price").cast(DecimalType(18, 2)))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  // same semantics as q06: price desc, orderkey asc tie-break
+  private val topkAggregateSql =
+    """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price, rn
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC,
+      |                                o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** Skew-safe two-stage aggregation: pre-aggregate on (word, salt)
+    * then combine — the standard fix when one key dominates (stop
+    * words here). Identical result to the direct groupBy, proven by
+    * sharing ta_word_topk's oracle.
+    */
+  private def wordTopkSalted(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .withColumn("salt", pmod(crc32(monotonically_increasing_id().cast("string")), lit(16)))
+      .groupBy(col("word"), col("salt"))
+      .agg(count(lit(1)).as("pn"))
+      .groupBy(col("word"))
+      .agg(sum(col("pn")).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(20)
+  }
+
+  private val wordTopkSaltedSql =
+    """SELECT word, count(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin
+
+  /** Exact linear-interpolation percentiles (both engines sort the
+    * group and interpolate identically on these doubles).
+    */
+  private def percentiles(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+        expr("percentile(l_extendedprice, 0.25)").as("p25_price"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val percentilesSql =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+      |  quantile_cont(l_extendedprice, 0.25) AS p25_price,
+      |  quantile_cont(l_extendedprice, 0.95) AS p95_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q20_range_join", rangeJoin, Some(rangeJoinSql)),
+    QueryDef("q21_topk_aggregate", topkAggregate, Some(topkAggregateSql)),
+    QueryDef("q22_word_topk_salted", wordTopkSalted, Some(wordTopkSaltedSql)),
+    QueryDef("q23_percentiles", percentiles, Some(percentilesSql)))
+}
