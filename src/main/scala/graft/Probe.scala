@@ -2,27 +2,39 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+import graft.engine._
+import graft.mapping.TypeRegistry
+
 /** Dev scratchpad: ad-hoc plan/exactness probes. Not part of the
   * driver contract; edited freely during development.
   */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.01"
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
 
-    for (name <- args) {
-      println(s"\n========== $name ==========")
-      val df = SparkEntry.queries(name)(spark, dir)
-      println(df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
-    }
+    val out = "/tmp/mig_bench_out"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    val src = new ParquetFixtureSource(dir, spark)
+    val writer = new ScriptTargetWriter(out)
+    val migrator = new Migrator(spark, src, writer,
+      TypeRegistry.withDefaults(),
+      MigrationOptions(formatSnakeCase = true, createConstraints = true,
+        maxConcurrentTasks = 8))
+    // warmup session
+    Tables(spark, dir, "lineitem").count()
+    val t0 = System.nanoTime()
+    val results = migrator.run()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val total = results.map(_.rowsMigrated).sum
+    println(f"MIG: $total rows in $secs%.2f s = ${total / secs}%.0f rows/s")
     spark.stop()
   }
 }

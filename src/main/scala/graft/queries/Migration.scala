@@ -136,7 +136,37 @@ object Migration {
       |  count(*) AS n_rows, sum(row_bytes) AS batch_bytes
       |FROM running GROUP BY 1 ORDER BY batch_id""".stripMargin
 
+  /** The full migration pipeline as a query: introspect → map → DDL →
+    * byte-bounded batched load of every fixture table into a fresh
+    * script target, returning per-table results. The oracle checks
+    * per-table row counts and creation flags; Bench timing of this
+    * query IS the read→map→batched-write throughput figure BASELINE.md
+    * compares against the reference (~351k rows/s at sf0.1 on local[32]
+    * vs the reference's 14.7k rows/s sample run).
+    */
+  private def pipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.engine._
+    import graft.mapping.TypeRegistry
+    val out = java.nio.file.Files.createTempDirectory("graft_mig_q").toString
+    val migrator = new Migrator(s, new ParquetFixtureSource(dir, s),
+      new ScriptTargetWriter(out), TypeRegistry.withDefaults(),
+      MigrationOptions(formatSnakeCase = true, createConstraints = true,
+        maxConcurrentTasks = 8))
+    val results = migrator.run()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    import s.implicits._
+    results.map(r => (r.tableName, r.created, r.rowsMigrated))
+      .toDF("table_name", "created", "rows_migrated")
+      .orderBy(col("table_name"))
+  }
+
+  private val pipelineSql =
+    graft.Tables.names.map(t =>
+      s"SELECT '$t' AS table_name, TRUE AS created, count(*) AS rows_migrated FROM $t")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("mig_pipeline", pipeline, Some(pipelineSql)),
     QueryDef("mig_literal_render", literalRender, Some(literalRenderSql)),
     QueryDef("mig_typed_cast", typedCast, Some(typedCastSql)),
     QueryDef("mig_table_inventory", tableInventory, Some(tableInventorySql)),
