@@ -104,6 +104,40 @@ object Events {
       |FROM events, (SELECT unnest([0, 1]) AS k)
       |GROUP BY 1 ORDER BY w_start""".stripMargin
 
+  /** Spark's native session_window in batch mode — must produce
+    * exactly the sessions the manual lag+cumsum construction
+    * (ev_sessionize) finds; the oracle derives start/end/count from
+    * the same gaps-and-islands CTE, so the two session definitions are
+    * pinned to each other. session_window end = last event + gap.
+    */
+  private def sessionWindowBatch(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  private val sessionWindowBatchSql =
+    """WITH marked AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |numbered AS (
+      |  SELECT *, sum(new_session) OVER (
+      |    PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM marked)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  count(*) AS n_events
+      |FROM numbered GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** Per-user activity profile. */
   private def userStats(s: SparkSession, dir: String): DataFrame = {
     Tables(s, dir, "events")
@@ -128,6 +162,8 @@ object Events {
     QueryDef("ev_hourly_by_type", hourly, Some(hourlySql)),
     QueryDef("ev_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("ev_sliding_windows", sliding, Some(slidingSql)),
+    QueryDef("ev_session_window_batch", sessionWindowBatch,
+      Some(sessionWindowBatchSql)),
     QueryDef("ev_user_stats", userStats, Some(userStatsSql)),
     // Structured Streaming counterparts (graft.streaming.EventStream).
     // The tumbling-window stream runs in complete mode, so it matches

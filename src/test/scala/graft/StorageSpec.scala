@@ -67,6 +67,15 @@ class StorageSpec extends AnyFunSuite {
   }
 
   test("bucketed tables join without a shuffle") {
+    // an orphaned warehouse dir from a previous JVM (in-memory catalog,
+    // on-disk location) makes saveAsTable fail with
+    // LOCATION_ALREADY_EXISTS — clear both catalog and location
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    for (t <- Seq("li_bucketed", "ord_bucketed")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$wh/$t"))
+    }
     lineitem.write.mode("overwrite")
       .bucketBy(4, "l_orderkey").sortBy("l_orderkey")
       .saveAsTable("li_bucketed")
