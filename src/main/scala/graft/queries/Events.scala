@@ -177,6 +177,10 @@ object Events {
       (s, d) => graft.streaming.EventStream.sessionWindows(s, d), None),
     // flatMapGroupsWithState running counts: single-batch input means
     // the final state equals the batch GROUP BY, so it is oracle-able.
+    QueryDef("evs_stream_dedup",
+      (s, d) => graft.streaming.EventStream.streamingDedup(s, d),
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+             |ORDER BY user_id, event_type""".stripMargin)),
     QueryDef("evs_user_running_counts",
       (s, d) => graft.streaming.EventStream.userRunningCounts(s, d),
       Some("""SELECT user_id, count(*) AS n_events

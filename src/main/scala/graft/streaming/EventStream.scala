@@ -93,6 +93,22 @@ object EventStream {
       .orderBy(col("user_id"))
   }
 
+  /** Streaming deduplication: dropDuplicates on (user_id, event_type)
+    * with a watermark bounding state. The fixture arrives as one
+    * micro-batch, so the emitted set equals batch DISTINCT — which the
+    * oracle checks. At scale the watermark is what keeps the dedup
+    * state finite (keys older than the delay are evicted).
+    */
+  def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
+    val agg = streamingEvents(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    runToCompletion(spark, agg, "evs_dedup_sink", "append")
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   /** Session windows (30-minute gap) per user — append mode with a
     * 1-hour watermark; sessions still open at end-of-input are
     * withheld by design, so this gets a rows-only check.
