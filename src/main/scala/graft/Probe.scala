@@ -2,39 +2,21 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.engine._
-import graft.mapping.TypeRegistry
-
 /** Dev scratchpad: ad-hoc plan/exactness probes. Not part of the
   * driver contract; edited freely during development.
   */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.adaptive.enabled", "true")
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-
-    val out = "/tmp/mig_bench_out"
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
-    val src = new ParquetFixtureSource(dir, spark)
-    val writer = new ScriptTargetWriter(out)
-    val migrator = new Migrator(spark, src, writer,
-      TypeRegistry.withDefaults(),
-      MigrationOptions(formatSnakeCase = true, createConstraints = true,
-        maxConcurrentTasks = 8))
-    // warmup session
-    Tables(spark, dir, "lineitem").count()
-    val t0 = System.nanoTime()
-    val results = migrator.run()
-    val secs = (System.nanoTime() - t0) / 1e9
-    val total = results.map(_.rowsMigrated).sum
-    println(f"MIG: $total rows in $secs%.2f s = ${total / secs}%.0f rows/s")
+    val df = SparkEntry.queries("q24_asof_custom_operator")(
+      spark, "/root/testdata/sf0.01")
+    println(df.queryExecution.executedPlan.toString.take(2500))
     spark.stop()
   }
 }

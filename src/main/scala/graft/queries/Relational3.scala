@@ -125,7 +125,42 @@ object Relational3 {
       |  quantile_cont(l_extendedprice, 0.95) AS p95_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** The same as-of join as q14, but through the custom operator
+    * (graft.plans.AsOfJoin: LogicalPlan + Strategy + sort-merge
+    * SparkPlan) instead of the union+window composition. Shares q14's
+    * DuckDB native-ASOF oracle, so the custom physical operator is
+    * held to the same ground truth.
+    */
+  private def asofCustom(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(s, dir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("matched_orderkey"))
+      .select(col("o_custkey").cast("long").as("r_k"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("r_t"),
+        col("matched_orderkey"))
+    val events = Tables(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), (col("user_id") + 1).cast("long").as("l_k"),
+        unix_micros(col("ts")).as("l_t"))
+    graft.plans.AsOfJoin.join(s, events, orders, "l_k", "r_k", "l_t", "r_t")
+      .select(col("event_id"), col("l_k").as("custkey"),
+        col("matched_orderkey"))
+      .orderBy(col("event_id"))
+  }
+
+  private val asofCustomSql =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id + 1 AS custkey,
+      |  o.o_orderkey AS matched_orderkey
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+      |  ASOF JOIN o
+      |  ON e.user_id + 1 = o.o_custkey AND e.ts >= o.o_orderdate
+      |ORDER BY event_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q24_asof_custom_operator", asofCustom, Some(asofCustomSql)),
     QueryDef("q20_range_join", rangeJoin, Some(rangeJoinSql)),
     QueryDef("q21_topk_aggregate", topkAggregate, Some(topkAggregateSql)),
     QueryDef("q22_word_topk_salted", wordTopkSalted, Some(wordTopkSaltedSql)),
