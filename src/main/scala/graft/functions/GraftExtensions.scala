@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft", null, name, usage, "")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
     e.injectFunction((FunctionIdentifier("float_vec_dot"),
       info("float_vec_dot", "dot product of two float arrays (double acc)"),
       (exprs: Seq[Expression]) => FloatVecDot(exprs(0), exprs(1))))
