@@ -157,7 +157,8 @@ object Dedup {
 
   /** 60-bit SimHash per document over distinct tokens; bit b of the
     * per-token hash comes from md5 hex digits 2..16 (see
-    * TextFns.tokenBit), so the oracle reproduces it in SQL.
+    * graft.functions.SimHash60Helper), so the oracle reproduces it in
+    * SQL (simhashCte below).
     */
   private def simhashDf(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")

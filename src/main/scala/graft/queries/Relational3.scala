@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -159,7 +160,61 @@ object Relational3 {
       |  ON e.user_id + 1 = o.o_custkey AND e.ts >= o.o_orderdate
       |ORDER BY event_id""".stripMargin
 
+  /** Window-function battery: ranking, navigation and frame functions
+    * with fully deterministic ordering.
+    */
+  private def windowBattery(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wFrame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "orders")
+      .filter(col("o_custkey") <= 50)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        rank().over(Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderpriority"))).as("rnk"),
+        dense_rank().over(Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderpriority"))).as("drnk"),
+        lead(col("o_orderkey"), 1).over(w).as("next_key"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+        first(col("o_orderkey")).over(wFrame).as("first_key"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private val windowBatterySql =
+    """SELECT o_custkey, o_orderkey,
+      |  rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS rnk,
+      |  dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS drnk,
+      |  lead(o_orderkey, 1) OVER w AS next_key,
+      |  lag(o_orderkey, 1) OVER w AS prev_key,
+      |  first_value(o_orderkey) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_key,
+      |  ntile(4) OVER w AS quartile
+      |FROM orders WHERE o_custkey <= 50
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** CUBE grouping sets over two dimensions with exact decimal sums. */
+  private def cube2d(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+  }
+
+  private val cube2dSql =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q25_window_battery", windowBattery, Some(windowBatterySql)),
+    QueryDef("q26_cube", cube2d, Some(cube2dSql)),
     QueryDef("q24_asof_custom_operator", asofCustom, Some(asofCustomSql)),
     QueryDef("q20_range_join", rangeJoin, Some(rangeJoinSql)),
     QueryDef("q21_topk_aggregate", topkAggregate, Some(topkAggregateSql)),
