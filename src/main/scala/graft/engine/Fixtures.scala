@@ -116,11 +116,9 @@ final class ScriptTargetWriter(outDir: String,
       // "DROP TABLE `x`;" / "TRUNCATE TABLE `x`;"
       val t = line.split('`').lift(1)
       t.foreach { table =>
-        if (line.startsWith("DROP")) {
+        if (line.startsWith("DROP"))
           Files.deleteIfExists(Paths.get(s"$outDir/$table.ddl.sql"))
-          Files.deleteIfExists(Paths.get(s"$outDir/$table.rows.sql"))
-        } else
-          Files.deleteIfExists(Paths.get(s"$outDir/$table.rows.sql"))
+        rowFiles(table).foreach(Files.deleteIfExists)
       }
     }
     append("reset.log.sql", sql)
@@ -130,11 +128,19 @@ final class ScriptTargetWriter(outDir: String,
     Files.exists(Paths.get(s"$outDir/$table.ddl.sql"))
 
   override def rowCount(table: String): Long = synchronized {
-    val p = Paths.get(s"$outDir/$table.rows.sql")
-    if (!Files.exists(p)) 0L
-    else Files.readAllLines(p).asScala
-      .filter(_.startsWith("-- batch rows="))
-      .map(_.stripPrefix("-- batch rows=").toLong).sum
+    rowFiles(table).map { p =>
+      Files.readAllLines(p).asScala
+        .filter(_.startsWith("-- batch rows="))
+        .map(_.stripPrefix("-- batch rows=").toLong).sum
+    }.sum
+  }
+
+  private def rowFiles(table: String) = {
+    val dir = Paths.get(outDir)
+    Files.list(dir).iterator().asScala.filter { p =>
+      val n = p.getFileName.toString
+      n == s"$table.rows.sql" || (n.startsWith(s"$table.rows.p") && n.endsWith(".sql"))
+    }.toSeq
   }
 
   override def createTable(sql: String): Unit = {
@@ -144,10 +150,22 @@ final class ScriptTargetWriter(outDir: String,
   }
 
   override def executeBatch(sql: String, rows: Int): Unit = {
+    // One file per (table, partition): batches from concurrent partition
+    // tasks never contend on a lock — the script-file analogue of one
+    // JDBC connection per partition.
     val table = sql.split('`').lift(1).getOrElse("unknown")
-    append(s"$table.rows.sql",
+    val pid = org.apache.spark.TaskContext.getPartitionId()
+    appendUnlocked(s"$table.rows.p$pid.sql",
       s"-- batch rows=$rows\nSET FOREIGN_KEY_CHECKS=0;\nBEGIN;\n$sql;\nCOMMIT;\nSET FOREIGN_KEY_CHECKS=1;")
   }
+
+  /** Partition-task appends: the file is private to one task, so no
+    * lock is needed (same-named retries overwrite-append harmlessly
+    * for this fixture writer).
+    */
+  private def appendUnlocked(file: String, text: String): Unit =
+    Files.write(Paths.get(s"$outDir/$file"), (text + "\n").getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
 
   override def createConstraints(sql: String): Unit = {
     val table = sql.split('`').lift(1).getOrElse("unknown")

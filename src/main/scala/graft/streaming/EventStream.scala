@@ -93,6 +93,31 @@ object EventStream {
       .orderBy(col("user_id"))
   }
 
+  /** Stream-stream inner join: purchases joined to clicks of the same
+    * user within the following 10 minutes, both sides watermarked (the
+    * watermark bounds join state at scale; with the fixture's single
+    * micro-batch every match emits, so the batch range-join oracle
+    * applies exactly).
+    */
+  def purchaseClickJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = streamingEvents(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("pu"),
+        col("ts").as("pts"))
+      .withWatermark("pts", "10 minutes")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+        col("ts").as("cts"))
+      .withWatermark("cts", "10 minutes")
+    val joined = purchases.join(clicks,
+      col("pu") === col("cu") &&
+        col("cts") >= col("pts") &&
+        col("cts") <= col("pts") + expr("INTERVAL 10 MINUTES"))
+    runToCompletion(spark, joined.select(col("purchase_id"), col("click_id"),
+        col("pu").as("user_id")), "evs_ssjoin_sink", "append")
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
   /** Streaming deduplication: dropDuplicates on (user_id, event_type)
     * with a watermark bounding state. The fixture arrives as one
     * micro-batch, so the emitted set equals batch DISTINCT — which the
