@@ -97,7 +97,6 @@ final class ScriptTargetWriter(outDir: String,
     val maxAllowedPacket: Long = 16777216L) extends TargetWriter {
 
   Files.createDirectories(Paths.get(outDir))
-  private val created = scala.collection.mutable.LinkedHashSet.empty[String]
 
   private def append(file: String, text: String): Unit = synchronized {
     Files.write(Paths.get(s"$outDir/$file"), (text + "\n").getBytes("UTF-8"),
@@ -146,7 +145,6 @@ final class ScriptTargetWriter(outDir: String,
   override def createTable(sql: String): Unit = {
     val table = sql.split('`').lift(1).getOrElse("unknown")
     append(s"$table.ddl.sql", sql)
-    synchronized { created += table }
   }
 
   override def executeBatch(sql: String, rows: Int): Unit = {

@@ -158,7 +158,35 @@ object Events {
       |  sum(CAST(value AS DECIMAL(18,6))) AS total_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Semi-structured columns: parse the JSON `props` payload with a
+    * declared schema (from_json — the schema-on-read path that scales;
+    * string extraction would re-parse per field) and aggregate on the
+    * extracted value.
+    */
+  private def jsonProps(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    Tables(s, dir, "events")
+      .withColumn("k",
+        from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+          .getField("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
+  private val jsonPropsSql =
+    """SELECT event_type,
+      |  count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
+      |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+      |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+      |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("ev_json_props", jsonProps, Some(jsonPropsSql)),
     QueryDef("ev_hourly_by_type", hourly, Some(hourlySql)),
     QueryDef("ev_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("ev_sliding_windows", sliding, Some(slidingSql)),
