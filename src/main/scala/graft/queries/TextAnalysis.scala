@@ -221,7 +221,77 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** TF-IDF per (doc, term): tf = term count / doc length, idf =
+    * ln(N / df). All inputs are exact integers, and JVM Math.log is
+    * bit-identical to DuckDB's ln (verified), so the scores
+    * hash-match. The df side is a tiny aggregate joined broadcast; at
+    * corpus scale the (doc, word) explode partial-aggregates before
+    * shuffling.
+    */
+  private def tfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val words = docs
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("word"))
+    val tf = words.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf_count"))
+    val docLen = words.groupBy(col("doc_id")).agg(count(lit(1)).as("doc_len"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(docLen, "doc_id")
+      .join(broadcast(df), "word")
+      .crossJoin(broadcast(total))
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("word"), col("tf_count"), col("df"),
+        // Spark's log is StrictMath-based, DuckDB's ln is libm — they
+        // differ by 1 ulp on some inputs, so the score is rounded to
+        // 9 decimals on both sides (ulp ~1e-18 vs step 1e-9).
+        round((col("tf_count").cast("double") / col("doc_len")) *
+          log(col("n_docs").cast("double") / col("df")), 9).as("tfidf"))
+      .orderBy(col("doc_id"), col("word"))
+  }
+
+  private val tfidfSql =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |tf AS (SELECT doc_id, word, count(*) AS tf_count FROM words GROUP BY 1, 2),
+      |doclen AS (SELECT doc_id, count(*) AS doc_len FROM words GROUP BY 1),
+      |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+      |total AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT doc_id, word, tf_count, df,
+      |  round((CAST(tf_count AS DOUBLE) / doc_len)
+      |    * ln(CAST(n_docs AS DOUBLE) / df), 9) AS tfidf
+      |FROM tf JOIN doclen USING (doc_id) JOIN df USING (word), total
+      |WHERE doc_id < 100
+      |ORDER BY doc_id, word""".stripMargin
+
+  /** Document-level word co-occurrence: top pairs by the number of
+    * documents containing both.
+    */
+  private def cooccurrence(s: SparkSession, dir: String): DataFrame = {
+    val dw = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(TextFns.tokens(col("text")))).as("w"))
+    val a = dw.select(col("doc_id"), col("w").as("w1"))
+    val b = dw.select(col("doc_id"), col("w").as("w2"))
+    a.join(b, Seq("doc_id"))
+      .filter(col("w1") < col("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("w1"), col("w2"))
+      .limit(25)
+  }
+
+  private val cooccurrenceSql =
+    """WITH dw AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+      |  FROM documents)
+      |SELECT a.w AS w1, b.w AS w2, count(*) AS n_docs
+      |FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w
+      |GROUP BY 1, 2 ORDER BY n_docs DESC, w1, w2 LIMIT 25""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("ta_tfidf", tfidf, Some(tfidfSql)),
+    QueryDef("ta_cooccurrence", cooccurrence, Some(cooccurrenceSql)),
     QueryDef("ta_vocab_hll", vocabHll, None),
     QueryDef("ta_token_stats", tokenStats, Some(tokenStatsSql)),
     QueryDef("ta_quality_score", quality, Some(qualitySql)),
