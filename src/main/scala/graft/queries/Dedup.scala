@@ -261,7 +261,75 @@ object Dedup {
       |                             CAST(b.embedding AS DOUBLE[])) >= 0.45
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Near-duplicate clustering: connected components over the
+    * jaccard >= 0.5 pair graph, labeling every document in a
+    * component with the minimum member doc_id (the canonical
+    * keep-one-per-cluster step after pair finding). Spark side is
+    * iterative min-label propagation — each round joins labels across
+    * edges and keeps the minimum, converging in O(diameter) rounds
+    * (the fixture graph converges in <= 3; production would switch to
+    * large-star/small-star after a few rounds). The oracle is a
+    * DuckDB recursive CTE reaching the same fixpoint.
+    */
+  private def components(s: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+    // undirected edges, both directions
+    val edges = pairs.unionByName(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .distinct().cache()
+    var labels = edges.select(col("doc_a").as("node"))
+      .distinct()
+      .withColumn("label", col("node"))
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val viaEdges = edges
+        .join(labels, edges("doc_b") === labels("node"))
+        .select(col("doc_a").as("node"), col("label"))
+      val next = labels.unionByName(viaEdges)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("component"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val componentsSql =
+    """WITH RECURSIVE pairs AS (
+      |  WITH sh AS (
+      |    SELECT doc_id,
+      |      unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS g
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |    WHERE len(ws) >= 3),
+      |  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |  inter AS (
+      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      |    FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      |    GROUP BY 1, 2)
+      |  SELECT doc_a, doc_b FROM inter
+      |    JOIN sizes sa ON doc_a = sa.doc_id
+      |    JOIN sizes sb ON doc_b = sb.doc_id
+      |  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5),
+      |edges AS (
+      |  SELECT doc_a, doc_b FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |walk AS (
+      |  SELECT doc_a AS node, doc_a AS reach FROM edges
+      |  UNION
+      |  SELECT e.doc_a AS node, w.reach
+      |  FROM edges e JOIN walk w ON e.doc_b = w.node)
+      |SELECT node AS doc_id, min(reach) AS component
+      |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("dd_components", components, Some(componentsSql)),
     QueryDef("dd_exact", exact, Some(exactSql)),
     QueryDef("dd_exact_norm", exactNorm, Some(exactNormSql)),
     QueryDef("dd_ngram_jaccard", ngramJaccard, Some(jaccardSql)),
