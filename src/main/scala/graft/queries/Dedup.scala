@@ -280,6 +280,10 @@ object Dedup {
     var labels = edges.select(col("doc_a").as("node"))
       .distinct()
       .withColumn("label", col("node"))
+    // Labels only ever decrease, so the label sum strictly decreases
+    // until the fixpoint — one aggregate per round detects convergence
+    // (cheaper than a per-node join against the previous round).
+    var prevSum = Long.MaxValue
     var converged = false
     var rounds = 0
     while (!converged && rounds < 20) {
@@ -289,11 +293,11 @@ object Dedup {
       val next = labels.unionByName(viaEdges)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
         .cache()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).limit(1).count()
+      val s = next.agg(sum(col("label"))).collect()(0).getLong(0)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = s == prevSum
+      prevSum = s
       rounds += 1
     }
     labels.select(col("node").as("doc_id"), col("label").as("component"))
