@@ -205,6 +205,11 @@ object Events {
       (s, d) => graft.streaming.EventStream.sessionWindows(s, d), None),
     // flatMapGroupsWithState running counts: single-batch input means
     // the final state equals the batch GROUP BY, so it is oracle-able.
+    QueryDef("evs_stream_static_join",
+      (s, d) => graft.streaming.EventStream.streamStaticJoin(s, d),
+      Some("""SELECT c_mktsegment, event_type, count(*) AS n
+             |FROM events JOIN customer ON user_id = c_custkey - 1
+             |GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""".stripMargin)),
     QueryDef("evs_stream_stream_join",
       (s, d) => graft.streaming.EventStream.purchaseClickJoin(s, d),
       Some("""SELECT p.event_id AS purchase_id, c.event_id AS click_id,

@@ -131,7 +131,45 @@ object Multimodal {
       |WHERE length(text) >= pos
       |ORDER BY doc_id, pos""".stripMargin
 
+  /** Frame energy (the audio-style op): the payload byte stream cut
+    * into 16-byte frames, RMS energy per frame. Integer squares sum
+    * exactly; the final sqrt of a rational is deterministic on both
+    * engines.
+    */
+  private def frameEnergy(s: SparkSession, dir: String): DataFrame = {
+    val frameLen = 16
+    val nFrames = 8
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), lit(nFrames - 1))).as("frame_idx"))
+      .filter(length(col("text")) >= (col("frame_idx") + 1) * frameLen)
+      .select(col("doc_id"), col("frame_idx"),
+        explode(sequence(lit(1), lit(frameLen))).as("p"), col("text"))
+      .select(col("doc_id"), col("frame_idx"),
+        ascii(col("text").substr(col("frame_idx") * frameLen + col("p"),
+          lit(1))).as("b"))
+      .groupBy(col("doc_id"), col("frame_idx"))
+      .agg(sum(col("b") * col("b")).as("sum_sq"))
+      .select(col("doc_id"), col("frame_idx"),
+        sqrt(col("sum_sq").cast("double") / frameLen).as("rms"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  private val frameEnergySql =
+    """SELECT doc_id, frame_idx,
+      |  sqrt(CAST(sum(b * b) AS DOUBLE) / 16) AS rms
+      |FROM (
+      |  SELECT doc_id, frame_idx,
+      |    ascii(substring(text, frame_idx * 16 + p, 1)) AS b
+      |  FROM documents,
+      |    (SELECT unnest(range(0, 8)) AS frame_idx),
+      |    (SELECT unnest(range(1, 17)) AS p)
+      |  WHERE length(text) >= (frame_idx + 1) * 16)
+      |GROUP BY doc_id, frame_idx
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("mm_frame_energy", frameEnergy, Some(frameEnergySql)),
     QueryDef("mm_blob_meta", blobMeta, Some(blobMetaSql)),
     QueryDef("mm_decode_stub", decodeStub, Some(decodeStubSql)),
     QueryDef("mm_frame_sample", frameSample, Some(frameSampleSql)),

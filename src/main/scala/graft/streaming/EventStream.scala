@@ -93,6 +93,23 @@ object EventStream {
       .orderBy(col("user_id"))
   }
 
+  /** Stream-static join: the event stream enriched with the customer
+    * dimension (static side re-read per micro-batch; broadcast-sized
+    * here, and at scale the static side is the small one by
+    * construction). Aggregated per market segment — equals the batch
+    * join, which the oracle checks.
+    */
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    val customers = graft.Tables(spark, dir, "customer")
+      .select((col("c_custkey") - 1).as("user_id"), col("c_mktsegment"))
+    val agg = streamingEvents(spark, dir)
+      .join(customers, "user_id")
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    runToCompletion(spark, agg, "evs_static_sink", "complete")
+      .orderBy(col("c_mktsegment"), col("event_type"))
+  }
+
   /** Stream-stream inner join: purchases joined to clicks of the same
     * user within the following 10 minutes, both sides watermarked (the
     * watermark bounds join state at scale; with the fixture's single
