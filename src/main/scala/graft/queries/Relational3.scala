@@ -212,7 +212,74 @@ object Relational3 {
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
+  /** Pearson correlation from exact decimal moments: Σx, Σy, Σxy,
+    * Σx², Σy² accumulate in decimal (order-independent), and only the
+    * final closed-form division happens in double — so corr() is
+    * deterministic under any partitioning, unlike the built-in
+    * streaming-moment implementation.
+    */
+  private def correlation(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast(DecimalType(18, 2))
+    val y = col("l_extendedprice").cast(DecimalType(18, 2))
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum((x * y).cast(DecimalType(38, 4))).as("sxy"),
+        sum((x * x).cast(DecimalType(38, 4))).as("sxx"),
+        sum((y * y).cast(DecimalType(38, 4))).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        round(
+          (col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+              sqrt(col("n").cast("double") * col("syy").cast("double") -
+                col("sy").cast("double") * col("sy").cast("double"))),
+          9).as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val correlationSql =
+    """WITH m AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+      |    sum(CAST(CAST(l_quantity AS DECIMAL(18,2))
+      |           * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxy,
+      |    sum(CAST(CAST(l_quantity AS DECIMAL(18,2))
+      |           * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxx,
+      |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
+      |    AS corr_qty_price
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
+  /** Fixed-width histogram via integer bucket arithmetic. */
+  private def histogram(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem")
+      .select(floor(col("l_extendedprice") / 10000.0).cast("int").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+  }
+
+  private val histogramSql =
+    """SELECT CAST(floor(l_extendedprice / 10000.0) AS INT) AS bucket,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q27_exact_correlation", correlation, Some(correlationSql)),
+    QueryDef("q28_histogram", histogram, Some(histogramSql)),
     QueryDef("q25_window_battery", windowBattery, Some(windowBatterySql)),
     QueryDef("q26_cube", cube2d, Some(cube2dSql)),
     QueryDef("q24_asof_custom_operator", asofCustom, Some(asofCustomSql)),
