@@ -89,9 +89,9 @@ final class ParquetFixtureSource(sfDir: String, spark: SparkSession)
 
 /** TargetWriter that materializes the migration as a SQL script per
   * table under `outDir` — the verifiable stand-in for a live MySQL
-  * (the container has no database server). Thread-safe: per-table
-  * batch files are appended under a lock, as batches arrive from
-  * partition tasks.
+  * (the container has no database server). Driver-side DDL/reset ops
+  * serialize under a lock; batch streams write one file per (table,
+  * partition) with no contention.
   */
 final class ScriptTargetWriter(outDir: String,
     val maxAllowedPacket: Long = 16777216L) extends TargetWriter {
