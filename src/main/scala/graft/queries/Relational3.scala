@@ -277,7 +277,29 @@ object Relational3 {
       |  count(*) AS n
       |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** Ordered string aggregation (listagg): suppliers per nation,
+    * sorted then joined — deterministic on both engines.
+    */
+  private def listAgg(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "supplier")
+      .join(broadcast(Tables(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(array_join(array_sort(collect_list(col("s_name"))), ",")
+        .as("suppliers"),
+        count(lit(1)).as("n_suppliers"))
+      .orderBy(col("n_name"))
+  }
+
+  private val listAggSql =
+    """SELECT n_name,
+      |  string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+      |  count(*) AS n_suppliers
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q29_listagg", listAgg, Some(listAggSql)),
     QueryDef("q27_exact_correlation", correlation, Some(correlationSql)),
     QueryDef("q28_histogram", histogram, Some(histogramSql)),
     QueryDef("q25_window_battery", windowBattery, Some(windowBatterySql)),
