@@ -32,6 +32,30 @@ final case class AppConfig(
 object AppConfig {
   val DefaultMaxPacketBytes: Int = 1048576
 
+  /** Strip a `#` comment, but only outside quoted strings — passwords
+    * and table names may legally contain '#'.
+    */
+  private[graft] def stripComment(line: String): String = {
+    var inQuote = false
+    var quoteChar = ' '
+    val sb = new StringBuilder
+    var i = 0
+    var done = false
+    while (i < line.length && !done) {
+      val c = line.charAt(i)
+      if (inQuote) {
+        if (c == quoteChar) inQuote = false
+        sb.append(c)
+      } else c match {
+        case '#' => done = true
+        case '"' | '\'' => inQuote = true; quoteChar = c; sb.append(c)
+        case _ => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
   /** Minimal TOML subset: `[section]` headers with `key = value` where
     * value is a quoted string, an integer, or an array of quoted
     * strings — the full grammar the reference config uses.
@@ -61,7 +85,7 @@ object AppConfig {
     }
 
     for (rawLine <- text.linesIterator) {
-      val line = rawLine.takeWhile(_ != '#').trim
+      val line = stripComment(rawLine).trim
       if (line.nonEmpty) {
         if (line.startsWith("[") && line.endsWith("]")) {
           section = line.substring(1, line.length - 1).trim

@@ -68,6 +68,11 @@ object BatchedInsertWriter {
 
           if (ReservedBytes + totalBytes + tupleBytes > maxPacketBytes)
             flush()
+          // A single tuple larger than the packet bound still ships as
+          // its own batch (flush above was a no-op at batchRows == 0) —
+          // reference parity: its loop does the same and lets the
+          // server reject it; the startup packet guard only validates
+          // the configured bound.
 
           if (sb.nonEmpty) { sb.append(','); totalBytes += 1 }
           if (batchRows == 0) sb.append(insertStatement)

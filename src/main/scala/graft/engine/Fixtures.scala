@@ -104,10 +104,12 @@ final class ScriptTargetWriter(outDir: String,
   }
 
   override def showTables(): Seq[String] = synchronized {
-    Files.list(Paths.get(outDir)).iterator().asScala
+    val stream = Files.list(Paths.get(outDir))
+    try stream.iterator().asScala
       .map(_.getFileName.toString)
       .filter(_.endsWith(".ddl.sql"))
       .map(_.stripSuffix(".ddl.sql")).toSeq
+    finally stream.close()
   }
 
   override def executeReset(sql: String): Unit = synchronized {
@@ -135,11 +137,12 @@ final class ScriptTargetWriter(outDir: String,
   }
 
   private def rowFiles(table: String) = {
-    val dir = Paths.get(outDir)
-    Files.list(dir).iterator().asScala.filter { p =>
+    val stream = Files.list(Paths.get(outDir))
+    try stream.iterator().asScala.filter { p =>
       val n = p.getFileName.toString
       n == s"$table.rows.sql" || (n.startsWith(s"$table.rows.p") && n.endsWith(".sql"))
     }.toSeq
+    finally stream.close()
   }
 
   override def createTable(sql: String): Unit = {

@@ -40,6 +40,8 @@ final class Migrator(
   val warnings = scala.collection.mutable.ListBuffer.empty[String]
 
   def run(): Seq[MigrationResult] = {
+    require(options.maxConcurrentTasks > 0,
+      s"maxConcurrentTasks must be positive, got ${options.maxConcurrentTasks}")
     val allowed = writer.maxAllowedPacket
     if (options.maxPacketBytes > allowed)
       throw new MigrationException.PacketTooLarge(options.maxPacketBytes, allowed)

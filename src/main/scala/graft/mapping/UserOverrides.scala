@@ -128,7 +128,7 @@ object UserOverrides {
     }
 
     for (rawLine <- text.linesIterator) {
-      val line = rawLine.takeWhile(_ != '#').trim
+      val line = graft.config.AppConfig.stripComment(rawLine).trim
       if (line.nonEmpty) {
         if (line.startsWith("[")) {
           section = line.stripPrefix("[").stripSuffix("]").trim

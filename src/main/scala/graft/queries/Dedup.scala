@@ -293,7 +293,8 @@ object Dedup {
       val next = labels.unionByName(viaEdges)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
         .cache()
-      val s = next.agg(sum(col("label"))).collect()(0).getLong(0)
+      val s = Option(next.agg(sum(col("label"))).collect()(0).get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L) // empty graph sums to null
       labels.unpersist()
       labels = next
       converged = s == prevSum

@@ -11,11 +11,11 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Relational3 {
 
-  /** Interval/range join — (purchase event, order) pairs of the same
-    * customer within ±24 h. A plain inequality join degenerates to a
-    * nested-loop at scale; the scalable plan buckets time by the
-    * interval width and equi-joins on (key, bucket) with each event
-    * probing its two adjacent buckets, then applies the exact range
+  /** Interval/range join — pairs of events by the same user within
+    * ±10 minutes of each other. A plain inequality join degenerates to
+    * a nested-loop at scale; the scalable plan buckets time by the
+    * interval width and equi-joins on (key, bucket) with one side
+    * probing its adjacent buckets, then applies the exact range
     * filter — cardinality scales with true matches, not n².
     */
   private def rangeJoin(s: SparkSession, dir: String): DataFrame = {

@@ -35,8 +35,18 @@ object Constraint {
       }
     }
     else if (s == "UNIQUE") Right(Some(Unique))
-    else if (s.startsWith("CHECK"))
-      Right(Some(Check(s.dropWhile(_ == '(').reverse.dropWhile(_ == ')').reverse)))
+    else if (s.startsWith("CHECK")) {
+      // Keep the predicate inside CHECK(...). The reference keeps the
+      // raw "CHECK(pred" after stripping only trailing parens
+      // (constraints.rs:47-49) — that renders invalid ALTER DDL, so
+      // this engine deliberately extracts the balanced inner clause.
+      val body = s.stripPrefix("CHECK").trim
+      val clause =
+        if (body.startsWith("(") && body.endsWith(")"))
+          body.substring(1, body.length - 1).trim
+        else body
+      Right(Some(Check(clause)))
+    }
     else if (s.startsWith("DEFAULT"))
       Right(Some(Default(s.stripPrefix("DEFAULT "))))
     else Right(None)

@@ -79,6 +79,12 @@ class ConfigSpec extends AnyFunSuite {
     assert(c.settings.maxPacketBytes == AppConfig.DefaultMaxPacketBytes)
   }
 
+  test("'#' inside quoted values is not a comment") {
+    val withHash = valid.replace("password = \"p@ss\"", "password = \"p#ss\" # real comment")
+    val c = AppConfig.fromToml(withHash).toOption.get
+    assert(c.mssqlDatabase.password == "p#ss")
+  }
+
   test("cli url errors never echo the URL or credentials (config.rs:123-125,681-687)") {
     val bad = Seq(
       AppConfig.fromCli("http://u:p@h/db", "mysql://u:p@h/db", "T", None),

@@ -129,6 +129,13 @@ class MappingSpec extends AnyFunSuite {
 
   // --- Constraints ---
 
+  test("CHECK clause extracts the balanced inner predicate") {
+    assert(Constraint.fromString("CHECK (age > 0)") ==
+      Right(Some(Constraint.Check("age > 0"))))
+    assert(Constraint.fromString("CHECK(len(x) > 0)") ==
+      Right(Some(Constraint.Check("len(x) > 0"))))
+  }
+
   test("constraint parsing") {
     assert(Constraint.fromString("PRIMARY KEY") == Right(Some(Constraint.PrimaryKey)))
     assert(Constraint.fromString("FOREIGN KEY,Users,ID") ==

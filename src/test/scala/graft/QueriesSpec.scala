@@ -41,6 +41,19 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("dd_components on a corpus with no near-dup pairs returns empty, not NPE") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nodups").toString
+    Seq(
+      (0L, "alpha beta gamma delta epsilon zeta", "en", "s", 30L),
+      (1L, "one two three four five six", "en", "s", 25L),
+      (2L, "red green blue yellow purple orange", "en", "s", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("dd_components")(spark, tmp)
+    assert(out.count() == 0)
+  }
+
   test("streaming session windows nest inside batch sessions") {
     val streamed = SparkEntry.queries("evs_session_windows")(spark, dir).count()
     val batch = SparkEntry.queries("ev_sessionize")(spark, dir).count()
