@@ -200,7 +200,169 @@ object Similarity {
       |FROM embeddings, (SELECT unnest(range(1, 9)) AS pos)
       |GROUP BY label, pos ORDER BY label, pos""".stripMargin
 
+  /** K-means-trained IVF: Lloyd iterations refine the 16 seed
+    * centroids (assignment by cosine, new centroid = per-dimension
+    * decimal-exact mean — order-independent under any partitioning;
+    * empty clusters keep their previous centroid), then queries probe
+    * the 2 nearest final centroids and search only those buckets.
+    * Two unrolled iterations so the oracle can mirror the exact
+    * computation with plain CTEs; at scale the loop runs to
+    * convergence on a sampled corpus and only the final assignment
+    * pass touches every vector.
+    */
+  private def kmeansIvf(s: SparkSession, dir: String): DataFrame = {
+    val dims = 64
+
+    def cosDD(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        graft.functions.DoubleVecDot(x, y)
+      dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    }
+
+    val e = Tables(s, dir, "embeddings")
+      .withColumn("dv", transform(col("embedding"), x => x.cast("double")))
+    val corpus = e.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("neighbor_id"), col("dv").as("nv"),
+        col("embedding").as("nf"))
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("dv").as("qv"),
+        col("embedding").as("qf"))
+
+    // Centroids live on the driver (k x dims doubles — tiny) and enter
+    // the plan as literals, so each assignment pass is a single narrow
+    // projection: argmax over k codegen'd dot products, NO shuffle of
+    // the corpus per iteration. Only the per-dimension mean is a
+    // distributed aggregate (one shuffle of (cid, dim) partial sums).
+    var cents: Seq[(Int, Seq[Double])] = e.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id"), col("dv")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).sortBy(_._1).toSeq
+
+    def litVec(v: Seq[Double]) = array(v.map(lit): _*)
+
+    /** Nearest centroid as flat projections: one cosine column per
+      * centroid, then argmax via greatest + a first-match CASE chain
+      * (attribute references only — a nested best-so-far fold would
+      * duplicate its subtree per level and blow up exponentially).
+      * Ties go to the lower cid (chain order).
+      */
+    def withNearestCentroid(df: DataFrame): DataFrame = {
+      val withNorm = df.withColumn("nvn",
+        sqrt(graft.functions.DoubleVecDot(col("nv"), col("nv"))))
+      val withCos = cents.foldLeft(withNorm) { case (acc, (cid, v)) =>
+        acc.withColumn(s"cos_$cid",
+          graft.functions.DoubleVecDot(col("nv"), litVec(v)) /
+            (col("nvn") * math.sqrt(v.map(x => x * x).sum)))
+      }
+      val best = greatest(cents.map { case (cid, _) => col(s"cos_$cid") }: _*)
+      val pick = cents.map(_._1).foldRight(lit(-1)) { case (cid, els) =>
+        when(col(s"cos_$cid") === best, lit(cid)).otherwise(els)
+      }
+      withCos.withColumn("cid", pick)
+        .drop("nvn" +: cents.map(c => s"cos_${c._1}"): _*)
+    }
+
+    // Lloyd iterations: assignment (narrow) + decimal-exact means
+    for (_ <- 1 to 2) {
+      val assigned = withNearestCentroid(corpus)
+      val means = assigned
+        .select(col("cid"), posexplode(col("nv")).as(Seq("d", "v")))
+        .groupBy(col("cid"), col("d"))
+        .agg((sum(col("v").cast(DecimalType(18, 9))).cast("double") /
+          count(lit(1))).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      // empty clusters keep the previous centroid
+      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+
+    val finalAssign = withNearestCentroid(corpus)
+      .select(col("neighbor_id"), col("cid"))
+
+    // probes: 20 queries x k centroids — trivial window
+    import s.implicits._
+    val centsDf = cents.toDF("cid", "cv")
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("cid"))
+    val probes = queries.crossJoin(broadcast(centsDf))
+      .withColumn("qcos", cosDD(col("qv"), col("cv")))
+      .withColumn("prnk", row_number().over(wProbe))
+      .filter(col("prnk") <= NumProbe)
+      .select(col("query_id"), col("qf"), col("cid"))
+
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosv").desc, col("neighbor_id"))
+    probes
+      .join(finalAssign.join(corpus.select(col("neighbor_id"), col("nf")),
+        "neighbor_id"), "cid")
+      .withColumn("cosv", TextFns.cosine(col("qf"), col("nf")))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cosv"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  private val kmeansIvfSql = {
+    def stepSql(prev: String, n: Int): String =
+      s"""a$n AS (
+         |  SELECT neighbor_id, nv, cid FROM (
+         |    SELECT neighbor_id, nv, cid,
+         |      row_number() OVER (PARTITION BY neighbor_id
+         |        ORDER BY list_cosine_similarity(nv, cv) DESC, cid) AS arnk
+         |    FROM corpus, $prev)
+         |  WHERE arnk = 1),
+         |m$n AS (
+         |  SELECT cid, list(m ORDER BY d) AS newcv FROM (
+         |    SELECT cid, d,
+         |      CAST(sum(CAST(nv[d] AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS m
+         |    FROM a$n, (SELECT unnest(range(1, 65)) AS d)
+         |    GROUP BY cid, d)
+         |  GROUP BY cid),
+         |c$n AS (
+         |  SELECT cid, coalesce(newcv, cv) AS cv
+         |  FROM $prev LEFT JOIN m$n USING (cid))""".stripMargin
+    s"""WITH corpus AS (
+       |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS nv,
+       |    CAST(embedding AS DOUBLE[]) AS nf
+       |  FROM embeddings WHERE vec_id >= 20),
+       |queries AS (
+       |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id < 20),
+       |c0 AS (
+       |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+       |  FROM embeddings WHERE vec_id < $NumCentroids),
+       |${stepSql("c0", 1)},
+       |${stepSql("c1", 2)},
+       |afinal AS (
+       |  SELECT neighbor_id, cid FROM (
+       |    SELECT neighbor_id, cid,
+       |      row_number() OVER (PARTITION BY neighbor_id
+       |        ORDER BY list_cosine_similarity(nv, cv) DESC, cid) AS arnk
+       |    FROM corpus, c2)
+       |  WHERE arnk = 1),
+       |probes AS (
+       |  SELECT query_id, qv, cid FROM (
+       |    SELECT query_id, qv, cid,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY list_cosine_similarity(qv, cv) DESC, cid) AS prnk
+       |    FROM queries, c2)
+       |  WHERE prnk <= $NumProbe),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    list_cosine_similarity(qv, nf) AS cosv,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY list_cosine_similarity(qv, nf) DESC, neighbor_id) AS rnk
+       |  FROM probes
+       |    JOIN afinal USING (cid)
+       |    JOIN corpus USING (neighbor_id))
+       |SELECT query_id, neighbor_id, rnk, cosv FROM ranked
+       |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sim_kmeans_ivf", kmeansIvf, Some(kmeansIvfSql)),
     QueryDef("sim_knn_brute", knnBrute, Some(knnBruteSql)),
     QueryDef("sim_knn_ivf", knnIvf, Some(knnIvfSql)),
     QueryDef("sim_range_search", rangeSearch, Some(rangeSearchSql)),
