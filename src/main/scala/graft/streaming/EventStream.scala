@@ -42,11 +42,20 @@ object EventStream {
   private def runToCompletion(spark: SparkSession, agg: DataFrame,
       name: String, mode: String): DataFrame = {
     spark.catalog.dropTempView(name)
-    val q = agg.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .start()
+    // Streaming state partitioning is sized separately from the batch
+    // shuffle width: each partition owns a state-store instance, and at
+    // this volume 32 stores cost more in setup than they parallelize.
+    // The conf is captured at query start, so restoring it after start
+    // doesn't affect the running query.
+    val oldParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try agg.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", oldParts)
     try q.processAllAvailable()
     finally q.stop()
     spark.table(name)
