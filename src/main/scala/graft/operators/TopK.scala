@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Custom typed aggregate: bounded top-k of (sortDesc, tieAsc) pairs
@@ -13,6 +14,12 @@ import org.apache.spark.sql.expressions.Aggregator
   * Buffer is a sorted Vector (k is small); merge is a bounded merge.
   * Comparison is (value desc, tie asc), both exact (decimal-safe
   * callers pass long-scaled values).
+  *
+  * Encoders are ExpressionEncoders (array-of-struct of longs), NOT
+  * kryo: a kryo-encoded buffer is an opaque binary blob that breaks
+  * whole-stage codegen around the aggregation and pays a
+  * serialize/deserialize per row — with Tungsten-native encoding the
+  * map-side top-k actually out-runs the window form it replaces.
   */
 class TopKAggregator(k: Int)
     extends Aggregator[(Long, Long), Vector[(Long, Long)], Seq[(Long, Long)]] {
@@ -37,8 +44,8 @@ class TopKAggregator(k: Int)
   override def finish(buf: Vector[(Long, Long)]): Seq[(Long, Long)] = buf
 
   override def bufferEncoder: Encoder[Vector[(Long, Long)]] =
-    Encoders.kryo[Vector[(Long, Long)]]
+    ExpressionEncoder[Vector[(Long, Long)]]()
 
   override def outputEncoder: Encoder[Seq[(Long, Long)]] =
-    Encoders.kryo[Seq[(Long, Long)]]
+    ExpressionEncoder[Seq[(Long, Long)]]()
 }

@@ -29,13 +29,15 @@ object Events {
     Tables(s, dir, "events")
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(18, 6))).as("total_value"))
+        sum(col("value").cast(DecimalType(18, 6)))
+          .cast("double").as("total_value"))
       .orderBy(col("hour"), col("event_type"))
   }
 
   private val hourlySql =
     """SELECT date_trunc('hour', ts) AS hour, event_type,
-      |  count(*) AS n, sum(CAST(value AS DECIMAL(18,6))) AS total_value
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
   /** Gap-based sessionization (gaps-and-islands): a new session starts
@@ -77,7 +79,8 @@ object Events {
       |    PARTITION BY user_id ORDER BY ts
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
       |  FROM marked)
-      |SELECT user_id, session_seq, min(ts) AS session_start,
+      |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+      |  min(ts) AS session_start,
       |  count(*) AS n_events, max(us) - min(us) AS dur_us
       |FROM numbered GROUP BY user_id, session_seq
       |ORDER BY user_id, session_seq""".stripMargin
@@ -93,14 +96,16 @@ object Events {
       .select(col("w.start").as("w_start"), col("value"))
       .groupBy(col("w_start"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(18, 6))).as("total_value"))
+        sum(col("value").cast(DecimalType(18, 6)))
+          .cast("double").as("total_value"))
       .orderBy(col("w_start"))
   }
 
   private val slidingSql =
     """SELECT make_timestamp(((epoch_us(ts) // 300000000) - k) * 300000000)
       |    AS w_start,
-      |  count(*) AS n, sum(CAST(value AS DECIMAL(18,6))) AS total_value
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
       |FROM events, (SELECT unnest([0, 1]) AS k)
       |GROUP BY 1 ORDER BY w_start""".stripMargin
 
@@ -147,7 +152,8 @@ object Events {
         countDistinct(col("event_type")).as("n_types"),
         min(col("ts")).as("first_ts"),
         max(col("ts")).as("last_ts"),
-        sum(col("value").cast(DecimalType(18, 6))).as("total_value"))
+        sum(col("value").cast(DecimalType(18, 6)))
+          .cast("double").as("total_value"))
       .orderBy(col("user_id"))
   }
 
@@ -155,7 +161,7 @@ object Events {
     """SELECT user_id, count(*) AS n_events,
       |  count(DISTINCT event_type) AS n_types,
       |  min(ts) AS first_ts, max(ts) AS last_ts,
-      |  sum(CAST(value AS DECIMAL(18,6))) AS total_value
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** Semi-structured columns: parse the JSON `props` payload with a
@@ -180,7 +186,7 @@ object Events {
   private val jsonPropsSql =
     """SELECT event_type,
       |  count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
-      |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
       |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
@@ -199,7 +205,8 @@ object Events {
     // by the watermark, so sessions get a rows-only check.
     QueryDef("evs_hourly_tumbling",
       (s, d) => graft.streaming.EventStream.hourlyTumbling(s, d)
-        .select(col("hour"), col("event_type"), col("n"), col("total_value")),
+        .select(col("hour"), col("event_type"), col("n"),
+          col("total_value").cast("double").as("total_value")),
       Some(hourlySql)),
     QueryDef("evs_session_windows",
       (s, d) => graft.streaming.EventStream.sessionWindows(s, d), None),

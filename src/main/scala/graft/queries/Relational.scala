@@ -25,6 +25,15 @@ object Relational {
 
   private def dec2(c: String) = col(c).cast(DecimalType(18, 2))
 
+  /** Decimal accumulation stays *inside* the aggregate (exact,
+    * order-independent across partitions); the final output column is
+    * cast to DOUBLE so the declared type is identical cross-engine
+    * (DuckDB sums to DECIMAL(38,s)/HUGEINT, Spark to DECIMAL(28,s)/
+    * BIGINT — same values, different declared types, which the
+    * driver's hash gate treats as a mismatch).
+    */
+  private def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+
   /** TPC-H Q1-style pricing summary. Decimal casts make the sums exact
     * and order-independent (double sum would be non-deterministic at
     * scale: FP addition is not associative across partitions).
@@ -34,19 +43,19 @@ object Relational {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec2("l_quantity")).as("sum_qty"),
-        sum(dec2("l_extendedprice")).as("sum_base_price"),
-        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast(DecimalType(18, 6))).as("sum_disc_price"),
+        dbl(sum(dec2("l_quantity"))).as("sum_qty"),
+        dbl(sum(dec2("l_extendedprice"))).as("sum_base_price"),
+        dbl(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 6)))).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
   private val q01Sql =
     """SELECT l_returnflag, l_linestatus,
-      |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-      |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS sum_disc_price,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -62,8 +71,8 @@ object Relational {
     li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(
-        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast(DecimalType(18, 6))).as("revenue"),
+        dbl(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 6)))).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("revenue").desc, col("p_brand"))
       .limit(10)
@@ -71,7 +80,7 @@ object Relational {
 
   private val q02Sql =
     """SELECT p_brand,
-      |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS revenue,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
       |  count(*) AS n_items
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand
@@ -92,13 +101,13 @@ object Relational {
       .groupBy(col("r_name"))
       .agg(
         count(lit(1)).as("n_orders"),
-        sum(dec2("o_totalprice")).as("total_price"))
+        dbl(sum(dec2("o_totalprice"))).as("total_price"))
       .orderBy(col("r_name"))
   }
 
   private val q03Sql =
     """SELECT r_name, count(*) AS n_orders,
-      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
       |FROM orders
       |  JOIN customer ON o_custkey = c_custkey
       |  JOIN nation ON c_nationkey = n_nationkey
@@ -144,12 +153,12 @@ object Relational {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("o_custkey"), col("o_orderkey"),
-        dec2("o_totalprice").as("price"), col("rn"))
+        dbl(dec2("o_totalprice")).as("price"), col("rn"))
       .orderBy(col("o_custkey"), col("rn"))
   }
 
   private val q06Sql =
-    """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price, rn
+    """SELECT o_custkey, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price, rn
       |FROM (
       |  SELECT o_custkey, o_orderkey, o_totalprice,
       |    row_number() OVER (PARTITION BY o_custkey
@@ -166,16 +175,16 @@ object Relational {
       .orderBy(col("o_orderdate"), col("o_orderkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables(s, dir, "orders")
-      .withColumn("running_total", sum(dec2("o_totalprice")).over(w))
+      .withColumn("running_total", dbl(sum(dec2("o_totalprice")).over(w)))
       .select(col("o_custkey"), col("o_orderkey"), col("running_total"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
   private val q07Sql =
     """SELECT o_custkey, o_orderkey,
-      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
       |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
       |FROM orders
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
@@ -201,14 +210,14 @@ object Relational {
   private def q09(s: SparkSession, dir: String): DataFrame = {
     Tables(s, dir, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"), sum(dec2("l_quantity")).as("qty"))
+      .agg(count(lit(1)).as("n"), dbl(sum(dec2("l_quantity"))).as("qty"))
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
   }
 
   private val q09Sql =
     """SELECT l_returnflag, l_linestatus, count(*) AS n,
-      |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
@@ -245,13 +254,13 @@ object Relational {
     Tables(s, dir, "orders")
       .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(dec2("o_totalprice")).as("total"))
+        dbl(sum(dec2("o_totalprice"))).as("total"))
       .orderBy(col("month"))
   }
 
   private val q12Sql =
     """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-      |  count(*) AS n_orders, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      |  count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY 1 ORDER BY month""".stripMargin
 
   /** Conditional aggregation (CASE WHEN inside agg) + HAVING. */
@@ -268,8 +277,8 @@ object Relational {
 
   private val q13Sql =
     """SELECT o_orderpriority,
-      |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-      |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
       |  count(*) AS n
       |FROM orders GROUP BY o_orderpriority HAVING count(*) > 10
       |ORDER BY o_orderpriority""".stripMargin

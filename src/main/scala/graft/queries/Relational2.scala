@@ -97,7 +97,7 @@ object Relational2 {
       .filter(col("c_acctbal").cast(DecimalType(18, 2)) * col("bal_n") >
         col("bal_sum"))
       .select(col("c_custkey"), col("c_nationkey"),
-        col("c_acctbal").cast(DecimalType(18, 2)).as("acctbal"))
+        col("c_acctbal").cast(DecimalType(18, 2)).cast("double").as("acctbal"))
       .orderBy(col("c_custkey"))
   }
 
@@ -108,7 +108,7 @@ object Relational2 {
       |    count(*) AS bal_n
       |  FROM customer GROUP BY 1)
       |SELECT c_custkey, c_nationkey,
-      |  CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+      |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
       |FROM customer JOIN ns ON c_nationkey = nk
       |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * bal_n > bal_sum
       |ORDER BY c_custkey""".stripMargin
@@ -175,8 +175,8 @@ object Relational2 {
         count(col("maybe_price")).as("n_nonnull"),
         count(lit(1)).as("n_all"),
         sum(coalesce(col("maybe_price"), lit(0).cast(DecimalType(18, 2))))
-          .as("sum_coalesced"),
-        max(col("maybe_price")).as("max_price"))
+          .cast("double").as("sum_coalesced"),
+        max(col("maybe_price")).cast("double").as("max_price"))
       .orderBy(col("o_orderpriority"))
   }
 
@@ -189,8 +189,8 @@ object Relational2 {
       |SELECT o_orderpriority,
       |  count(maybe_price) AS n_nonnull,
       |  count(*) AS n_all,
-      |  sum(coalesce(maybe_price, 0)) AS sum_coalesced,
-      |  max(maybe_price) AS max_price
+      |  CAST(sum(coalesce(maybe_price, 0)) AS DOUBLE) AS sum_coalesced,
+      |  CAST(max(maybe_price) AS DOUBLE) AS max_price
       |FROM t GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(

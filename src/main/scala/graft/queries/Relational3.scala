@@ -68,13 +68,14 @@ object Relational3 {
         }
       }
       .toDF("o_custkey", "o_orderkey", "price", "rn")
-      .withColumn("price", col("price").cast(DecimalType(18, 2)))
+      .withColumn("price",
+        col("price").cast(DecimalType(18, 2)).cast("double"))
       .orderBy(col("o_custkey"), col("rn"))
   }
 
   // same semantics as q06: price desc, orderkey asc tie-break
   private val topkAggregateSql =
-    """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price, rn
+    """SELECT o_custkey, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price, rn
       |FROM (
       |  SELECT o_custkey, o_orderkey, o_totalprice,
       |    row_number() OVER (PARTITION BY o_custkey
@@ -201,14 +202,15 @@ object Relational3 {
     Tables(s, dir, "orders")
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
-        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total"))
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast("double").as("total"))
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
   }
 
   private val cube2dSql =
     """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 

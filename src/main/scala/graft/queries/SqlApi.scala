@@ -22,8 +22,8 @@ object SqlApi {
     withViews(s, dir, Seq("lineitem", "part"))(
       """SELECT p_type,
         |  count(*) AS n_items,
-        |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)))
-        |    AS revenue
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)))
+        |    AS DOUBLE) AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_quantity > 10
         |GROUP BY p_type
@@ -31,7 +31,7 @@ object SqlApi {
 
   private val revenueSql =
     """SELECT p_type, count(*) AS n_items,
-      |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS revenue
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |WHERE l_quantity > 10
       |GROUP BY p_type ORDER BY p_type""".stripMargin
@@ -70,7 +70,8 @@ object SqlApi {
       |    len(list_distinct(list_transform(range(1, len(ws) - 1),
       |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS n_shingles
       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
-      |SELECT doc_id, n_shingles, simhash
+      |SELECT doc_id, CAST(n_shingles AS INT) AS n_shingles,
+      |  CAST(simhash AS BIGINT) AS simhash
       |FROM counts JOIN sims USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 

@@ -35,6 +35,23 @@ def norm(v):
     return str(v)
 
 
+def norm_type(t):
+    """Normalize a declared type name the way the driver's hash does.
+
+    Empirically (round 1): integer widths render identically (Python
+    int either way) so INT vs BIGINT never reds; but HUGEINT and
+    DECIMAL go through float-style rendering on the DuckDB side while
+    Spark-side parquet decimals keep their scale text — those MUST be
+    flagged. Timestamps normalize alike.
+    """
+    s = str(t).upper()
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT"):
+        return "INT_FAMILY"  # NOT hugeint — that one reds out
+    if s.startswith("TIMESTAMP"):
+        return "TIMESTAMP"
+    return s
+
+
 def table_of(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(norm(r[i]) for i in order) for r in rows]
@@ -77,6 +94,21 @@ def main():
         sc, sr = table_of(s_rows, s_cols)
         if dc != sc:
             print(f"FAIL {name}: columns differ\n  oracle: {dc}\n  spark:  {sc}")
+            n_fail += 1
+            continue
+        # The driver's hash normalizes each engine's *declared* type, so a
+        # value-identical result still reds out when the types differ
+        # (e.g. DuckDB HUGEINT vs Spark BIGINT, DECIMAL(38,s) vs (28,s)).
+        # Fail on any declared-type mismatch so this mirror predicts the
+        # driver gate instead of silently passing on values.
+        d_types = {c: norm_type(t) for c, t in zip(d.columns, d.types)}
+        s_types = {c: norm_type(t) for c, t in zip(sres.columns, sres.types)}
+        type_diffs = [(c, d_types[c], s_types[c]) for c in d_types
+                      if d_types[c] != s_types[c]]
+        if type_diffs:
+            print(f"FAIL {name}: declared types differ")
+            for c, dt, st in type_diffs:
+                print(f"  {c}: oracle={dt} spark={st}")
             n_fail += 1
             continue
         if dr == sr:
