@@ -1,0 +1,324 @@
+package graft.engine
+
+import java.sql.{Connection, DriverManager, Types}
+
+import scala.collection.mutable.ListBuffer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.naming.SqlEscape.mysqlIdentifier
+import graft.types.{ColumnSchema, Constraint, MssqlType}
+
+/** Statement-level dialect adapter for the JDBC target. The pipeline
+  * renders MySQL-dialect SQL (the reference's target,
+  * /root/reference/src/insert/query.rs); a MySQL target executes it
+  * verbatim, while the ANSI flavor rewrites just enough (identifier
+  * quoting, type tokens, FK-toggle support) to drive an embedded ANSI
+  * database such as Derby — which is also what the e2e tests run
+  * against, since the container has no MySQL server.
+  */
+sealed trait SqlFlavor extends Serializable {
+  /** Rewrite one rendered MySQL-dialect statement for this target. */
+  def translate(sql: String): String
+
+  /** (off, on) FK-check toggles around a transactional batch
+    * (inserter.rs:88-111), when the target supports them.
+    */
+  def fkToggle: Option[(String, String)]
+
+  /** `SELECT @@max_allowed_packet` equivalent, if the target has the
+    * concept (inserter.rs:113-119).
+    */
+  def maxPacketSql: Option[String]
+}
+
+/** Pass-through: the rendered SQL is already MySQL. */
+case object MySqlFlavor extends SqlFlavor {
+  override def translate(sql: String): String = sql
+  override val fkToggle: Option[(String, String)] =
+    Some(("SET FOREIGN_KEY_CHECKS=0", "SET FOREIGN_KEY_CHECKS=1"))
+  override val maxPacketSql: Option[String] = Some("SELECT @@max_allowed_packet")
+}
+
+/** ANSI targets (embedded Derby in tests): double-quoted identifiers,
+  * ANSI type names, no FK toggle / packet variable. Identifier
+  * translation is applied only where data literals cannot appear (DDL,
+  * and the INSERT head before VALUES), so string values containing
+  * backticks are never corrupted.
+  */
+case object AnsiFlavor extends SqlFlavor {
+  private def quoteIdents(s: String): String = s.replace('`', '"')
+
+  private val typeRules: Seq[(String, String)] = Seq(
+    "(?i)\\blongtext\\b" -> "CLOB",
+    "(?i)\\btext\\b" -> "CLOB",
+    "(?i)\\blongblob\\b" -> "BLOB",
+    "(?i)\\bvarbinary\\(\\d+\\)" -> "BLOB",
+    "(?i)\\bbinary\\(\\d+\\)" -> "BLOB",
+    "(?i)\\bdatetime\\(\\d+\\)" -> "TIMESTAMP",
+    "(?i)\\bdatetime\\b" -> "TIMESTAMP",
+    "(?i)\\btinyint unsigned\\b" -> "SMALLINT",
+    "(?i)\\bsmallint unsigned\\b" -> "INTEGER",
+    "(?i)\\bint unsigned\\b" -> "BIGINT",
+    "(?i)\\bbigint unsigned\\b" -> "BIGINT",
+    "(?i)\\btinyint\\b" -> "SMALLINT",
+    "(?i)\\bfloat\\(\\d+, \\d+\\)" -> "DOUBLE",
+    "(?i)\\bfloat\\b" -> "DOUBLE",
+    "(?i)\\breal\\(\\d+, \\d+\\)" -> "REAL",
+    // ANSI has no explicit NULL nullability keyword (NOT NULL stays)
+    "(?i)(?<!NOT) NULL\\b" -> "")
+
+  override def translate(sql: String): String = {
+    val upper = sql.toUpperCase
+    if (upper.startsWith("INSERT INTO")) {
+      // values after VALUES are data literals — leave them untouched
+      val at = upper.indexOf(" VALUES")
+      if (at < 0) quoteIdents(sql)
+      else quoteIdents(sql.substring(0, at)) + sql.substring(at)
+    } else if (upper.startsWith("TRUNCATE TABLE")) {
+      // Derby spells truncation the same way — just requote
+      quoteIdents(sql)
+    } else {
+      // DDL carries no string literals: requote + retype the whole text
+      typeRules.foldLeft(quoteIdents(sql)) { case (acc, (re, to)) =>
+        acc.replaceAll(re, to)
+      }
+    }
+  }
+
+  override val fkToggle: Option[(String, String)] = None
+  override val maxPacketSql: Option[String] = None
+}
+
+/** Live JDBC implementation of [[SchemaSource]] — the production
+  * boundary the reference's DatabaseExtractor fills over MSSQL
+  * (/root/reference/src/extract/extractor.rs:25-128). The schema probe
+  * uses JDBC DatabaseMetaData (the portable equivalent of the
+  * reference's INFORMATION_SCHEMA.COLUMNS + constraint-usage query);
+  * the full scan is `spark.read.jdbc`, partitioned on a numeric
+  * primary key when one exists so a large source table is ranged
+  * across executors instead of streamed through one connection — the
+  * Spark-native upgrade of the reference's single-connection
+  * `stream_rows`.
+  */
+final class JdbcSchemaSource(url: String, numPartitions: Int = 8)
+    extends SchemaSource {
+
+  private def withConn[T](f: Connection => T): T = {
+    val c = DriverManager.getConnection(url)
+    try f(c) finally c.close()
+  }
+
+  /** Base tables of the connection's current schema
+    * (extractor.rs:25-49: TABLE_TYPE = 'BASE TABLE').
+    */
+  override def fetchTables(): Seq[String] = withConn { c =>
+    val rs = c.getMetaData.getTables(null, c.getSchema, "%", Array("TABLE"))
+    val out = ListBuffer.empty[String]
+    while (rs.next()) out += rs.getString("TABLE_NAME")
+    rs.close()
+    out.toSeq.sorted
+  }
+
+  /** Column metadata + key constraints (extractor.rs:51-94). JDBC type
+    * codes present as the MSSQL types the mapping registry understands;
+    * primary/imported keys come from the metadata key probes (the
+    * portable rendering of the reference's TABLE_CONSTRAINTS /
+    * REFERENTIAL_CONSTRAINTS joins).
+    */
+  override def getTableSchema(table: String): Seq[ColumnSchema] = withConn { c =>
+    val md = c.getMetaData
+
+    val pks = {
+      val rs = md.getPrimaryKeys(null, c.getSchema, table)
+      val out = ListBuffer.empty[String]
+      while (rs.next()) out += rs.getString("COLUMN_NAME")
+      rs.close()
+      out.toSet
+    }
+    val fks = {
+      val rs = md.getImportedKeys(null, c.getSchema, table)
+      val out = ListBuffer.empty[(String, (String, String))]
+      while (rs.next()) out += (rs.getString("FKCOLUMN_NAME") ->
+        (rs.getString("PKTABLE_NAME"), rs.getString("PKCOLUMN_NAME")))
+      rs.close()
+      out.toMap
+    }
+
+    val rs = md.getColumns(null, c.getSchema, table, "%")
+    val cols = ListBuffer.empty[ColumnSchema]
+    while (rs.next()) {
+      val name = rs.getString("COLUMN_NAME")
+      val jdbcType = rs.getInt("DATA_TYPE")
+      val size = rs.getInt("COLUMN_SIZE")
+      val scale = rs.getInt("DECIMAL_DIGITS")
+      val nullable = rs.getInt("NULLABLE") != java.sql.DatabaseMetaData.columnNoNulls
+      val (mssql, len, prec, sc) = jdbcType match {
+        case Types.BIT | Types.BOOLEAN => (MssqlType.Bit, None, None, None)
+        case Types.TINYINT => (MssqlType.TinyInt, None, None, None)
+        case Types.SMALLINT => (MssqlType.SmallInt, None, None, None)
+        case Types.INTEGER => (MssqlType.Int, None, None, None)
+        case Types.BIGINT => (MssqlType.BigInt, None, None, None)
+        case Types.DECIMAL | Types.NUMERIC =>
+          (MssqlType.Decimal, None, Some(size), Some(scale))
+        case Types.DOUBLE | Types.FLOAT => (MssqlType.Float, None, None, None)
+        case Types.REAL => (MssqlType.Real, None, None, None)
+        case Types.CHAR => (MssqlType.Char, Some(size), None, None)
+        case Types.NCHAR => (MssqlType.NChar, Some(size), None, None)
+        case Types.VARCHAR => (MssqlType.Varchar, Some(size), None, None)
+        case Types.NVARCHAR | Types.LONGNVARCHAR =>
+          (MssqlType.NVarchar, Some(size), None, None)
+        case Types.LONGVARCHAR | Types.CLOB =>
+          (MssqlType.Text, Some(-1), None, None)
+        case Types.BINARY => (MssqlType.Binary, Some(size), None, None)
+        case Types.VARBINARY => (MssqlType.VarBinary, Some(size), None, None)
+        case Types.LONGVARBINARY | Types.BLOB =>
+          (MssqlType.Image, Some(-1), None, None)
+        case Types.DATE => (MssqlType.Date, None, None, None)
+        case Types.TIMESTAMP => (MssqlType.DateTime2, None, None, None)
+        case Types.TIME => (MssqlType.Time, None, None, None)
+        case other =>
+          throw new MigrationException.UnknownSourceType(
+            table, name, s"jdbc:$other")
+      }
+      val constraint: Option[Constraint] =
+        if (pks.contains(name)) Some(Constraint.PrimaryKey)
+        else fks.get(name).map { case (rt, rc) => Constraint.ForeignKey(rt, rc) }
+      cols += ColumnSchema(name, mssql, len, prec, sc, nullable, constraint)
+    }
+    rs.close()
+    cols.toSeq
+  }
+
+  /** Distributed scan. With a single-column numeric primary key, the
+    * read is range-partitioned on it (bounds probed with one MIN/MAX
+    * query) so each executor pulls its own id range over its own
+    * connection; otherwise a single-partition read (the reference's
+    * one-stream behavior) is the fallback.
+    */
+  override def read(spark: SparkSession, table: String): DataFrame = {
+    val props = new java.util.Properties
+    val numericPk = getTableSchema(table).filter(c =>
+      c.constraints.contains(Constraint.PrimaryKey)) match {
+      case Seq(only) if Seq(MssqlType.TinyInt, MssqlType.SmallInt,
+        MssqlType.Int, MssqlType.BigInt).contains(only.dataType) =>
+        Some(only.columnName)
+      case _ => None
+    }
+    val bounds = numericPk.flatMap { pk =>
+      withConn { c =>
+        val st = c.createStatement()
+        val rs = st.executeQuery(
+          s"""SELECT MIN("$pk"), MAX("$pk") FROM "$table"""")
+        val b = if (rs.next() && rs.getObject(1) != null)
+          Some((rs.getLong(1), rs.getLong(2))) else None
+        rs.close(); st.close()
+        b
+      }.filter { case (lo, hi) => hi > lo }
+    }
+    (numericPk, bounds) match {
+      case (Some(pk), Some((lo, hi))) =>
+        spark.read.jdbc(url, s""""$table"""", s""""$pk"""",
+          lo, hi, numPartitions, props)
+      case _ =>
+        spark.read.jdbc(url, s""""$table"""", props)
+    }
+  }
+}
+
+/** Live JDBC implementation of [[TargetWriter]] — the production
+  * boundary the reference's DatabaseInserter fills over MySQL
+  * (/root/reference/src/insert/inserter.rs:33-200). Each operation
+  * opens its own connection (executor partition tasks each execute
+  * packet-sized batches, so connection setup amortizes to noise; a
+  * long-lived deployment would swap in a pool behind the same
+  * methods), and every batch runs as one transaction with FK checks
+  * toggled off/on when the flavor supports it, rolled back on error —
+  * inserter.rs:88-111 exactly.
+  */
+final class JdbcTargetWriter(
+    url: String,
+    flavor: SqlFlavor = MySqlFlavor,
+    defaultMaxPacket: Long = 16777216L) extends TargetWriter {
+
+  private def withConn[T](f: Connection => T): T = {
+    val c = DriverManager.getConnection(url)
+    try f(c) finally c.close()
+  }
+
+  private def exec(c: Connection, sql: String): Unit = {
+    val st = c.createStatement()
+    try st.execute(sql) finally st.close()
+  }
+
+  /** inserter.rs:88-111: BEGIN; FK off; statements; FK on; COMMIT —
+    * rollback and rethrow on any failure.
+    */
+  private def transactional(statements: Seq[String]): Unit = withConn { c =>
+    c.setAutoCommit(false)
+    try {
+      flavor.fkToggle.foreach { case (off, _) => exec(c, off) }
+      statements.foreach(s => exec(c, flavor.translate(s)))
+      flavor.fkToggle.foreach { case (_, on) => exec(c, on) }
+      c.commit()
+    } catch {
+      case e: Throwable =>
+        try c.rollback() catch { case _: Throwable => () }
+        throw new RuntimeException(
+          s"Cannot execute transaction query: ${statements.headOption
+            .map(_.take(100)).getOrElse("EMPTY QUERY")}. Error: ${e.getMessage}", e)
+    } finally c.setAutoCommit(true)
+  }
+
+  override def maxAllowedPacket: Long = flavor.maxPacketSql match {
+    case None => defaultMaxPacket
+    case Some(q) => withConn { c =>
+      val st = c.createStatement()
+      val rs = st.executeQuery(q)
+      val v = if (rs.next()) rs.getLong(1) else defaultMaxPacket
+      rs.close(); st.close()
+      v
+    }
+  }
+
+  override def showTables(): Seq[String] = withConn { c =>
+    val rs = c.getMetaData.getTables(null, c.getSchema, "%", Array("TABLE"))
+    val out = ListBuffer.empty[String]
+    while (rs.next()) out += rs.getString("TABLE_NAME")
+    rs.close()
+    out.toSeq.sorted
+  }
+
+  /** The reset script arrives as one `DROP/TRUNCATE TABLE x;` line per
+    * table (SqlDdl.resetQuery); all lines run in one transaction
+    * (inserter.rs:121-150).
+    */
+  override def executeReset(sql: String): Unit =
+    transactional(sql.linesIterator.map(_.stripSuffix(";")).filter(_.nonEmpty).toSeq)
+
+  override def tableExists(table: String): Boolean =
+    showTables().exists(_.equalsIgnoreCase(table))
+
+  override def rowCount(table: String): Long = withConn { c =>
+    val st = c.createStatement()
+    val rs = st.executeQuery(
+      flavor.translate(s"SELECT COUNT(*) FROM ${mysqlIdentifier(table)}"))
+    val n = if (rs.next()) rs.getLong(1) else 0L
+    rs.close(); st.close()
+    n
+  }
+
+  override def createTable(sql: String): Unit = transactional(Seq(sql))
+
+  override def executeBatch(sql: String, rowCount: Int): Unit =
+    transactional(Seq(sql))
+
+  /** Constraint DDL arrives as `SET FOREIGN_KEY_CHECKS=0; ALTER TABLE
+    * ...` (SqlDdl.createConstraints); the FK toggle is re-expressed
+    * through the flavor (dropped on targets without it).
+    */
+  override def createConstraints(sql: String): Unit =
+    transactional(sql.split(';').map(_.trim)
+      .filter(s => s.nonEmpty && !s.toUpperCase.startsWith("SET FOREIGN_KEY_CHECKS"))
+      .toSeq)
+}
