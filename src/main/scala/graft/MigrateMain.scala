@@ -4,65 +4,54 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.SparkSession
 
-import graft.config.AppConfig
+import graft.config._
 import graft.engine._
 import graft.mapping.{TypeRegistry, UserOverrides}
 
 /** Application entry point for the migration pipeline — the engine's
-  * analogue of the reference CLI (src/args.rs, main.rs): flags control
-  * formatting/constraints/resets/parallelism/packet bytes, a
-  * mappings.toml supplies type overrides, and the source/target are
-  * the environments available here (parquet fixture dir in, SQL script
-  * dir out; a JDBC deployment swaps the two boundary implementations).
+  * analogue of the reference CLI (src/args.rs, main.rs). Three modes,
+  * resolved exactly like the reference (CLI connection args XOR
+  * config.toml, never mixed — main.rs:141-176), plus a fixture mode
+  * for environments without live databases:
   *
-  * Usage:
-  *   runMain graft.MigrateMain --source-dir DIR --target-dir DIR
-  *     [--tables A,B] [--format] [--constraints] [--drop] [--truncate]
-  *     [--mappings FILE] [--max-packet-bytes N] [--parallelism N]
+  *   - CLI mode: --source mssql://u:p@h:1433/db --target
+  *     mysql://u:p@h:3306/db --tables A,B (config.toml not read);
+  *   - config mode: reads config.toml (--config overrides the path);
+  *   - fixture mode: --source-dir DIR --target-dir DIR (parquet in,
+  *     SQL script out), with --tables as the whitelist.
+  *
+  * Flags (args.rs parity): -v/--verbose -q/--quiet -d/--drop
+  * -c/--constraints -f/--format -p/--parallelism N --max-packet-bytes N
+  * [--truncate] [--mappings FILE].
   */
 object MigrateMain {
 
   def main(args: Array[String]): Unit = {
-    var sourceDir = ""
-    var targetDir = ""
-    var tables = Seq.empty[String]
-    var format = false
-    var constraints = false
-    var drop = false
-    var truncate = false
-    var mappingsFile = ""
-    var maxPacketBytes = AppConfig.DefaultMaxPacketBytes
-    var parallelism = Runtime.getRuntime.availableProcessors()
-
-    var i = 0
-    while (i < args.length) {
-      args(i) match {
-        case "--source-dir" => sourceDir = args(i + 1); i += 2
-        case "--target-dir" => targetDir = args(i + 1); i += 2
-        case "--tables" =>
-          tables = args(i + 1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
-          i += 2
-        case "--format" | "-f" => format = true; i += 1
-        case "--constraints" | "-c" => constraints = true; i += 1
-        case "--drop" | "-d" => drop = true; i += 1
-        case "--truncate" => truncate = true; i += 1
-        case "--mappings" => mappingsFile = args(i + 1); i += 2
-        case "--max-packet-bytes" =>
-          maxPacketBytes = args(i + 1).toInt; i += 2
-        case "--parallelism" | "-p" => parallelism = args(i + 1).toInt; i += 2
-        case other => sys.error(s"Unknown argument: $other")
-      }
+    val parsed = CliArgs.parse(args.toSeq) match {
+      case Left(err) => System.err.println(s"ERROR: $err"); sys.exit(2)
+      case Right(a) => a
     }
-    require(sourceDir.nonEmpty && targetDir.nonEmpty,
-      "--source-dir and --target-dir are required")
+    GraftLog.init(parsed.verbose, parsed.quiet)
+    val log = org.apache.logging.log4j.LogManager.getLogger("graft")
 
-    val overrides =
-      if (mappingsFile.isEmpty) UserOverrides.empty
-      else UserOverrides.fromToml(
-        Files.readString(Paths.get(mappingsFile))) match {
-        case Left(err) => sys.error(s"mappings file: $err")
+    val mode = ConfigResolver.resolve(parsed, f => {
+      val p = Paths.get(f)
+      if (Files.exists(p)) Some(Files.readString(p)) else None
+    }) match {
+      case Left(err) => System.err.println(s"ERROR: $err"); sys.exit(2)
+      case Right(m) => m
+    }
+
+    // mappings.toml column/type overrides (main.rs:123-137: missing
+    // file means built-in defaults; a broken file is a hard error)
+    val overrides = parsed.mappingsFile match {
+      case None => UserOverrides.empty
+      case Some(f) => UserOverrides.fromToml(
+        Files.readString(Paths.get(f))) match {
+        case Left(err) => System.err.println(s"ERROR: mappings file: $err"); sys.exit(2)
         case Right(o) => o
       }
+    }
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
@@ -73,21 +62,35 @@ object MigrateMain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+
+    val (source, writer, packetBytes, whitelist) = mode match {
+      case FixtureMode(srcDir, dstDir, tables) =>
+        (new ParquetFixtureSource(srcDir, spark): SchemaSource,
+          new ScriptTargetWriter(dstDir): TargetWriter,
+          parsed.maxPacketBytes.getOrElse(AppConfig.DefaultMaxPacketBytes),
+          tables)
+      case JdbcMode(cfg) =>
+        cfg.warnings.foreach(w => log.warn(w))
+        log.info("Using resolved database endpoints")
+        (new JdbcSchemaSource(
+            ConfigResolver.mssqlJdbcUrl(cfg.mssqlDatabase)): SchemaSource,
+          new JdbcTargetWriter(
+            ConfigResolver.mysqlJdbcUrl(cfg.mysqlDatabase)): TargetWriter,
+          cfg.settings.maxPacketBytes,
+          cfg.settings.whitelistedTables)
+    }
 
     val migrator = new Migrator(
-      spark,
-      new ParquetFixtureSource(sourceDir, spark),
-      new ScriptTargetWriter(targetDir),
+      spark, source, writer,
       TypeRegistry.withDefaults().withUserOverrides(overrides),
       MigrationOptions(
-        maxPacketBytes = maxPacketBytes,
-        maxConcurrentTasks = parallelism,
-        formatSnakeCase = format,
-        createConstraints = constraints,
-        dropTables = drop,
-        truncateTables = truncate,
-        whitelistedTables = tables))
+        maxPacketBytes = packetBytes,
+        maxConcurrentTasks = parsed.parallelism,
+        formatSnakeCase = parsed.format,
+        createConstraints = parsed.constraints,
+        dropTables = parsed.drop,
+        truncateTables = parsed.truncate,
+        whitelistedTables = whitelist))
 
     val t0 = System.nanoTime()
     try {
