@@ -21,8 +21,13 @@ object Tables {
       // read as a timestamp ([PARQUET_TYPE_ILLEGAL]). Read the raw
       // nanos as long and truncate to microseconds — the same value
       // DuckDB produces for its (µs) timestamp type, so oracle
-      // comparisons line up exactly.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // comparisons line up exactly. The conf write is guarded so
+      // concurrent query launches don't hammer the session conf (the
+      // value itself never changes, so the guard is only an
+      // idempotent fast path).
+      if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+          .contains("true"))
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.expr(
           "timestamp_micros(ts div 1000)"))

@@ -201,15 +201,17 @@ object Events {
     QueryDef("ev_user_stats", userStats, Some(userStatsSql)),
     // Structured Streaming counterparts (graft.streaming.EventStream).
     // The tumbling-window stream runs in complete mode, so it matches
-    // the batch oracle exactly; open-tail session windows are withheld
-    // by the watermark, so sessions get a rows-only check.
+    // the batch oracle exactly; session windows are flushed by a
+    // terminal watermark-advancing sentinel, so the emitted sessions
+    // equal the batch gaps-and-islands oracle too.
     QueryDef("evs_hourly_tumbling",
       (s, d) => graft.streaming.EventStream.hourlyTumbling(s, d)
         .select(col("hour"), col("event_type"), col("n"),
           col("total_value").cast("double").as("total_value")),
       Some(hourlySql)),
     QueryDef("evs_session_windows",
-      (s, d) => graft.streaming.EventStream.sessionWindows(s, d), None),
+      (s, d) => graft.streaming.EventStream.sessionWindows(s, d),
+      Some(sessionWindowBatchSql)),
     // flatMapGroupsWithState running counts: single-batch input means
     // the final state equals the batch GROUP BY, so it is oracle-able.
     QueryDef("evs_stream_static_join",

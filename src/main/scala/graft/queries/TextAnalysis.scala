@@ -205,10 +205,11 @@ object TextAnalysis {
       |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 15""".stripMargin
 
   /** Sketch-based cardinality: HLL++ distinct-word estimates per
-    * source vs the exact count. No oracle — DuckDB's approx sketch
-    * differs from Spark's by design; the accompanying spec asserts the
-    * estimate lands within rsd of exact. At 100 TB the sketch is the
-    * only viable plan: fixed memory per group, no distinct shuffle.
+    * source vs the exact count. The oracle hashes the estimate's
+    * tolerance verdict (see below), not the raw sketch; the
+    * accompanying spec additionally asserts the estimate lands within
+    * rsd of exact. At 100 TB the sketch is the only viable plan:
+    * fixed memory per group, no distinct shuffle.
     */
   private def vocabHll(s: SparkSession, dir: String): DataFrame = {
     Tables(s, dir, "documents")
@@ -218,8 +219,23 @@ object TextAnalysis {
         approx_count_distinct(col("word"), rsd = 0.02).as("approx_vocab"),
         countDistinct(col("word")).as("exact_vocab"),
         count(lit(1)).as("n_words"))
+      // The raw HLL estimate cannot be oracle'd (DuckDB's sketch
+      // differs by design), so the output hashes the estimate's 3-sigma
+      // bound check instead: a deterministic boolean the oracle can
+      // predict (TRUE), which still fails the gate if the sketch ever
+      // drifts outside its advertised rsd.
+      .select(col("source"), col("exact_vocab"), col("n_words"),
+        (abs(col("approx_vocab") - col("exact_vocab")) <=
+          lit(0.06) * col("exact_vocab")).as("within_tolerance"))
       .orderBy(col("source"))
   }
+
+  private val vocabHllSql =
+    """SELECT source, count(DISTINCT word) AS exact_vocab,
+      |  count(*) AS n_words, TRUE AS within_tolerance
+      |FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+      |      FROM documents)
+      |GROUP BY source ORDER BY source""".stripMargin
 
   /** TF-IDF per (doc, term): tf = term count / doc length, idf =
     * ln(N / df). All inputs are exact integers, and JVM Math.log is
@@ -292,7 +308,7 @@ object TextAnalysis {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("ta_tfidf", tfidf, Some(tfidfSql)),
     QueryDef("ta_cooccurrence", cooccurrence, Some(cooccurrenceSql)),
-    QueryDef("ta_vocab_hll", vocabHll, None),
+    QueryDef("ta_vocab_hll", vocabHll, Some(vocabHllSql)),
     QueryDef("ta_token_stats", tokenStats, Some(tokenStatsSql)),
     QueryDef("ta_quality_score", quality, Some(qualitySql)),
     QueryDef("ta_lang_id", langId, Some(langIdSql)),

@@ -25,9 +25,22 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  private def streamingEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
+  /** A per-stream cloned session (shared SparkContext, private conf):
+    * streaming state partitioning is sized separately from the batch
+    * shuffle width — each partition owns a state-store instance, and
+    * at this volume 32 stores cost more in setup than they
+    * parallelize. Cloning instead of flipping the caller's global
+    * conf keeps concurrent batch query launches unaffected.
+    */
+  private def streamSession(spark: SparkSession): SparkSession = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ss
+  }
+
+  private def streamingEvents(ss: SparkSession, dir: String): DataFrame = {
+    ss.readStream
       .schema(rawSchema)
       // streaming file source needs a directory; filter to the events
       // file since the fixture dir holds one parquet per table
@@ -37,28 +50,19 @@ object EventStream {
   }
 
   /** Run a streaming aggregation to completion into a memory sink and
-    * return the sink table.
+    * return the sink table (registered in the stream's own session).
     */
-  private def runToCompletion(spark: SparkSession, agg: DataFrame,
+  private def runToCompletion(ss: SparkSession, agg: DataFrame,
       name: String, mode: String): DataFrame = {
-    spark.catalog.dropTempView(name)
-    // Streaming state partitioning is sized separately from the batch
-    // shuffle width: each partition owns a state-store instance, and at
-    // this volume 32 stores cost more in setup than they parallelize.
-    // The conf is captured at query start, so restoring it after start
-    // doesn't affect the running query.
-    val oldParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try agg.writeStream
-        .outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", oldParts)
+    ss.catalog.dropTempView(name)
+    val q = agg.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .start()
     try q.processAllAvailable()
     finally q.stop()
-    spark.table(name)
+    ss.table(name)
   }
 
   /** Tumbling 1-hour windows by type — streaming complete mode, so the
@@ -66,12 +70,13 @@ object EventStream {
     * share its DuckDB oracle.
     */
   def hourlyTumbling(spark: SparkSession, dir: String): DataFrame = {
-    val agg = streamingEvents(spark, dir)
+    val ss = streamSession(spark)
+    val agg = streamingEvents(ss, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 6))).as("total_value"))
-    runToCompletion(spark, agg, "evs_hourly_sink", "complete")
+    runToCompletion(ss, agg, "evs_hourly_sink", "complete")
       .select(col("w.start").as("hour"), col("event_type"), col("n"),
         col("total_value"))
       .orderBy(col("hour"), col("event_type"))
@@ -85,8 +90,9 @@ object EventStream {
     */
   def userRunningCounts(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    import spark.implicits._
-    val agg = streamingEvents(spark, dir)
+    val ss = streamSession(spark)
+    import ss.implicits._
+    val agg = streamingEvents(ss, dir)
       .select(col("user_id"))
       .as[Long]
       .groupByKey(identity)
@@ -98,7 +104,7 @@ object EventStream {
           Iterator((uid, n))
       }
       .toDF("user_id", "n_events")
-    runToCompletion(spark, agg, "evs_running_sink", "update")
+    runToCompletion(ss, agg, "evs_running_sink", "update")
       .orderBy(col("user_id"))
   }
 
@@ -109,13 +115,14 @@ object EventStream {
     * join, which the oracle checks.
     */
   def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
-    val customers = graft.Tables(spark, dir, "customer")
+    val ss = streamSession(spark)
+    val customers = graft.Tables(ss, dir, "customer")
       .select((col("c_custkey") - 1).as("user_id"), col("c_mktsegment"))
-    val agg = streamingEvents(spark, dir)
+    val agg = streamingEvents(ss, dir)
       .join(customers, "user_id")
       .groupBy(col("c_mktsegment"), col("event_type"))
       .agg(count(lit(1)).as("n"))
-    runToCompletion(spark, agg, "evs_static_sink", "complete")
+    runToCompletion(ss, agg, "evs_static_sink", "complete")
       .orderBy(col("c_mktsegment"), col("event_type"))
   }
 
@@ -126,7 +133,8 @@ object EventStream {
     * applies exactly).
     */
   def purchaseClickJoin(spark: SparkSession, dir: String): DataFrame = {
-    val ev = streamingEvents(spark, dir)
+    val ss = streamSession(spark)
+    val ev = streamingEvents(ss, dir)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id").as("pu"),
         col("ts").as("pts"))
@@ -139,7 +147,7 @@ object EventStream {
       col("pu") === col("cu") &&
         col("cts") >= col("pts") &&
         col("cts") <= col("pts") + expr("INTERVAL 10 MINUTES"))
-    runToCompletion(spark, joined.select(col("purchase_id"), col("click_id"),
+    runToCompletion(ss, joined.select(col("purchase_id"), col("click_id"),
         col("pu").as("user_id")), "evs_ssjoin_sink", "append")
       .orderBy(col("purchase_id"), col("click_id"))
   }
@@ -151,25 +159,55 @@ object EventStream {
     * state finite (keys older than the delay are evicted).
     */
   def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
-    val agg = streamingEvents(spark, dir)
+    val ss = streamSession(spark)
+    val agg = streamingEvents(ss, dir)
       .withWatermark("ts", "1 hour")
       .select(col("user_id"), col("event_type"), col("ts"))
       .dropDuplicates("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
-    runToCompletion(spark, agg, "evs_dedup_sink", "append")
+    runToCompletion(ss, agg, "evs_dedup_sink", "append")
       .orderBy(col("user_id"), col("event_type"))
   }
 
   /** Session windows (30-minute gap) per user — append mode with a
-    * 1-hour watermark; sessions still open at end-of-input are
-    * withheld by design, so this gets a rows-only check.
+    * 1-hour watermark. Append mode only emits sessions the watermark
+    * has passed, so sessions still open at end-of-input would be
+    * withheld; the stream is therefore driven to termination with a
+    * far-future sentinel event (a negative user_id, filtered from the
+    * output) that advances the watermark past every real session's
+    * close — the streaming equivalent of end-of-stream flush, making
+    * the emitted set equal the batch gaps-and-islands oracle. The
+    * sentinel's own session stays open and is never emitted.
     */
   def sessionWindows(spark: SparkSession, dir: String): DataFrame = {
-    val agg = streamingEvents(spark, dir)
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val ss = streamSession(spark)
+    // stage events.parquet + a sentinel file into a temp stream dir
+    val streamDir = Files.createTempDirectory("graft_session_stream")
+    streamDir.toFile.deleteOnExit()
+    Files.copy(Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val maxTsNanos = graft.Tables(ss, dir, "events")
+      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0) * 1000L
+    import ss.implicits._
+    Seq((-1L, maxTsNanos + 30L * 24 * 3600 * 1000000000L, -1L,
+        "sentinel", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(streamDir.resolve("sentinel").toString)
+
+    val stream = ss.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("recursiveFileLookup", "true")
+      .parquet(streamDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
-    runToCompletion(spark, agg, "evs_session_sink", "append")
+    runToCompletion(ss, agg, "evs_session_sink", "append")
+      .filter(col("user_id") >= 0)
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
       .orderBy(col("user_id"), col("session_start"))
