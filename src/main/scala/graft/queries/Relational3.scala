@@ -46,30 +46,24 @@ object Relational3 {
       | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 600000000
       |ORDER BY id_a, id_b""".stripMargin
 
-  /** Top-3 orders per customer via the custom bounded-buffer
-    * [[graft.operators.TopKAggregator]] (map-side top-k, k rows per
-    * group cross the shuffle) — same result contract as the window
-    * form (q06), same oracle shape. Prices scaled to exact cents.
+  /** Top-3 orders per customer via the custom Catalyst
+    * [[graft.operators.TopKPairsAgg]] (map-side bounded top-k: k pairs
+    * per group cross the shuffle instead of every row) — same result
+    * contract as the window form (q06), same oracle shape. Prices
+    * scaled to exact cents inside the aggregate; the final
+    * cents→double division is the same nearest-double the oracle's
+    * decimal→double cast produces.
     */
   private def topkAggregate(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val agg = new graft.operators.TopKAggregator(3)
     Tables(s, dir, "orders")
-      .select(col("o_custkey"), col("o_orderkey"),
-        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
-          .cast("long").as("cents"))
-      .as[(Long, Long, Long)]
-      .groupByKey(_._1)
-      .mapValues(r => (r._3, r._2)) // (value=cents, tie=orderkey asc)
-      .agg(agg.toColumn)
-      .flatMap { case (cust, top) =>
-        top.zipWithIndex.map { case ((cents, okey), i) =>
-          (cust, okey, java.math.BigDecimal.valueOf(cents, 2), i + 1)
-        }
-      }
-      .toDF("o_custkey", "o_orderkey", "price", "rn")
-      .withColumn("price",
-        col("price").cast(DecimalType(18, 2)).cast("double"))
+      .groupBy(col("o_custkey"))
+      .agg(graft.operators.TopKPairsAgg(
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long"),
+        col("o_orderkey"), 3).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("i", "p")))
+      .select(col("o_custkey"), col("p.tie").as("o_orderkey"),
+        (col("p.value").cast("double") / 100.0).as("price"),
+        (col("i") + 1).as("rn"))
       .orderBy(col("o_custkey"), col("rn"))
   }
 

@@ -126,4 +126,28 @@ class ExpressionsSpec extends AnyFunSuite {
       assert(got == expected)
     }
   }
+
+  test("TopKPairsAgg equals the row_number window form on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // duplicate values force the tie-break path; duplicate keys force merges
+    val rows = Seq.tabulate(5000)(i =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(25).toLong * 100, i.toLong))
+    val df = rows.toDF("key", "value", "tie").repartition(7)
+
+    val agg = df.groupBy(col("key"))
+      .agg(graft.operators.TopKPairsAgg(col("value"), col("tie"), 3).as("top"))
+      .select(col("key"), posexplode(col("top")).as(Seq("i", "p")))
+      .select(col("key"), col("p.value").as("value"), col("p.tie").as("tie"),
+        (col("i") + 1).as("rn"))
+
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
+      .orderBy(col("value").desc, col("tie"))
+    val win = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("key"), col("value"), col("tie"), col("rn"))
+
+    assert(agg.except(win).count() == 0 && win.except(agg).count() == 0)
+    assert(agg.count() == win.count())
+  }
+
 }
