@@ -15,12 +15,14 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.1"
-    Tables(spark, dir, "orders").count() // warm
-    for (q <- Seq("dd_ngram_jaccard", "dd_components", "dd_minhash_lsh")) {
+    Tables(spark, "/root/testdata/sf0.1", "orders").count() // warm
+    for (sf <- Seq("sf0.01", "sf0.1");
+         q <- Seq("dd_embedding_neardup", "dd_ngram_jaccard", "dd_components",
+           "mig_batch_plan", "q21_topk_aggregate", "evs_session_windows")) {
+      val dir = s"/root/testdata/$sf"
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
-      println(f"$q: $n rows in ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      println(f"$sf $q: $n rows in ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
     spark.stop()
   }

@@ -328,10 +328,17 @@ object Dedup {
     */
   private def components(s: SparkSession, dir: String): DataFrame = {
     val pairs = ngramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
-    // undirected edges, both directions
-    val edges = pairs.unionByName(
+    // Undirected edges, both directions. The pair graph is orders of
+    // magnitude smaller than the corpus (only near-dup members appear),
+    // so the iteration's shuffle width is sized from the measured edge
+    // count (~1M edges/partition), not from the corpus-wide default —
+    // the count also materializes the cache before the loop.
+    val edgesWide = pairs.unionByName(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .distinct().cache()
+    val nEdges = edgesWide.count()
+    val width = math.max(1, math.min(200, (nEdges / 1000000L).toInt + 1))
+    val edges = edgesWide.repartition(width, col("doc_b")).cache()
     var labels = edges.select(col("doc_a").as("node"))
       .distinct()
       .withColumn("label", col("node"))
