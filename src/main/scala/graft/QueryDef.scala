@@ -29,6 +29,7 @@ object QueryDef {
       queries.Relational3.defs ++
       queries.TextAnalysis.defs ++
       queries.Dedup.defs ++
+      queries.Corpus.defs ++
       queries.Similarity.defs ++
       queries.Events.defs ++
       queries.Multimodal.defs ++

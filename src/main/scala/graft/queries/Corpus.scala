@@ -1,0 +1,168 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators for a training-data pipeline: the
+  * deterministic bookkeeping that sits between dedup/quality filtering
+  * and the training job — stable train/validation/test splitting,
+  * per-source weighted mixing, repeated-n-gram quality scoring (the
+  * Gopher-style repetition rule), and a deterministic global shuffle.
+  *
+  * None of these exist in the reference (a row-migration tool); they
+  * are the extension surface the engine adds for 100 TB corpus work.
+  *
+  * Scale notes: every operator keys on a cryptographic hash of the
+  * document id, so results are independent of partitioning, input
+  * order, and cluster size — re-running the split on a re-ingested
+  * corpus reassigns every doc to the same bucket. The hash bucketing
+  * is a narrow projection (no shuffle); only the final per-source
+  * aggregations shuffle, carrying one row per group. The shuffle-
+  * sample is a global sort limit, which Spark executes as
+  * per-partition top-k + single merge (TakeOrderedAndProject), not a
+  * full sort.
+  */
+object Corpus {
+
+  /** First 6 md5 hex digits of a salted doc id as an integer bucket —
+    * identical arithmetic on both engines (Spark conv(hex,16,10),
+    * DuckDB CAST('0x'||hex AS BIGINT)).
+    */
+  private def hashBucket(salt: String, mod: Int): Column =
+    conv(substring(md5(concat(lit(salt),
+      col("doc_id").cast("string")).cast("binary")), 1, 6), 16, 10)
+      .cast("long") % mod
+
+  private def bucketSql(salt: String, mod: Int): String =
+    s"CAST(('0x' || substring(md5('$salt' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % $mod"
+
+  /** Stable train/validation/test assignment: 80/10/10 by hash bucket.
+    * A document's split never depends on what else is in the corpus —
+    * the property that keeps eval sets honest across re-crawls.
+    */
+  private def hashSplit(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "documents")
+      .withColumn("bucket", hashBucket("split:", 100))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "validation")
+          .otherwise("test"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .orderBy(col("source"), col("split"))
+  }
+
+  private val hashSplitSql =
+    s"""SELECT source,
+       |  CASE WHEN ${bucketSql("split:", 100)} < 80 THEN 'train'
+       |       WHEN ${bucketSql("split:", 100)} < 90 THEN 'validation'
+       |       ELSE 'test' END AS split,
+       |  count(*) AS n_docs, min(doc_id) AS first_doc
+       |FROM documents GROUP BY 1, 2 ORDER BY source, split""".stripMargin
+
+  /** Per-source weighted sampling for a training mix: each source
+    * keeps a deterministic fraction of its documents (here by source
+    * index mod 3: 100% / 50% / 25%, standing in for per-source mix
+    * weights). The decision is per-document hash thresholding — no
+    * sort, no sampling state, reproducible on any cluster layout.
+    */
+  private def sourceMix(s: SparkSession, dir: String): DataFrame = {
+    val rate = when(substring(col("source"), 4, 10).cast("int") % 3 === 0, 1000)
+      .when(substring(col("source"), 4, 10).cast("int") % 3 === 1, 500)
+      .otherwise(250)
+    Tables(s, dir, "documents")
+      .withColumn("rate_permille", rate)
+      .withColumn("sampled", hashBucket("mix:", 1000) < col("rate_permille"))
+      .groupBy(col("source"))
+      .agg(max(col("rate_permille")).as("rate_permille"),
+        count(lit(1)).as("n_total"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"))
+      .orderBy(col("source"))
+  }
+
+  private val sourceMixSql =
+    s"""SELECT source,
+       |  max(CASE CAST(substring(source, 4, 10) AS INTEGER) % 3
+       |      WHEN 0 THEN 1000 WHEN 1 THEN 500 ELSE 250 END) AS rate_permille,
+       |  count(*) AS n_total,
+       |  CAST(sum(CASE WHEN ${bucketSql("mix:", 1000)} <
+       |    (CASE CAST(substring(source, 4, 10) AS INTEGER) % 3
+       |     WHEN 0 THEN 1000 WHEN 1 THEN 500 ELSE 250 END)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** Repeated-5-gram quality rule (the Gopher/RefinedWeb family):
+    * fraction of 5-grams that are repeats of an earlier 5-gram in the
+    * same document. Distinct counting rides the codegen WordShingles
+    * expression; the keep flag is the filter a pipeline would apply.
+    */
+  private def ngramRepetition(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "documents")
+      .withColumn("total_5grams",
+        greatest(size(split(col("text"), " ")) - 4, lit(0)))
+      .withColumn("distinct_5grams",
+        size(graft.functions.WordShingles(col("text"), 5)))
+      .withColumn("rep_ratio",
+        when(col("total_5grams") > 0,
+          round(lit(1.0) - col("distinct_5grams").cast("double") /
+            col("total_5grams"), 9))
+          .otherwise(lit(0.0)))
+      .withColumn("keep", col("rep_ratio") <= 0.2)
+      .select(col("doc_id"), col("total_5grams"), col("distinct_5grams"),
+        col("rep_ratio"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val ngramRepetitionSql =
+    """SELECT doc_id,
+      |  greatest(len(ws) - 4, 0) AS total_5grams,
+      |  CAST(CASE WHEN len(ws) >= 5 THEN len(list_distinct(
+      |    list_transform(range(1, len(ws) - 3),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+      |        || ws[i+3] || ' ' || ws[i+4]))) ELSE 0 END AS INTEGER)
+      |    AS distinct_5grams,
+      |  CASE WHEN len(ws) - 4 > 0
+      |    THEN round(1.0 - (CASE WHEN len(ws) >= 5 THEN len(list_distinct(
+      |      list_transform(range(1, len(ws) - 3),
+      |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+      |          || ws[i+3] || ' ' || ws[i+4]))) ELSE 0 END)
+      |      / CAST(len(ws) - 4 AS DOUBLE), 9)
+      |    ELSE 0.0 END AS rep_ratio,
+      |  CASE WHEN len(ws) - 4 > 0
+      |    THEN round(1.0 - (CASE WHEN len(ws) >= 5 THEN len(list_distinct(
+      |      list_transform(range(1, len(ws) - 3),
+      |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+      |          || ws[i+3] || ' ' || ws[i+4]))) ELSE 0 END)
+      |      / CAST(len(ws) - 4 AS DOUBLE), 9)
+      |    ELSE 0.0 END <= 0.2 AS keep
+      |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic global shuffle + head: order the corpus by a salted
+    * hash of the doc id and take the first 100 — how a pipeline draws
+    * a reproducible random-looking sample (or defines the training
+    * read order) without RNG state. Spark executes the sort+limit as
+    * per-partition top-k and a single merge, never a full global sort.
+    */
+  private def corpusShuffle(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "documents")
+      .withColumn("shuffle_key",
+        md5(concat(lit("shuffle:"), col("doc_id").cast("string"))
+          .cast("binary")))
+      .select(col("shuffle_key"), col("doc_id"), col("source"))
+      .orderBy(col("shuffle_key"))
+      .limit(100)
+  }
+
+  private val corpusShuffleSql =
+    """SELECT md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+      |  doc_id, source
+      |FROM documents ORDER BY shuffle_key LIMIT 100""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("cp_hash_split", hashSplit, Some(hashSplitSql)),
+    QueryDef("cp_source_mix", sourceMix, Some(sourceMixSql)),
+    QueryDef("cp_ngram_repetition", ngramRepetition, Some(ngramRepetitionSql)),
+    QueryDef("cp_corpus_shuffle", corpusShuffle, Some(corpusShuffleSql)))
+}
