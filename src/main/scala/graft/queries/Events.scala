@@ -228,6 +228,15 @@ object Events {
              |  ON p.user_id = c.user_id
              | AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 10 MINUTE
              |ORDER BY purchase_id, click_id""".stripMargin)),
+    QueryDef("evs_stream_left_join",
+      (s, d) => graft.streaming.EventStream.purchaseClickLeftJoin(s, d),
+      Some("""SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+             |  p.user_id
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             |  ON p.user_id = c.user_id
+             | AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 10 MINUTE
+             |ORDER BY purchase_id, click_id""".stripMargin)),
     QueryDef("evs_stream_dedup",
       (s, d) => graft.streaming.EventStream.streamingDedup(s, d),
       Some("""SELECT DISTINCT user_id, event_type FROM events

@@ -179,30 +179,40 @@ object EventStream {
     * the emitted set equal the batch gaps-and-islands oracle. The
     * sentinel's own session stays open and is never emitted.
     */
-  def sessionWindows(spark: SparkSession, dir: String): DataFrame = {
+  /** Stage events.parquet plus one far-future sentinel row per given
+    * event type (user_id = -1, ts = max + 30 days) into a temp dir and
+    * open it as a stream. The sentinels advance the watermark past
+    * every real row's emission point — the streaming equivalent of an
+    * end-of-stream flush for append-mode operators; consumers filter
+    * `user_id >= 0` from their output.
+    */
+  private def sentinelFlushedEvents(ss: SparkSession, dir: String,
+      sentinelTypes: Seq[String]): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val ss = streamSession(spark)
-    // stage events.parquet + a sentinel file into a temp stream dir
-    val streamDir = Files.createTempDirectory("graft_session_stream")
+    val streamDir = Files.createTempDirectory("graft_sentinel_stream")
     streamDir.toFile.deleteOnExit()
     Files.copy(Paths.get(s"$dir/events.parquet"),
       streamDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
     val maxTsNanos = graft.Tables(ss, dir, "events")
       .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0) * 1000L
     import ss.implicits._
-    Seq((-1L, maxTsNanos + 30L * 24 * 3600 * 1000000000L, -1L,
-        "sentinel", 0.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    sentinelTypes.zipWithIndex.map { case (t, i) =>
+      (-1L - i, maxTsNanos + 30L * 24 * 3600 * 1000000000L, -1L, t, 0.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.mode("overwrite")
       .parquet(streamDir.resolve("sentinel").toString)
 
-    val stream = ss.readStream
+    ss.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "*.parquet")
       .option("recursiveFileLookup", "true")
       .parquet(streamDir.toString)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    val agg = stream
+  }
+
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val agg = sentinelFlushedEvents(ss, dir, Seq("sentinel"))
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
@@ -211,5 +221,36 @@ object EventStream {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
       .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** Stream-stream LEFT OUTER join: every purchase, with its following
+    * clicks where they exist and nulls where they don't. Outer rows
+    * can only emit once the watermark proves no match can still
+    * arrive, so end-of-input would withhold the unmatched tail of the
+    * fixture; sentinel purchase+click rows flush it (filtered from the
+    * output), making the result equal the batch LEFT JOIN oracle.
+    * Both sides' state stays watermark-bounded, exactly as the inner
+    * variant.
+    */
+  def purchaseClickLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val ev = sentinelFlushedEvents(ss, dir, Seq("purchase", "click"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("pu"),
+        col("ts").as("pts"))
+      .withWatermark("pts", "10 minutes")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+        col("ts").as("cts"))
+      .withWatermark("cts", "10 minutes")
+    val joined = purchases.join(clicks,
+      col("pu") === col("cu") &&
+        col("cts") >= col("pts") &&
+        col("cts") <= col("pts") + expr("INTERVAL 10 MINUTES"),
+      "left_outer")
+    runToCompletion(ss, joined.select(col("purchase_id"), col("click_id"),
+        col("pu").as("user_id")), "evs_ssleft_sink", "append")
+      .filter(col("user_id") >= 0)
+      .orderBy(col("purchase_id"), col("click_id"))
   }
 }
