@@ -241,6 +241,10 @@ object Events {
       (s, d) => graft.streaming.EventStream.streamingDedup(s, d),
       Some("""SELECT DISTINCT user_id, event_type FROM events
              |ORDER BY user_id, event_type""".stripMargin)),
+    QueryDef("evs_dedup_within_watermark",
+      (s, d) => graft.streaming.EventStream.streamingDedupWithinWatermark(s, d),
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+             |ORDER BY user_id, event_type""".stripMargin)),
     QueryDef("evs_user_running_counts",
       (s, d) => graft.streaming.EventStream.userRunningCounts(s, d),
       Some("""SELECT user_id, count(*) AS n_events

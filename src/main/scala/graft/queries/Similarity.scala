@@ -361,7 +361,53 @@ object Similarity {
        |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** Symmetric int8 quantization per vector — the compression step an
+    * ANN index applies before storage (4x smaller than float32, 8x
+    * smaller than float64): scale = max|x| / 127, q_i = floor(x_i /
+    * scale + 0.5). Emits the scale, a checksum of the quantized codes
+    * and the exact reconstruction error, so the oracle pins the whole
+    * codebook without materializing 64 columns. floor(x + 0.5) instead
+    * of round() because the engines disagree on round-half semantics;
+    * the fold orders are sequential on both, so the doubles are
+    * bit-identical.
+    */
+  private def quantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    val dv = transform(col("embedding"), x => x.cast("double"))
+    Tables(s, dir, "embeddings")
+      .withColumn("dv", dv)
+      .withColumn("scale",
+        aggregate(col("dv"), lit(0.0), (acc, x) => greatest(acc, abs(x))) / 127.0)
+      .withColumn("q", transform(col("dv"),
+        x => floor(x / col("scale") + 0.5).cast("long")))
+      .select(col("vec_id"), col("scale"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+        round(aggregate(
+          zip_with(col("dv"), col("q"), (x, q) => {
+            val d = x - q.cast("double") * col("scale")
+            d * d
+          }),
+          lit(0.0), (acc, x) => acc + x), 9).as("recon_err"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val quantizeInt8Sql =
+    """WITH q AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv,
+      |    list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> abs(x)), 'max') / 127.0 AS scale
+      |  FROM embeddings)
+      |SELECT vec_id, scale,
+      |  CAST(list_aggregate(list_transform(dv,
+      |    x -> CAST(floor(x / scale + 0.5) AS BIGINT)), 'sum') AS BIGINT)
+      |    AS q_sum,
+      |  round(list_aggregate(list_transform(dv,
+      |    x -> (x - floor(x / scale + 0.5) * scale)
+      |       * (x - floor(x / scale + 0.5) * scale)), 'sum'), 9)
+      |    AS recon_err
+      |FROM q ORDER BY vec_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sim_quantize_int8", quantizeInt8, Some(quantizeInt8Sql)),
     QueryDef("sim_kmeans_ivf", kmeansIvf, Some(kmeansIvfSql)),
     QueryDef("sim_knn_brute", knnBrute, Some(knnBruteSql)),
     QueryDef("sim_knn_ivf", knnIvf, Some(knnIvfSql)),

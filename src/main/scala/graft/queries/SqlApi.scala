@@ -94,7 +94,38 @@ object SqlApi {
       |  ON a.vec_id < 10 AND b.vec_id >= 10 AND b.vec_id < 40
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** The scalar-UDF tier (`spark.udf.register`): a type-token-ratio
+    * quality metric as a plain Scala function through the SQL surface.
+    * UDFs are the engine's LAST-resort extension point — they break
+    * codegen and columnar processing, which is why every hot-path
+    * custom function here is a Catalyst Expression instead
+    * (graft.functions.*) — but the tier must exist for user code, and
+    * this query pins its semantics to the oracle like any other. The
+    * ratio is an exact rational in doubles (both engines divide the
+    * same two small ints), so no rounding is needed.
+    */
+  private def udfQuality(s: SparkSession, dir: String): DataFrame = {
+    s.udf.register("type_token_ratio", (text: String) => {
+      val words = text.split(' ')
+      if (words.isEmpty) 0.0
+      else words.distinct.length.toDouble / words.length
+    })
+    withViews(s, dir, Seq("documents"))(
+      """SELECT doc_id, type_token_ratio(text) AS ttr,
+        |  type_token_ratio(text) >= 0.5 AS diverse
+        |FROM documents ORDER BY doc_id""".stripMargin)
+  }
+
+  private val udfQualitySql =
+    """SELECT doc_id,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS ttr,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |    / len(string_split(text, ' ')) >= 0.5 AS diverse
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sqlapi_udf_quality", udfQuality, Some(udfQualitySql)),
     QueryDef("sqlapi_revenue_by_type", revenue, Some(revenueSql)),
     QueryDef("sqlapi_text_functions", textFunctions, Some(textFunctionsSql)),
     QueryDef("sqlapi_vec_dot", vecDot, Some(vecDotSql)))

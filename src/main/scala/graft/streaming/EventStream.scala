@@ -169,6 +169,26 @@ object EventStream {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** `dropDuplicatesWithinWatermark` — the state-bounded dedup for
+    * sources whose duplicates arrive within a bounded delay of each
+    * other (retries, at-least-once replays): state for a key is
+    * evicted one watermark delay after its event time, unlike plain
+    * dropDuplicates whose state only grows. The fixture's delay spans
+    * the whole input, so the emitted set equals batch DISTINCT — the
+    * oracle — while exercising the real eviction-bounded operator.
+    */
+  def streamingDedupWithinWatermark(spark: SparkSession,
+      dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val agg = streamingEvents(ss, dir)
+      .withWatermark("ts", "30 days")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    runToCompletion(ss, agg, "evs_dedup_wm_sink", "append")
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   /** Session windows (30-minute gap) per user — append mode with a
     * 1-hour watermark. Append mode only emits sessions the watermark
     * has passed, so sessions still open at end-of-input would be
