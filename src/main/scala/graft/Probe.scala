@@ -16,13 +16,12 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    Tables(spark, "/root/testdata/sf0.1", "orders").count() // warm
-    for (sf <- Seq("sf0.1");
-         q <- Seq("dd_components", "dd_ngram_jaccard")) {
-      val dir = s"/root/testdata/$sf"
+    val dir = "/root/testdata/sf0.1"
+    Tables(spark, dir, "orders").count() // warm
+    for (q <- args) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
-      println(f"$sf $q: $n rows in ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      println(f"$q: $n rows in ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
     spark.stop()
   }

@@ -124,7 +124,51 @@ object SqlApi {
       |    / len(string_split(text, ' ')) >= 0.5 AS diverse
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Recursive CTE (Spark 4.1's WITH RECURSIVE): the calendar-spine
+    * pattern — generate every month between the corpus bounds and
+    * left-join the actual monthly counts, zero-filling gaps. The
+    * recursion is monotone and bounded (UNION-dedup recursion is not
+    * yet supported by Spark, so cyclic-graph walks stay with the
+    * iterative dd_components operator).
+    */
+  private def recursiveSpine(s: SparkSession, dir: String): DataFrame =
+    withViews(s, dir, Seq("orders"))(
+      """WITH RECURSIVE bounds AS (
+        |  SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,
+        |         CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS hi
+        |  FROM orders),
+        |months(m) AS (
+        |  SELECT lo FROM bounds
+        |  UNION ALL
+        |  SELECT add_months(m, 1) FROM months, bounds WHERE m < hi),
+        |counts AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+        |         count(*) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT months.m AS month, coalesce(n, CAST(0 AS BIGINT)) AS n_orders
+        |FROM months LEFT JOIN counts ON months.m = counts.m
+        |ORDER BY month""".stripMargin)
+
+  private val recursiveSpineSql =
+    """WITH RECURSIVE bounds AS (
+      |  SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,
+      |         CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS hi
+      |  FROM orders),
+      |months(m) AS (
+      |  SELECT lo FROM bounds
+      |  UNION ALL
+      |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months, bounds
+      |  WHERE m < hi),
+      |counts AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+      |         count(*) AS n
+      |  FROM orders GROUP BY 1)
+      |SELECT months.m AS month, coalesce(n, CAST(0 AS BIGINT)) AS n_orders
+      |FROM months LEFT JOIN counts ON months.m = counts.m
+      |ORDER BY month""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sqlapi_recursive_spine", recursiveSpine, Some(recursiveSpineSql)),
     QueryDef("sqlapi_udf_quality", udfQuality, Some(udfQualitySql)),
     QueryDef("sqlapi_revenue_by_type", revenue, Some(revenueSql)),
     QueryDef("sqlapi_text_functions", textFunctions, Some(textFunctionsSql)),
