@@ -46,6 +46,30 @@ object Relational3 {
       | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 600000000
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** The same ±10-minute pair join as q20, but through the custom
+    * interval-join operator (graft.plans.IntervalJoin: LogicalPlan +
+    * Strategy + sliding-window sort-merge exec) instead of the
+    * bucket-explode composition. Shares q20's oracle, so the custom
+    * physical operator is held to the same ground truth; the exec
+    * merges each partition in one pass with memory bounded by the
+    * window width — no explode, no distinct.
+    */
+  private def intervalCustom(s: SparkSession, dir: String): DataFrame = {
+    val winUs = 600000000L
+    val base = Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val a = base.select(col("event_id").as("id_a"), col("user_id").as("ua"),
+      col("us").as("us_a"))
+    val b = base.select(col("event_id").as("id_b"), col("user_id").as("ub"),
+      col("us").as("us_b"))
+    graft.plans.IntervalJoin.join(s, a, b, "ua", "ub", "us_a", "us_b",
+        -winUs, winUs)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("us_b") - col("us_a")).as("delta_us"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Top-3 orders per customer via the custom Catalyst
     * [[graft.operators.TopKPairsAgg]] (map-side bounded top-k: k pairs
     * per group cross the shuffle instead of every row) — same result
@@ -302,6 +326,7 @@ object Relational3 {
     QueryDef("q26_cube", cube2d, Some(cube2dSql)),
     QueryDef("q24_asof_custom_operator", asofCustom, Some(asofCustomSql)),
     QueryDef("q20_range_join", rangeJoin, Some(rangeJoinSql)),
+    QueryDef("q30_interval_custom_operator", intervalCustom, Some(rangeJoinSql)),
     QueryDef("q21_topk_aggregate", topkAggregate, Some(topkAggregateSql)),
     QueryDef("q22_word_topk_salted", wordTopkSalted, Some(wordTopkSaltedSql)),
     QueryDef("q23_percentiles", percentiles, Some(percentilesSql)))
