@@ -187,8 +187,57 @@ object Migration {
       s"SELECT '$t' AS table_name, TRUE AS created, count(*) AS rows_migrated FROM $t")
       .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
 
+  /** The migration pipeline over the LIVE JDBC boundary: the parquet
+    * dimension tables are seeded into an embedded Derby source, then
+    * `Migrator` runs with `JdbcSchemaSource` → `JdbcTargetWriter`
+    * (metadata probe → type map → DDL → literal-rendered transactional
+    * batches) into a second Derby — the production wire path
+    * (extractor.rs/inserter.rs) under the driver's hash gate, not just
+    * under ScalaTest. Whitelisted to the dimension tables so the
+    * embedded single-JVM database stays cheap at bench scale; the
+    * fact-table path is exercised by `mig_pipeline` (script target).
+    */
+  private def pipelineJdbc(s: SparkSession, dir: String): DataFrame = {
+    import graft.engine._
+    import graft.mapping.TypeRegistry
+    val nonce = java.util.UUID.randomUUID.toString.replace("-", "")
+    val srcUrl = s"jdbc:derby:memory:migsrc_$nonce;create=true"
+    val dstUrl = s"jdbc:derby:memory:migdst_$nonce;create=true"
+    val tables = Seq("region", "nation", "supplier")
+    val props = new java.util.Properties
+    tables.foreach(t => Tables(s, dir, t).write.jdbc(srcUrl, s""""$t"""", props))
+
+    val migrator = new Migrator(s, new JdbcSchemaSource(srcUrl),
+      new JdbcTargetWriter(dstUrl, AnsiFlavor), TypeRegistry.withDefaults(),
+      MigrationOptions(maxConcurrentTasks = 3))
+    val results = migrator.run()
+    // verify counts against the TARGET database, then drop both DBs
+    val verified = results.map { r =>
+      val c = java.sql.DriverManager.getConnection(dstUrl)
+      val st = c.createStatement()
+      val rs = st.executeQuery(s"""SELECT COUNT(*) FROM "${r.tableName}"""")
+      rs.next()
+      val landed = rs.getLong(1)
+      rs.close(); st.close(); c.close()
+      (r.tableName, r.created, landed)
+    }
+    for (u <- Seq(srcUrl, dstUrl))
+      try java.sql.DriverManager.getConnection(
+        u.replace(";create=true", ";drop=true"))
+      catch { case _: java.sql.SQLException => () } // drop always "fails"
+    import s.implicits._
+    verified.toDF("table_name", "created", "rows_migrated")
+      .orderBy(col("table_name"))
+  }
+
+  private val pipelineJdbcSql =
+    Seq("region", "nation", "supplier").map(t =>
+      s"SELECT '$t' AS table_name, TRUE AS created, count(*) AS rows_migrated FROM $t")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("mig_pipeline", pipeline, Some(pipelineSql)),
+    QueryDef("mig_pipeline_jdbc", pipelineJdbc, Some(pipelineJdbcSql)),
     QueryDef("mig_literal_render", literalRender, Some(literalRenderSql)),
     QueryDef("mig_typed_cast", typedCast, Some(typedCastSql)),
     QueryDef("mig_table_inventory", tableInventory, Some(tableInventorySql)),
