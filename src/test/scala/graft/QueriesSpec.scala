@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Driver-contract smoke + properties the DuckDB oracle can't express
@@ -57,4 +58,42 @@ class QueriesSpec extends AnyFunSuite {
     val batch = SparkEntry.queries("ev_sessionize")(spark, dir).count()
     assert(streamed > 0 && streamed == batch)
   }
+
+  test("foreachBatch sink: streaming micro-batches land as parquet") {
+    // the transactional-sink pattern for pushing streaming results to
+    // systems without a native connector (e.g. a JDBC target): each
+    // micro-batch arrives as a batch DataFrame with an id for
+    // exactly-once bookkeeping
+    val out = java.nio.file.Files.createTempDirectory("graft_febatch").toString
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType)))
+    val batchIds = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = ss.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batchIds.add(id)
+        batch.write.mode("overwrite").parquet(s"$out/batch_$id")
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(!batchIds.isEmpty)
+    val landed = spark.read.parquet(s"$out/batch_${batchIds.peek}")
+    val expected = Tables(spark, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    assert(landed.count() == expected.count())
+    assert(landed.columns.sorted.sameElements(Array("n", "user_id")))
+  }
+
 }
