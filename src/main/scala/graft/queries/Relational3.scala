@@ -318,7 +318,73 @@ object Relational3 {
       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** RANGE-frame window over event time: per-user rolling 24-hour
+    * event count and value sum — the time-based frame (all rows whose
+    * timestamp falls in [t - 24h, t], however many there are), which
+    * ROWS frames (q07) cannot express. Ordering is integer epoch
+    * micros so the frame bound arithmetic is exact on both engines.
+    */
+  private def rangeFrameWindow(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-dayUs, 0)
+    Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("value"))
+      .withColumn("n_24h", count(lit(1)).over(w))
+      .withColumn("sum_24h",
+        sum(col("value").cast(DecimalType(18, 6))).over(w).cast("double"))
+      .filter(col("user_id") < 20)
+      .select(col("event_id"), col("user_id"), col("n_24h"), col("sum_24h"))
+      .orderBy(col("event_id"))
+  }
+
+  private val rangeFrameWindowSql =
+    """SELECT event_id, user_id,
+      |  count(*) OVER w AS n_24h,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_24h
+      |FROM (SELECT event_id, user_id, epoch_us(ts) AS us, value
+      |      FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY us
+      |  RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+      |QUALIFY user_id < 20
+      |ORDER BY event_id""".stripMargin
+
+  /** Approximate-percentile sketch with a deterministic tolerance
+    * verdict, the same contract as the HLL query: the sketch value
+    * itself is engine-specific, so the hashed output is the exact
+    * median plus a boolean asserting the sketch landed within rank
+    * tolerance — green only while the sketch keeps its accuracy
+    * contract. At 100 TB the sketch is the only viable plan (bounded
+    * memory, one pass, no full sort).
+    */
+  private def percentileSketch(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx_p50"),
+        expr("percentile(l_extendedprice, 0.45)").as("lo_band"),
+        expr("percentile(l_extendedprice, 0.55)").as("hi_band"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("exact_p50"), col("n"),
+        (col("approx_p50") >= col("lo_band") &&
+          col("approx_p50") <= col("hi_band")).as("within_tolerance"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val percentileSketchSql =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_extendedprice, 0.5) AS exact_p50,
+      |  count(*) AS n,
+      |  TRUE AS within_tolerance
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q31_range_frame_window", rangeFrameWindow,
+      Some(rangeFrameWindowSql)),
+    QueryDef("q32_percentile_sketch", percentileSketch,
+      Some(percentileSketchSql)),
     QueryDef("q29_listagg", listAgg, Some(listAggSql)),
     QueryDef("q27_exact_correlation", correlation, Some(correlationSql)),
     QueryDef("q28_histogram", histogram, Some(histogramSql)),
