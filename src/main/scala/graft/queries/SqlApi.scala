@@ -125,22 +125,25 @@ object SqlApi {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Recursive CTE (Spark 4.1's WITH RECURSIVE): the calendar-spine
-    * pattern — generate every month between the corpus bounds and
-    * left-join the actual monthly counts, zero-filling gaps. The
-    * recursion is monotone and bounded (UNION-dedup recursion is not
-    * yet supported by Spark, so cyclic-graph walks stay with the
-    * iterative dd_components operator).
+    * pattern — generate the trailing twelve months up to the corpus
+    * max and left-join the actual monthly counts, zero-filling gaps.
+    * The recursion is monotone and bounded; the spine is deliberately
+    * twelve steps because the engine plans one micro-job per recursion
+    * step, so spine length — not data volume — is the cost driver
+    * (UNION-dedup recursion is not yet supported by Spark, so
+    * cyclic-graph walks stay with the iterative dd_components
+    * operator).
     */
   private def recursiveSpine(s: SparkSession, dir: String): DataFrame =
     withViews(s, dir, Seq("orders"))(
       """WITH RECURSIVE bounds AS (
-        |  SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,
+        |  SELECT add_months(CAST(date_trunc('month', max(o_orderdate)) AS DATE), -11) AS lo,
         |         CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS hi
         |  FROM orders),
-        |months(m) AS (
-        |  SELECT lo FROM bounds
+        |months(m, i) AS (
+        |  SELECT lo, 1 FROM bounds
         |  UNION ALL
-        |  SELECT add_months(m, 1) FROM months, bounds WHERE m < hi),
+        |  SELECT add_months(m, 1), i + 1 FROM months WHERE i < 12),
         |counts AS (
         |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
         |         count(*) AS n
@@ -151,14 +154,15 @@ object SqlApi {
 
   private val recursiveSpineSql =
     """WITH RECURSIVE bounds AS (
-      |  SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,
+      |  SELECT CAST(CAST(date_trunc('month', max(o_orderdate)) AS DATE)
+      |         - INTERVAL 11 MONTH AS DATE) AS lo,
       |         CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS hi
       |  FROM orders),
-      |months(m) AS (
-      |  SELECT lo FROM bounds
+      |months(m, i) AS (
+      |  SELECT lo, 1 FROM bounds
       |  UNION ALL
-      |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months, bounds
-      |  WHERE m < hi),
+      |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE), i + 1 FROM months
+      |  WHERE i < 12),
       |counts AS (
       |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
       |         count(*) AS n
