@@ -380,7 +380,43 @@ object Relational3 {
       |  TRUE AS within_tolerance
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Bloom-filter semi-join: build a bloom filter over the hot-order
+    * keys (the small side), broadcast it, and prefilter the fact table
+    * BEFORE its shuffle; the exact semi-join then only sees rows the
+    * bloom admitted. False positives are removed by the exact join, so
+    * the result is exact — the bloom only cuts shuffle volume (here
+    * ~98% of lineitem rows never cross the wire). This is the explicit
+    * form of the runtime-filter pushdown pattern; at corpus scale the
+    * filter is sized to the dim-side cardinality and stays
+    * broadcastable long after the dim rows themselves are not.
+    */
+  private def bloomSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val hot = Tables(s, dir, "orders")
+      .filter(col("o_totalprice") > 250000.0)
+      .select(col("o_orderkey"))
+    val bf = hot.stat.bloomFilter("o_orderkey", 100000, 0.01)
+    val bfB = s.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bfB.value.mightContainLong(k))
+    Tables(s, dir, "lineitem")
+      .filter(mightContain(col("l_orderkey")))
+      .join(hot, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2)))
+          .cast("double").as("qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val bloomSemiJoinSql =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |FROM lineitem
+      |WHERE l_orderkey IN (
+      |  SELECT o_orderkey FROM orders WHERE o_totalprice > 250000.0)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q33_bloom_semi_join", bloomSemiJoin, Some(bloomSemiJoinSql)),
     QueryDef("q31_range_frame_window", rangeFrameWindow,
       Some(rangeFrameWindowSql)),
     QueryDef("q32_percentile_sketch", percentileSketch,
