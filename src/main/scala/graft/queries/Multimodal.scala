@@ -89,6 +89,53 @@ object Multimodal {
       |  ascii(substring(text, 3, 1)) AS px0
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  private case class ResizedRow(doc_id: Long, y: Int, row_sum: Long)
+
+  /** Resize stage: nearest-neighbor downsample of the stub-decoded
+    * "image" to a fixed 8x8 grid, emitted as one checksum per output
+    * row (pinning all 64 samples without 64 columns). Source pixel
+    * (x,y) of the fake image is the payload byte at
+    * (sy*width + sx) mod len — the index arithmetic a real resize
+    * kernel runs, minus the codec. Narrow map via the same
+    * mapPartitions plumbing as the decode stage.
+    */
+  private def resizeStub(s: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.product[ResizedRow]
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .mapPartitions { it: Iterator[Row] =>
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val blob = r.getAs[Array[Byte]](1)
+          val m = fakeDecode(id, blob)
+          def b(i: Int): Int = blob(i % blob.length) & 0xff
+          (0 until 8).map { y =>
+            val sy = y * m.height / 8
+            var sum = 0L
+            var x = 0
+            while (x < 8) { sum += b(sy * m.width + x * m.width / 8); x += 1 }
+            ResizedRow(id, y, sum)
+          }
+        }
+      }(enc)
+      .toDF()
+      .orderBy(col("doc_id"), col("y"))
+  }
+
+  private val resizeStubSql =
+    """SELECT doc_id, y,
+      |  CAST(sum(ascii(substring(text,
+      |    ((y * h // 8) * w + (x * w // 8)) % len + 1, 1))) AS BIGINT)
+      |    AS row_sum
+      |FROM (SELECT doc_id, text,
+      |        64 + (ascii(substring(text, 1, 1)) % 64) AS w,
+      |        64 + (ascii(substring(text, 2, 1)) % 64) AS h,
+      |        length(text) AS len
+      |      FROM documents),
+      |  (SELECT unnest(range(0, 8)) AS y),
+      |  (SELECT unnest(range(0, 8)) AS x)
+      |GROUP BY doc_id, y ORDER BY doc_id, y""".stripMargin
+
   /** Frame sampling: every 7th byte, first 5 frames per payload — the
     * video-frame-sample access pattern as a narrow map.
     */
@@ -172,6 +219,7 @@ object Multimodal {
     QueryDef("mm_frame_energy", frameEnergy, Some(frameEnergySql)),
     QueryDef("mm_blob_meta", blobMeta, Some(blobMetaSql)),
     QueryDef("mm_decode_stub", decodeStub, Some(decodeStubSql)),
+    QueryDef("mm_resize_stub", resizeStub, Some(resizeStubSql)),
     QueryDef("mm_frame_sample", frameSample, Some(frameSampleSql)),
     QueryDef("mm_feature_extract", featureExtract, Some(featureExtractSql)))
 }
