@@ -1,0 +1,131 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Reusable IVF (inverted-file) approximate-nearest-neighbor index —
+  * the library surface behind the `sim_knn_ivf` query, packaged the
+  * way a pipeline consumes it: build once over the corpus, persist to
+  * the lake, load and search many times.
+  *
+  * Spark-first layout:
+  *  - centroids are the nlist lowest-id corpus vectors (deterministic
+  *    seeds; callers wanting trained centroids run Lloyd passes first
+  *    — see queries.Similarity.kmeansIvf for the exact-training shape)
+  *    and live on the driver (nlist × dim doubles — tiny), entering
+  *    plans as literals so assignment/probing are narrow projections;
+  *  - assignments are a DataFrame (cent_id, id, vec, nrm) persisted
+  *    partitioned BY cent_id, so a search that probes nprobe buckets
+  *    prunes the other partitions at the parquet scan — the on-disk
+  *    analogue of an inverted file;
+  *  - search broadcasts the (small) query side, scores only the probed
+  *    buckets with the codegen dot product, and takes the per-query
+  *    top-k through a rank window.
+  *
+  * At 100 TB: nlist grows ~sqrt(n) with nprobe fixed; the corpus is
+  * assigned once (narrow pass over broadcast centroids), and every
+  * search touches nprobe/nlist of the data. Norms are precomputed at
+  * build time so a search pays one fold per (query, candidate).
+  */
+final class IvfIndex private[similarity] (
+    val centroids: Seq[(Int, Seq[Double])],
+    val assignments: DataFrame) {
+
+  /** Top-k cosine neighbors for each query vector, probing the
+    * `nprobe` nearest centroid buckets. Output: (query_id,
+    * neighbor_id, rnk, cosv), rank order (cosine desc, id asc).
+    */
+  def search(queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qv"))
+      .withColumn("qn", TextFns.norm(col("qv")))
+
+    val centsDf = {
+      val s = assignments.sparkSession
+      import s.implicits._
+      centroids.map { case (cid, v) => (cid, v.map(_.toFloat)) }
+        .toDF("cent_id", "cv")
+        .withColumn("cn", TextFns.norm(col("cv")))
+    }
+
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("cent_id"))
+    val probes = q.crossJoin(broadcast(centsDf))
+      .withColumn("qcos", TextFns.cosineFrom(
+        TextFns.dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      .withColumn("prnk", row_number().over(wProbe))
+      .filter(col("prnk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cent_id"))
+
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosv").desc, col("id"))
+    broadcast(probes).join(assignments, "cent_id")
+      .withColumn("cosv", TextFns.cosineFrom(
+        TextFns.dot(col("qv"), col("vec")), col("qn"), col("nrm")))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        col("rnk"), col("cosv"))
+  }
+
+  /** Persist centroids + bucket-partitioned assignments. */
+  def save(path: String): Unit = {
+    val s = assignments.sparkSession
+    import s.implicits._
+    centroids.toDF("cent_id", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    assignments.write.mode("overwrite")
+      .partitionBy("cent_id").parquet(s"$path/assignments")
+  }
+}
+
+object IvfIndex {
+
+  /** Build over a corpus DataFrame with a long id column and an
+    * Array[Float] vector column.
+    */
+  def build(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int): IvfIndex = {
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("nrm", TextFns.norm(col("vec")))
+
+    val cents = base.orderBy(col("id")).limit(nlist)
+      .select(col("id"), transform(col("vec"), x => x.cast("double")))
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1)) }
+      .toSeq
+
+    val s = corpus.sparkSession
+    import s.implicits._
+    val centsDf = cents.map { case (cid, v) => (cid, v.map(_.toFloat)) }
+      .toDF("cent_id", "cv")
+      .withColumn("cn", TextFns.norm(col("cv")))
+
+    val wAssign = Window.partitionBy(col("id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val assigned = base.crossJoin(broadcast(centsDf))
+      .withColumn("ccos", TextFns.cosineFrom(
+        TextFns.dot(col("vec"), col("cv")), col("nrm"), col("cn")))
+      .withColumn("arnk", row_number().over(wAssign))
+      .filter(col("arnk") === 1)
+      .select(col("cent_id"), col("id"), col("vec"), col("nrm"))
+
+    new IvfIndex(cents, assigned)
+  }
+
+  /** Load a persisted index; the search plan prunes unprobed bucket
+    * partitions at the parquet scan.
+    */
+  def load(spark: SparkSession, path: String): IvfIndex = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq
+    new IvfIndex(cents, spark.read.parquet(s"$path/assignments"))
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFns
+import graft.similarity.IvfIndex
+
+/** The reusable IVF index API: exactness at full probe width, recall
+  * subset behavior at partial width, save/load round-trip, and
+  * bucket-partition pruning at the scan.
+  */
+class IvfIndexSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def corpus = Tables(spark, dir, "embeddings")
+    .filter(col("vec_id") >= 20)
+  private def queries = Tables(spark, dir, "embeddings")
+    .filter(col("vec_id") < 20)
+
+  private def bruteTopK(k: Int): Set[(Long, Long, Int)] = {
+    val e = Tables(spark, dir, "embeddings")
+      .withColumn("nrm", TextFns.norm(col("embedding")))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
+    val c = e.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+        col("nrm").as("nn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosv").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .withColumn("cosv", TextFns.cosineFrom(
+        TextFns.dot(col("qv"), col("nv")), col("qn"), col("nn")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+  }
+
+  test("full probe width equals brute force exactly") {
+    val idx = IvfIndex.build(corpus, "vec_id", "embedding", nlist = 8)
+    val got = idx.search(queries, "vec_id", "embedding", k = 5, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == bruteTopK(5))
+  }
+
+  test("partial probe width returns valid candidates for every query") {
+    val idx = IvfIndex.build(corpus, "vec_id", "embedding", nlist = 8)
+    val got = idx.search(queries, "vec_id", "embedding", k = 5, nprobe = 2)
+      .collect()
+    // every query answered, ranks contiguous from 1
+    val byQuery = got.groupBy(_.getLong(0))
+    assert(byQuery.size == queries.count())
+    byQuery.values.foreach { rows =>
+      assert(rows.map(_.getInt(2)).sorted.sameElements(1 to rows.length))
+    }
+    // candidates really are corpus members
+    assert(got.forall(_.getLong(1) >= 20))
+  }
+
+  test("save/load round-trip reproduces search results and prunes buckets") {
+    val tmp = Files.createTempDirectory("graft_ivf").toString
+    val idx = IvfIndex.build(corpus, "vec_id", "embedding", nlist = 8)
+    idx.save(s"$tmp/index")
+    val loaded = IvfIndex.load(spark, s"$tmp/index")
+
+    def res(i: IvfIndex) =
+      i.search(queries, "vec_id", "embedding", k = 5, nprobe = 3)
+        .collect().map(_.toString).sorted.toSeq
+    assert(res(loaded) == res(idx))
+
+    // the bucket filter reaches the partitioned scan as a partition filter
+    val plan = loaded.assignments.filter(col("cent_id") === 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cent_id"),
+      plan.take(500))
+  }
+}
