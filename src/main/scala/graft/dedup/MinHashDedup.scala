@@ -1,0 +1,92 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reusable MinHash+LSH near-duplicate detection — the library surface
+  * behind the `dd_minhash_lsh` query, staged the way a corpus pipeline
+  * consumes it:
+  *
+  *   signatures → (persist) → candidatePairs → verifiedPairs → dedup
+  *
+  * Each stage is an independent DataFrame transform so a pipeline can
+  * checkpoint between them (signatures are the expensive pass over
+  * content; candidates and verification only ever touch signatures
+  * and candidate documents).
+  *
+  * Scale shape (the 100 TB plan): signatures are fixed-size
+  * (numPerms × 8 bytes/doc) computed by one codegen expression — no
+  * per-(perm, shingle) explode; candidates come from banded bucket
+  * joins, so pair cardinality scales with bucket collisions rather
+  * than n²; exact Jaccard runs on candidates only. With r=4 rows per
+  * band the miss probability at j=0.8 is (1-0.8⁴)^(numPerms/4) ≈ 3e-9
+  * for the default 128 permutations.
+  */
+object MinHashDedup {
+
+  /** Per-document MinHash signature: (id, sig Array[Long]). */
+  def signatures(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numPerms: Int = 128): DataFrame =
+    docs.select(col(idCol).as("id"),
+        graft.functions.WordShingles(col(textCol), shingleK).as("gs"))
+      .filter(size(col("gs")) > 0)
+      .select(col("id"),
+        graft.functions.MinHashSignature(col("gs"), numPerms).as("sig"))
+
+  /** Banded-LSH candidate pairs from a signature frame: (id_a, id_b)
+    * with id_a < id_b, distinct. Band key = hash of each band's
+    * `bandRows`-hash slice.
+    */
+  def candidatePairs(sigs: DataFrame, bandRows: Int = 4): DataFrame = {
+    val numPerms = sigs.select(size(col("sig"))).first().getInt(0)
+    val bands = sigs.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(numPerms / bandRows - 1)),
+        b => xxhash64(b, slice(col("sig"), b * bandRows + 1, lit(bandRows)))))
+        .as(Seq("band", "band_key")))
+    bands.select(col("id").as("id_a"), col("band"), col("band_key"))
+      .join(bands.select(col("id").as("id_b"), col("band"), col("band_key")),
+        Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against the full
+    * shingle sets: (id_a, id_b, jaccard) with jaccard >= threshold.
+    */
+  def verifiedPairs(docs: DataFrame, candidates: DataFrame,
+      idCol: String, textCol: String,
+      threshold: Double, shingleK: Int = 3): DataFrame = {
+    val sets = docs.select(col(idCol).as("id"),
+        graft.functions.WordShingles(col(textCol), shingleK).as("gs"))
+      .filter(size(col("gs")) > 0)
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("gs").as("ga")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("gs").as("gb")), "id_b")
+      .withColumn("n_inter", size(array_intersect(col("ga"), col("gb"))))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (size(col("ga")) + size(col("gb")) - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** One-call near-dup removal: keep a document iff it has no near
+    * duplicate with a smaller id (the standard greedy survivor rule —
+    * deterministic, no component computation needed). Returns the
+    * surviving rows of `docs`, original schema.
+    */
+  def dedup(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    val sigs = signatures(docs, idCol, textCol)
+    val pairs = verifiedPairs(docs, candidatePairs(sigs), idCol, textCol,
+      threshold)
+    val losers = pairs.select(col("id_b").as(idCol)).distinct()
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Persist / reload a signature frame (the expensive content pass). */
+  def save(sigs: DataFrame, path: String): Unit =
+    sigs.write.mode("overwrite").parquet(path)
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

@@ -160,7 +160,75 @@ object Corpus {
       |  doc_id, source
       |FROM documents ORDER BY shuffle_key LIMIT 100""".stripMargin
 
+  /** The curation pipeline end-to-end: quality-filter (repetition +
+    * diversity rules) → exact-dedup survivors → stable split
+    * assignment → per-split corpus stats. Each stage is an operator
+    * proven independently elsewhere (cp_ngram_repetition,
+    * dd_exact, cp_hash_split); this query pins their COMPOSITION —
+    * the actual shape of a training-data build — under one hash
+    * check. All narrow passes plus one dedup aggregation and one
+    * final roll-up; nothing here shuffles more than once.
+    */
+  private def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .withColumn("total_5grams",
+        greatest(size(split(col("text"), " ")) - 4, lit(0)))
+      .withColumn("distinct_5grams",
+        size(graft.functions.WordShingles(col("text"), 5)))
+      .withColumn("n_words", size(split(col("text"), " ")))
+      .withColumn("n_distinct_words",
+        size(array_distinct(split(col("text"), " "))))
+      // quality rules: low repetition, diverse vocabulary
+      .filter(col("total_5grams") > 0 &&
+        (lit(1.0) - col("distinct_5grams").cast("double") /
+          col("total_5grams")) <= 0.2 &&
+        col("n_distinct_words").cast("double") / col("n_words") >= 0.5)
+    val survivors = docs
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min(col("n_chars")).as("n_chars"))
+    survivors
+      .withColumn("bucket", hashBucket("split:", 100))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "validation")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("split"))
+  }
+
+  private val curationPipelineSql =
+    s"""WITH kept AS (
+       |  SELECT doc_id, text, n_chars FROM (
+       |    SELECT doc_id, text, n_chars,
+       |      greatest(len(ws) - 4, 0) AS total5,
+       |      CASE WHEN len(ws) >= 5 THEN len(list_distinct(
+       |        list_transform(range(1, len(ws) - 3),
+       |          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+       |            || ws[i+3] || ' ' || ws[i+4]))) ELSE 0 END AS dist5,
+       |      len(ws) AS nw, len(list_distinct(ws)) AS ndw
+       |    FROM (SELECT doc_id, text, n_chars,
+       |            string_split(text, ' ') AS ws FROM documents))
+       |  WHERE total5 > 0
+       |    AND 1.0 - CAST(dist5 AS DOUBLE) / total5 <= 0.2
+       |    AND CAST(ndw AS DOUBLE) / nw >= 0.5),
+       |survivors AS (
+       |  SELECT min(doc_id) AS doc_id, min(n_chars) AS n_chars
+       |  FROM kept GROUP BY text)
+       |SELECT CASE WHEN ${bucketSql("split:", 100)} < 80 THEN 'train'
+       |            WHEN ${bucketSql("split:", 100)} < 90 THEN 'validation'
+       |            ELSE 'test' END AS split,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |  min(doc_id) AS first_doc
+       |FROM survivors GROUP BY 1 ORDER BY split""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("cp_curation_pipeline", curationPipeline,
+      Some(curationPipelineSql)),
     QueryDef("cp_hash_split", hashSplit, Some(hashSplitSql)),
     QueryDef("cp_source_mix", sourceMix, Some(sourceMixSql)),
     QueryDef("cp_ngram_repetition", ngramRepetition, Some(ngramRepetitionSql)),
