@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-preparation operators for a training-data pipeline: the
@@ -226,7 +227,95 @@ object Corpus {
        |  min(doc_id) AS first_doc
        |FROM survivors GROUP BY 1 ORDER BY split""".stripMargin
 
+  /** Document chunking: fixed 32-word windows with 8-word overlap
+    * (stride 24) — the pre-embedding chunker. Emitted per chunk with
+    * its word span and boundary words so the oracle pins every
+    * window's extent without materializing the text. Narrow:
+    * explode over a per-doc sequence, no shuffle until the final
+    * sort.
+    */
+  private def chunk(s: SparkSession, dir: String): DataFrame = {
+    val win = 32
+    val stride = 24
+    Tables(s, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_words", size(col("ws")))
+      // chunk starts: 0, 24, 48, ... while start < n_words
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0),
+          greatest(floor((col("n_words") - 1) / stride).cast("int"), lit(0)))))
+      .withColumn("start", col("chunk_idx") * stride)
+      .filter(col("start") < col("n_words"))
+      .withColumn("len", least(lit(win), col("n_words") - col("start")))
+      .select(col("doc_id"), col("chunk_idx"), col("start"), col("len"),
+        element_at(col("ws"), col("start") + 1).as("first_word"),
+        element_at(col("ws"), col("start") + col("len")).as("last_word"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  private val chunkSql =
+    """SELECT doc_id, chunk_idx, chunk_idx * 24 AS start,
+      |  least(32, nw - chunk_idx * 24) AS len,
+      |  ws[chunk_idx * 24 + 1] AS first_word,
+      |  ws[chunk_idx * 24 + least(32, nw - chunk_idx * 24)] AS last_word
+      |FROM (SELECT doc_id, string_split(text, ' ') AS ws,
+      |        len(string_split(text, ' ')) AS nw FROM documents),
+      |  (SELECT unnest(range(0, 100)) AS chunk_idx)
+      |WHERE chunk_idx <= greatest((nw - 1) // 24, 0)
+      |  AND chunk_idx * 24 < nw
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Sequence packing: assign documents (in stable doc_id order) to
+    * fixed-token-budget training sequences via the distributed
+    * prefix-sum (per-chunk subtotals → broadcast offsets → in-chunk
+    * running count) — the same two-pass pattern as the migration
+    * batch planner, reused on the corpus side. Greedy sequential
+    * packing is inherently serial; the running-total bin assignment
+    * is its order-preserving distributed form.
+    */
+  private def sequencePack(s: SparkSession, dir: String): DataFrame = {
+    val budget = 1024L
+    val chunkRows = 128L
+    val sized = Tables(s, dir, "documents")
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("chunk", floor(col("doc_id") / chunkRows))
+    val offsets = sized.groupBy(col("chunk"))
+      .agg(sum(col("n_tokens")).as("chunk_tokens"))
+      .withColumn("offset",
+        coalesce(sum(col("chunk_tokens")).over(
+          Window.orderBy(col("chunk"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("chunk"), col("offset"))
+    val wIn = Window.partitionBy(col("chunk")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sized.join(broadcast(offsets), "chunk")
+      .withColumn("running", col("offset") + sum(col("n_tokens")).over(wIn))
+      .withColumn("seq_id",
+        floor((col("running") - 1).cast("double") / budget).cast("long"))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("seq_id"))
+  }
+
+  private val sequencePackSql =
+    """WITH sized AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      |  FROM documents),
+      |running AS (
+      |  SELECT *, sum(n_tokens) OVER (ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+      |  FROM sized)
+      |SELECT CAST(floor(CAST(running - 1 AS DOUBLE) / 1024) AS BIGINT)
+      |    AS seq_id,
+      |  count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+      |  min(doc_id) AS first_doc
+      |FROM running GROUP BY 1 ORDER BY seq_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("cp_chunk", chunk, Some(chunkSql)),
+    QueryDef("cp_sequence_pack", sequencePack, Some(sequencePackSql)),
     QueryDef("cp_curation_pipeline", curationPipeline,
       Some(curationPipelineSql)),
     QueryDef("cp_hash_split", hashSplit, Some(hashSplitSql)),
