@@ -4,6 +4,7 @@ import graft.{QueryDef, Tables}
 import graft.functions.TextFns
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Text-analysis operators over the `documents` table: token counting,
   * quality scoring, n-gram language ID, document fingerprinting, and
@@ -204,6 +205,55 @@ object TextAnalysis {
       |  WHERE len(ws) >= 2)
       |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 15""".stripMargin
 
+  /** Corpus-trained bigram language-model score — the perplexity-proxy
+    * quality filter: every document scored by the mean log-probability
+    * of its bigrams under P(w2|w1) = c(w1,w2) / c(w1·), with the
+    * counts trained on the corpus itself. Fluent (in-distribution)
+    * text scores high; shuffled or out-of-domain text scores low.
+    * Each per-bigram log rounds to 9 decimals and accumulates in
+    * decimal, so the document score is order-independent under any
+    * partitioning despite the transcendental (ln is 1-ulp
+    * engine-dependent; the row-level round absorbs it). The count
+    * tables are broadcast — the fact side (bigram occurrences) never
+    * shuffles for the joins, only for the per-doc aggregate.
+    */
+  private def bigramLmScore(s: SparkSession, dir: String): DataFrame = {
+    val bi = Tables(s, dir, "documents")
+      .withColumn("ws", TextFns.tokens(col("text")))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("ws")) - 2),
+        i => struct(element_at(col("ws"), i + 1).as("w1"),
+          element_at(col("ws"), i + 2).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    bi.join(broadcast(c12), Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .withColumn("logp",
+        round(log(col("c12").cast("double") / col("c1")), 9)
+          .cast(DecimalType(12, 9)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("logp")).cast("double") / count(lit(1)), 9)
+          .as("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val bigramLmScoreSql =
+    """WITH bi AS (
+      |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |    LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+      |  WHERE len(ws) >= 2),
+      |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  round(CAST(sum(CAST(round(ln(CAST(c12 AS DOUBLE) / c1), 9)
+      |    AS DECIMAL(12,9))) AS DOUBLE) / count(*), 9) AS avg_logp
+      |FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Sketch-based cardinality: HLL++ distinct-word estimates per
     * source vs the exact count. The oracle hashes the estimate's
     * tolerance verdict (see below), not the raw sketch; the
@@ -314,5 +364,6 @@ object TextAnalysis {
     QueryDef("ta_lang_id", langId, Some(langIdSql)),
     QueryDef("ta_fingerprint", fingerprint, Some(fingerprintSql)),
     QueryDef("ta_word_topk", wordTopK, Some(wordTopKSql)),
-    QueryDef("ta_bigram_topk", bigramTopK, Some(bigramTopKSql)))
+    QueryDef("ta_bigram_topk", bigramTopK, Some(bigramTopKSql)),
+    QueryDef("ta_bigram_lm_score", bigramLmScore, Some(bigramLmScoreSql)))
 }
