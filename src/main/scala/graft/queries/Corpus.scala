@@ -313,7 +313,68 @@ object Corpus {
       |  min(doc_id) AS first_doc
       |FROM running GROUP BY 1 ORDER BY seq_id""".stripMargin
 
+  /** Eval-set contamination check: for every test-split document, how
+    * many of its distinct 13-grams also appear anywhere in the train
+    * split — the standard decontamination screen run before training.
+    * The train side collapses to a distinct 13-gram set (signatures,
+    * not documents, cross the join), the test side left-semi probes
+    * it, and the verdict is per-test-document. 13 is the conventional
+    * overlap length; the splits are the same stable hash assignment
+    * as cp_hash_split, so the check is reproducible on re-ingestion.
+    */
+  private def contamination(s: SparkSession, dir: String): DataFrame = {
+    val k = 13
+    val assigned = Tables(s, dir, "documents")
+      .withColumn("bucket", hashBucket("split:", 100))
+    val trainGrams = assigned.filter(col("bucket") < 80)
+      .select(explode(graft.functions.WordShingles(col("text"), k)).as("g"))
+      .distinct()
+    val testDocs = assigned.filter(col("bucket") >= 90)
+    val shared = testDocs
+      .select(col("doc_id"),
+        explode(graft.functions.WordShingles(col("text"), k)).as("g"))
+      .join(trainGrams, Seq("g"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    testDocs
+      .select(col("doc_id"),
+        size(graft.functions.WordShingles(col("text"), k)).as("n_grams"))
+      .join(shared, Seq("doc_id"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("contaminated", col("n_shared") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  private val contaminationSql = {
+    val gram13 = (1 to 13).map(j => s"ws[i+${j - 1}]").mkString(" || ' ' || ")
+    s"""WITH assigned AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws,
+       |    ${bucketSql("split:", 100)} AS bucket
+       |  FROM documents),
+       |train_grams AS (
+       |  SELECT DISTINCT unnest(list_distinct(list_transform(
+       |    range(1, len(ws) - 11), i -> $gram13))) AS g
+       |  FROM assigned WHERE bucket < 80 AND len(ws) >= 13),
+       |test_grams AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len(ws) - 11), i -> $gram13))) AS g
+       |  FROM assigned WHERE bucket >= 90 AND len(ws) >= 13),
+       |shared AS (
+       |  SELECT doc_id, count(*) AS n_shared FROM test_grams
+       |  WHERE g IN (SELECT g FROM train_grams) GROUP BY doc_id)
+       |SELECT a.doc_id,
+       |  CAST(CASE WHEN len(ws) >= 13 THEN len(list_distinct(list_transform(
+       |    range(1, len(ws) - 11), i -> $gram13))) ELSE 0 END AS INTEGER)
+       |    AS n_grams,
+       |  coalesce(n_shared, 0) AS n_shared,
+       |  coalesce(n_shared, 0) > 0 AS contaminated
+       |FROM (SELECT * FROM assigned WHERE bucket >= 90) a
+       |  LEFT JOIN shared ON a.doc_id = shared.doc_id
+       |ORDER BY a.doc_id""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("cp_contamination", contamination, Some(contaminationSql)),
     QueryDef("cp_chunk", chunk, Some(chunkSql)),
     QueryDef("cp_sequence_pack", sequencePack, Some(sequencePackSql)),
     QueryDef("cp_curation_pipeline", curationPipeline,
