@@ -407,7 +407,43 @@ object Dedup {
       |SELECT node AS doc_id, min(reach) AS component
       |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin
 
+  /** The MinHashDedup library API end-to-end under the hash gate:
+    * signatures → banded candidates → exact verification → greedy
+    * survivors (keep a doc iff it has no near-dup with a smaller id).
+    * The oracle derives the same survivor set from exact all-pairs
+    * Jaccard, so the staged API — including its LSH recall — is held
+    * to ground truth, not just to its own unit tests.
+    */
+  private def minhashSurvivors(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.MinHashDedup
+      .dedup(Tables(s, dir, "documents"), "doc_id", "text", 0.5)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
+  private val minhashSurvivorsSql =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS g
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |  WHERE len(ws) >= 3),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |losers AS (
+      |  SELECT DISTINCT doc_b FROM inter
+      |    JOIN sizes sa ON doc_a = sa.doc_id
+      |    JOIN sizes sb ON doc_b = sb.doc_id
+      |  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5)
+      |SELECT doc_id, source FROM documents
+      |WHERE doc_id NOT IN (SELECT doc_b FROM losers)
+      |ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("dd_minhash_survivors", minhashSurvivors,
+      Some(minhashSurvivorsSql)),
     QueryDef("dd_components", components, Some(componentsSql)),
     QueryDef("dd_exact", exact, Some(exactSql)),
     QueryDef("dd_exact_norm", exactNorm, Some(exactNormSql)),

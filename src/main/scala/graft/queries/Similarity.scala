@@ -406,7 +406,27 @@ object Similarity {
       |    AS recon_err
       |FROM q ORDER BY vec_id""".stripMargin
 
+  /** The IvfIndex library API end-to-end under the hash gate: build
+    * over the corpus, persist to parquet, reload, search at full
+    * probe width — which makes the API exactly equal brute force, so
+    * the brute-force oracle pins the whole build/save/load/search
+    * path including the bucket-partitioned persistence.
+    */
+  private def indexApi(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val idx = graft.similarity.IvfIndex.build(
+      e.filter(col("vec_id") >= 20), "vec_id", "embedding", nlist = 8)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_q").toString
+    idx.save(s"$path/index")
+    val loaded = graft.similarity.IvfIndex.load(s, s"$path/index")
+    loaded.search(e.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = TopK, nprobe = 8)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sim_index_api", indexApi, Some(knnBruteSql)),
     QueryDef("sim_quantize_int8", quantizeInt8, Some(quantizeInt8Sql)),
     QueryDef("sim_kmeans_ivf", kmeansIvf, Some(kmeansIvfSql)),
     QueryDef("sim_knn_brute", knnBrute, Some(knnBruteSql)),
