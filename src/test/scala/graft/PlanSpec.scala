@@ -100,4 +100,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters") &&
       p.contains("GreaterThan(r_regionkey,1)"), p.take(600))
   }
+
+  test("corpus shuffle-sample is a top-k merge, not a global sort") {
+    val p = plan("cp_corpus_shuffle")
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+  }
+
+  test("contamination screen joins on grams — no cartesian anywhere") {
+    val p = plan("cp_contamination")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(p.contains("LeftSemi"), p.take(800))
+  }
+
+  test("sequence packing windows only within chunks, like the batch planner") {
+    val p = SparkEntry.queries("cp_sequence_pack")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    val tokenWindows = p.linesIterator
+      .filter(l => l.contains("windowspecdefinition(") && l.contains("n_tokens"))
+      .toSeq
+    assert(tokenWindows.nonEmpty && tokenWindows.forall(_.contains("chunk#")),
+      tokenWindows.mkString("\n"))
+  }
+
 }
