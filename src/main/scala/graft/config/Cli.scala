@@ -71,6 +71,8 @@ object CliArgs {
       }
     }
     if (a.parallelism <= 0) Left("--parallelism must be positive")
+    else if (a.maxPacketBytes.exists(_ <= 0))
+      Left("--max-packet-bytes must be a positive integer")
     else Right(a)
   }
 }

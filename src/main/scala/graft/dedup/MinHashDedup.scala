@@ -38,7 +38,14 @@ object MinHashDedup {
     * `bandRows`-hash slice.
     */
   def candidatePairs(sigs: DataFrame, bandRows: Int = 4): DataFrame = {
-    val numPerms = sigs.select(size(col("sig"))).first().getInt(0)
+    // signature width probed from one row (cheap: LocalLimit(1) stops
+    // the scan); an empty frame short-circuits to no pairs instead of
+    // failing — a corpus of all-short documents is legal input
+    val firstSig = sigs.select(size(col("sig"))).limit(1).collect()
+    if (firstSig.isEmpty)
+      return sigs.sparkSession.emptyDataFrame
+        .select(lit(0L).as("id_a"), lit(0L).as("id_b")).limit(0)
+    val numPerms = firstSig(0).getInt(0)
     val bands = sigs.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(numPerms / bandRows - 1)),
         b => xxhash64(b, slice(col("sig"), b * bandRows + 1, lit(bandRows)))))

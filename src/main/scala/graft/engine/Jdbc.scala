@@ -49,24 +49,27 @@ case object MySqlFlavor extends SqlFlavor {
 case object AnsiFlavor extends SqlFlavor {
   private def quoteIdents(s: String): String = s.replace('`', '"')
 
+  // quote lookarounds keep the rules off double-quoted identifiers: a
+  // column legitimately named "text" or "datetime" is left alone
   private val typeRules: Seq[(String, String)] = Seq(
-    "(?i)\\blongtext\\b" -> "CLOB",
-    "(?i)\\btext\\b" -> "CLOB",
-    "(?i)\\blongblob\\b" -> "BLOB",
-    "(?i)\\bvarbinary\\(\\d+\\)" -> "BLOB",
-    "(?i)\\bbinary\\(\\d+\\)" -> "BLOB",
-    "(?i)\\bdatetime\\(\\d+\\)" -> "TIMESTAMP",
-    "(?i)\\bdatetime\\b" -> "TIMESTAMP",
-    "(?i)\\btinyint unsigned\\b" -> "SMALLINT",
-    "(?i)\\bsmallint unsigned\\b" -> "INTEGER",
-    "(?i)\\bint unsigned\\b" -> "BIGINT",
-    "(?i)\\bbigint unsigned\\b" -> "BIGINT",
-    "(?i)\\btinyint\\b" -> "SMALLINT",
-    "(?i)\\bfloat\\(\\d+, \\d+\\)" -> "DOUBLE",
-    "(?i)\\bfloat\\b" -> "DOUBLE",
-    "(?i)\\breal\\(\\d+, \\d+\\)" -> "REAL",
+    "longtext" -> "CLOB",
+    "text" -> "CLOB",
+    "longblob" -> "BLOB",
+    "varbinary\\(\\d+\\)" -> "BLOB",
+    "binary\\(\\d+\\)" -> "BLOB",
+    "datetime\\(\\d+\\)" -> "TIMESTAMP",
+    "datetime" -> "TIMESTAMP",
+    "tinyint unsigned" -> "SMALLINT",
+    "smallint unsigned" -> "INTEGER",
+    "int unsigned" -> "BIGINT",
+    "bigint unsigned" -> "BIGINT",
+    "tinyint" -> "SMALLINT",
+    "float\\(\\d+, \\d+\\)" -> "DOUBLE",
+    "float" -> "DOUBLE",
+    "real\\(\\d+, \\d+\\)" -> "REAL")
+    .map { case (re, to) => s"""(?i)(?<!")\\b$re\\b(?!")""" -> to } :+
     // ANSI has no explicit NULL nullability keyword (NOT NULL stays)
-    "(?i)(?<!NOT) NULL\\b" -> "")
+    ("(?i)(?<!NOT) NULL\\b" -> "")
 
   override def translate(sql: String): String = {
     val upper = sql.toUpperCase
@@ -75,14 +78,19 @@ case object AnsiFlavor extends SqlFlavor {
       val at = upper.indexOf(" VALUES")
       if (at < 0) quoteIdents(sql)
       else quoteIdents(sql.substring(0, at)) + sql.substring(at)
-    } else if (upper.startsWith("TRUNCATE TABLE")) {
-      // Derby spells truncation the same way — just requote
-      quoteIdents(sql)
-    } else {
-      // DDL carries no string literals: requote + retype the whole text
+    } else if (upper.startsWith("CREATE TABLE") ||
+        upper.startsWith("ALTER TABLE")) {
+      // type-defining DDL carries no string literals: requote + retype.
+      // Identifiers are backtick-quoted in the rendered SQL and become
+      // double-quoted before the type rules run, so a column named
+      // "text" or "datetime" is not a bare \b-word and never matches.
       typeRules.foldLeft(quoteIdents(sql)) { case (acc, (re, to)) =>
         acc.replaceAll(re, to)
       }
+    } else {
+      // everything else (SELECT COUNT(*), DROP, TRUNCATE, resets):
+      // identifier quoting only — type keywords must stay untouched
+      quoteIdents(sql)
     }
   }
 

@@ -37,6 +37,13 @@ final class TopKPairsBuffer(val k: Int) {
   * rows — at 100 TB that is the difference between sorting the fact
   * table and merging k-lists.
   *
+  * Null contract: rows whose value or tie evaluates to NULL are
+  * excluded from the ranking entirely (a bounded buffer has no place
+  * for unordered elements). This differs from row_number over
+  * `ORDER BY x DESC` — which ranks NULLs last — so callers wanting
+  * SQL semantics over nullable inputs coalesce first; the engine's
+  * own queries feed non-null key columns.
+  *
   * A TypedImperativeAggregate (not a Dataset Aggregator): rows stay in
   * Tungsten format through ObjectHashAggregate, no per-row tuple
   * materialization, and the buffer ships between stages as 16k+4

@@ -328,15 +328,28 @@ object Dedup {
     */
   /** The jaccard pair set is consumed by both dd_ngram_jaccard and
     * dd_components; within one session the materialized result is
-    * shared (an index built once, like any dedup index in production).
-    * Keyed per (session, dir) so concurrent sessions never share.
+    * shared (an index built once, like any dedup index in production —
+    * which also means a fixture dir mutated mid-session serves the
+    * stale index, as any index would). Keyed by the session object in
+    * a weak map so ended sessions and their cached blocks can be
+    * collected, with per-dir results inside.
     */
-  private val jaccardCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+  private val jaccardCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]())
 
-  private def cachedJaccard(s: SparkSession, dir: String): DataFrame =
-    jaccardCache.computeIfAbsent((System.identityHashCode(s), dir),
-      _ => ngramJaccard(s, dir).cache())
+  private def cachedJaccard(s: SparkSession, dir: String): DataFrame = {
+    val perDir = jaccardCache.synchronized {
+      val existing = jaccardCache.get(s)
+      if (existing != null) existing
+      else {
+        val m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        jaccardCache.put(s, m)
+        m
+      }
+    }
+    perDir.getOrElseUpdate(dir, ngramJaccard(s, dir).cache())
+  }
 
   private def components(s: SparkSession, dir: String): DataFrame = {
     val pairs = cachedJaccard(s, dir).select(col("doc_a"), col("doc_b"))

@@ -214,8 +214,10 @@ object TextAnalysis {
     * decimal, so the document score is order-independent under any
     * partitioning despite the transcendental (ln is 1-ulp
     * engine-dependent; the row-level round absorbs it). The count
-    * tables are broadcast — the fact side (bigram occurrences) never
-    * shuffles for the joins, only for the per-doc aggregate.
+    * tables grow with corpus vocabulary, NOT with a fixed dimension
+    * size, so their joins are left to the optimizer (broadcast at
+    * fixture scale, shuffled hash join once the model outgrows the
+    * broadcast threshold — never forced).
     */
   private def bigramLmScore(s: SparkSession, dir: String): DataFrame = {
     val bi = Tables(s, dir, "documents")
@@ -228,8 +230,8 @@ object TextAnalysis {
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    bi.join(broadcast(c12), Seq("w1", "w2"))
-      .join(broadcast(c1), Seq("w1"))
+    bi.join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
       .withColumn("logp",
         round(log(col("c12").cast("double") / col("c1")), 9)
           .cast(DecimalType(12, 9)))

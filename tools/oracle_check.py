@@ -101,10 +101,12 @@ def main():
         # (e.g. DuckDB HUGEINT vs Spark BIGINT, DECIMAL(38,s) vs (28,s)).
         # Fail on any declared-type mismatch so this mirror predicts the
         # driver gate instead of silently passing on values.
-        d_types = {c: norm_type(t) for c, t in zip(d.columns, d.types)}
-        s_types = {c: norm_type(t) for c, t in zip(sres.columns, sres.types)}
-        type_diffs = [(c, d_types[c], s_types[c]) for c in d_types
-                      if d_types[c] != s_types[c]]
+        # align by sorted (name, type) pairs — a dict would collapse
+        # duplicate column names and could hide a mismatch
+        d_types = sorted((c, norm_type(t)) for c, t in zip(d.columns, d.types))
+        s_types = sorted((c, norm_type(t)) for c, t in zip(sres.columns, sres.types))
+        type_diffs = [(c1, t1, t2) for (c1, t1), (_, t2)
+                      in zip(d_types, s_types) if t1 != t2]
         if type_diffs:
             print(f"FAIL {name}: declared types differ")
             for c, dt, st in type_diffs:
