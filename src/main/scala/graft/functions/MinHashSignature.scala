@@ -10,16 +10,57 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.unsafe.types.UTF8String
 
-/** MinHash signature of a shingle set: `sig[k] = min over shingles of
-  * xxh64(shingle, seed = k)` for k in 0 until numPerms, codegen'd as a
-  * tight two-level loop over the UTF8 bytes (no per-(perm, shingle)
-  * row explosion, no interpreted higher-order functions — the HOF
-  * form was the second-hottest spot in the benchmark).
+/** MinHash signature of a shingle set: each shingle is hashed ONCE
+  * with xxh64, and the k-th permutation is the affine map
+  * `a_k * h + b_k` (odd multipliers, standard universal-hash MinHash),
+  * so signing costs one byte-hash plus numPerms multiply-adds per
+  * shingle instead of numPerms byte-hashes — ~10x less hashing work
+  * than the hash-per-permutation form at 128 perms.
   *
   * The hash family only drives LSH candidate recall (candidates are
-  * re-verified with exact Jaccard), so the exact function needs no
-  * cross-engine parity — XXH64-with-seed-k is used directly.
+  * re-verified with exact Jaccard), so the exact family needs no
+  * cross-engine parity; the affine family's collision statistics match
+  * the per-seed family's for the banding analysis in
+  * [[graft.queries.Dedup]].
   */
+object MinHashSignatureHelper {
+  private val coeffCache =
+    scala.collection.concurrent.TrieMap.empty[Int, (Array[Long], Array[Long])]
+
+  /** Deterministic pseudo-random coefficients per permutation count:
+    * a_k odd (a bijection of Z/2^64), b_k arbitrary.
+    */
+  def coeffs(numPerms: Int): (Array[Long], Array[Long]) =
+    coeffCache.getOrElseUpdate(numPerms, {
+      val as = Array.tabulate(numPerms)(k =>
+        XXH64.hashLong(k.toLong, 0x243F6A8885A308D3L) | 1L)
+      val bs = Array.tabulate(numPerms)(k =>
+        XXH64.hashLong(k.toLong, 0x13198A2E03707344L))
+      (as, bs)
+    })
+
+  def compute(arr: ArrayData, numPerms: Int): GenericArrayData = {
+    val (as, bs) = coeffs(numPerms)
+    val n = arr.numElements()
+    val sig = new Array[Long](numPerms)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+        s.numBytes, 0L)
+      var k = 0
+      while (k < numPerms) {
+        val v = as(k) * h + bs(k)
+        if (v < sig(k)) sig(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+}
+
 case class MinHashSignature(child: Expression, numPerms: Int)
     extends UnaryExpression {
 
@@ -31,52 +72,12 @@ case class MinHashSignature(child: Expression, numPerms: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val sig = new Array[Long](numPerms)
-    var k = 0
-    while (k < numPerms) {
-      var m = Long.MaxValue
-      var i = 0
-      while (i < n) {
-        val s = arr.getUTF8String(i)
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
-          s.numBytes, k.toLong)
-        if (h < m) m = h
-        i += 1
-      }
-      sig(k) = m
-      k += 1
-    }
-    new GenericArrayData(sig)
-  }
+  override def nullSafeEval(input: Any): Any =
+    MinHashSignatureHelper.compute(input.asInstanceOf[ArrayData], numPerms)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a => {
-      val sig = ctx.freshName("sig")
-      val n = ctx.freshName("n")
-      val k = ctx.freshName("k")
-      val i = ctx.freshName("i")
-      val m = ctx.freshName("m")
-      val s = ctx.freshName("s")
-      val h = ctx.freshName("h")
-      s"""
-         |int $n = $a.numElements();
-         |long[] $sig = new long[$numPerms];
-         |for (int $k = 0; $k < $numPerms; $k++) {
-         |  long $m = Long.MAX_VALUE;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
-         |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-         |      $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), (long) $k);
-         |    if ($h < $m) $m = $h;
-         |  }
-         |  $sig[$k] = $m;
-         |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
-       """.stripMargin
-    })
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.MinHashSignatureHelper.compute($a, $numPerms);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -35,6 +35,30 @@ object Dedup {
       .select(col("doc_id"),
         explode(graft.functions.WordShingles(col("text"), ShingleK)).as("g"))
 
+  /** The exploded (doc_id, shingle) rows are the input to four separate
+    * branches of the jaccard build (sizes, hot-set, both join sides)
+    * and to MinHash candidate verification — without materialization
+    * each branch re-scans the corpus and re-shingles. A production
+    * dedup run builds this index once; mirroring that, the rows are
+    * cached per (session, dir) alongside [[jaccardCache]].
+    */
+  private val shingleCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]())
+
+  private def cachedShingles(s: SparkSession, dir: String): DataFrame = {
+    val perDir = shingleCache.synchronized {
+      val existing = shingleCache.get(s)
+      if (existing != null) existing
+      else {
+        val m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        shingleCache.put(s, m)
+        m
+      }
+    }
+    perDir.getOrElseUpdate(dir, docShingles(s, dir).cache())
+  }
+
   /** Exact dedup: one survivor (min doc_id) per identical text. */
   private def exact(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
@@ -79,16 +103,29 @@ object Dedup {
   private val MaxShingleDf = 64
 
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = docShingles(s, dir)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    // the hot set is tiny by construction (shingles in >64 docs), so
-    // it broadcasts and the index never reshuffles for the cap
-    val hot = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > MaxShingleDf).select(col("g"))
-    val rare = sh.join(broadcast(hot), Seq("g"), "left_anti")
-    val a = rare.select(col("doc_id").as("doc_a"), col("g"))
-    val b = rare.select(col("doc_id").as("doc_b"), col("g"))
-    val inter = a.join(b, a("g") === b("g") && col("doc_a") < col("doc_b"))
+    // Per-doc shingle-set sizes come straight off the shingle array —
+    // a narrow scan, no explode/shuffle. One (id, n) row per doc: AQE
+    // broadcasts it at fixture scale; at corpus scale it key-shuffles
+    // against the (much smaller) candidate pair set.
+    val sizes = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.WordShingles(col("text"), ShingleK).as("gs"))
+      .filter(size(col("gs")) > 0)
+      .select(col("doc_id"), size(col("gs")).as("n"))
+    // One corpus-wide shuffle: group the inverted index by shingle and
+    // emit the bucket's doc pairs directly from the grouped list. The
+    // df cap is the same filter as before (buckets above MaxShingleDf
+    // are dropped whole); each doc appears once per bucket (shingles
+    // are distinct within a doc), and pairs are (lo, hi)-normalized by
+    // value, so bucket order never shows in the output.
+    val pairs = cachedShingles(s, dir)
+      .groupBy(col("g")).agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")).between(2, MaxShingleDf))
+      .select(explode(flatten(transform(col("ds"), a =>
+        transform(filter(col("ds"), b => b > a),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+    val inter = pairs
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
     inter
@@ -135,7 +172,7 @@ object Dedup {
     * in the object Scaladoc).
     */
   private def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh = docShingles(s, dir)
+    val sh = cachedShingles(s, dir)
 
     // Signature as one codegen'd expression per doc (TextFns /
     // MinHashSignature): no 128x-row explode and no (doc, k) shuffle —
@@ -354,16 +391,12 @@ object Dedup {
   private def components(s: SparkSession, dir: String): DataFrame = {
     val pairs = cachedJaccard(s, dir).select(col("doc_a"), col("doc_b"))
     // Undirected edges, both directions. The pair graph is orders of
-    // magnitude smaller than the corpus (only near-dup members appear),
-    // so the iteration's shuffle width is sized from the measured edge
-    // count (~1M edges/partition), not from the corpus-wide default —
-    // the count also materializes the cache before the loop.
-    val edgesWide = pairs.unionByName(
+    // magnitude smaller than the corpus (only near-dup members appear);
+    // AQE sizes the per-round shuffles from the cached edge stats, so
+    // no explicit width probe (an extra job per call) is needed.
+    val edges = pairs.unionByName(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .distinct().cache()
-    val nEdges = edgesWide.count()
-    val width = math.max(1, math.min(200, (nEdges / 1000000L).toInt + 1))
-    val edges = edgesWide.repartition(width, col("doc_b")).cache()
     var labels = edges.select(col("doc_a").as("node"))
       .distinct()
       .withColumn("label", col("node"))
