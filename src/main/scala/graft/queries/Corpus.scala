@@ -140,6 +140,63 @@ object Corpus {
       |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Gopher-style composite quality filter: the standard pre-training
+    * document rules — word-count bounds, mean-word-length band,
+    * minimum stopword evidence ("is this prose at all"), and lexical
+    * diversity — each emitted as its own flag plus the conjunction, so
+    * a pipeline can audit WHY a document was dropped, not just that it
+    * was. Entirely narrow (per-row array arithmetic, integer sums —
+    * no fold-order hazards); the only shuffle is the output sort.
+    */
+  private def qualityFilter(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_words", size(col("ws")))
+      .withColumn("mean_word_len",
+        round(aggregate(transform(col("ws"), w => length(w)), lit(0),
+          (a, x) => a + x).cast("double") / col("n_words"), 9))
+      .withColumn("distinct_ratio",
+        round(size(array_distinct(col("ws"))).cast("double") /
+          col("n_words"), 9))
+      .withColumn("n_stop", size(filter(col("ws"),
+        w => w.isin("the", "a", "and", "of", "to"))))
+      .withColumn("r_word_count", col("n_words").between(50, 100000))
+      .withColumn("r_mean_len", col("mean_word_len").between(4.0, 10.0))
+      .withColumn("r_stopwords", col("n_stop") >= 2)
+      .withColumn("r_diversity", col("distinct_ratio") >= 0.45)
+      .withColumn("keep", col("r_word_count") && col("r_mean_len") &&
+        col("r_stopwords") && col("r_diversity"))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("distinct_ratio"), col("n_stop"), col("r_word_count"),
+        col("r_mean_len"), col("r_stopwords"), col("r_diversity"),
+        col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qualityFilterSql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    len(ws) AS n_words,
+      |    round(CAST(list_aggregate(list_transform(ws, w -> len(w)), 'sum')
+      |      AS DOUBLE) / len(ws), 9) AS mean_word_len,
+      |    round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 9)
+      |      AS distinct_ratio,
+      |    len(list_filter(ws, w -> w IN ('the','a','and','of','to')))
+      |      AS n_stop
+      |  FROM d)
+      |SELECT doc_id, CAST(n_words AS INTEGER) AS n_words, mean_word_len,
+      |  distinct_ratio, CAST(n_stop AS INTEGER) AS n_stop,
+      |  n_words BETWEEN 50 AND 100000 AS r_word_count,
+      |  mean_word_len BETWEEN 4.0 AND 10.0 AS r_mean_len,
+      |  n_stop >= 2 AS r_stopwords,
+      |  distinct_ratio >= 0.45 AS r_diversity,
+      |  (n_words BETWEEN 50 AND 100000) AND
+      |    (mean_word_len BETWEEN 4.0 AND 10.0) AND n_stop >= 2 AND
+      |    distinct_ratio >= 0.45 AS keep
+      |FROM m ORDER BY doc_id""".stripMargin
+
   /** Deterministic global shuffle + head: order the corpus by a salted
     * hash of the doc id and take the first 100 — how a pipeline draws
     * a reproducible random-looking sample (or defines the training
@@ -380,6 +437,7 @@ object Corpus {
     QueryDef("cp_curation_pipeline", curationPipeline,
       Some(curationPipelineSql)),
     QueryDef("cp_hash_split", hashSplit, Some(hashSplitSql)),
+    QueryDef("cp_quality_filter", qualityFilter, Some(qualityFilterSql)),
     QueryDef("cp_source_mix", sourceMix, Some(sourceMixSql)),
     QueryDef("cp_ngram_repetition", ngramRepetition, Some(ngramRepetitionSql)),
     QueryDef("cp_corpus_shuffle", corpusShuffle, Some(corpusShuffleSql)))

@@ -453,6 +453,56 @@ object Dedup {
       |SELECT node AS doc_id, min(reach) AS component
       |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin
 
+  /** Chunk-level exact dedup: the corpus is cut into the same 32-word
+    * / stride-24 windows as the chunker (graft.queries.Corpus cp_chunk)
+    * and deduplicated at chunk granularity — the pass that removes
+    * repeated spans (boilerplate, quoted passages, exact re-posts)
+    * that document-level dedup can't see. One hash aggregation on the
+    * chunk text; the shuffle carries (md5, min-key, count), not the
+    * chunk bodies, once partial aggregation kicks in. The canonical
+    * survivor is the lexicographically first (doc_id, chunk_idx),
+    * packed into one BIGINT (chunk_idx < 1024 always, docs are capped
+    * well below 24k words) so min() stays a single order-independent
+    * aggregate on both engines.
+    */
+  private def chunkExact(s: SparkSession, dir: String): DataFrame = {
+    val win = 32
+    val stride = 24
+    Tables(s, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_words", size(col("ws")))
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0),
+          greatest(floor((col("n_words") - 1) / stride).cast("int"), lit(0)))))
+      .withColumn("start", col("chunk_idx") * stride)
+      .filter(col("start") < col("n_words"))
+      .withColumn("chunk_text", array_join(
+        slice(col("ws"), col("start") + 1,
+          least(lit(win), col("n_words") - col("start"))), " "))
+      .groupBy(md5(col("chunk_text").cast("binary")).as("chunk_md5"))
+      .agg(count(lit(1)).as("n_copies"),
+        min(col("doc_id") * 1024 + col("chunk_idx")).as("keep_key"))
+      .select(col("chunk_md5"), col("n_copies"),
+        floor(col("keep_key") / 1024).cast("long").as("keep_doc"),
+        (col("keep_key") % 1024).as("keep_chunk"))
+      .orderBy(col("chunk_md5"))
+  }
+
+  private val chunkExactSql =
+    """WITH ch AS (
+      |  SELECT doc_id, chunk_idx,
+      |    array_to_string(ws[chunk_idx*24 + 1 :
+      |      chunk_idx*24 + least(32, nw - chunk_idx*24)], ' ') AS chunk_text
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws,
+      |          len(string_split(text, ' ')) AS nw FROM documents),
+      |    (SELECT unnest(range(0, 100)) AS chunk_idx)
+      |  WHERE chunk_idx <= greatest((nw - 1) // 24, 0)
+      |    AND chunk_idx * 24 < nw)
+      |SELECT md5(chunk_text) AS chunk_md5, count(*) AS n_copies,
+      |  CAST(min(doc_id * 1024 + chunk_idx) // 1024 AS BIGINT) AS keep_doc,
+      |  CAST(min(doc_id * 1024 + chunk_idx) % 1024 AS BIGINT) AS keep_chunk
+      |FROM ch GROUP BY 1 ORDER BY chunk_md5""".stripMargin
+
   /** The MinHashDedup library API end-to-end under the hash gate:
     * signatures → banded candidates → exact verification → greedy
     * survivors (keep a doc iff it has no near-dup with a smaller id).
@@ -493,6 +543,7 @@ object Dedup {
     QueryDef("dd_components", components, Some(componentsSql)),
     QueryDef("dd_exact", exact, Some(exactSql)),
     QueryDef("dd_exact_norm", exactNorm, Some(exactNormSql)),
+    QueryDef("dd_chunk_exact", chunkExact, Some(chunkExactSql)),
     QueryDef("dd_ngram_jaccard", cachedJaccard, Some(jaccardSql)),
     QueryDef("dd_minhash_lsh", minhashLsh, Some(jaccardSql)),
     QueryDef("dd_simhash", simhash, Some(simhashSql)),

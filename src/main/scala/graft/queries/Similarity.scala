@@ -406,6 +406,149 @@ object Similarity {
       |    AS recon_err
       |FROM q ORDER BY vec_id""".stripMargin
 
+  private val PqSubspaces = 8 // 64 dims -> 8 subspaces x 8 dims
+  private val PqSubDims = 8
+  private val PqCodes = 16 // codebook entries per subspace
+
+  /** Shared PQ plumbing: explode each vector into its 8 sub-vectors.
+    * The codebook is the sub-vectors of the first PqCodes corpus
+    * vectors (fixed seeds, like the IVF centroid convention), so both
+    * engines derive the identical codebook with no training RNG.
+    */
+  private def pqSubVectors(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol),
+      posexplode(array((0 until PqSubspaces).map(m =>
+        slice(col("dv"), m * PqSubDims + 1, PqSubDims)): _*))
+        .as(Seq("m", "sv")))
+
+  private def pqDist2(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Product-quantization encode: each corpus vector's 8 sub-vectors
+    * are snapped to the nearest of 16 codebook entries (L2, ties to
+    * the lower code), and the 8 4-bit codes pack into one BIGINT
+    * `pq_word` — the 8-byte-per-vector representation an IVF-PQ index
+    * stores instead of 256 bytes of floats. Assignment is a narrow
+    * pass over the broadcast codebook (128 tiny rows); the corpus
+    * never shuffles except for the output sort.
+    */
+  private def pqEncoded(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+      .withColumn("dv", transform(col("embedding"), x => x.cast("double")))
+    val codebook = pqSubVectors(
+      e.filter(col("vec_id") >= 20 && col("vec_id") < 20 + PqCodes)
+        .withColumn("code", col("vec_id") - 20), "code")
+      .select(col("m"), col("code"), col("sv").as("cbv"))
+    val corpus = pqSubVectors(
+      e.filter(col("vec_id") >= 20)
+        .select(col("vec_id").as("neighbor_id"), col("dv")), "neighbor_id")
+    val wEnc = Window.partitionBy(col("neighbor_id"), col("m"))
+      .orderBy(col("d2").asc, col("code"))
+    corpus.join(broadcast(codebook), "m")
+      .withColumn("d2", pqDist2(col("sv"), col("cbv")))
+      .withColumn("rnk", row_number().over(wEnc))
+      .filter(col("rnk") === 1)
+      .select(col("neighbor_id"), col("m"), col("code"))
+  }
+
+  private def pqEncode(s: SparkSession, dir: String): DataFrame =
+    pqEncoded(s, dir)
+      .groupBy(col("neighbor_id").as("vec_id"))
+      .agg(sum(col("code").cast("long") *
+        pow(lit(16.0), col("m")).cast("long")).as("pq_word"))
+      .orderBy(col("vec_id"))
+
+  /** Shared oracle CTEs: codebook, corpus sub-vectors, encode. */
+  private val pqCte =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+       |sub AS (SELECT unnest(range(0, $PqSubspaces)) AS m),
+       |cb AS (
+       |  SELECT vec_id - 20 AS code, m,
+       |    list_transform(range(1, ${PqSubDims + 1}),
+       |      i -> dv[m * $PqSubDims + i]) AS cbv
+       |  FROM e, sub WHERE vec_id >= 20 AND vec_id < ${20 + PqCodes}),
+       |corp AS (
+       |  SELECT vec_id AS neighbor_id, m,
+       |    list_transform(range(1, ${PqSubDims + 1}),
+       |      i -> dv[m * $PqSubDims + i]) AS sv
+       |  FROM e, sub WHERE vec_id >= 20),
+       |enc AS (
+       |  SELECT neighbor_id, m, code FROM (
+       |    SELECT neighbor_id, m, code,
+       |      row_number() OVER (PARTITION BY neighbor_id, m ORDER BY
+       |        list_aggregate(list_transform(range(1, ${PqSubDims + 1}),
+       |          i -> (sv[i] - cbv[i]) * (sv[i] - cbv[i])), 'sum') ASC,
+       |        code) AS rnk
+       |    FROM corp JOIN cb USING (m))
+       |  WHERE rnk = 1)""".stripMargin
+
+  private val pqEncodeSql =
+    pqCte + s"""
+       |SELECT neighbor_id AS vec_id,
+       |  CAST(sum(code * CAST(power(16, m) AS BIGINT)) AS BIGINT) AS pq_word
+       |FROM enc GROUP BY 1 ORDER BY vec_id""".stripMargin
+
+  /** PQ asymmetric-distance search (ADC): each query precomputes a
+    * 8x16 lookup table of exact sub-distances to the codebook, and a
+    * neighbor's approximate distance is the sum of 8 table lookups
+    * selected by its stored codes — so only 8-byte codes and the tiny
+    * LUT meet in the join, never the vectors. The 8-term sum runs
+    * through decimal accumulation (order-independent) and the final
+    * rank breaks ties on neighbor_id, so the approximate ranking is
+    * deterministic and the oracle reproduces it bit-for-bit.
+    */
+  private def pqAdc(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+      .withColumn("dv", transform(col("embedding"), x => x.cast("double")))
+    val codebook = pqSubVectors(
+      e.filter(col("vec_id") >= 20 && col("vec_id") < 20 + PqCodes)
+        .withColumn("code", col("vec_id") - 20), "code")
+      .select(col("m"), col("code"), col("sv").as("cbv"))
+    val lut = pqSubVectors(
+      e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("dv")), "query_id")
+      .join(broadcast(codebook), "m")
+      .withColumn("qd2", pqDist2(col("sv"), col("cbv")))
+      .select(col("query_id"), col("m"), col("code"), col("qd2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id"))
+    pqEncoded(s, dir)
+      .join(broadcast(lut), Seq("m", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("qd2").cast(DecimalType(18, 9))).cast("double").as("adc"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("adc"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  private val pqAdcSql =
+    pqCte + s""",
+       |qsub AS (
+       |  SELECT vec_id AS query_id, m,
+       |    list_transform(range(1, ${PqSubDims + 1}),
+       |      i -> dv[m * $PqSubDims + i]) AS sv
+       |  FROM e, sub WHERE vec_id < 20),
+       |lut AS (
+       |  SELECT query_id, m, code,
+       |    list_aggregate(list_transform(range(1, ${PqSubDims + 1}),
+       |      i -> (sv[i] - cbv[i]) * (sv[i] - cbv[i])), 'sum') AS qd2
+       |  FROM qsub JOIN cb USING (m)),
+       |adc AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(sum(CAST(qd2 AS DECIMAL(18,9))) AS DOUBLE) AS adc
+       |  FROM enc JOIN lut USING (m, code)
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc ASC, neighbor_id) AS rnk
+       |  FROM adc)
+       |SELECT query_id, neighbor_id, rnk, adc FROM ranked
+       |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin
+
   /** The IvfIndex library API end-to-end under the hash gate: build
     * over the corpus, persist to parquet, reload, search at full
     * probe width — which makes the API exactly equal brute force, so
@@ -428,6 +571,8 @@ object Similarity {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("sim_index_api", indexApi, Some(knnBruteSql)),
     QueryDef("sim_quantize_int8", quantizeInt8, Some(quantizeInt8Sql)),
+    QueryDef("sim_pq_encode", pqEncode, Some(pqEncodeSql)),
+    QueryDef("sim_pq_adc", pqAdc, Some(pqAdcSql)),
     QueryDef("sim_kmeans_ivf", kmeansIvf, Some(kmeansIvfSql)),
     QueryDef("sim_knn_brute", knnBrute, Some(knnBruteSql)),
     QueryDef("sim_knn_ivf", knnIvf, Some(knnIvfSql)),

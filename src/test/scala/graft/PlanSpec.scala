@@ -113,6 +113,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), p.take(800))
   }
 
+  test("PQ search joins codes against the broadcast lookup table — vectors never meet") {
+    val p = plan("sim_pq_adc")
+    // the code/LUT join must be an equi-join (m, code); no cartesian and
+    // no shuffled join of the two vector-bearing sides
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("quality filter and chunk dedup are narrow until their one aggregation") {
+    val pq = plan("cp_quality_filter")
+    // per-document rule arithmetic: no join, no window, only the output sort
+    assert(!pq.contains("Join") && !pq.contains("Window"), pq.take(800))
+    val pc = plan("dd_chunk_exact")
+    // chunk dedup is scan -> explode -> hash aggregate (with partial) -> sort
+    assert(pc.contains("HashAggregate") && !pc.contains("Join"), pc.take(800))
+  }
+
   test("sequence packing windows only within chunks, like the batch planner") {
     val p = SparkEntry.queries("cp_sequence_pack")(spark, dir)
       .queryExecution.optimizedPlan.toString
