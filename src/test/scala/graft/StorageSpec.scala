@@ -54,6 +54,30 @@ class StorageSpec extends AnyFunSuite {
     assert(fingerprint(back) == fingerprint(src))
   }
 
+  test("xml round-trip preserves values (built-in Spark 4 xml source)") {
+    val src = lineitem
+    src.write.mode("overwrite").option("rowTag", "row")
+      .format("xml").save(s"$tmp/li_xml")
+    val back = spark.read.option("rowTag", "row")
+      .schema(src.schema).format("xml").load(s"$tmp/li_xml")
+    assert(fingerprint(back) == fingerprint(src))
+  }
+
+  test("text source reads raw lines (one string column)") {
+    val src = lineitem
+    src.select(concat_ws(",", src.columns.map(c => col(c).cast("string")): _*)
+        .as("value"))
+      .write.mode("overwrite").text(s"$tmp/li_text")
+    val back = spark.read.text(s"$tmp/li_text")
+      .select(split(col("value"), ",").as("f"))
+      .select(col("f").getItem(0).cast("long").as("l_orderkey"),
+        col("f").getItem(1).cast("long").as("l_partkey"),
+        col("f").getItem(2).cast(src.schema("l_quantity").dataType)
+          .as("l_quantity"),
+        col("f").getItem(3).as("l_returnflag"))
+    assert(fingerprint(back) == fingerprint(src))
+  }
+
   test("partitioned write prunes partitions at read") {
     lineitem.write.mode("overwrite")
       .partitionBy("l_returnflag").parquet(s"$tmp/li_part")
