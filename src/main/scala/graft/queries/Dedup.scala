@@ -42,22 +42,10 @@ object Dedup {
     * dedup run builds this index once; mirroring that, the rows are
     * cached per (session, dir) alongside [[jaccardCache]].
     */
-  private val shingleCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, DataFrame]]())
+  private val shingleCache = new graft.SessionCache[DataFrame]
 
-  private def cachedShingles(s: SparkSession, dir: String): DataFrame = {
-    val perDir = shingleCache.synchronized {
-      val existing = shingleCache.get(s)
-      if (existing != null) existing
-      else {
-        val m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-        shingleCache.put(s, m)
-        m
-      }
-    }
-    perDir.getOrElseUpdate(dir, docShingles(s, dir).cache())
-  }
+  private def cachedShingles(s: SparkSession, dir: String): DataFrame =
+    shingleCache.getOrElseUpdate(s, dir)(docShingles(s, dir).cache())
 
   /** Exact dedup: one survivor (min doc_id) per identical text. */
   private def exact(s: SparkSession, dir: String): DataFrame =
@@ -381,25 +369,25 @@ object Dedup {
     * a weak map so ended sessions and their cached blocks can be
     * collected, with per-dir results inside.
     */
-  private val jaccardCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, DataFrame]]())
+  private val jaccardCache = new graft.SessionCache[DataFrame]
 
-  private def cachedJaccard(s: SparkSession, dir: String): DataFrame = {
-    val perDir = jaccardCache.synchronized {
-      val existing = jaccardCache.get(s)
-      if (existing != null) existing
-      else {
-        val m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-        jaccardCache.put(s, m)
-        m
-      }
-    }
-    perDir.getOrElseUpdate(dir, ngramJaccard(s, dir).cache())
-  }
+  private def cachedJaccard(s: SparkSession, dir: String): DataFrame =
+    jaccardCache.getOrElseUpdate(s, dir)(ngramJaccard(s, dir).cache())
 
   private def components(s: SparkSession, dir: String): DataFrame = {
-    val pairs = cachedJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+    // Materialize the pair cache under the caller's session (AQE on —
+    // the right config for the corpus-wide build), then iterate in a
+    // cloned session with AQE off and a narrow shuffle width: the loop
+    // moves a few hundred labels per round, where per-round adaptive
+    // replanning costs more than the work itself (measured 2x). The
+    // clone shares the SharedState cache manager, so the pair set and
+    // the round caches are shared, and no global conf is touched
+    // (same isolation pattern as the streaming queries).
+    cachedJaccard(s, dir).count()
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val pairs = cachedJaccard(s2, dir).select(col("doc_a"), col("doc_b"))
     // Undirected edges, both directions. The pair graph is orders of
     // magnitude smaller than the corpus (only near-dup members appear);
     // AQE sizes the per-round shuffles from the cached edge stats, so

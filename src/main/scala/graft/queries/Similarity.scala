@@ -434,7 +434,15 @@ object Similarity {
     * pass over the broadcast codebook (128 tiny rows); the corpus
     * never shuffles except for the output sort.
     */
-  private def pqEncoded(s: SparkSession, dir: String): DataFrame = {
+  /** The encode pass is the index-build step both PQ queries share —
+    * cached per (session, dir) like the dedup shingle index.
+    */
+  private val pqEncodeCache = new graft.SessionCache[DataFrame]
+
+  private def pqEncoded(s: SparkSession, dir: String): DataFrame =
+    pqEncodeCache.getOrElseUpdate(s, dir)(pqEncodedPlan(s, dir).cache())
+
+  private def pqEncodedPlan(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
       .withColumn("dv", transform(col("embedding"), x => x.cast("double")))
     val codebook = pqSubVectors(
