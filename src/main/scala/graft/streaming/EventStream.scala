@@ -34,7 +34,7 @@ object EventStream {
     */
   private def streamSession(spark: SparkSession): SparkSession = {
     val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
     ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ss
   }
