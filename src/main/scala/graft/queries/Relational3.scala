@@ -415,7 +415,38 @@ object Relational3 {
       |  SELECT o_orderkey FROM orders WHERE o_totalprice > 250000.0)
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** UNPIVOT / melt — the inverse of q15's pivot: three measure
+    * columns become (measure, val) rows via the Dataset.unpivot API
+    * (Spark's native Expand, one pass, no join or union-of-selects).
+    */
+  private def unpivotMeasures(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("double").as("quantity"),
+        col("l_extendedprice").cast("double").as("extendedprice"),
+        col("l_discount").cast("double").as("discount"))
+    li.unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("quantity"), col("extendedprice"), col("discount")),
+        "measure", "val")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+  }
+
+  private val unpivotMeasuresSql =
+    """SELECT l_orderkey, l_linenumber, measure, val
+      |FROM (
+      |  UNPIVOT (SELECT l_orderkey, l_linenumber,
+      |      CAST(l_quantity AS DOUBLE) AS quantity,
+      |      CAST(l_extendedprice AS DOUBLE) AS extendedprice,
+      |      CAST(l_discount AS DOUBLE) AS discount
+      |    FROM lineitem WHERE l_orderkey < 100)
+      |  ON quantity, extendedprice, discount
+      |  INTO NAME measure VALUE val)
+      |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q34_unpivot", unpivotMeasures, Some(unpivotMeasuresSql)),
     QueryDef("q33_bloom_semi_join", bloomSemiJoin, Some(bloomSemiJoinSql)),
     QueryDef("q31_range_frame_window", rangeFrameWindow,
       Some(rangeFrameWindowSql)),

@@ -171,7 +171,30 @@ object SqlApi {
       |FROM months LEFT JOIN counts ON months.m = counts.m
       |ORDER BY month""".stripMargin
 
+  /** Correlated LATERAL subquery — per-nation top-2 customers by
+    * balance, the SQL spelling of a per-group top-k. Catalyst rewrites
+    * the correlated limit into a window over the dependent join, so
+    * this pins the lateral-decorrelation path of the SQL surface.
+    */
+  private def lateralTopk(s: SparkSession, dir: String): DataFrame =
+    withViews(s, dir, Seq("nation", "customer"))(
+      """SELECT n_name, c.c_name, CAST(c.c_acctbal AS DOUBLE) AS acctbal
+        |FROM nation n,
+        |  LATERAL (SELECT c_name, c_acctbal FROM customer
+        |           WHERE c_nationkey = n.n_nationkey
+        |           ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+        |ORDER BY n_name, acctbal DESC, c_name""".stripMargin)
+
+  private val lateralTopkSql =
+    """SELECT n_name, c.c_name, CAST(c.c_acctbal AS DOUBLE) AS acctbal
+      |FROM nation n,
+      |  LATERAL (SELECT c_name, c_acctbal FROM customer
+      |           WHERE c_nationkey = n.n_nationkey
+      |           ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+      |ORDER BY n_name, acctbal DESC, c_name""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sqlapi_lateral_topk", lateralTopk, Some(lateralTopkSql)),
     QueryDef("sqlapi_recursive_spine", recursiveSpine, Some(recursiveSpineSql)),
     QueryDef("sqlapi_udf_quality", udfQuality, Some(udfQualitySql)),
     QueryDef("sqlapi_revenue_by_type", revenue, Some(revenueSql)),
