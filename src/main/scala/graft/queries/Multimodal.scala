@@ -24,6 +24,19 @@ import org.apache.spark.sql.types._
   * size (`spark.sql.files.maxPartitionBytes`) so a partition of blobs
   * fits executor memory.
   */
+/** Result schema of the stub decoder. Top-level (not nested/private)
+  * so the ExpressionEncoder's generated code can reach the accessors —
+  * a private nested case class makes janino reject the generated
+  * class and Spark silently falls back to the interpreted encoder.
+  */
+case class DecodedMeta(
+    doc_id: Long, width: Int, height: Int, channels: Int, px0: Int)
+
+/** Result schema of the resize stage — top-level for the same
+  * encoder-codegen reason as [[DecodedMeta]].
+  */
+case class ResizedRow(doc_id: Long, y: Int, row_sum: Long)
+
 object Multimodal {
 
   /** Blob-level metadata: size + content hash + magic bytes. */
@@ -45,9 +58,6 @@ object Multimodal {
       |  lower(hex(substring(text, 1, 4))) AS magic_hex
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Result schema of the stub decoder. */
-  private case class DecodedMeta(
-      doc_id: Long, width: Int, height: Int, channels: Int, px0: Int)
 
   /** STUB DECODER — stands in for an image codec (libjpeg etc., not in
     * this container). Deterministic header-parse fake: dimensions and
@@ -89,7 +99,6 @@ object Multimodal {
       |  ascii(substring(text, 3, 1)) AS px0
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  private case class ResizedRow(doc_id: Long, y: Int, row_sum: Long)
 
   /** Resize stage: nearest-neighbor downsample of the stub-decoded
     * "image" to a fixed 8x8 grid, emitted as one checksum per output
