@@ -31,9 +31,7 @@ object Corpus {
     * DuckDB CAST('0x'||hex AS BIGINT)).
     */
   private def hashBucket(salt: String, mod: Int): Column =
-    conv(substring(md5(concat(lit(salt),
-      col("doc_id").cast("string")).cast("binary")), 1, 6), 16, 10)
-      .cast("long") % mod
+    graft.corpus.CorpusPipeline.hashBucket("doc_id", salt, mod)
 
   private def bucketSql(salt: String, mod: Int): String =
     s"CAST(('0x' || substring(md5('$salt' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % $mod"
@@ -228,34 +226,16 @@ object Corpus {
     * final roll-up; nothing here shuffles more than once.
     */
   private def curationPipeline(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir, "documents")
-      .withColumn("total_5grams",
-        greatest(size(split(col("text"), " ")) - 4, lit(0)))
-      .withColumn("distinct_5grams",
-        size(graft.functions.WordShingles(col("text"), 5)))
-      .withColumn("n_words", size(split(col("text"), " ")))
-      .withColumn("n_distinct_words",
-        size(array_distinct(split(col("text"), " "))))
-      // quality rules: low repetition, diverse vocabulary
-      .filter(col("total_5grams") > 0 &&
-        (lit(1.0) - col("distinct_5grams").cast("double") /
-          col("total_5grams")) <= 0.2 &&
-        col("n_distinct_words").cast("double") / col("n_words") >= 0.5)
-    val survivors = docs
-      .groupBy(col("text"))
-      .agg(min(col("doc_id")).as("doc_id"),
-        min(col("n_chars")).as("n_chars"))
-    survivors
-      .withColumn("bucket", hashBucket("split:", 100))
-      .withColumn("split",
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "validation")
-          .otherwise("test"))
-      .groupBy(col("split"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_chars")).cast("long").as("total_chars"),
-        min(col("doc_id")).as("first_doc"))
-      .orderBy(col("split"))
+    // Routed through the graft.corpus.CorpusPipeline library API so the
+    // reusable surface itself sits under the driver hash gate (same
+    // pattern as MinHashDedup / IvfIndex): quality rules → exact dedup
+    // survivors → stable split → per-split stats.
+    import graft.corpus.CorpusPipeline
+    val kept = CorpusPipeline.qualityFilter(Tables(s, dir, "documents"),
+      "text", maxRepeated5gramRatio = 0.2, minDistinctWordRatio = 0.5)
+    val uniq = CorpusPipeline.dedupExact(kept, "doc_id", "text")
+    CorpusPipeline.splitStats(
+      CorpusPipeline.withSplit(uniq, "doc_id"), "doc_id", "n_chars")
   }
 
   private val curationPipelineSql =
