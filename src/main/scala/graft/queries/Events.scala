@@ -191,7 +191,155 @@ object Events {
       |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Day-over-day retention: of the users active on day d, how many
+    * return on day d+1. The per-(user, day) dedup is one aggregation;
+    * the day self-join carries one row per (user, day) — the classic
+    * cohort-retention shape, shuffle keys uniformly distributed.
+    */
+  private def retention(s: SparkSession, dir: String): DataFrame = {
+    val active = Tables(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val next = active.select(col("user_id"),
+      date_sub(col("day"), 1).as("day"))
+    active
+      .join(next.withColumn("retained", lit(1)),
+        Seq("user_id", "day"), "left")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(coalesce(col("retained"), lit(0))).cast("long").as("n_retained"))
+      .withColumn("retention_rate",
+        round(col("n_retained").cast("double") / col("n_active"), 9))
+      .orderBy(col("day"))
+  }
+
+  private val retentionSql =
+    """WITH active AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+      |SELECT a.day,
+      |  count(*) AS n_active,
+      |  CAST(sum(CASE WHEN b.user_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+      |    AS n_retained,
+      |  round(CAST(sum(CASE WHEN b.user_id IS NULL THEN 0 ELSE 1 END)
+      |      AS DOUBLE) / count(*), 9) AS retention_rate
+      |FROM active a LEFT JOIN active b
+      |  ON a.user_id = b.user_id AND b.day = a.day + 1
+      |GROUP BY a.day ORDER BY a.day""".stripMargin
+
+  /** Ordered conversion funnel signup → view → click → purchase: a
+    * user converts through stage k iff their earliest stage-k event
+    * follows their earliest stage-(k-1) event. One aggregation pivots
+    * each user's first-touch times (min per type — no event ever
+    * crosses the shuffle twice); the stage counts read off the
+    * conjunctions.
+    */
+  private def funnel(s: SparkSession, dir: String): DataFrame = {
+    val firsts = Tables(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+    val s1 = col("t_signup").isNotNull
+    val s2 = s1 && col("t_view") > col("t_signup")
+    val s3 = s2 && col("t_click") > col("t_view")
+    val s4 = s3 && col("t_purchase") > col("t_click")
+    firsts.agg(
+        sum(when(s1, 1L).otherwise(0L)).cast("long").as("n_signup"),
+        sum(when(s2, 1L).otherwise(0L)).cast("long").as("n_view_after"),
+        sum(when(s3, 1L).otherwise(0L)).cast("long").as("n_click_after"),
+        sum(when(s4, 1L).otherwise(0L)).cast("long").as("n_purchase_after"))
+  }
+
+  private val funnelSql =
+    """WITH firsts AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+      |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+      |    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+      |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      |  FROM events GROUP BY user_id)
+      |SELECT
+      |  CAST(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_signup,
+      |  CAST(sum(CASE WHEN t_view > t_signup THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_view_after,
+      |  CAST(sum(CASE WHEN t_click > t_view AND t_view > t_signup
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_click_after,
+      |  CAST(sum(CASE WHEN t_purchase > t_click AND t_click > t_view
+      |    AND t_view > t_signup THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_purchase_after
+      |FROM firsts""".stripMargin
+
+  /** Count-min sketch of per-user event counts: d=4 hash rows × w=64
+    * buckets (md5-derived, identical arithmetic cross-engine), then
+    * each user's estimate is the min over its 4 cells — emitted next
+    * to the exact count with the overcount, so the sketch's one-sided
+    * error bound (estimate >= exact, always) is hash-checked rather
+    * than asserted. The sketch is the fixed-size summary the
+    * streaming/distributed setting actually keeps: cells merge by
+    * addition, the build is one (j, bucket) aggregation with map-side
+    * partials, and only 256 cells ever sit in memory regardless of
+    * corpus size.
+    */
+  private val CmsDepth = 4
+  private val CmsWidth = 64
+
+  private def cmsBucket(j: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit("cms"), j.cast("string"), lit(":"),
+      col("user_id").cast("string")).cast("binary")), 1, 6), 16, 10)
+      .cast("long") % CmsWidth
+
+  private def userCms(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events").select(col("user_id"))
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+    val hashed = ev
+      .select(col("user_id"),
+        explode(array((0 until CmsDepth).map(lit(_)): _*)).as("j"))
+      .withColumn("bucket", cmsBucket(col("j")))
+    val sketch = hashed.groupBy(col("j"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val userCells = exact.select(col("user_id"))
+      .select(col("user_id"),
+        explode(array((0 until CmsDepth).map(lit(_)): _*)).as("j"))
+      .withColumn("bucket", cmsBucket(col("j")))
+    val est = userCells.join(sketch, Seq("j", "bucket"))
+      .groupBy(col("user_id")).agg(min(col("c")).as("cms_est"))
+    exact.join(est, "user_id")
+      .withColumn("overcount", col("cms_est") - col("n_exact"))
+      .select(col("user_id"), col("n_exact"), col("cms_est"),
+        col("overcount"))
+      .orderBy(col("user_id"))
+  }
+
+  private val userCmsSql = {
+    def bucket(tbl: String) =
+      s"CAST(('0x' || substring(md5('cms' || CAST(j AS VARCHAR) || ':' || " +
+        s"CAST($tbl.user_id AS VARCHAR)), 1, 6)) AS BIGINT) % $CmsWidth"
+    s"""WITH js AS (SELECT unnest(range(0, $CmsDepth)) AS j),
+       |hashed AS (
+       |  SELECT events.user_id, j, ${bucket("events")} AS bucket
+       |  FROM events, js),
+       |sketch AS (
+       |  SELECT j, bucket, count(*) AS c FROM hashed GROUP BY 1, 2),
+       |exact AS (
+       |  SELECT user_id, count(*) AS n_exact FROM events GROUP BY 1),
+       |cells AS (
+       |  SELECT exact.user_id, j, ${bucket("exact")} AS bucket
+       |  FROM exact, js),
+       |est AS (
+       |  SELECT user_id, min(c) AS cms_est
+       |  FROM cells JOIN sketch USING (j, bucket) GROUP BY 1)
+       |SELECT e.user_id, n_exact, cms_est, cms_est - n_exact AS overcount
+       |FROM exact e JOIN est USING (user_id)
+       |ORDER BY e.user_id""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("ev_retention", retention, Some(retentionSql)),
+    QueryDef("ev_funnel", funnel, Some(funnelSql)),
+    QueryDef("ev_user_cms", userCms, Some(userCmsSql)),
     QueryDef("ev_json_props", jsonProps, Some(jsonPropsSql)),
     QueryDef("ev_hourly_by_type", hourly, Some(hourlySql)),
     QueryDef("ev_sessionize", sessionize, Some(sessionizeSql)),
