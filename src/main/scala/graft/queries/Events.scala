@@ -294,19 +294,15 @@ object Events {
   private def userCms(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables(s, dir, "events").select(col("user_id"))
     val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
-    val hashed = ev
-      .select(col("user_id"),
-        explode(array((0 until CmsDepth).map(lit(_)): _*)).as("j"))
-      .withColumn("bucket", cmsBucket(col("j")))
-    val sketch = hashed.groupBy(col("j"), col("bucket"))
-      .agg(count(lit(1)).as("c"))
-    val userCells = exact.select(col("user_id"))
-      .select(col("user_id"),
-        explode(array((0 until CmsDepth).map(lit(_)): _*)).as("j"))
-      .withColumn("bucket", cmsBucket(col("j")))
-    val est = userCells.join(sketch, Seq("j", "bucket"))
-      .groupBy(col("user_id")).agg(min(col("c")).as("cms_est"))
-    exact.join(est, "user_id")
+    // one-pass mergeable sketch (a single depth×width cell array per
+    // partition crosses the shuffle — no row multiplication); each
+    // user's estimate reads its depth cells off the broadcast sketch
+    val sketch = ev.agg(graft.operators.CountMinAgg(col("user_id"),
+      CmsDepth, CmsWidth).as("cells"))
+    exact.crossJoin(broadcast(sketch))
+      .withColumn("cms_est", least((0 until CmsDepth).map(j =>
+        element_at(col("cells"),
+          (lit(j * CmsWidth) + cmsBucket(lit(j))).cast("int") + 1)): _*))
       .withColumn("overcount", col("cms_est") - col("n_exact"))
       .select(col("user_id"), col("n_exact"), col("cms_est"),
         col("overcount"))

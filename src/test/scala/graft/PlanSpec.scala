@@ -130,6 +130,14 @@ class PlanSpec extends AnyFunSuite {
     assert(pc.contains("HashAggregate") && !pc.contains("Join"), pc.take(800))
   }
 
+  test("count-min sketch is one ObjectHashAggregate pass — no row multiplication") {
+    val p = plan("ev_user_cms")
+    assert(p.contains("ObjectHashAggregate") && p.contains("count_min"),
+      p.take(800))
+    assert(p.contains("partial_count_min"), p.take(800)) // map-side partial
+    assert(!p.contains("Generate"), p.take(800)) // no explode-by-depth
+  }
+
   test("sequence packing windows only within chunks, like the batch planner") {
     val p = SparkEntry.queries("cp_sequence_pack")(spark, dir)
       .queryExecution.optimizedPlan.toString
