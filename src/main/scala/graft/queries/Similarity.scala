@@ -410,62 +410,31 @@ object Similarity {
   private val PqSubDims = 8
   private val PqCodes = 16 // codebook entries per subspace
 
-  /** Shared PQ plumbing: explode each vector into its 8 sub-vectors.
-    * The codebook is the sub-vectors of the first PqCodes corpus
-    * vectors (fixed seeds, like the IVF centroid convention), so both
-    * engines derive the identical codebook with no training RNG.
+  /** The PQ queries route through the graft.similarity.PqIndex library
+    * API (codebook = sub-vectors of the 16 lowest-id corpus vectors —
+    * fixed seeds, no training RNG — so both engines derive the same
+    * codebook); the built index is cached per (session, dir) like the
+    * dedup shingle index, shared by encode and ADC search.
     */
-  private def pqSubVectors(df: DataFrame, idCol: String): DataFrame =
-    df.select(col(idCol),
-      posexplode(array((0 until PqSubspaces).map(m =>
-        slice(col("dv"), m * PqSubDims + 1, PqSubDims)): _*))
-        .as(Seq("m", "sv")))
+  private val pqIndexCache = new graft.SessionCache[graft.similarity.PqIndex]
 
-  private def pqDist2(a: org.apache.spark.sql.Column,
-      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+  private def pqIndex(s: SparkSession, dir: String): graft.similarity.PqIndex =
+    pqIndexCache.getOrElseUpdate(s, dir) {
+      val idx = graft.similarity.PqIndex.build(
+        Tables(s, dir, "embeddings").filter(col("vec_id") >= 20),
+        "vec_id", "embedding", PqSubspaces, PqCodes)
+      idx.codes.cache()
+      idx
+    }
 
-  /** Product-quantization encode: each corpus vector's 8 sub-vectors
-    * are snapped to the nearest of 16 codebook entries (L2, ties to
-    * the lower code), and the 8 4-bit codes pack into one BIGINT
-    * `pq_word` — the 8-byte-per-vector representation an IVF-PQ index
-    * stores instead of 256 bytes of floats. Assignment is a narrow
-    * pass over the broadcast codebook (128 tiny rows); the corpus
-    * never shuffles except for the output sort.
+  /** Product-quantization encode: each corpus vector's 8 sub-vector
+    * codes packed into one BIGINT `pq_word` — the 8-byte-per-vector
+    * representation an IVF-PQ index stores instead of 256 bytes of
+    * floats.
     */
-  /** The encode pass is the index-build step both PQ queries share —
-    * cached per (session, dir) like the dedup shingle index.
-    */
-  private val pqEncodeCache = new graft.SessionCache[DataFrame]
-
-  private def pqEncoded(s: SparkSession, dir: String): DataFrame =
-    pqEncodeCache.getOrElseUpdate(s, dir)(pqEncodedPlan(s, dir).cache())
-
-  private def pqEncodedPlan(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables(s, dir, "embeddings")
-      .withColumn("dv", transform(col("embedding"), x => x.cast("double")))
-    val codebook = pqSubVectors(
-      e.filter(col("vec_id") >= 20 && col("vec_id") < 20 + PqCodes)
-        .withColumn("code", col("vec_id") - 20), "code")
-      .select(col("m"), col("code"), col("sv").as("cbv"))
-    val corpus = pqSubVectors(
-      e.filter(col("vec_id") >= 20)
-        .select(col("vec_id").as("neighbor_id"), col("dv")), "neighbor_id")
-    val wEnc = Window.partitionBy(col("neighbor_id"), col("m"))
-      .orderBy(col("d2").asc, col("code"))
-    corpus.join(broadcast(codebook), "m")
-      .withColumn("d2", pqDist2(col("sv"), col("cbv")))
-      .withColumn("rnk", row_number().over(wEnc))
-      .filter(col("rnk") === 1)
-      .select(col("neighbor_id"), col("m"), col("code"))
-  }
-
   private def pqEncode(s: SparkSession, dir: String): DataFrame =
-    pqEncoded(s, dir)
-      .groupBy(col("neighbor_id").as("vec_id"))
-      .agg(sum(col("code").cast("long") *
-        pow(lit(16.0), col("m")).cast("long")).as("pq_word"))
+    pqIndex(s, dir).packedCodes
+      .withColumnRenamed("id", "vec_id")
       .orderBy(col("vec_id"))
 
   /** Shared oracle CTEs: codebook, corpus sub-vectors, encode. */
@@ -508,28 +477,28 @@ object Similarity {
     * rank breaks ties on neighbor_id, so the approximate ranking is
     * deterministic and the oracle reproduces it bit-for-bit.
     */
-  private def pqAdc(s: SparkSession, dir: String): DataFrame = {
+  private def pqAdc(s: SparkSession, dir: String): DataFrame =
+    pqIndex(s, dir).searchAdc(
+        Tables(s, dir, "embeddings").filter(col("vec_id") < 20),
+        "vec_id", "embedding", TopK)
+      .orderBy(col("query_id"), col("rnk"))
+
+  /** The PqIndex library API end-to-end under the hash gate — build,
+    * persist, reload, search — so the parquet round-trip of codebook
+    * and codes is pinned by the same ADC oracle (mirrors
+    * sim_index_api / IvfIndex).
+    */
+  private def pqIndexApi(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
-      .withColumn("dv", transform(col("embedding"), x => x.cast("double")))
-    val codebook = pqSubVectors(
-      e.filter(col("vec_id") >= 20 && col("vec_id") < 20 + PqCodes)
-        .withColumn("code", col("vec_id") - 20), "code")
-      .select(col("m"), col("code"), col("sv").as("cbv"))
-    val lut = pqSubVectors(
-      e.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("query_id"), col("dv")), "query_id")
-      .join(broadcast(codebook), "m")
-      .withColumn("qd2", pqDist2(col("sv"), col("cbv")))
-      .select(col("query_id"), col("m"), col("code"), col("qd2"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").asc, col("neighbor_id"))
-    pqEncoded(s, dir)
-      .join(broadcast(lut), Seq("m", "code"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("qd2").cast(DecimalType(18, 9))).cast("double").as("adc"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= TopK)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("adc"))
+    val idx = graft.similarity.PqIndex.build(
+      e.filter(col("vec_id") >= 20), "vec_id", "embedding",
+      PqSubspaces, PqCodes)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_pq_q").toString
+    idx.save(s"$path/index")
+    val loaded = graft.similarity.PqIndex.load(s, s"$path/index")
+    loaded.searchAdc(e.filter(col("vec_id") < 20), "vec_id", "embedding",
+        TopK)
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -581,6 +550,7 @@ object Similarity {
     QueryDef("sim_quantize_int8", quantizeInt8, Some(quantizeInt8Sql)),
     QueryDef("sim_pq_encode", pqEncode, Some(pqEncodeSql)),
     QueryDef("sim_pq_adc", pqAdc, Some(pqAdcSql)),
+    QueryDef("sim_pq_index_api", pqIndexApi, Some(pqAdcSql)),
     QueryDef("sim_kmeans_ivf", kmeansIvf, Some(kmeansIvfSql)),
     QueryDef("sim_knn_brute", knnBrute, Some(knnBruteSql)),
     QueryDef("sim_knn_ivf", knnIvf, Some(knnIvfSql)),
