@@ -27,7 +27,13 @@ object Registry {
     ("minhash_signature", "minhash signature of a shingle array",
       exprs => MinHashSignature(exprs(0), intArg(exprs(1), "minhash_signature"))),
     ("simhash60", "60-bit simhash of a token array",
-      exprs => SimHash60(exprs(0))))
+      exprs => SimHash60(exprs(0))),
+    ("count_min", "count-min sketch cells (depth x width) of a bigint key",
+      exprs => graft.operators.CountMinAgg(exprs(0),
+        intArg(exprs(1), "count_min"), intArg(exprs(2), "count_min"))),
+    ("topk_pairs", "bounded top-k (value desc, tie asc) long pairs",
+      exprs => graft.operators.TopKPairsAgg(exprs(0), exprs(1),
+        intArg(exprs(2), "topk_pairs"))))
 
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -150,4 +150,19 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(agg.count() == win.count())
   }
 
+  test("aggregates reach the SQL surface through the registry") {
+    import spark.implicits._
+    graft.functions.Registry.registerAll(spark)
+    Seq.tabulate(100)(i => (i.toLong % 7, i.toLong))
+      .toDF("key", "tie").createOrReplaceTempView("reg_agg_probe")
+    val cms = spark.sql(
+      "SELECT count_min(key, 2, 16) AS cells FROM reg_agg_probe")
+      .collect()(0).getSeq[Long](0)
+    assert(cms.length == 32 && cms.sum == 200) // 100 rows x depth 2
+    val topk = spark.sql(
+      """SELECT topk_pairs(tie, key, 3) AS top FROM reg_agg_probe""")
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(topk.map(_.getLong(0)) == Seq(99L, 98L, 97L))
+  }
+
 }
