@@ -138,6 +138,45 @@ object Corpus {
       |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Per-source fractional upsampling — the other half of mix
+    * weighting (cp_source_mix downsamples): a source with weight
+    * 2.5 emits every document twice plus a deterministic hash-chosen
+    * half once more, so epochs repeat high-value sources without RNG
+    * state. copies = floor(w) + (hash bucket < frac(w)). Narrow
+    * per-row decision; the roll-up shuffles one row per source.
+    */
+  private def upsample(s: SparkSession, dir: String): DataFrame = {
+    val wPermille =
+      when(substring(col("source"), 4, 10).cast("int") % 3 === 0, 1000)
+        .when(substring(col("source"), 4, 10).cast("int") % 3 === 1, 1500)
+        .otherwise(2500)
+    Tables(s, dir, "documents")
+      .withColumn("weight_permille", wPermille)
+      .withColumn("n_copies",
+        floor(col("weight_permille") / 1000).cast("long") +
+          when(hashBucket("up:", 1000) < col("weight_permille") % 1000, 1L)
+            .otherwise(0L))
+      .groupBy(col("source"))
+      .agg(max(col("weight_permille")).as("weight_permille"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_copies")).cast("long").as("n_emitted"))
+      .orderBy(col("source"))
+  }
+
+  private val upsampleSql =
+    s"""SELECT source,
+       |  max(CASE CAST(substring(source, 4, 10) AS INTEGER) % 3
+       |      WHEN 0 THEN 1000 WHEN 1 THEN 1500 ELSE 2500 END)
+       |    AS weight_permille,
+       |  count(*) AS n_docs,
+       |  CAST(sum((CASE CAST(substring(source, 4, 10) AS INTEGER) % 3
+       |      WHEN 0 THEN 1000 WHEN 1 THEN 1500 ELSE 2500 END) // 1000
+       |    + CASE WHEN ${bucketSql("up:", 1000)} <
+       |        (CASE CAST(substring(source, 4, 10) AS INTEGER) % 3
+       |         WHEN 0 THEN 1000 WHEN 1 THEN 1500 ELSE 2500 END) % 1000
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_emitted
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   /** Gopher-style composite quality filter: the standard pre-training
     * document rules — word-count bounds, mean-word-length band,
     * minimum stopword evidence ("is this prose at all"), and lexical
@@ -419,6 +458,7 @@ object Corpus {
     QueryDef("cp_hash_split", hashSplit, Some(hashSplitSql)),
     QueryDef("cp_quality_filter", qualityFilter, Some(qualityFilterSql)),
     QueryDef("cp_source_mix", sourceMix, Some(sourceMixSql)),
+    QueryDef("cp_upsample", upsample, Some(upsampleSql)),
     QueryDef("cp_ngram_repetition", ngramRepetition, Some(ngramRepetitionSql)),
     QueryDef("cp_corpus_shuffle", corpusShuffle, Some(corpusShuffleSql)))
 }

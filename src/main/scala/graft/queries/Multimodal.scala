@@ -145,6 +145,64 @@ object Multimodal {
       |  (SELECT unnest(range(0, 8)) AS x)
       |GROUP BY doc_id, y ORDER BY doc_id, y""".stripMargin
 
+  /** 60-bit average-hash perceptual fingerprint (the pHash family's
+    * aHash): sample the stub image on the same 8x8 grid as the resize
+    * stage, set bit i iff pixel i is above the grid mean — compared
+    * multiplicatively (px*60 > sum) so the threshold stays in exact
+    * integer arithmetic — and pack into one sign-safe BIGINT (60 bits,
+    * like SimHash60). Per-document narrow map; with a real codec the
+    * hamming pairing rides the same pigeonhole banding as
+    * dd_simhash_hamming (the stub's per-doc sampling grid makes
+    * cross-document hamming distances meaningless, so only the
+    * fingerprint itself is emitted here).
+    */
+  private def phash(s: SparkSession, dir: String): DataFrame = {
+    def idiv(a: org.apache.spark.sql.Column, b: Int) =
+      floor(a / b).cast("long")
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        (lit(64) + ascii(substring(col("text"), 1, 1)) % 64).as("w"),
+        (lit(64) + ascii(substring(col("text"), 2, 1)) % 64).as("h"),
+        length(col("text")).as("len"))
+      .withColumn("ps", transform(sequence(lit(0), lit(59)), i => {
+        val sy = idiv(idiv(i.cast("long"), 8) * col("h"), 8)
+        val sx = idiv((i % 8).cast("long") * col("w"), 8)
+        ascii(col("text").substr(
+          ((sy * col("w") + sx) % col("len") + 1).cast("int"), lit(1)))
+      }))
+      .withColumn("total",
+        aggregate(col("ps"), lit(0L), (acc, x) => acc + x))
+      .withColumn("phash",
+        aggregate(transform(sequence(lit(1), lit(60)), i =>
+          when(element_at(col("ps"), i).cast("long") * 60 > col("total"),
+            pow(lit(2.0), (lit(60) - i).cast("double")).cast("long"))
+            .otherwise(lit(0L))),
+          lit(0L), (acc, x) => acc + x))
+      .select(col("doc_id"), col("phash"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val phashSql =
+    """WITH base AS (
+      |  SELECT doc_id, text,
+      |    64 + (ascii(substring(text, 1, 1)) % 64) AS w,
+      |    64 + (ascii(substring(text, 2, 1)) % 64) AS h,
+      |    length(text) AS len
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 60), i ->
+      |      ascii(substring(text,
+      |        ((((i // 8) * h) // 8) * w + ((i % 8) * w) // 8) % len + 1,
+      |        1))) AS ps
+      |  FROM base)
+      |SELECT doc_id,
+      |  CAST(list_aggregate(list_transform(range(1, 61), i ->
+      |    CASE WHEN ps[i] * 60 > list_aggregate(ps, 'sum')
+      |      THEN CAST(power(2, 60 - i) AS BIGINT) ELSE 0 END), 'sum')
+      |    AS BIGINT) AS phash
+      |FROM px ORDER BY doc_id""".stripMargin
+
   /** Frame sampling: every 7th byte, first 5 frames per payload — the
     * video-frame-sample access pattern as a narrow map.
     */
@@ -230,5 +288,6 @@ object Multimodal {
     QueryDef("mm_decode_stub", decodeStub, Some(decodeStubSql)),
     QueryDef("mm_resize_stub", resizeStub, Some(resizeStubSql)),
     QueryDef("mm_frame_sample", frameSample, Some(frameSampleSql)),
-    QueryDef("mm_feature_extract", featureExtract, Some(featureExtractSql)))
+    QueryDef("mm_feature_extract", featureExtract, Some(featureExtractSql)),
+    QueryDef("mm_phash", phash, Some(phashSql)))
 }

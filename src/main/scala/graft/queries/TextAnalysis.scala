@@ -357,7 +357,42 @@ object TextAnalysis {
       |FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w
       |GROUP BY 1, 2 ORDER BY n_docs DESC, w1, w2 LIMIT 25""".stripMargin
 
+  /** Per-document unigram Shannon entropy — the information-density
+    * quality signal (low entropy = repetitive/templated text). The
+    * -p·ln(p) terms fold sequentially over the SORTED distinct tokens,
+    * so both engines accumulate in the same order, and the result is
+    * rounded to 9 decimals (ln differs by 1 ulp cross-engine on some
+    * inputs — the established transcendental contract). Narrow per-row
+    * arithmetic; the inner count is O(tokens²) per document, bounded
+    * by document length, not corpus size.
+    */
+  private def tokenEntropy(s: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val n = size(ws)
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), n.as("n_tokens"),
+        size(array_distinct(ws)).as("n_distinct"),
+        round(aggregate(sort_array(array_distinct(ws)), lit(0.0),
+          (acc, u) => {
+            val p = size(filter(ws, w => w === u)).cast("double") / n
+            acc - p * log(p)
+          }), 9).as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val tokenEntropySql =
+    """SELECT doc_id,
+      |  CAST(len(ws) AS INTEGER) AS n_tokens,
+      |  CAST(len(list_distinct(ws)) AS INTEGER) AS n_distinct,
+      |  round(list_aggregate(list_transform(list_sort(list_distinct(ws)),
+      |    u -> -(CAST(len(list_filter(ws, w -> w = u)) AS DOUBLE) / len(ws))
+      |      * ln(CAST(len(list_filter(ws, w -> w = u)) AS DOUBLE) / len(ws))),
+      |    'sum'), 9) AS entropy
+      |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("ta_token_entropy", tokenEntropy, Some(tokenEntropySql)),
     QueryDef("ta_tfidf", tfidf, Some(tfidfSql)),
     QueryDef("ta_cooccurrence", cooccurrence, Some(cooccurrenceSql)),
     QueryDef("ta_vocab_hll", vocabHll, Some(vocabHllSql)),
