@@ -255,6 +255,33 @@ object Corpus {
       |  doc_id, source
       |FROM documents ORDER BY shuffle_key LIMIT 100""".stripMargin
 
+  /** Stratified source interleaving: rank documents within each source
+    * by a salted hash, then read in (rank, source) order — the epoch
+    * ordering that round-robins through sources so no long same-source
+    * run appears in the training stream, with no RNG state. The
+    * per-source rank is one partitioned window; the global (rank,
+    * source) head executes as per-partition top-k + merge
+    * (TakeOrderedAndProject), never a full sort.
+    */
+  private def interleave(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("k"))
+    Tables(s, dir, "documents")
+      .withColumn("k", md5(concat(lit("il:"),
+        col("doc_id").cast("string")).cast("binary")))
+      .withColumn("rnk", row_number().over(w))
+      .select(col("rnk"), col("source"), col("doc_id"))
+      .orderBy(col("rnk"), col("source"))
+      .limit(100)
+  }
+
+  private val interleaveSql =
+    """SELECT rnk, source, doc_id FROM (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5('il:' || CAST(doc_id AS VARCHAR))) AS rnk
+      |  FROM documents)
+      |ORDER BY rnk, source LIMIT 100""".stripMargin
+
   /** The curation pipeline end-to-end: quality-filter (repetition +
     * diversity rules) → exact-dedup survivors → stable split
     * assignment → per-split corpus stats. Each stage is an operator
@@ -459,6 +486,7 @@ object Corpus {
     QueryDef("cp_quality_filter", qualityFilter, Some(qualityFilterSql)),
     QueryDef("cp_source_mix", sourceMix, Some(sourceMixSql)),
     QueryDef("cp_upsample", upsample, Some(upsampleSql)),
+    QueryDef("cp_interleave", interleave, Some(interleaveSql)),
     QueryDef("cp_ngram_repetition", ngramRepetition, Some(ngramRepetitionSql)),
     QueryDef("cp_corpus_shuffle", corpusShuffle, Some(corpusShuffleSql)))
 }

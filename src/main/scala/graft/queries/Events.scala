@@ -332,10 +332,49 @@ object Events {
        |ORDER BY e.user_id""".stripMargin
   }
 
+  /** Per-type z-score outliers (|z| > 3): the per-type moments come
+    * from one decimal-exact aggregation (sum and sum-of-squares —
+    * order-independent under any partitioning), broadcast back over
+    * the events as a 5-row join, so the fact stream never shuffles.
+    * mean/std/z are then plain double arithmetic from identical
+    * inputs, identical cross-engine (sqrt is correctly rounded —
+    * no transcendental drift).
+    */
+  private def zscoreOutliers(s: SparkSession, dir: String): DataFrame = {
+    val stats = Tables(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6)))
+          .cast("double").as("sv"),
+        sum((col("value") * col("value")).cast(DecimalType(28, 12)))
+          .cast("double").as("ssv"))
+    val mean = col("sv") / col("n")
+    val std = sqrt(col("ssv") / col("n") - mean * mean)
+    Tables(s, dir, "events")
+      .join(broadcast(stats), "event_type")
+      .withColumn("z", round((col("value") - mean) / std, 9))
+      .filter(abs(col("z")) > 3)
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
+      .orderBy(col("event_id"))
+  }
+
+  private val zscoreOutliersSql =
+    """WITH st AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv,
+      |    CAST(sum(CAST(value * value AS DECIMAL(28,12))) AS DOUBLE) AS ssv
+      |  FROM events GROUP BY 1)
+      |SELECT event_id, event_type, value,
+      |  round((value - sv/n) / sqrt(ssv/n - (sv/n)*(sv/n)), 9) AS z
+      |FROM events JOIN st USING (event_type)
+      |WHERE abs(round((value - sv/n) / sqrt(ssv/n - (sv/n)*(sv/n)), 9)) > 3
+      |ORDER BY event_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("ev_retention", retention, Some(retentionSql)),
     QueryDef("ev_funnel", funnel, Some(funnelSql)),
     QueryDef("ev_user_cms", userCms, Some(userCmsSql)),
+    QueryDef("ev_zscore_outliers", zscoreOutliers, Some(zscoreOutliersSql)),
     QueryDef("ev_json_props", jsonProps, Some(jsonPropsSql)),
     QueryDef("ev_hourly_by_type", hourly, Some(hourlySql)),
     QueryDef("ev_sessionize", sessionize, Some(sessionizeSql)),
