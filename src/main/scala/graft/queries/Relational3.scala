@@ -381,24 +381,42 @@ object Relational3 {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Bloom-filter semi-join: build a bloom filter over the hot-order
-    * keys (the small side), broadcast it, and prefilter the fact table
-    * BEFORE its shuffle; the exact semi-join then only sees rows the
-    * bloom admitted. False positives are removed by the exact join, so
-    * the result is exact — the bloom only cuts shuffle volume (here
-    * ~98% of lineitem rows never cross the wire). This is the explicit
-    * form of the runtime-filter pushdown pattern; at corpus scale the
-    * filter is sized to the dim-side cardinality and stays
-    * broadcastable long after the dim rows themselves are not.
+    * keys (the small side), embed it as a binary literal, and prefilter
+    * the fact table BEFORE its shuffle; the exact semi-join then only
+    * sees rows the bloom admitted. False positives are removed by the
+    * exact join, so the result is exact — the bloom only cuts shuffle
+    * volume (here ~98% of lineitem rows never cross the wire). This is
+    * the explicit form of the runtime-filter pushdown pattern; at
+    * corpus scale the filter is sized to the dim-side cardinality and
+    * stays broadcastable long after the dim rows themselves are not.
+    *
+    * Build and probe both use Spark's native runtime-filter
+    * expressions (`BloomFilterAggregate` / `BloomFilterMightContain`,
+    * the pair `InjectRuntimeFilter` plants) rather than a Scala UDF,
+    * so the probe stays inside whole-stage codegen and doesn't fence
+    * off pushdown around it.
     */
   private def bloomSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+
     val hot = Tables(s, dir, "orders")
       .filter(col("o_totalprice") > 250000.0)
       .select(col("o_orderkey"))
-    val bf = hot.stat.bloomFilter("o_orderkey", 100000, 0.01)
-    val bfB = s.sparkContext.broadcast(bf)
-    val mightContain = udf((k: Long) => bfB.value.mightContainLong(k))
+    // n=100k keys at ~1% fpp -> m = -n ln(p)/ln(2)^2 ~ 958k bits (~117 KB)
+    val bfAgg = new BloomFilterAggregate(
+      ColumnBridge.expression(col("o_orderkey").cast("long")),
+      Literal(100000L), Literal(958506L)).toAggregateExpression()
+    val bfBytes = hot
+      .select(ColumnBridge.column(bfAgg).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val mightContain = ColumnBridge.column(BloomFilterMightContain(
+      Literal(bfBytes, BinaryType),
+      ColumnBridge.expression(col("l_orderkey").cast("long"))))
     Tables(s, dir, "lineitem")
-      .filter(mightContain(col("l_orderkey")))
+      .filter(mightContain)
       .join(hot, col("l_orderkey") === col("o_orderkey"), "left_semi")
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),

@@ -32,8 +32,19 @@ object Similarity {
   /** Brute-force cosine top-5: queries are vec_id < 20, corpus is
     * vec_id >= 20. Deterministic rank order: (cosine desc, id asc);
     * the cosine doubles are bit-identical to the oracle's.
+    *
+    * The query set is broadcast so the corpus never shuffles for the
+    * scoring pass, and the ranking runs through the bounded
+    * [[graft.operators.TopKPairsAgg]]: each map task keeps at most k
+    * candidates per query, so the shuffle carries k pairs per
+    * (query, partition) instead of the full scored product — the
+    * per-query reduce side merges k-lists no matter how large the
+    * corpus grows. Scores ride the aggregate as order-preserving
+    * sortable bits ([[graft.functions.DoubleSortableBits]]) and decode
+    * back bit-exact.
     */
   private def knnBrute(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{DoubleSortableBits, SortableBitsToDouble}
     val e = Tables(s, dir, "embeddings")
       .withColumn("nrm", TextFns.norm(col("embedding")))
     val queries = e.filter(col("vec_id") < 20)
@@ -42,14 +53,16 @@ object Similarity {
     val corpus = e.filter(col("vec_id") >= 20)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
         col("nrm").as("nn"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosv").desc, col("neighbor_id"))
     corpus.crossJoin(broadcast(queries))
       .withColumn("cosv", TextFns.cosineFrom(
         TextFns.dot(col("qv"), col("nv")), col("qn"), col("nn")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= TopK)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cosv"))
+      .groupBy(col("query_id"))
+      .agg(graft.operators.TopKPairsAgg(
+        DoubleSortableBits(col("cosv")), col("neighbor_id"), TopK).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "p")))
+      .select(col("query_id"), col("p.tie").as("neighbor_id"),
+        (col("i") + 1).as("rnk"),
+        SortableBitsToDouble(col("p.value")).as("cosv"))
       .orderBy(col("query_id"), col("rnk"))
   }
 

@@ -150,6 +150,38 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(agg.count() == win.count())
   }
 
+  test("sortable bits: order-preserving, bit-exact round trip, both codegen paths") {
+    import graft.functions.{DoubleSortableBits, SortableBitsHelper, SortableBitsToDouble}
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val doubles = Seq(Double.MinValue, -1e300, -1.5, -1e-300, -0.0, 0.0,
+      1e-300, 0.25504277088103294, 1.5, 1e300, Double.MaxValue,
+      Double.NegativeInfinity, Double.PositiveInfinity) ++
+      Seq.fill(500)(rnd.nextDouble() * 2 - 1)
+    // helper level: strict monotonicity + involution
+    val sorted = doubles.sorted
+    val enc = sorted.map(SortableBitsHelper.toSortable)
+    assert(enc == enc.sorted, "encoded order must match double order")
+    for (d <- doubles)
+      assert(java.lang.Double.doubleToRawLongBits(
+        SortableBitsHelper.fromSortable(SortableBitsHelper.toSortable(d))) ==
+        java.lang.Double.doubleToRawLongBits(d))
+    // expression level: codegen and interpreted agree with the helper
+    val df = doubles.zipWithIndex.map(_.swap).toDF("i", "x")
+    for (cg <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", cg)
+      val got = df.select(col("i"), DoubleSortableBits(col("x")).as("s"))
+        .withColumn("back", SortableBitsToDouble(col("s")))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      for ((i, s, back) <- got) {
+        assert(s == SortableBitsHelper.toSortable(doubles(i)))
+        assert(java.lang.Double.doubleToRawLongBits(back) ==
+          java.lang.Double.doubleToRawLongBits(doubles(i)))
+      }
+    }
+    spark.conf.unset("spark.sql.codegen.factoryMode")
+  }
+
   test("aggregates reach the SQL surface through the registry") {
     import spark.implicits._
     graft.functions.Registry.registerAll(spark)
