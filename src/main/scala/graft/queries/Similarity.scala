@@ -539,6 +539,101 @@ object Similarity {
        |SELECT query_id, neighbor_id, rnk, adc FROM ranked
        |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin
 
+  private val IvfPqNlist = 8 // coarse buckets; probes search 2 of 8
+
+  /** The composed IVF-PQ index ([[graft.similarity.IvfPqIndex]])
+    * end-to-end under the hash gate: build (coarse assign → residual
+    * PQ encode), persist, reload, search 2 of 8 buckets by residual
+    * ADC. The production ANN shape — bucket pruning times compressed
+    * scoring — with fixed deterministic seeds so the oracle derives
+    * the identical index: centroids are the 8 lowest-id corpus
+    * vectors, the codebook is the residuals of the 16 lowest-id ones.
+    */
+  private def ivfPqIndexApi(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val idx = graft.similarity.IvfPqIndex.build(
+      e.filter(col("vec_id") >= 20), "vec_id", "embedding",
+      IvfPqNlist, PqSubspaces, PqCodes)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_q").toString
+    idx.save(s"$path/index")
+    val loaded = graft.similarity.IvfPqIndex.load(s, s"$path/index")
+    loaded.search(e.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = TopK, nprobe = NumProbe)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  private val ivfPqIndexApiSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id - 20 AS cent_id, dv AS cv FROM e
+       |  WHERE vec_id >= 20 AND vec_id < ${20 + IvfPqNlist}),
+       |corpus AS (SELECT vec_id AS id, dv FROM e WHERE vec_id >= 20),
+       |assigned AS (
+       |  SELECT id, dv, cent_id, cv FROM (
+       |    SELECT id, dv, cent_id, cv,
+       |      row_number() OVER (PARTITION BY id
+       |        ORDER BY list_cosine_similarity(dv, cv) DESC, cent_id) AS arnk
+       |    FROM corpus, cents)
+       |  WHERE arnk = 1),
+       |resid AS (
+       |  SELECT id, cent_id,
+       |    list_transform(range(1, 65), i -> dv[i] - cv[i]) AS rv
+       |  FROM assigned),
+       |sub AS (SELECT unnest(range(0, $PqSubspaces)) AS m),
+       |cb AS (
+       |  SELECT id - 20 AS code, m,
+       |    list_transform(range(1, ${PqSubDims + 1}),
+       |      i -> rv[m * $PqSubDims + i]) AS cbv
+       |  FROM resid, sub WHERE id < ${20 + PqCodes}),
+       |rsub AS (
+       |  SELECT id, cent_id, m,
+       |    list_transform(range(1, ${PqSubDims + 1}),
+       |      i -> rv[m * $PqSubDims + i]) AS sv
+       |  FROM resid, sub),
+       |enc AS (
+       |  SELECT cent_id, id AS neighbor_id, m, code FROM (
+       |    SELECT cent_id, id, m, code,
+       |      row_number() OVER (PARTITION BY id, m ORDER BY
+       |        list_aggregate(list_transform(range(1, ${PqSubDims + 1}),
+       |          i -> (sv[i] - cbv[i]) * (sv[i] - cbv[i])), 'sum') ASC,
+       |        code) AS rnk
+       |    FROM rsub JOIN cb USING (m))
+       |  WHERE rnk = 1),
+       |queries AS (
+       |  SELECT vec_id AS query_id, dv AS qv FROM e WHERE vec_id < 20),
+       |probes AS (
+       |  SELECT query_id, cent_id,
+       |    list_transform(range(1, 65), i -> qv[i] - cv[i]) AS qrv
+       |  FROM (
+       |    SELECT query_id, qv, cent_id, cv,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY list_cosine_similarity(qv, cv) DESC, cent_id) AS prnk
+       |    FROM queries, cents)
+       |  WHERE prnk <= $NumProbe),
+       |qsub AS (
+       |  SELECT query_id, cent_id, m,
+       |    list_transform(range(1, ${PqSubDims + 1}),
+       |      i -> qrv[m * $PqSubDims + i]) AS sv
+       |  FROM probes, sub),
+       |lut AS (
+       |  SELECT query_id, cent_id, m, code,
+       |    list_aggregate(list_transform(range(1, ${PqSubDims + 1}),
+       |      i -> (sv[i] - cbv[i]) * (sv[i] - cbv[i])), 'sum') AS qd2
+       |  FROM qsub JOIN cb USING (m)),
+       |adc AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(sum(CAST(qd2 AS DECIMAL(18,9))) AS DOUBLE) AS adc
+       |  FROM enc JOIN lut USING (cent_id, m, code)
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc ASC, neighbor_id) AS rnk
+       |  FROM adc)
+       |SELECT query_id, neighbor_id, rnk, adc FROM ranked
+       |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin
+
   /** The IvfIndex library API end-to-end under the hash gate: build
     * over the corpus, persist to parquet, reload, search at full
     * probe width — which makes the API exactly equal brute force, so
@@ -564,6 +659,7 @@ object Similarity {
     QueryDef("sim_pq_encode", pqEncode, Some(pqEncodeSql)),
     QueryDef("sim_pq_adc", pqAdc, Some(pqAdcSql)),
     QueryDef("sim_pq_index_api", pqIndexApi, Some(pqAdcSql)),
+    QueryDef("sim_ivfpq_index_api", ivfPqIndexApi, Some(ivfPqIndexApiSql)),
     QueryDef("sim_kmeans_ivf", kmeansIvf, Some(kmeansIvfSql)),
     QueryDef("sim_knn_brute", knnBrute, Some(knnBruteSql)),
     QueryDef("sim_knn_ivf", knnIvf, Some(knnIvfSql)),
