@@ -35,10 +35,16 @@ object Registry {
       exprs => graft.operators.TopKPairsAgg(exprs(0), exprs(1),
         intArg(exprs(2), "topk_pairs"))))
 
+  /** Idempotent per session: skips names already registered so callers
+    * can invoke this per query without `SimpleFunctionRegistry`
+    * "replaced a previously registered function" warnings on reruns.
+    */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     builders.foreach { case (name, _, builder) =>
-      reg.createOrReplaceTempFunction(name, builder, "built-in")
+      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name))) {
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+      }
     }
   }
 }
