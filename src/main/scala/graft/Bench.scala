@@ -10,26 +10,44 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints one compact JSON line
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
   *
+  * Variance harness: the whole suite runs `SPARK_GRAFT_BENCH_REPS`
+  * times (default 3), alternating iteration order between passes
+  * (forward / reverse / forward ...) so a query's position relative to
+  * GC pauses and JIT warmup differs per pass. Each query reports its
+  * MEDIAN across passes; min/max are kept as the spread. Rationale:
+  * three consecutive rounds (r3 mm_*, r4 q17-q20, r5 dd_exact_norm +
+  * five sim_*) produced 1.5-4.7x "regressions" on untouched code that
+  * reverted by themselves — single-shot timing on a shared box is
+  * noise-dominated, and the median of 3 alternating-order passes is
+  * the cheapest estimator that kills order- and one-off-spike effects.
+  *
   * The driver captures only a bounded tail of the build log, so a
   * single line carrying all 100+ per-query timings gets head-truncated
-  * (BENCH_r03 `parsed: null`). The full per-query map is therefore
-  * written to `BENCH_DETAIL.json` in the repo (committed each round),
-  * and the printed line carries only per-family totals plus the ten
-  * slowest individual queries — small enough that the tail always
-  * retains it whole. It is printed as the *final* line so tail capture
-  * keeps the end even if the window shrinks further.
+  * (BENCH_r03 `parsed: null`). The full per-query `{med,min,max}` map
+  * is therefore written to `BENCH_DETAIL.json` in the repo (committed
+  * each round), and the printed line carries only per-family median
+  * totals plus the ten slowest individual queries (by median) — small
+  * enough that the tail always retains it whole. It is printed as the
+  * *final* line so tail capture keeps the end even if the window
+  * shrinks further.
   *
   * A warmup action runs first so the session/codegen startup cost
-  * isn't billed to whichever query happens to run first; queries then
-  * run in name order for stable comparisons across rounds.
+  * isn't billed to whichever query happens to run first.
   */
 object Bench {
   private def js(v: Double): String =
     String.format(Locale.ROOT, "%.3f", Double.box(v)) // locale-proof: '.' decimal separator always
 
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -42,40 +60,53 @@ object Bench {
 
     Tables(spark, sfDir, "lineitem").count() // warmup
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          // surfaced on stderr — a crashed query must not read as a fast one
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+    val byName = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    for (rep <- 0 until reps) {
+      val order = if (rep % 2 == 0) byName else byName.reverse
+      for ((name, fn) <- order) {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            // surfaced on stderr — a crashed query must not read as a fast one
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
-    val total = results.map(_._2).sum
 
-    // Full per-query map → repo file (the durable artifact).
-    val fullQs = results.map { case (k, v) => s""""$k":${js(v)}""" }
-      .mkString("{", ",", "}")
+    // (name, med, min, max) in name order; headline value = sum of medians
+    val stats = byName.map { case (name, _) =>
+      val xs = samples(name)
+      (name, median(xs), xs.min, xs.max)
+    }
+    val total = stats.map(_._2).sum
+
+    // Full per-query med/min/max map → repo file (the durable artifact).
+    val fullQs = stats.map { case (k, med, mn, mx) =>
+      s""""$k":{"med":${js(med)},"min":${js(mn)},"max":${js(mx)}}"""
+    }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":${js(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir","cpus":$cpus}"""
+      s"""{"metric":"total","value":${js(total)},"unit":"sec","stat":"median","reps":$reps,"queries":$fullQs,"sf":"$sfDir","cpus":$cpus}"""
     val detailPath = Paths.get("BENCH_DETAIL.json").toAbsolutePath
     Files.write(detailPath, (fullJson + "\n").getBytes(StandardCharsets.UTF_8))
 
-    // Compact line: per-family totals + ten slowest queries. Family =
-    // query-name prefix before the first '_' (cp dd ev evs mig mm q*
-    // sim sqlapi ta); q01..q34 collapse to "q".
-    val famTotals = results
-      .groupBy { case (name, _) =>
+    // Compact line: per-family median totals + ten slowest queries by
+    // median. Family = query-name prefix before the first '_' (cp dd
+    // ev evs mig mm q* sim sqlapi ta); q01..q34 collapse to "q".
+    val famTotals = stats
+      .groupBy { case (name, _, _, _) =>
         val p = name.takeWhile(_ != '_')
         if (p.matches("q\\d+")) "q" else p
       }
       .map { case (fam, rs) => s""""fam_$fam":${js(rs.map(_._2).sum)}""" }
       .toSeq.sorted
-    val slowest = results.sortBy(-_._2).take(10)
-      .map { case (k, v) => s""""$k":${js(v)}""" }
+    val slowest = stats.sortBy(-_._2).take(10)
+      .map { case (k, med, _, _) => s""""$k":${js(med)}""" }
     val compactQs = (famTotals ++ slowest).mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${js(total)},"unit":"sec","queries":$compactQs,"sf":"$sfDir","n_queries":${results.size},"detail":"$detailPath"}""")
+      s"""{"metric":"total","value":${js(total)},"unit":"sec","stat":"median","reps":$reps,"queries":$compactQs,"sf":"$sfDir","n_queries":${stats.size},"detail":"$detailPath"}""")
     spark.stop()
   }
 }

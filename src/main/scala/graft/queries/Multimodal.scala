@@ -150,13 +150,11 @@ object Multimodal {
     * stage, set bit i iff pixel i is above the grid mean — compared
     * multiplicatively (px*60 > sum) so the threshold stays in exact
     * integer arithmetic — and pack into one sign-safe BIGINT (60 bits,
-    * like SimHash60). Per-document narrow map; with a real codec the
-    * hamming pairing rides the same pigeonhole banding as
-    * dd_simhash_hamming (the stub's per-doc sampling grid makes
-    * cross-document hamming distances meaningless, so only the
-    * fingerprint itself is emitted here).
+    * like SimHash60). Per-document narrow map; mm_phash_pairs below
+    * rides the pairing on the same pigeonhole banding as
+    * dd_simhash_hamming.
     */
-  private def phash(s: SparkSession, dir: String): DataFrame = {
+  private def phashDf(s: SparkSession, dir: String): DataFrame = {
     def idiv(a: org.apache.spark.sql.Column, b: Int) =
       floor(a / b).cast("long")
     Tables(s, dir, "documents")
@@ -179,8 +177,78 @@ object Multimodal {
             .otherwise(lit(0L))),
           lit(0L), (acc, x) => acc + x))
       .select(col("doc_id"), col("phash"))
-      .orderBy(col("doc_id"))
   }
+
+  private def phash(s: SparkSession, dir: String): DataFrame =
+    phashDf(s, dir).orderBy(col("doc_id"))
+
+  /** pHash near-dup pairing: Hamming distance <= 8 on the 60-bit
+    * fingerprint, paired via the pigeonhole banding of
+    * dd_simhash_hamming but with 10 bands of 6 bits (distance <= 9
+    * over 10 bands forces at least one identical band, so the
+    * band-bucket join finds every pair at <= 8 with no recall loss and
+    * only band collisions pay the popcount). Band width is the
+    * candidate-volume knob: the stub fingerprints are near-uniform, so
+    * the fixture needs a loose threshold (nearest pair at sf0.01 is
+    * distance 7) and hence narrow bands; a production image corpus
+    * clusters tightly and runs the 4x15 / distance-3 setting of
+    * dd_simhash_hamming, same plan shape either way.
+    *
+    * NOTE: the decode step is the documented stub, so cross-document
+    * distances here are synthetic (they measure payload-byte
+    * similarity, not visual similarity). What this query pins is the
+    * real part — fingerprint packing, banding, candidate join and
+    * Hamming verify — which is codec-independent; swap fakeDecode for
+    * a real codec and the pairing path is unchanged.
+    */
+  private def phashPairs(s: SparkSession, dir: String): DataFrame = {
+    val ph = phashDf(s, dir)
+    val bands = ph.select(col("doc_id"), col("phash"),
+      posexplode(array((0 until 10).map(b =>
+        shiftright(col("phash"), b * 6).bitwiseAND(lit(0x3fL))): _*))
+        .as(Seq("band_idx", "band_val")))
+    val a = bands.select(col("doc_id").as("doc_a"), col("phash").as("ha"),
+      col("band_idx"), col("band_val"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("phash").as("hb"),
+      col("band_idx"), col("band_val"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("ha"), col("hb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= 8)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // oracle re-derives the fingerprints, then verifies the pairing
+  // brute-force — pinning that the banded join loses no pairs
+  private val phashPairsSql =
+    """WITH base AS (
+      |  SELECT doc_id, text,
+      |    64 + (ascii(substring(text, 1, 1)) % 64) AS w,
+      |    64 + (ascii(substring(text, 2, 1)) % 64) AS h,
+      |    length(text) AS len
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 60), i ->
+      |      ascii(substring(text,
+      |        ((((i // 8) * h) // 8) * w + ((i % 8) * w) // 8) % len + 1,
+      |        1))) AS ps
+      |  FROM base),
+      |ph AS (
+      |  SELECT doc_id,
+      |    CAST(list_aggregate(list_transform(range(1, 61), i ->
+      |      CASE WHEN ps[i] * 60 > list_aggregate(ps, 'sum')
+      |        THEN CAST(power(2, 60 - i) AS BIGINT) ELSE 0 END), 'sum')
+      |      AS BIGINT) AS phash
+      |  FROM px)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  bit_count(xor(a.phash, b.phash)) AS hamming
+      |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.phash, b.phash)) <= 8
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   private val phashSql =
     """WITH base AS (
@@ -289,5 +357,6 @@ object Multimodal {
     QueryDef("mm_resize_stub", resizeStub, Some(resizeStubSql)),
     QueryDef("mm_frame_sample", frameSample, Some(frameSampleSql)),
     QueryDef("mm_feature_extract", featureExtract, Some(featureExtractSql)),
-    QueryDef("mm_phash", phash, Some(phashSql)))
+    QueryDef("mm_phash", phash, Some(phashSql)),
+    QueryDef("mm_phash_pairs", phashPairs, Some(phashPairsSql)))
 }

@@ -634,6 +634,119 @@ object Similarity {
        |SELECT query_id, neighbor_id, rnk, adc FROM ranked
        |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin
 
+  /** IVF-PQ with TRAINED coarse centroids: `build(trainIters = 2)`
+    * refines the 8 seed centroids with two deterministic Lloyd passes
+    * (cosine assignment, decimal-exact per-dimension means, empty
+    * clusters keep their previous centroid — the same loop
+    * sim_kmeans_ivf gates) before residual encoding, then searches 2
+    * of 8 buckets by residual ADC. The oracle unrolls the two passes
+    * as CTE steps and re-derives the identical index. No save/load
+    * round-trip here — sim_ivfpq_index_api already pins persistence.
+    */
+  private def ivfPqTrained(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val idx = graft.similarity.IvfPqIndex.build(
+      e.filter(col("vec_id") >= 20), "vec_id", "embedding",
+      IvfPqNlist, PqSubspaces, PqCodes, trainIters = 2)
+    idx.search(e.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = TopK, nprobe = NumProbe)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  private val ivfPqTrainedSql = {
+    // one Lloyd pass: assign corpus to nearest centroid in `prev`,
+    // per-dimension decimal-exact means, empty clusters keep prev
+    def stepSql(prev: String, n: Int): String =
+      s"""a$n AS (
+         |  SELECT id, dv, cent_id FROM (
+         |    SELECT id, dv, cent_id,
+         |      row_number() OVER (PARTITION BY id
+         |        ORDER BY list_cosine_similarity(dv, cv) DESC, cent_id) AS arnk
+         |    FROM corpus, $prev)
+         |  WHERE arnk = 1),
+         |m$n AS (
+         |  SELECT cent_id, list(m ORDER BY d) AS newcv FROM (
+         |    SELECT cent_id, d,
+         |      CAST(sum(CAST(dv[d] AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS m
+         |    FROM a$n, (SELECT unnest(range(1, 65)) AS d)
+         |    GROUP BY cent_id, d)
+         |  GROUP BY cent_id),
+         |c$n AS (
+         |  SELECT cent_id, coalesce(newcv, cv) AS cv
+         |  FROM $prev LEFT JOIN m$n USING (cent_id))""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+       |corpus AS (SELECT vec_id AS id, dv FROM e WHERE vec_id >= 20),
+       |c0 AS (
+       |  SELECT vec_id - 20 AS cent_id, dv AS cv FROM e
+       |  WHERE vec_id >= 20 AND vec_id < ${20 + IvfPqNlist}),
+       |${stepSql("c0", 1)},
+       |${stepSql("c1", 2)},
+       |assigned AS (
+       |  SELECT id, dv, cent_id, cv FROM (
+       |    SELECT id, dv, cent_id, cv,
+       |      row_number() OVER (PARTITION BY id
+       |        ORDER BY list_cosine_similarity(dv, cv) DESC, cent_id) AS arnk
+       |    FROM corpus, c2)
+       |  WHERE arnk = 1),
+       |resid AS (
+       |  SELECT id, cent_id,
+       |    list_transform(range(1, 65), i -> dv[i] - cv[i]) AS rv
+       |  FROM assigned),
+       |sub AS (SELECT unnest(range(0, $PqSubspaces)) AS m),
+       |cb AS (
+       |  SELECT id - 20 AS code, m,
+       |    list_transform(range(1, ${PqSubDims + 1}),
+       |      i -> rv[m * $PqSubDims + i]) AS cbv
+       |  FROM resid, sub WHERE id < ${20 + PqCodes}),
+       |rsub AS (
+       |  SELECT id, cent_id, m,
+       |    list_transform(range(1, ${PqSubDims + 1}),
+       |      i -> rv[m * $PqSubDims + i]) AS sv
+       |  FROM resid, sub),
+       |enc AS (
+       |  SELECT cent_id, id AS neighbor_id, m, code FROM (
+       |    SELECT cent_id, id, m, code,
+       |      row_number() OVER (PARTITION BY id, m ORDER BY
+       |        list_aggregate(list_transform(range(1, ${PqSubDims + 1}),
+       |          i -> (sv[i] - cbv[i]) * (sv[i] - cbv[i])), 'sum') ASC,
+       |        code) AS rnk
+       |    FROM rsub JOIN cb USING (m))
+       |  WHERE rnk = 1),
+       |queries AS (
+       |  SELECT vec_id AS query_id, dv AS qv FROM e WHERE vec_id < 20),
+       |probes AS (
+       |  SELECT query_id, cent_id,
+       |    list_transform(range(1, 65), i -> qv[i] - cv[i]) AS qrv
+       |  FROM (
+       |    SELECT query_id, qv, cent_id, cv,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY list_cosine_similarity(qv, cv) DESC, cent_id) AS prnk
+       |    FROM queries, c2)
+       |  WHERE prnk <= $NumProbe),
+       |qsub AS (
+       |  SELECT query_id, cent_id, m,
+       |    list_transform(range(1, ${PqSubDims + 1}),
+       |      i -> qrv[m * $PqSubDims + i]) AS sv
+       |  FROM probes, sub),
+       |lut AS (
+       |  SELECT query_id, cent_id, m, code,
+       |    list_aggregate(list_transform(range(1, ${PqSubDims + 1}),
+       |      i -> (sv[i] - cbv[i]) * (sv[i] - cbv[i])), 'sum') AS qd2
+       |  FROM qsub JOIN cb USING (m)),
+       |adc AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(sum(CAST(qd2 AS DECIMAL(18,9))) AS DOUBLE) AS adc
+       |  FROM enc JOIN lut USING (cent_id, m, code)
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc ASC, neighbor_id) AS rnk
+       |  FROM adc)
+       |SELECT query_id, neighbor_id, rnk, adc FROM ranked
+       |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** The IvfIndex library API end-to-end under the hash gate: build
     * over the corpus, persist to parquet, reload, search at full
     * probe width — which makes the API exactly equal brute force, so
@@ -660,6 +773,7 @@ object Similarity {
     QueryDef("sim_pq_adc", pqAdc, Some(pqAdcSql)),
     QueryDef("sim_pq_index_api", pqIndexApi, Some(pqAdcSql)),
     QueryDef("sim_ivfpq_index_api", ivfPqIndexApi, Some(ivfPqIndexApiSql)),
+    QueryDef("sim_ivfpq_trained", ivfPqTrained, Some(ivfPqTrainedSql)),
     QueryDef("sim_kmeans_ivf", kmeansIvf, Some(kmeansIvfSql)),
     QueryDef("sim_knn_brute", knnBrute, Some(knnBruteSql)),
     QueryDef("sim_knn_ivf", knnIvf, Some(knnIvfSql)),

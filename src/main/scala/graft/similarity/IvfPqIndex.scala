@@ -27,12 +27,14 @@ import graft.functions.DoubleVecDot
   *    sum of `subspaces` LUT cells, decimal-accumulated so the ranking
   *    is order-independent; ties break on neighbor id.
   *
-  * Determinism contract (same as PqIndex): coarse centroids are the
-  * `nlist` lowest-id corpus vectors and the codebook is the residuals
-  * of the `codeCount` lowest-id corpus vectors — fixed seeds, no
-  * training RNG — so a SQL oracle derives the identical index.
-  * Callers wanting trained centroids run Lloyd passes first and feed
-  * them in the same layout (see queries.Similarity.kmeansIvf).
+  * Determinism contract (same as PqIndex): coarse centroids start as
+  * the `nlist` lowest-id corpus vectors and the codebook is the
+  * residuals of the `codeCount` lowest-id corpus vectors — fixed
+  * seeds, no training RNG — so a SQL oracle derives the identical
+  * index. `build(trainIters = n)` refines the seeds with n
+  * deterministic Lloyd passes (decimal-exact means, ties to the lower
+  * cent_id — the same loop as queries.Similarity.kmeansIvf), which an
+  * oracle unrolls as n CTE steps.
   */
 final class IvfPqIndex private[similarity] (
     val nlist: Int,
@@ -134,16 +136,27 @@ object IvfPqIndex {
 
   /** Build over a corpus with a long id column and an Array[Float]
     * vector column.
+    *
+    * `trainIters > 0` refines the seed centroids with that many Lloyd
+    * passes before assignment/encoding (the same deterministic loop as
+    * queries.Similarity.kmeansIvf: cosine assignment with ties to the
+    * lower cent_id — a narrow projection, NO shuffle of the corpus —
+    * then per-dimension decimal-exact means, one (cent_id, dim)
+    * partial-sum shuffle per pass; empty clusters keep their previous
+    * centroid). Deterministic under any partitioning, so a SQL oracle
+    * can unroll the same passes as CTEs. At 100 TB the training input
+    * would be a sample; here the fixture corpus is the sample.
     */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int = 8, subspaces: Int = 8, codeCount: Int = 16): IvfPqIndex = {
+      nlist: Int = 8, subspaces: Int = 8, codeCount: Int = 16,
+      trainIters: Int = 0): IvfPqIndex = {
     val s = corpus.sparkSession
     import s.implicits._
 
     val base = corpus.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("dv"))
 
-    val cents: Seq[(Int, Seq[Double])] = base.orderBy(col("id")).limit(nlist)
+    var cents: Seq[(Int, Seq[Double])] = base.orderBy(col("id")).limit(nlist)
       .select(col("dv")).collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](0)) }
@@ -162,6 +175,23 @@ object IvfPqIndex {
       }
       withCos.withColumn("cent_id", pick)
         .drop(cents.map(c => s"cos_${c._1}"): _*)
+    }
+
+    // Lloyd passes over the seeds: assignment (narrow) + decimal-exact
+    // per-dimension means (order-independent), driver sees nlist x dim
+    // doubles per pass
+    for (_ <- 1 to trainIters) {
+      val means = withNearest(base)
+        .select(col("cent_id"), posexplode(col("dv")).as(Seq("d", "v")))
+        .groupBy(col("cent_id"), col("d"))
+        .agg((sum(col("v").cast(DecimalType(18, 9))).cast("double") /
+          count(lit(1))).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
     }
 
     // residual = vector - assigned centroid (centroid again a literal,
