@@ -57,6 +57,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftRuntime.silenceKnownBenignWarnings()
 
     Tables(spark, sfDir, "lineitem").count() // warmup
 

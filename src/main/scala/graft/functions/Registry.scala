@@ -35,14 +35,26 @@ object Registry {
       exprs => graft.operators.TopKPairsAgg(exprs(0), exprs(1),
         intArg(exprs(2), "topk_pairs"))))
 
-  /** Idempotent per session: skips names already registered so callers
-    * can invoke this per query without `SimpleFunctionRegistry`
-    * "replaced a previously registered function" warnings on reruns.
+  // Registries graft has already populated, weakly keyed so dropped
+  // sessions don't pin their registry. Tracking OUR registrations
+  // (rather than name existence) means a graft name colliding with a
+  // Spark built-in or a user temp function still gets re-registered to
+  // graft's implementation on first call — existence-checking would
+  // silently keep the foreign one — while repeat calls stay silent.
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[AnyRef, java.lang.Boolean]())
+
+  /** Idempotent per session: first call on a session registers (or
+    * re-registers, if a foreign function holds the name) every graft
+    * function; later calls are no-ops, so per-query invocation doesn't
+    * spam `SimpleFunctionRegistry` "replaced a previously registered
+    * function" warnings.
     */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    builders.foreach { case (name, _, builder) =>
-      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name))) {
+    if (registered.putIfAbsent(reg, java.lang.Boolean.TRUE) == null) {
+      builders.foreach { case (name, _, builder) =>
         reg.createOrReplaceTempFunction(name, builder, "built-in")
       }
     }

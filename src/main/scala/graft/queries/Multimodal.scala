@@ -6,12 +6,14 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: image/audio/video payloads are opaque
-  * `binary` columns with typed metadata. The container has no codec
-  * libraries, so the decode step is a clearly-marked deterministic
-  * STUB (`fakeDecode`) — but everything around it is the real Spark
-  * shape: BinaryType columns, explicit result schema, per-partition
-  * batch iteration via `mapPartitions`, and frame/feature extraction
-  * as narrow map stages.
+  * `binary` columns with typed metadata. The container has no external
+  * codec libraries, so most decode steps are a clearly-marked
+  * deterministic STUB (`fakeDecode`) — but everything around them is
+  * the real Spark shape: BinaryType columns, explicit result schema,
+  * per-partition batch iteration via `mapPartitions`, and
+  * frame/feature extraction as narrow map stages. The exception is
+  * `mm_decode_png`, which runs a genuine PNG encode+decode round-trip
+  * through javax.imageio (JDK-built-in).
   *
   * The `documents.text` bytes stand in for media payloads (the
   * fixtures ship no real blobs); `fakeDecode` derives metadata from
@@ -36,6 +38,17 @@ case class DecodedMeta(
   * encoder-codegen reason as [[DecodedMeta]].
   */
 case class ResizedRow(doc_id: Long, y: Int, row_sum: Long)
+
+/** Result schema of the real-codec round-trip — top-level for the same
+  * encoder-codegen reason as [[DecodedMeta]].
+  */
+case class PngDecoded(
+    doc_id: Long, width: Int, height: Int, px_sum: Long, mid_px: Int)
+
+/** Result schema of the perceptual-hash stage — top-level for the same
+  * encoder-codegen reason as [[DecodedMeta]].
+  */
+case class PhashRow(doc_id: Long, phash: Long)
 
 object Multimodal {
 
@@ -153,30 +166,49 @@ object Multimodal {
     * like SimHash60). Per-document narrow map; mm_phash_pairs below
     * rides the pairing on the same pigeonhole banding as
     * dd_simhash_hamming.
+    *
+    * Computed in the mapPartitions batch shape (like the codec
+    * stages), NOT as nested higher-order Column functions: the
+    * two-pass mean-then-threshold structure needs the grid total
+    * inside the per-bit lambda, and Catalyst's project collapsing
+    * inlines that total as a fresh aggregate() per element — an
+    * O(grid²) interpreted blow-up per document that measured 280 s
+    * at sf0.1 for the pairing query below (the HOF form) vs ~4 s for
+    * this one. Payload bytes equal ascii(char) here (the fixture text
+    * is ASCII), which is what keeps the SQL oracle expressible.
     */
   private def phashDf(s: SparkSession, dir: String): DataFrame = {
-    def idiv(a: org.apache.spark.sql.Column, b: Int) =
-      floor(a / b).cast("long")
+    val enc = org.apache.spark.sql.Encoders.product[PhashRow]
     Tables(s, dir, "documents")
-      .select(col("doc_id"), col("text"),
-        (lit(64) + ascii(substring(col("text"), 1, 1)) % 64).as("w"),
-        (lit(64) + ascii(substring(col("text"), 2, 1)) % 64).as("h"),
-        length(col("text")).as("len"))
-      .withColumn("ps", transform(sequence(lit(0), lit(59)), i => {
-        val sy = idiv(idiv(i.cast("long"), 8) * col("h"), 8)
-        val sx = idiv((i % 8).cast("long") * col("w"), 8)
-        ascii(col("text").substr(
-          ((sy * col("w") + sx) % col("len") + 1).cast("int"), lit(1)))
-      }))
-      .withColumn("total",
-        aggregate(col("ps"), lit(0L), (acc, x) => acc + x))
-      .withColumn("phash",
-        aggregate(transform(sequence(lit(1), lit(60)), i =>
-          when(element_at(col("ps"), i).cast("long") * 60 > col("total"),
-            pow(lit(2.0), (lit(60) - i).cast("double")).cast("long"))
-            .otherwise(lit(0L))),
-          lit(0L), (acc, x) => acc + x))
-      .select(col("doc_id"), col("phash"))
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .mapPartitions { it: Iterator[Row] =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val blob = r.getAs[Array[Byte]](1)
+          def b(i: Int): Int = if (i < blob.length) blob(i) & 0xff else 0
+          val w = 64 + b(0) % 64
+          val h = 64 + b(1) % 64
+          val len = blob.length
+          val ps = new Array[Int](60)
+          var total = 0L
+          var i = 0
+          while (i < 60) {
+            val sy = (i / 8) * h / 8
+            val sx = (i % 8) * w / 8
+            ps(i) = blob((sy * w + sx) % len) & 0xff
+            total += ps(i)
+            i += 1
+          }
+          var phash = 0L
+          i = 0
+          while (i < 60) {
+            if (ps(i).toLong * 60 > total) phash |= 1L << (59 - i)
+            i += 1
+          }
+          PhashRow(id, phash)
+        }
+      }(enc)
+      .toDF()
   }
 
   private def phash(s: SparkSession, dir: String): DataFrame =
@@ -271,6 +303,73 @@ object Multimodal {
       |    AS BIGINT) AS phash
       |FROM px ORDER BY doc_id""".stripMargin
 
+  /** REAL codec round-trip — the one mm_ stage that is not a stub:
+    * each document's payload bytes are rasterized into a 16x16 8-bit
+    * grayscale image (pixel (x,y) = payload byte (y*16+x) mod len),
+    * ENCODED to genuine PNG bytes with javax.imageio (in the JDK, no
+    * external libs) and DECODED back with the same codec, all inside
+    * one mapPartitions pass — the exact per-partition batch shape a
+    * libjpeg/ffmpeg UDF runs in. Emitted scalars (dimensions, pixel
+    * sum, center pixel) come from the DECODED raster, so the query
+    * fails if either codec direction corrupts a byte; PNG gray-8 is
+    * lossless, which is what lets a SQL oracle predict the decoded
+    * pixels without being able to parse PNG.
+    *
+    * Scale notes: encode+decode is CPU-bound narrow work, ~O(bytes)
+    * per blob with no shuffle; at 100 TB the knob is input split size,
+    * same as the stub stages. The PNG container bytes themselves are
+    * deliberately NOT emitted — encoder output can vary across JDK
+    * PNG writer versions; the decoded pixels cannot.
+    */
+  private def decodePng(s: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.product[PngDecoded]
+    val side = 16
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .mapPartitions { it: Iterator[Row] =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val blob = r.getAs[Array[Byte]](1)
+          val img = new java.awt.image.BufferedImage(
+            side, side, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          var i = 0
+          while (i < side * side) {
+            img.getRaster.setSample(i % side, i / side, 0,
+              blob(i % blob.length) & 0xff)
+            i += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          val png = bos.toByteArray // the real media blob
+
+          val back = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(png))
+          val raster = back.getRaster
+          var sum = 0L
+          var j = 0
+          while (j < side * side) {
+            sum += raster.getSample(j % side, j / side, 0)
+            j += 1
+          }
+          PngDecoded(id, back.getWidth, back.getHeight, sum,
+            raster.getSample(side / 2, side / 2, 0))
+        }
+      }(enc)
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  // the oracle predicts the decoded raster from the rasterization
+  // arithmetic alone — valid because PNG gray-8 is lossless
+  private val decodePngSql =
+    """SELECT doc_id, 16 AS width, 16 AS height,
+      |  CAST(list_aggregate(list_transform(range(0, 256), i ->
+      |    ascii(substring(text, i % len + 1, 1))), 'sum') AS BIGINT)
+      |    AS px_sum,
+      |  ascii(substring(text, (8 * 16 + 8) % len + 1, 1)) AS mid_px
+      |FROM (SELECT doc_id, text, length(text) AS len FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   /** Frame sampling: every 7th byte, first 5 frames per payload — the
     * video-frame-sample access pattern as a narrow map.
     */
@@ -354,6 +453,7 @@ object Multimodal {
     QueryDef("mm_frame_energy", frameEnergy, Some(frameEnergySql)),
     QueryDef("mm_blob_meta", blobMeta, Some(blobMetaSql)),
     QueryDef("mm_decode_stub", decodeStub, Some(decodeStubSql)),
+    QueryDef("mm_decode_png", decodePng, Some(decodePngSql)),
     QueryDef("mm_resize_stub", resizeStub, Some(resizeStubSql)),
     QueryDef("mm_frame_sample", frameSample, Some(frameSampleSql)),
     QueryDef("mm_feature_extract", featureExtract, Some(featureExtractSql)),

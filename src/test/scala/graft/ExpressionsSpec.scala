@@ -197,4 +197,28 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(topk.map(_.getLong(0)) == Seq(99L, 98L, 97L))
   }
 
+  test("registerAll reclaims a graft name from a foreign registration," +
+      " in a fresh session") {
+    // fresh session state: newSession() shares the context but gets its
+    // own function registry, so this doesn't disturb other tests
+    val s2 = spark.newSession()
+    import s2.implicits._
+    // a user (or a future Spark built-in) squats on a graft name
+    s2.udf.register("simhash60",
+      (xs: Seq[String]) => -1L)
+    Seq(Seq("a", "b")).toDF("toks").createOrReplaceTempView("reg_own_probe")
+    assert(s2.sql("SELECT simhash60(toks) AS h FROM reg_own_probe")
+      .collect()(0).getLong(0) == -1L)
+    // first registerAll on this session must install graft's
+    // implementation over the squatter (ownership, not mere existence)
+    graft.functions.Registry.registerAll(s2)
+    val h = s2.sql("SELECT simhash60(toks) AS h FROM reg_own_probe")
+      .collect()(0).getLong(0)
+    assert(h != -1L)
+    // and repeat calls stay idempotent (no warning spam, same result)
+    graft.functions.Registry.registerAll(s2)
+    assert(s2.sql("SELECT simhash60(toks) AS h FROM reg_own_probe")
+      .collect()(0).getLong(0) == h)
+  }
+
 }

@@ -62,6 +62,29 @@ class IvfPqIndexSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("trained build: Lloyd passes are deterministic and keep the" +
+      " index contract") {
+    def built() = IvfPqIndex.build(emb.filter(col("vec_id") >= 20),
+      "vec_id", "embedding", nlist = 8, trainIters = 2)
+    val a = built()
+    val b = built()
+    // training is decimal-exact and tie-broken -> same centroids on
+    // every build, regardless of partitioning
+    assert(a.centroids == b.centroids)
+    // trained centroids are means, not corpus rows: they moved off the
+    // seeds unless a cluster was a singleton
+    val seeds = IvfPqIndex.build(emb.filter(col("vec_id") >= 20),
+      "vec_id", "embedding", nlist = 8).centroids
+    assert(a.centroids != seeds)
+    // contract unchanged: one bucket per vector, one code per subspace
+    val n = emb.filter(col("vec_id") >= 20).count()
+    assert(a.codes.count() == n * 8)
+    assert(a.codes.select(col("id"), col("cent_id")).distinct().count() == n)
+    // trainIters = 0 stays the untrained build (back-compat)
+    assert(IvfPqIndex.build(emb.filter(col("vec_id") >= 20),
+      "vec_id", "embedding", nlist = 8, trainIters = 0).centroids == seeds)
+  }
+
   test("wider probes only grow the candidate pool: full probe finds" +
       " distances no worse than narrow probe") {
     val idx = IvfPqIndex.build(emb.filter(col("vec_id") >= 20),

@@ -148,4 +148,21 @@ class PlanSpec extends AnyFunSuite {
       tokenWindows.mkString("\n"))
   }
 
+  test("phash pairing candidates come from band buckets — no n² cross join") {
+    val p = plan("mm_phash_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // the candidate join is an equi-join on (band_idx, band_val)
+    assert(p.contains("band_val"), p.take(800))
+  }
+
+  test("real PNG codec round-trip is a narrow per-partition map") {
+    val p = plan("mm_decode_png")
+    // scan -> mapPartitions (SerializeFromObject) -> output sort; no
+    // join, no aggregation, no window — encode/decode never shuffles
+    assert(!p.contains("Join") && !p.contains("HashAggregate") &&
+      !p.contains("Window"), p.take(800))
+    assert(p.contains("SerializeFromObject"), p.take(800))
+  }
+
 }
