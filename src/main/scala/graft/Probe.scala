@@ -24,7 +24,7 @@ object Probe {
       r
     }
     Tables(spark, dir, "orders").count() // warm
-    for (q <- Seq("mm_phash", "mm_phash_pairs", "mm_decode_png"))
+    for (q <- Seq("ta_bpe_token_count", "ta_winnow_fp"); _ <- 1 to 2)
       t(q)(println(SparkEntry.queries(q)(spark, dir).count()))
     spark.stop()
   }

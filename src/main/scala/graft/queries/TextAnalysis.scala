@@ -3,6 +3,7 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import graft.functions.TextFns
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -39,6 +40,106 @@ object TextAnalysis {
           size(col("ws"))).as("avg_token_len"))
       .orderBy(col("doc_id"))
   }
+
+  /** BPE-style pre-tokenization count: the GPT-2-family pre-tokenizer
+    * splits text into letter runs, SINGLE digits and punctuation runs
+    * before byte-pair merges, so `len(pre_tokens)` is the upper bound
+    * a tokenizer budget check uses (merges only shrink it). Counted
+    * with one regexp_extract_all per document — a narrow codegen'd
+    * map; the class-only pattern means Java regex (Spark) and RE2
+    * (DuckDB) agree. Emits the whitespace count and the bpe/word
+    * blow-up ratio alongside, the two numbers a token-budget planner
+    * compares.
+    */
+  private def bpeTokenCount(s: SparkSession, dir: String): DataFrame = {
+    val pat = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("n_bpe"),
+        size(TextFns.tokens(col("text"))).as("n_words"))
+      .withColumn("bpe_per_word",
+        col("n_bpe").cast("double") / col("n_words"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val bpeTokenCountSql =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))
+      |    AS n_bpe,
+      |  len(string_split(text, ' ')) AS n_words,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))
+      |    AS DOUBLE) / len(string_split(text, ' ')) AS bpe_per_word
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Rolling-hash winnowing fingerprint (the MOSS scheme): a Horner
+    * rolling hash over character 8-grams mod 1e9+7, then the minimum
+    * hash of every 4-hash window — the classic guarantee that any
+    * shared substring of length >= k + w - 1 = 11 chars produces at
+    * least one shared fingerprint between two documents. Emitted as
+    * per-document fingerprint-set summaries (count / sum / min of the
+    * distinct selected hashes), which pin the whole set without a row
+    * per fingerprint.
+    *
+    * All arithmetic is exact BIGINT mod — order-independent and
+    * engine-identical. Scale shape: one explode to (doc, gram
+    * position), the k-char fold is O(k) per row with only attribute
+    * references inside the lambda (no re-inlined derived columns — the
+    * mm_phash lesson), the winnow window partitions BY DOC (tiny,
+    * parallel across documents), and the final agg is one hash
+    * aggregate. At 100 TB a production variant would hash byte
+    * shingles with the same plan.
+    */
+  private def winnowFp(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val w = 4
+    val M = 1000000007L
+    val B = 257L
+    val wMin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        (length(col("text")) - k + 1).as("npos"))
+      .filter(col("npos") >= w) // docs too short for one full window drop out
+      .select(col("doc_id"), col("text"), col("npos"),
+        explode(sequence(lit(1), col("npos"))).as("pos"))
+      .withColumn("khash",
+        aggregate(sequence(col("pos"), col("pos") + k - 1), lit(0L),
+          (acc, j) =>
+            (acc * B + ascii(col("text").substr(j.cast("int"), lit(1)))) % M))
+      .withColumn("wmin", min(col("khash")).over(wMin))
+      .filter(col("pos") <= col("npos") - (w - 1)) // full windows only
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("wmin")).as("n_fp"),
+        sum_distinct(col("wmin")).as("fp_sum"),
+        min(col("wmin")).as("fp_min"))
+      .orderBy(col("doc_id"))
+  }
+
+  // fixture docs are <= 577 chars; the 2000-wide position spine is
+  // filtered by npos (same cross-join idiom as the chunking oracles)
+  private val winnowFpSql =
+    """WITH base AS (
+      |  SELECT doc_id, text, length(text) - 7 AS npos FROM documents
+      |  WHERE length(text) - 7 >= 4),
+      |hashes AS (
+      |  SELECT doc_id, npos, p AS pos,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(p, p + 8), j ->
+      |        CAST(ascii(substring(text, CAST(j AS INT), 1)) AS BIGINT))),
+      |      (acc, c) -> (acc * 257 + c) % 1000000007) AS khash
+      |  FROM base, (SELECT unnest(range(1, 2001)) AS p)
+      |  WHERE p <= npos),
+      |winnowed AS (
+      |  SELECT doc_id, npos, pos,
+      |    min(khash) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+      |  FROM hashes)
+      |SELECT doc_id,
+      |  count(DISTINCT wmin) AS n_fp,
+      |  CAST(sum(DISTINCT wmin) AS BIGINT) AS fp_sum,
+      |  min(wmin) AS fp_min
+      |FROM winnowed WHERE pos <= npos - 3
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   private val tokenStatsSql =
     """SELECT doc_id,
@@ -397,6 +498,8 @@ object TextAnalysis {
     QueryDef("ta_cooccurrence", cooccurrence, Some(cooccurrenceSql)),
     QueryDef("ta_vocab_hll", vocabHll, Some(vocabHllSql)),
     QueryDef("ta_token_stats", tokenStats, Some(tokenStatsSql)),
+    QueryDef("ta_bpe_token_count", bpeTokenCount, Some(bpeTokenCountSql)),
+    QueryDef("ta_winnow_fp", winnowFp, Some(winnowFpSql)),
     QueryDef("ta_quality_score", quality, Some(qualitySql)),
     QueryDef("ta_lang_id", langId, Some(langIdSql)),
     QueryDef("ta_fingerprint", fingerprint, Some(fingerprintSql)),
