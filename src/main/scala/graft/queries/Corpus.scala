@@ -476,7 +476,93 @@ object Corpus {
        |ORDER BY a.doc_id""".stripMargin
   }
 
+  /** DSIR-style importance weights (Data Selection via Importance
+    * Resampling, Xie et al. 2023): score every raw document by how
+    * much its hashed-unigram distribution looks like a target domain
+    * — here the `lang = 'en'` slice — via the add-one-smoothed
+    * log-likelihood ratio ln(p_target(b) / p_raw(b)) summed over the
+    * document's feature buckets. The modern data-curation primitive:
+    * weights feed importance resampling of a 100 TB crawl toward a
+    * small high-quality target.
+    *
+    * Features are Horner-hashed word buckets mod 4096 (portable
+    * arithmetic — same fold in Spark `aggregate` and DuckDB
+    * `list_reduce`, no engine hash involved). Per-bucket log ratios
+    * round to 9 decimals and accumulate in DECIMAL, so document
+    * scores are order-independent. Scale shape: the two bucket-count
+    * aggregates partial-aggregate before their shuffles; the weight
+    * table is at most 4096 rows — broadcast to a narrow per-token
+    * join; one final per-doc aggregate.
+    */
+  private def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val nBuckets = 4096
+    val words = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.TextFns.tokens(col("text"))).as("w"))
+      .withColumn("bucket",
+        aggregate(sequence(lit(1), length(col("w"))), lit(0L),
+          (acc, j) =>
+            (acc * 31 + ascii(col("w").substr(j.cast("int"), lit(1)))) %
+              nBuckets))
+    val rawCounts = words.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cr"))
+    val tgtCounts = words.filter(col("lang") === "en")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+    val totals = words.agg(
+      count(lit(1)).as("n_raw"),
+      count(when(col("lang") === "en", 1)).as("n_tgt"))
+    val weights = rawCounts
+      .join(tgtCounts, Seq("bucket"), "left")
+      .withColumn("ct", coalesce(col("ct"), lit(0L)))
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        round(log(
+          ((col("ct") + 1).cast("double") /
+            (col("n_tgt") + nBuckets).cast("double")) /
+            ((col("cr") + 1).cast("double") /
+              (col("n_raw") + nBuckets).cast("double"))),
+          9).cast(DecimalType(12, 9)).as("lw"))
+    words
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("lw")).cast("double") / count(lit(1)), 9)
+          .as("dsir_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dsirWeightsSql = {
+    val bucketOf = (v: String) =>
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, len($v) + 1), j ->
+         |        CAST(ascii(substring($v, CAST(j AS INT), 1)) AS BIGINT))),
+         |      (acc, c) -> (acc * 31 + c) % 4096)""".stripMargin
+    s"""WITH words AS (
+       |  SELECT doc_id, lang, ${bucketOf("w")} AS bucket
+       |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+       |        FROM documents)),
+       |raw_counts AS (SELECT bucket, count(*) AS cr FROM words GROUP BY 1),
+       |tgt_counts AS (SELECT bucket, count(*) AS ct FROM words
+       |               WHERE lang = 'en' GROUP BY 1),
+       |totals AS (
+       |  SELECT count(*) AS n_raw,
+       |    count(*) FILTER (lang = 'en') AS n_tgt FROM words),
+       |weights AS (
+       |  SELECT bucket,
+       |    CAST(round(ln(
+       |      ((coalesce(ct, 0) + 1) / CAST(n_tgt + 4096 AS DOUBLE)) /
+       |      ((cr + 1) / CAST(n_raw + 4096 AS DOUBLE))), 9)
+       |      AS DECIMAL(12,9)) AS lw
+       |  FROM raw_counts LEFT JOIN tgt_counts USING (bucket), totals)
+       |SELECT doc_id, lang, count(*) AS n_tokens,
+       |  round(CAST(sum(lw) AS DOUBLE) / count(*), 9) AS dsir_score
+       |FROM words JOIN weights USING (bucket)
+       |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("cp_dsir_weights", dsirWeights, Some(dsirWeightsSql)),
     QueryDef("cp_contamination", contamination, Some(contaminationSql)),
     QueryDef("cp_chunk", chunk, Some(chunkSql)),
     QueryDef("cp_sequence_pack", sequencePack, Some(sequencePackSql)),

@@ -370,7 +370,58 @@ object Events {
       |WHERE abs(round((value - sv/n) / sqrt(ssv/n - (sv/n)*(sv/n)), 9)) > 3
       |ORDER BY event_id""".stripMargin
 
+  /** Robust anomaly detection: median/MAD outliers per event type —
+    * the heavy-tail-safe complement to `ev_zscore_outliers` (a single
+    * wild value shifts a mean but not a median, so MAD flags genuine
+    * outliers the z-score misses and ignores ones it hallucinates).
+    * Flags |value - median| > 3.5 * 1.4826 * MAD, the standard
+    * consistency-scaled threshold.
+    *
+    * Both medians are exact percentiles rounded to 6 decimals (Spark
+    * `percentile` and DuckDB `quantile_cont` share the linear-
+    * interpolation definition; the round absorbs any last-ulp
+    * difference). Plan shape: two tiny per-type stats aggregates, each
+    * broadcast back to the fact stream — the facts never shuffle, same
+    * as the z-score path. At 100 TB the exact per-group percentile
+    * (memory ~ distinct values per group) would switch to
+    * `approx_percentile`; the two-pass broadcast shape is unchanged.
+    */
+  private def madOutliers(s: SparkSession, dir: String): DataFrame = {
+    val med = Tables(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+    val devs = Tables(s, dir, "events")
+      .join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = devs.groupBy(col("event_type"))
+      .agg(round(expr("percentile(dev, 0.5)"), 6).as("mad"))
+    devs.join(broadcast(mad), "event_type")
+      .filter(col("mad") > 0)
+      .withColumn("robust_z", round(col("dev") / (lit(1.4826) * col("mad")), 6))
+      .filter(col("robust_z") > 3.5)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("robust_z"))
+      .orderBy(col("event_id"))
+  }
+
+  private val madOutliersSql =
+    """WITH med AS (
+      |  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+      |  FROM events GROUP BY 1),
+      |devs AS (
+      |  SELECT event_id, event_type, value, abs(value - med) AS dev
+      |  FROM events JOIN med USING (event_type)),
+      |mad AS (
+      |  SELECT event_type, round(quantile_cont(dev, 0.5), 6) AS mad
+      |  FROM devs GROUP BY 1)
+      |SELECT event_id, event_type, value,
+      |  round(dev / (1.4826 * mad), 6) AS robust_z
+      |FROM devs JOIN mad USING (event_type)
+      |WHERE mad > 0 AND round(dev / (1.4826 * mad), 6) > 3.5
+      |ORDER BY event_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("ev_anomaly_mad", madOutliers, Some(madOutliersSql)),
     QueryDef("ev_retention", retention, Some(retentionSql)),
     QueryDef("ev_funnel", funnel, Some(funnelSql)),
     QueryDef("ev_user_cms", userCms, Some(userCmsSql)),

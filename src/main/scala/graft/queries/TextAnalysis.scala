@@ -492,6 +492,136 @@ object TextAnalysis {
       |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** PII scrub — the redaction pass every training corpus runs before
+    * anything else sees the text. Emails, NANP-style phone numbers and
+    * IPv4 addresses are counted and replaced with typed placeholder
+    * tokens in one narrow projection (three codegen'd regexp passes,
+    * no shuffle; at 100 TB this is a pure map stage that pipelines
+    * into whatever runs next).
+    *
+    * The fixture corpus is synthetic word-soup with no PII, so a
+    * deterministic contact footer is first grafted onto every third
+    * document (same convention as the multimodal tier, which
+    * synthesizes its blobs deterministically from doc_id:
+    * Multimodal.scala:65) — the regex machinery and counts are real,
+    * and the oracle reproduces the injection exactly. Patterns use
+    * only character classes and bounded repetition, the subset where
+    * Java regex (Spark) and RE2 (DuckDB) agree.
+    */
+  private val emailPat = "[A-Za-z0-9._]+@[A-Za-z0-9]+\\.[a-z][a-z]+"
+  private val phonePat = "[0-9]{3}-[0-9]{4}"
+  private val ipPat = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  private def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val footer = concat(
+      lit(" contact u"), col("doc_id"),
+      lit("@mail"), pmod(col("doc_id"), lit(7)),
+      lit(".com call 555-0"), (pmod(col("doc_id"), lit(100)) + 100),
+      lit(" from 10."), pmod(col("doc_id"), lit(250)),
+      lit(".0."), pmod(col("doc_id"), lit(200)))
+    val raw = when(pmod(col("doc_id"), lit(3)) === 0,
+      concat(col("text"), footer)).otherwise(col("text"))
+    Tables(s, dir, "documents")
+      .withColumn("raw", raw)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("raw"), lit(emailPat), lit(0)))
+          .as("n_email"),
+        size(regexp_extract_all(col("raw"), lit(phonePat), lit(0)))
+          .as("n_phone"),
+        size(regexp_extract_all(col("raw"), lit(ipPat), lit(0))).as("n_ip"),
+        md5(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("raw"), emailPat, "<EMAIL>"),
+              phonePat, "<PHONE>"),
+            ipPat, "<IP>").cast("binary")).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val piiRedactSql =
+    s"""WITH raw AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN text
+       |      || ' contact u' || doc_id || '@mail' || (doc_id % 7)
+       |      || '.com call 555-0' || (doc_id % 100 + 100)
+       |      || ' from 10.' || (doc_id % 250) || '.0.' || (doc_id % 200)
+       |    ELSE text END AS raw
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(raw, '$emailPat')) AS n_email,
+       |  len(regexp_extract_all(raw, '$phonePat')) AS n_phone,
+       |  len(regexp_extract_all(raw, '$ipPat')) AS n_ip,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(raw,
+       |    '$emailPat', '<EMAIL>', 'g'),
+       |    '$phonePat', '<PHONE>', 'g'),
+       |    '$ipPat', '<IP>', 'g')) AS redacted_md5
+       |FROM raw ORDER BY doc_id""".stripMargin
+
+  /** Zipf-law fit per language: rank words by frequency and regress
+    * ln(freq) on ln(rank) over the top 50 ranks — the corpus-health
+    * diagnostic (natural text slopes near -1; templated or synthetic
+    * text is visibly flatter). The slope comes from the closed-form
+    * least-squares formula over DECIMAL-exact sums of 9-decimal-
+    * rounded log terms, so accumulation is order-independent and both
+    * engines produce bit-identical doubles (the sums convert exactly;
+    * the remaining arithmetic is IEEE-deterministic in expression
+    * order). Scale shape: word counts partial-aggregate before the
+    * shuffle; ranking partitions BY LANGUAGE (each group's top-50 is
+    * tiny); the regression is one aggregate row per language.
+    */
+  private def zipfSlope(s: SparkSession, dir: String): DataFrame = {
+    val wRank = Window.partitionBy(col("lang"))
+      .orderBy(col("n").desc, col("word"))
+    val ranked = Tables(s, dir, "documents")
+      .select(col("lang"), explode(TextFns.tokens(col("text"))).as("word"))
+      .groupBy(col("lang"), col("word"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("r", row_number().over(wRank))
+      .filter(col("r") <= 50)
+      .select(col("lang"),
+        round(log(col("r").cast("double")), 9)
+          .cast(DecimalType(12, 9)).as("x"),
+        round(log(col("n").cast("double")), 9)
+          .cast(DecimalType(12, 9)).as("y"))
+    ranked
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_ranks"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("lang"), col("n_ranks"),
+        round(
+          (col("n_ranks") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            (col("n_ranks") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")),
+          6).as("zipf_slope"))
+      .orderBy(col("lang"))
+  }
+
+  private val zipfSlopeSql =
+    """WITH counts AS (
+      |  SELECT lang, word, count(*) AS n
+      |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+      |        FROM documents)
+      |  GROUP BY lang, word),
+      |ranked AS (
+      |  SELECT lang,
+      |    CAST(round(ln(CAST(row_number() OVER
+      |      (PARTITION BY lang ORDER BY n DESC, word) AS DOUBLE)), 9)
+      |      AS DECIMAL(12,9)) AS x,
+      |    CAST(round(ln(CAST(n AS DOUBLE)), 9) AS DECIMAL(12,9)) AS y,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, word) AS r
+      |  FROM counts QUALIFY r <= 50)
+      |SELECT lang, count(*) AS n_ranks,
+      |  round((count(*) * CAST(sum(x * y) AS DOUBLE)
+      |      - CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE))
+      |    / (count(*) * CAST(sum(x * x) AS DOUBLE)
+      |      - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)),
+      |    6) AS zipf_slope
+      |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("ta_token_entropy", tokenEntropy, Some(tokenEntropySql)),
     QueryDef("ta_tfidf", tfidf, Some(tfidfSql)),
@@ -505,5 +635,7 @@ object TextAnalysis {
     QueryDef("ta_fingerprint", fingerprint, Some(fingerprintSql)),
     QueryDef("ta_word_topk", wordTopK, Some(wordTopKSql)),
     QueryDef("ta_bigram_topk", bigramTopK, Some(bigramTopKSql)),
-    QueryDef("ta_bigram_lm_score", bigramLmScore, Some(bigramLmScoreSql)))
+    QueryDef("ta_bigram_lm_score", bigramLmScore, Some(bigramLmScoreSql)),
+    QueryDef("ta_pii_redact", piiRedact, Some(piiRedactSql)),
+    QueryDef("ta_zipf_slope", zipfSlope, Some(zipfSlopeSql)))
 }
