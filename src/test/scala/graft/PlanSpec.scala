@@ -165,4 +165,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("SerializeFromObject"), p.take(800))
   }
 
+  test("MAD outliers broadcast both stats passes — the facts never shuffle") {
+    val p = plan("ev_anomaly_mad")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    // no shuffled join anywhere: the only exchanges feed the two tiny
+    // per-type percentile aggregates and the broadcasts
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p.take(800))
+  }
+
+  test("DSIR weight table is broadcast to the token stream") {
+    val p = plan("cp_dsir_weights")
+    // the per-token weight lookup must be a broadcast equi-join on the
+    // bucket key (<= 4096 rows can never justify shuffling the tokens)
+    assert(p.contains("BroadcastHashJoin") && p.contains("bucket"),
+      p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("PII redaction is one narrow projection — no shuffle at all") {
+    val p = plan("ta_pii_redact")
+    assert(!p.contains("Join") && !p.contains("HashAggregate") &&
+      !p.contains("Window"), p.take(800))
+  }
+
 }
