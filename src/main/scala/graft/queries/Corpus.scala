@@ -505,16 +505,15 @@ object Corpus {
           (acc, j) =>
             (acc * 31 + ascii(col("w").substr(j.cast("int"), lit(1)))) %
               nBuckets))
-    val rawCounts = words.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("cr"))
-    val tgtCounts = words.filter(col("lang") === "en")
-      .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+    // raw and target counts in ONE aggregate over the single token
+    // explode (a conditional count instead of a second shuffle)
+    val bucketCounts = words.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cr"),
+        count(when(col("lang") === "en", 1)).as("ct"))
     val totals = words.agg(
       count(lit(1)).as("n_raw"),
       count(when(col("lang") === "en", 1)).as("n_tgt"))
-    val weights = rawCounts
-      .join(tgtCounts, Seq("bucket"), "left")
-      .withColumn("ct", coalesce(col("ct"), lit(0L)))
+    val weights = bucketCounts
       .crossJoin(broadcast(totals))
       .select(col("bucket"),
         round(log(
@@ -542,19 +541,20 @@ object Corpus {
        |  SELECT doc_id, lang, ${bucketOf("w")} AS bucket
        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
        |        FROM documents)),
-       |raw_counts AS (SELECT bucket, count(*) AS cr FROM words GROUP BY 1),
-       |tgt_counts AS (SELECT bucket, count(*) AS ct FROM words
-       |               WHERE lang = 'en' GROUP BY 1),
+       |bucket_counts AS (
+       |  SELECT bucket, count(*) AS cr,
+       |    count(*) FILTER (lang = 'en') AS ct
+       |  FROM words GROUP BY 1),
        |totals AS (
        |  SELECT count(*) AS n_raw,
        |    count(*) FILTER (lang = 'en') AS n_tgt FROM words),
        |weights AS (
        |  SELECT bucket,
        |    CAST(round(ln(
-       |      ((coalesce(ct, 0) + 1) / CAST(n_tgt + 4096 AS DOUBLE)) /
+       |      ((ct + 1) / CAST(n_tgt + 4096 AS DOUBLE)) /
        |      ((cr + 1) / CAST(n_raw + 4096 AS DOUBLE))), 9)
        |      AS DECIMAL(12,9)) AS lw
-       |  FROM raw_counts LEFT JOIN tgt_counts USING (bucket), totals)
+       |  FROM bucket_counts, totals)
        |SELECT doc_id, lang, count(*) AS n_tokens,
        |  round(CAST(sum(lw) AS DOUBLE) / count(*), 9) AS dsir_score
        |FROM words JOIN weights USING (bucket)

@@ -535,7 +535,96 @@ object Dedup {
       |WHERE doc_id NOT IN (SELECT doc_b FROM losers)
       |ORDER BY doc_id""".stripMargin
 
+  /** Incremental dedup: screen an INCOMING batch against the EXISTING
+    * corpus without re-pairing existing docs — the production ingest
+    * pattern (each crawl snapshot dedupes against everything already
+    * accepted; the accepted set is never re-evaluated). Incoming =
+    * odd doc_id, existing = even (a deterministic stand-in for the
+    * batch boundary). Two layers, same as a real ingest gate:
+    * exact md5 match against any earlier doc, then shingle-Jaccard
+    * >= 0.5 via the same capped inverted index as `dd_ngram_jaccard`
+    * — but candidate pairs keep only those whose later side is
+    * incoming, so existing-existing pairs are never generated. At
+    * 100 TB the existing side's index is the persisted artifact and
+    * only the (small) incoming batch explodes into it; the pair join
+    * is bounded by the batch, not the corpus.
+    */
+  private def incremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val fps = docs.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("fp"))
+    val exactOf = fps.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .withColumnRenamed("doc_id", "b_id")
+      .join(fps.withColumnRenamed("doc_id", "a_id"), Seq("fp"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("b_id")).agg(min(col("a_id")).as("exact_of"))
+    val sizes = docs
+      .select(col("doc_id"),
+        graft.functions.WordShingles(col("text"), ShingleK).as("gs"))
+      .filter(size(col("gs")) > 0)
+      .select(col("doc_id"), size(col("gs")).as("n"))
+    val pairs = cachedShingles(s, dir)
+      .groupBy(col("g")).agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")).between(2, MaxShingleDf))
+      .select(explode(flatten(transform(col("ds"), a =>
+        transform(filter(col("ds"), b => b > a),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .filter(pmod(col("doc_b"), lit(2)) === 1) // later side must be incoming
+    val nearOf = pairs
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n", "nb"), "doc_b")
+      .filter(col("n_inter").cast("double") /
+        (col("na") + col("nb") - col("n_inter")) >= 0.5)
+      .groupBy(col("doc_b")).agg(min(col("doc_a")).as("near_of"))
+      .withColumnRenamed("doc_b", "b_id")
+    docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .select(col("doc_id").as("b_id"))
+      .join(exactOf, Seq("b_id"), "left")
+      .join(nearOf, Seq("b_id"), "left")
+      .select(col("b_id").as("doc_id"), col("exact_of"), col("near_of"),
+        (col("exact_of").isNull && col("near_of").isNull).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val incrementalSql =
+    """WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+      |exact_of AS (
+      |  SELECT b.doc_id AS doc_id, min(a.doc_id) AS exact_of
+      |  FROM fp b JOIN fp a ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  WHERE b.doc_id % 2 = 1 GROUP BY 1),
+      |sh AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS g
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |  WHERE len(ws) >= 3),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      |  FROM sh a JOIN sh b
+      |    ON a.g = b.g AND a.doc_id < b.doc_id AND b.doc_id % 2 = 1
+      |  GROUP BY 1, 2),
+      |near_of AS (
+      |  SELECT doc_b AS doc_id, min(doc_a) AS near_of
+      |  FROM inter
+      |    JOIN sizes sa ON doc_a = sa.doc_id
+      |    JOIN sizes sb ON doc_b = sb.doc_id
+      |  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+      |  GROUP BY 1)
+      |SELECT doc_id, exact_of, near_of,
+      |  exact_of IS NULL AND near_of IS NULL AS keep
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1)
+      |  LEFT JOIN exact_of USING (doc_id)
+      |  LEFT JOIN near_of USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("dd_incremental", incremental, Some(incrementalSql)),
     QueryDef("dd_minhash_survivors", minhashSurvivors,
       Some(minhashSurvivorsSql)),
     QueryDef("dd_components", components, Some(componentsSql)),

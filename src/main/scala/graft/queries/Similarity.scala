@@ -766,7 +766,46 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Recall@k of the IVF index against brute-force ground truth — THE
+    * quality metric an ANN user tunes nprobe by. Per query: how many of
+    * the true top-$TopK neighbors the $NumProbe-probe IVF search
+    * returned. Both sides are the already-oracle-gated pipelines
+    * (`sim_knn_brute`, `sim_knn_ivf`), so the intersection counts are
+    * deterministic and the recall is an exact small-integer ratio.
+    * Plan shape: the two top-k results are ~k rows per query — the
+    * equi-join and per-query count are driver-trivial at any corpus
+    * size; all the heavy lifting happens inside the component
+    * pipelines, which carry their own scale contracts.
+    */
+  private def recallAtK(s: SparkSession, dir: String): DataFrame = {
+    val brute = knnBrute(s, dir).select(col("query_id"), col("neighbor_id"))
+    val ivf = knnIvf(s, dir).select(col("query_id"), col("neighbor_id"))
+    val hits = brute.join(ivf, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    brute.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("recall_at_k",
+        round(col("n_hits").cast("double") / lit(TopK.toDouble), 6))
+      .orderBy(col("query_id"))
+  }
+
+  private val recallAtKSql =
+    s"""WITH brute AS ($knnBruteSql),
+       |ivf AS ($knnIvfSql)
+       |SELECT query_id, coalesce(n_hits, 0) AS n_hits,
+       |  round(coalesce(n_hits, 0) / CAST($TopK AS DOUBLE), 6)
+       |    AS recall_at_k
+       |FROM (SELECT DISTINCT query_id FROM brute)
+       |  LEFT JOIN (
+       |    SELECT b.query_id, count(*) AS n_hits
+       |    FROM brute b JOIN ivf i
+       |      ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+       |    GROUP BY 1) USING (query_id)
+       |ORDER BY query_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sim_recall_at_k", recallAtK, Some(recallAtKSql)),
     QueryDef("sim_index_api", indexApi, Some(knnBruteSql)),
     QueryDef("sim_quantize_int8", quantizeInt8, Some(quantizeInt8Sql)),
     QueryDef("sim_pq_encode", pqEncode, Some(pqEncodeSql)),
