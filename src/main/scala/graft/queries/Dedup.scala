@@ -623,7 +623,76 @@ object Dedup {
       |  LEFT JOIN near_of USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** SemDeDup (Abbas et al. 2023): semantic dedup in embedding space —
+    * k-means-cluster the corpus, then drop near-identical pairs ONLY
+    * within a cluster, keeping the lowest id. Cluster scoping is what
+    * makes it tractable: candidate pairs are bounded per cluster, so
+    * the quadratic term is (corpus/k)² per bucket, not corpus² — the
+    * published method's exact trick, and the same bucket-join shape as
+    * the rest of the dedup tier (no n² cross join). Centroids here are
+    * the fixed first-16 convention shared with `sim_knn_ivf` so the
+    * oracle can mirror the assignment; `sim_kmeans_ivf` demonstrates
+    * the trained version of the same loop. Output is a per-vector
+    * verdict (cluster, dup_of, keep) — the resampling mask a pipeline
+    * consumes downstream.
+    */
+  private def semDedup(s: SparkSession, dir: String): DataFrame = {
+    val nCentroids = 16
+    val e = Tables(s, dir, "embeddings")
+      .withColumn("nrm", TextFns.norm(col("embedding")))
+    val cents = e.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"),
+        col("nrm").as("cn"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", TextFns.cosineFrom(
+        TextFns.dot(col("embedding"), col("cv")), col("nrm"), col("cn")))
+      .withColumn("arnk", row_number().over(wAssign))
+      .filter(col("arnk") === 1)
+      .select(col("vec_id"), col("cent_id"), col("embedding"), col("nrm"))
+    val a = assigned.select(col("cent_id"), col("vec_id").as("id_a"),
+      col("embedding").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cent_id"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"), col("nrm").as("nb"))
+    val dupOf = a.join(b, Seq("cent_id"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosv", TextFns.cosineFrom(
+        TextFns.dot(col("va"), col("vb")), col("na"), col("nb")))
+      .filter(col("cosv") >= 0.4)
+      .groupBy(col("id_b")).agg(min(col("id_a")).as("dup_of"))
+      .withColumnRenamed("id_b", "vec_id")
+    assigned.select(col("vec_id"), col("cent_id"))
+      .join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cent_id"), col("dup_of"),
+        col("dup_of").isNull.as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val semDedupSql =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
+      |assigned AS (
+      |  SELECT vec_id, cent_id FROM (
+      |    SELECT e.vec_id, cent_id,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(v, cv) DESC, cent_id) AS r
+      |    FROM e, cents) WHERE r = 1),
+      |dup_of AS (
+      |  SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+      |  FROM assigned a JOIN assigned b
+      |    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+      |  JOIN e ea ON ea.vec_id = a.vec_id
+      |  JOIN e eb ON eb.vec_id = b.vec_id
+      |  WHERE list_cosine_similarity(ea.v, eb.v) >= 0.4
+      |  GROUP BY 1)
+      |SELECT vec_id, cent_id, dup_of, dup_of IS NULL AS keep
+      |FROM assigned LEFT JOIN dup_of USING (vec_id)
+      |ORDER BY vec_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("dd_semdedup", semDedup, Some(semDedupSql)),
     QueryDef("dd_incremental", incremental, Some(incrementalSql)),
     QueryDef("dd_minhash_survivors", minhashSurvivors,
       Some(minhashSurvivorsSql)),

@@ -622,6 +622,70 @@ object TextAnalysis {
       |    6) AS zipf_slope
       |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Model-based quality scoring — the fastText-classifier-inference
+    * shape every modern curation pipeline runs (hashed n-gram features
+    * → linear model → sigmoid → keep/drop label). Features are Horner-
+    * hashed BIGRAM buckets mod 512; the model is a fixed pseudo-random
+    * projection of the bucket id to an integer milli-weight in
+    * [-500, 500) (a stand-in for trained coefficients — the plan is
+    * what's exercised; swap the arithmetic weight for a broadcast
+    * coefficient table and nothing else changes, `cp_dsir_weights`
+    * demonstrates exactly that join). Scoring is a narrow map: explode
+    * bigrams, integer-sum milli-weights per doc (BIGINT — exact and
+    * order-independent), one sigmoid per document rounded to 6
+    * decimals (exp is the usual 1-ulp transcendental). At 100 TB this
+    * pipelines into the scan with one partial-aggregated shuffle of
+    * (doc, partial-sum) pairs.
+    */
+  private def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val ws = TextFns.tokens(col("text"))
+    Tables(s, dir, "documents")
+      .withColumn("ws", ws)
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("ws")) - 2),
+        i => concat_ws(" ", element_at(col("ws"), i + 1),
+          element_at(col("ws"), i + 2)))).as("g"))
+      .withColumn("bucket",
+        aggregate(sequence(lit(1), length(col("g"))), lit(0L),
+          (acc, j) =>
+            (acc * 31 + ascii(col("g").substr(j.cast("int"), lit(1)))) % 512))
+      .withColumn("w_milli",
+        (col("bucket") * lit(2654435761L)) % 1000 - 500)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("w_milli")).as("sum_milli"))
+      .withColumn("x",
+        col("sum_milli").cast("double") / (lit(1000.0) * col("n_feats")))
+      .select(col("doc_id"), col("n_feats"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("x"))), 6).as("score"),
+        (round(lit(1.0) / (lit(1.0) + exp(-col("x"))), 6) >= 0.5)
+          .as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qualityClassifierSql =
+    """WITH feats AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, len(g) + 1), j ->
+      |        CAST(ascii(substring(g, CAST(j AS INT), 1)) AS BIGINT))),
+      |      (acc, c) -> (acc * 31 + c) % 512) AS bucket
+      |  FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+      |      i -> ws[i] || ' ' || ws[i+1])) AS g
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |    WHERE len(ws) >= 2)),
+      |scored AS (
+      |  SELECT doc_id, count(*) AS n_feats,
+      |    sum((bucket * 2654435761) % 1000 - 500) AS sum_milli
+      |  FROM feats GROUP BY 1)
+      |SELECT doc_id, n_feats,
+      |  round(1.0 / (1.0 + exp(-(CAST(sum_milli AS DOUBLE)
+      |    / (1000.0 * n_feats)))), 6) AS score,
+      |  round(1.0 / (1.0 + exp(-(CAST(sum_milli AS DOUBLE)
+      |    / (1000.0 * n_feats)))), 6) >= 0.5 AS keep
+      |FROM scored ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("ta_token_entropy", tokenEntropy, Some(tokenEntropySql)),
     QueryDef("ta_tfidf", tfidf, Some(tfidfSql)),
@@ -637,5 +701,7 @@ object TextAnalysis {
     QueryDef("ta_bigram_topk", bigramTopK, Some(bigramTopKSql)),
     QueryDef("ta_bigram_lm_score", bigramLmScore, Some(bigramLmScoreSql)),
     QueryDef("ta_pii_redact", piiRedact, Some(piiRedactSql)),
-    QueryDef("ta_zipf_slope", zipfSlope, Some(zipfSlopeSql)))
+    QueryDef("ta_zipf_slope", zipfSlope, Some(zipfSlopeSql)),
+    QueryDef("ta_quality_classifier", qualityClassifier,
+      Some(qualityClassifierSql)))
 }

@@ -165,6 +165,31 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("SerializeFromObject"), p.take(800))
   }
 
+  test("SemDeDup pairs only within clusters — equi-join on cent_id, no n² product") {
+    val p = plan("dd_semdedup")
+    // same contract as dd_embedding_neardup: the only product is
+    // corpus x broadcast(16 centroids); in-cluster pairing is an
+    // equi-join on the cluster id
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("[cent_id"), p.take(800))
+  }
+
+  test("incremental dedup never pairs existing-existing docs") {
+    val p = SparkEntry.queries("dd_incremental")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    // the incoming-side restriction must survive optimization: the pair
+    // stream filters on pmod(doc_b, 2) = 1 before the intersection counts
+    assert(p.contains("pmod(") && p.contains("2) = 1") &&
+      !p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("quality classifier is explode → one partial-aggregated shuffle") {
+    val p = plan("ta_quality_classifier")
+    // no join anywhere; the only exchange feeds the per-doc aggregate
+    assert(!p.contains("Join"), p.take(800))
+    assert(p.contains("HashAggregate"), p.take(800))
+  }
+
   test("MAD outliers broadcast both stats passes — the facts never shuffle") {
     val p = plan("ev_anomaly_mad")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
