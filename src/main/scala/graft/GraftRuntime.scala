@@ -17,7 +17,14 @@ object GraftRuntime {
     * single-partition regressions, which PlanSpec asserts against
     * structurally instead.
     */
-  def silenceKnownBenignWarnings(): Unit =
+  def silenceKnownBenignWarnings(): Unit = {
     Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec", Level.ERROR)
+    // "Asked to cache already cached data": the dedup tier's shingle
+    // frame is deliberately cached once per (session, dir) and the
+    // per-query builders re-request it idempotently — the repeat
+    // request is the design, not a leak (Dedup.shingleCache).
+    Configurator.setLevel(
+      "org.apache.spark.sql.execution.CacheManager", Level.ERROR)
+  }
 }

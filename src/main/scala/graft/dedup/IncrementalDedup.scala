@@ -1,0 +1,129 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental ingest dedup — the production pattern behind the
+  * `dd_incremental` query: every new crawl batch is screened against
+  * everything already ACCEPTED, and the accepted set itself is never
+  * re-paired. The accepted side lives as two persisted artifacts
+  * (content fingerprints + shingle postings), so each ingest round
+  * loads them, screens the (small) batch, and merges the keepers back:
+  *
+  *   artifacts → save ─┐
+  *                     ├→ screen(batch) → verdicts → accept(kept) → save
+  *   load ─────────────┘
+  *
+  * Screening layers, same as a real ingest gate:
+  *   1. exact — md5(content) equality against any accepted doc, or an
+  *      earlier (smaller-id) batch doc;
+  *   2. near — shingle-Jaccard >= threshold via one inverted-index
+  *      bucket pass over accepted ∪ batch postings. A batch doc pairs
+  *      with EVERY accepted doc in the bucket (id order irrelevant —
+  *      the accepted set always wins) and with earlier batch docs;
+  *      accepted–accepted pairs are never generated.
+  *
+  * Scale shape: the postings artifact is the big side and it is ONLY
+  * read and bucket-joined — the quadratic term is bounded by batch
+  * bucket occupancy, not corpus size. The same hot-shingle cap as
+  * `dd_ngram_jaccard` applies (buckets over `maxShingleDf` are dropped
+  * whole, with the identical exactness contract: a pair missed this
+  * way is boilerplate the exact layer already catches).
+  */
+object IncrementalDedup {
+
+  /** The persisted accepted-set state: `fingerprints` (id, fp) and
+    * `shingles` postings (id, g, n) where n is the doc's shingle-set
+    * size (carried per row so screening never rescans content).
+    */
+  final case class Artifacts(fingerprints: DataFrame, shingles: DataFrame)
+
+  /** Build artifacts from a document frame. */
+  def artifacts(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3): Artifacts = {
+    val fps = docs.select(col(idCol).as("id"),
+      md5(col(textCol).cast("binary")).as("fp"))
+    val sh = docs
+      .select(col(idCol).as("id"),
+        graft.functions.WordShingles(col(textCol), shingleK).as("gs"))
+      .filter(size(col("gs")) > 0)
+      .select(col("id"), size(col("gs")).as("n"),
+        explode(col("gs")).as("g"))
+      .select(col("id"), col("g"), col("n"))
+    Artifacts(fps, sh)
+  }
+
+  def save(a: Artifacts, path: String): Unit = {
+    a.fingerprints.write.mode("overwrite").parquet(s"$path/fingerprints")
+    a.shingles.write.mode("overwrite").parquet(s"$path/shingles")
+  }
+
+  def load(spark: SparkSession, path: String): Artifacts =
+    Artifacts(spark.read.parquet(s"$path/fingerprints"),
+      spark.read.parquet(s"$path/shingles"))
+
+  /** Screen a batch against the accepted artifacts. Returns one row
+    * per batch doc: (id, exact_of, near_of, keep) — `exact_of` /
+    * `near_of` are the smallest qualifying prior doc (accepted docs
+    * and earlier batch docs all qualify), null if none.
+    */
+  def screen(batch: DataFrame, accepted: Artifacts,
+      idCol: String, textCol: String, threshold: Double = 0.5,
+      shingleK: Int = 3, maxShingleDf: Int = 64): DataFrame = {
+    val b = artifacts(batch, idCol, textCol, shingleK)
+
+    // exact layer: batch fp vs accepted fp (any) ∪ earlier batch fp
+    val priorFps =
+      accepted.fingerprints.select(col("id"), col("fp"),
+          lit(true).as("acc"))
+        .unionByName(b.fingerprints.select(col("id"), col("fp"),
+          lit(false).as("acc")))
+    val exactOf = b.fingerprints.select(col("id").as("b_id"), col("fp"))
+      .join(priorFps.select(col("id").as("a_id"), col("fp"), col("acc")),
+        Seq("fp"))
+      .filter(col("acc") || col("a_id") < col("b_id"))
+      .groupBy(col("b_id")).agg(min(col("a_id")).as("exact_of"))
+
+    // near layer: ONE bucket pass over tagged postings. Pairs are
+    // (prior → batch): later side must be a batch doc; the earlier
+    // side is any accepted doc or a smaller-id batch doc.
+    val tagged =
+      accepted.shingles.select(col("g"),
+          struct(col("id"), col("n"), lit(false).as("isb")).as("e"))
+        .unionByName(b.shingles.select(col("g"),
+          struct(col("id"), col("n"), lit(true).as("isb")).as("e")))
+    val pairs = tagged
+      .groupBy(col("g")).agg(collect_list(col("e")).as("ds"))
+      .filter(size(col("ds")).between(2, maxShingleDf))
+      .select(explode(flatten(transform(col("ds"), bb =>
+        transform(
+          filter(col("ds"), aa => bb("isb") &&
+            (!aa("isb") || aa("id") < bb("id"))),
+          aa => struct(aa("id").as("a_id"), aa("n").as("na"),
+            bb("id").as("b_id"), bb("n").as("nb")))))).as("p"))
+      .select(col("p.a_id"), col("p.na"), col("p.b_id"), col("p.nb"))
+    val nearOf = pairs
+      .groupBy(col("a_id"), col("na"), col("b_id"), col("nb"))
+      .agg(count(lit(1)).as("n_inter"))
+      .filter(col("n_inter").cast("double") /
+        (col("na") + col("nb") - col("n_inter")) >= threshold)
+      .groupBy(col("b_id")).agg(min(col("a_id")).as("near_of"))
+
+    batch.select(col(idCol).as("b_id"))
+      .join(exactOf, Seq("b_id"), "left")
+      .join(nearOf, Seq("b_id"), "left")
+      .select(col("b_id").as("id"), col("exact_of"), col("near_of"),
+        (col("exact_of").isNull && col("near_of").isNull).as("keep"))
+      .orderBy(col("id"))
+  }
+
+  /** Merge the kept batch docs into the accepted artifacts (the next
+    * round's screen input). Callers persist via `save` between rounds.
+    */
+  def accept(a: Artifacts, keptBatch: DataFrame, idCol: String,
+      textCol: String, shingleK: Int = 3): Artifacts = {
+    val k = artifacts(keptBatch, idCol, textCol, shingleK)
+    Artifacts(a.fingerprints.unionByName(k.fingerprints),
+      a.shingles.unionByName(k.shingles))
+  }
+}

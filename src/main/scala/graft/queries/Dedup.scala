@@ -551,51 +551,26 @@ object Dedup {
     */
   private def incremental(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
-    val fps = docs.select(col("doc_id"),
-      md5(col("text").cast("binary")).as("fp"))
-    val exactOf = fps.filter(pmod(col("doc_id"), lit(2)) === 1)
-      .withColumnRenamed("doc_id", "b_id")
-      .join(fps.withColumnRenamed("doc_id", "a_id"), Seq("fp"))
-      .filter(col("a_id") < col("b_id"))
-      .groupBy(col("b_id")).agg(min(col("a_id")).as("exact_of"))
-    val sizes = docs
-      .select(col("doc_id"),
-        graft.functions.WordShingles(col("text"), ShingleK).as("gs"))
-      .filter(size(col("gs")) > 0)
-      .select(col("doc_id"), size(col("gs")).as("n"))
-    val pairs = cachedShingles(s, dir)
-      .groupBy(col("g")).agg(collect_list(col("doc_id")).as("ds"))
-      .filter(size(col("ds")).between(2, MaxShingleDf))
-      .select(explode(flatten(transform(col("ds"), a =>
-        transform(filter(col("ds"), b => b > a),
-          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
-      .filter(pmod(col("doc_b"), lit(2)) === 1) // later side must be incoming
-    val nearOf = pairs
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n", "nb"), "doc_b")
-      .filter(col("n_inter").cast("double") /
-        (col("na") + col("nb") - col("n_inter")) >= 0.5)
-      .groupBy(col("doc_b")).agg(min(col("doc_a")).as("near_of"))
-      .withColumnRenamed("doc_b", "b_id")
-    docs.filter(pmod(col("doc_id"), lit(2)) === 1)
-      .select(col("doc_id").as("b_id"))
-      .join(exactOf, Seq("b_id"), "left")
-      .join(nearOf, Seq("b_id"), "left")
-      .select(col("b_id").as("doc_id"), col("exact_of"), col("near_of"),
-        (col("exact_of").isNull && col("near_of").isNull).as("keep"))
-      .orderBy(col("doc_id"))
+    val accepted = graft.dedup.IncrementalDedup.artifacts(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text",
+      ShingleK)
+    graft.dedup.IncrementalDedup
+      .screen(docs.filter(pmod(col("doc_id"), lit(2)) === 1), accepted,
+        "doc_id", "text", threshold = 0.5, shingleK = ShingleK,
+        maxShingleDf = MaxShingleDf)
+      .withColumnRenamed("id", "doc_id")
   }
 
+  // True ingest semantics: a batch (odd) doc is a dup of ANY accepted
+  // (even) doc — id order irrelevant on the accepted side — or of an
+  // earlier (smaller-id) batch doc.
   private val incrementalSql =
     """WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
       |exact_of AS (
       |  SELECT b.doc_id AS doc_id, min(a.doc_id) AS exact_of
-      |  FROM fp b JOIN fp a ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  FROM fp b JOIN fp a ON a.fp = b.fp
+      |    AND (a.doc_id % 2 = 0 OR a.doc_id < b.doc_id)
+      |    AND a.doc_id <> b.doc_id
       |  WHERE b.doc_id % 2 = 1 GROUP BY 1),
       |sh AS (
       |  SELECT doc_id,
@@ -607,7 +582,9 @@ object Dedup {
       |inter AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
       |  FROM sh a JOIN sh b
-      |    ON a.g = b.g AND a.doc_id < b.doc_id AND b.doc_id % 2 = 1
+      |    ON a.g = b.g AND b.doc_id % 2 = 1
+      |    AND (a.doc_id % 2 = 0 OR a.doc_id < b.doc_id)
+      |    AND a.doc_id <> b.doc_id
       |  GROUP BY 1, 2),
       |near_of AS (
       |  SELECT doc_b AS doc_id, min(doc_a) AS near_of
