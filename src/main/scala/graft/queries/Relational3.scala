@@ -145,6 +145,48 @@ object Relational3 {
       |  quantile_cont(l_extendedprice, 0.95) AS p95_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Salted SHUFFLE join on a genuinely hot key — the companion to
+    * q22's salted aggregation. `event_type` has a handful of values
+    * over the whole fact table, so a plain shuffled equi-join sends
+    * each type's entire partition to ONE reducer; salting the fact
+    * side (16 buckets) and exploding the dim side ×16 spreads every
+    * hot key across 16 reducers. The join is hinted shuffle_hash
+    * because salting is a no-op under broadcast — this query is the
+    * gate-checked demonstration of the pattern for dims too big to
+    * broadcast (the oracle proves bit-equality with the unsalted
+    * join). The dim's per-type stats are decimal-exact sums so the
+    * above-average comparison is order-independent.
+    */
+  private def saltedSkewJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val Salts = 16
+    val facts = Tables(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("salt",
+        pmod(crc32(col("event_id").cast("string")), lit(Salts)))
+    val dim = Tables(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_t"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sv"))
+      .withColumn("salt", explode(sequence(lit(0), lit(Salts - 1))))
+      .withColumn("salt", col("salt").cast("long"))
+    facts.join(dim.hint("shuffle_hash"), Seq("event_type", "salt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("value") * col("n_t") > col("sv"), 1)).as("n_above"))
+      .orderBy(col("event_type"))
+  }
+
+  private val saltedSkewJoinSql =
+    """WITH dim AS (
+      |  SELECT event_type, count(*) AS n_t,
+      |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+      |  FROM events GROUP BY 1)
+      |SELECT event_type, count(*) AS n,
+      |  count(*) FILTER (value * n_t > sv) AS n_above
+      |FROM events JOIN dim USING (event_type)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** The same as-of join as q14, but through the custom operator
     * (graft.plans.AsOfJoin: LogicalPlan + Strategy + sort-merge
     * SparkPlan) instead of the union+window composition. Shares q14's
@@ -480,5 +522,6 @@ object Relational3 {
     QueryDef("q30_interval_custom_operator", intervalCustom, Some(rangeJoinSql)),
     QueryDef("q21_topk_aggregate", topkAggregate, Some(topkAggregateSql)),
     QueryDef("q22_word_topk_salted", wordTopkSalted, Some(wordTopkSaltedSql)),
-    QueryDef("q23_percentiles", percentiles, Some(percentilesSql)))
+    QueryDef("q23_percentiles", percentiles, Some(percentilesSql)),
+    QueryDef("q35_salted_skew_join", saltedSkewJoin, Some(saltedSkewJoinSql)))
 }

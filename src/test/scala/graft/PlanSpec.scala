@@ -190,6 +190,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p.take(800))
   }
 
+  test("salted skew join shuffles on (event_type, salt), not the bare hot key") {
+    val p = plan("q35_salted_skew_join")
+    // the hint must stick (salting is a no-op under broadcast) and the
+    // salt must be part of the join key
+    assert(p.contains("ShuffledHashJoin"), p.take(900))
+    assert(p.contains("salt"), p.take(900))
+  }
+
   test("MAD outliers broadcast both stats passes — the facts never shuffle") {
     val p = plan("ev_anomaly_mad")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
