@@ -420,7 +420,66 @@ object Events {
       |WHERE mad > 0 AND round(dev / (1.4826 * mad), 6) > 3.5
       |ORDER BY event_id""".stripMargin
 
+  /** CUSUM change-point detection per event type: the hour where the
+    * cumulative deviation of hourly counts from the type's mean peaks
+    * — the standard "when did the rate shift" monitoring primitive.
+    * Deviations round to 6 decimals and accumulate in DECIMAL through
+    * an ordered window (hour is unique within a type, so the running
+    * sum's fold order is total and engine-identical); the argmax
+    * tie-breaks to the earliest hour. Plan shape: one hourly
+    * aggregation (partial-aggregated), a per-type broadcast mean, and
+    * a window partitioned BY TYPE — parallel across types, with each
+    * type's hour series (a few thousand rows per YEAR of data) well
+    * inside one partition at any corpus size.
+    */
+  private def cusumChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables(s, dir, "events")
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("x"))
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n_hours"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+    val wPick = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("cusum")).desc, col("hour"))
+    hourly.join(broadcast(stats), "event_type")
+      .withColumn("dev",
+        round(col("x") - col("sx").cast("double") / col("n_hours"), 6)
+          .cast(DecimalType(18, 6)))
+      .withColumn("cusum", sum(col("dev")).over(wCum))
+      .withColumn("pick", row_number().over(wPick))
+      .filter(col("pick") === 1)
+      .select(col("event_type"), col("n_hours"),
+        col("hour").cast("date").as("cp_day"), hour(col("hour")).as("cp_hour"),
+        col("cusum").cast("double").as("max_cusum"))
+      .orderBy(col("event_type"))
+  }
+
+  private val cusumChangepointSql =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT event_type, sum(x) AS sx, count(*) AS n_hours
+      |  FROM hourly GROUP BY 1),
+      |cum AS (
+      |  SELECT event_type, n_hours, hour,
+      |    sum(CAST(round(x - CAST(sx AS DOUBLE) / n_hours, 6)
+      |      AS DECIMAL(18,6)))
+      |      OVER (PARTITION BY event_type ORDER BY hour) AS cusum
+      |  FROM hourly JOIN stats USING (event_type)),
+      |picked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type
+      |    ORDER BY abs(cusum) DESC, hour) AS pick
+      |  FROM cum)
+      |SELECT event_type, n_hours, CAST(hour AS DATE) AS cp_day,
+      |  CAST(extract(hour FROM hour) AS INTEGER) AS cp_hour,
+      |  CAST(cusum AS DOUBLE) AS max_cusum
+      |FROM picked WHERE pick = 1 ORDER BY event_type""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("ev_cusum_changepoint", cusumChangepoint,
+      Some(cusumChangepointSql)),
     QueryDef("ev_anomaly_mad", madOutliers, Some(madOutliersSql)),
     QueryDef("ev_retention", retention, Some(retentionSql)),
     QueryDef("ev_funnel", funnel, Some(funnelSql)),

@@ -50,6 +50,13 @@ case class PngDecoded(
   */
 case class PhashRow(doc_id: Long, phash: Long)
 
+/** Result schema of the WAV round-trip — top-level for the same
+  * encoder-codegen reason as [[DecodedMeta]].
+  */
+case class WavDecoded(
+    doc_id: Long, sample_rate: Int, n_channels: Int, n_samples: Int,
+    abs_sum: Long, first_sample: Int)
+
 object Multimodal {
 
   /** Blob-level metadata: size + content hash + magic bytes. */
@@ -370,6 +377,107 @@ object Multimodal {
       |FROM (SELECT doc_id, text, length(text) AS len FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** REAL audio-container round-trip — codec #2 alongside
+    * `mm_decode_png`: each document's payload bytes become 200 16-bit
+    * PCM mono samples, written as a byte-correct RIFF/WAVE container
+    * (canonical 44-byte header + little-endian data chunk — any WAV
+    * player parses it), then parsed BACK by a genuine chunk-walking
+    * RIFF reader (magic check, fmt/data chunk traversal tolerant of
+    * chunk order, word-aligned skips) inside one mapPartitions pass.
+    * Emitted scalars come from the PARSED stream, so a corrupt byte in
+    * either direction fails the gate; PCM is lossless, which is what
+    * lets the SQL oracle predict the decoded samples. Same scale
+    * contract as the other codec stages: narrow, CPU-bound, split-size
+    * is the only knob.
+    */
+  private def decodeWav(s: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.product[WavDecoded]
+    val nSamples = 200
+    val rate = 8000
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .mapPartitions { it: Iterator[Row] =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val blob = r.getAs[Array[Byte]](1)
+          // ---- encode: canonical PCM16 mono RIFF/WAVE ----
+          val dataLen = nSamples * 2
+          val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+            .put("WAVE".getBytes("US-ASCII"))
+          bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1) // PCM
+            .putShort(1) // mono
+            .putInt(rate)
+            .putInt(rate * 2) // byte rate
+            .putShort(2) // block align
+            .putShort(16) // bits/sample
+          bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+          var i = 0
+          while (i < nSamples) {
+            bb.putShort((((blob(i % blob.length) & 0xff) - 128) * 256).toShort)
+            i += 1
+          }
+          val wav = bb.array() // the real media blob
+
+          // ---- decode: genuine chunk-walking RIFF parse ----
+          val in = java.nio.ByteBuffer.wrap(wav)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          def fourcc(): String = {
+            val b = new Array[Byte](4); in.get(b); new String(b, "US-ASCII")
+          }
+          require(fourcc() == "RIFF", s"doc $id: not a RIFF container")
+          in.getInt // riff size
+          require(fourcc() == "WAVE", s"doc $id: not a WAVE form")
+          var channels = -1; var sampleRate = -1; var bits = -1
+          var samples: Array[Short] = null
+          while (in.remaining() >= 8) {
+            val ck = fourcc(); val ckLen = in.getInt
+            ck match {
+              case "fmt " =>
+                val p0 = in.position()
+                require(in.getShort == 1, s"doc $id: not PCM")
+                channels = in.getShort.toInt
+                sampleRate = in.getInt
+                in.getInt; in.getShort // byte rate, block align
+                bits = in.getShort.toInt
+                in.position(p0 + ckLen + (ckLen & 1)) // word-aligned skip
+              case "data" =>
+                samples = new Array[Short](ckLen / 2)
+                var j = 0
+                while (j < samples.length) { samples(j) = in.getShort; j += 1 }
+                if ((ckLen & 1) == 1) in.get
+              case _ =>
+                in.position(in.position() + ckLen + (ckLen & 1))
+            }
+          }
+          require(bits == 16 && samples != null, s"doc $id: malformed WAV")
+          var absSum = 0L
+          var j = 0
+          while (j < samples.length) {
+            absSum += math.abs(samples(j).toLong); j += 1
+          }
+          WavDecoded(id, sampleRate, channels, samples.length, absSum,
+            samples(0).toInt)
+        }
+      }(enc)
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  // the oracle predicts the parsed PCM stream from the sample synthesis
+  // arithmetic alone — valid because PCM16 is lossless
+  private val decodeWavSql =
+    """SELECT doc_id, 8000 AS sample_rate, 1 AS n_channels,
+      |  200 AS n_samples,
+      |  CAST(list_aggregate(list_transform(range(0, 200), i ->
+      |    abs((ascii(substring(text, i % len + 1, 1)) - 128) * 256)),
+      |    'sum') AS BIGINT) AS abs_sum,
+      |  (ascii(substring(text, 1, 1)) - 128) * 256 AS first_sample
+      |FROM (SELECT doc_id, text, length(text) AS len FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   /** Frame sampling: every 7th byte, first 5 frames per payload — the
     * video-frame-sample access pattern as a narrow map.
     */
@@ -454,6 +562,7 @@ object Multimodal {
     QueryDef("mm_blob_meta", blobMeta, Some(blobMetaSql)),
     QueryDef("mm_decode_stub", decodeStub, Some(decodeStubSql)),
     QueryDef("mm_decode_png", decodePng, Some(decodePngSql)),
+    QueryDef("mm_decode_wav", decodeWav, Some(decodeWavSql)),
     QueryDef("mm_resize_stub", resizeStub, Some(resizeStubSql)),
     QueryDef("mm_frame_sample", frameSample, Some(frameSampleSql)),
     QueryDef("mm_feature_extract", featureExtract, Some(featureExtractSql)),

