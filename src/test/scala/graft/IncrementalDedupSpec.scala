@@ -83,6 +83,60 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(!v2(20L) && v2(21L))
   }
 
+  test("property: screen verdicts equal the brute-force definition on random corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // tiny vocab forces real collisions: exact copies, near-copies and
+    // disjoint docs all occur across the generated corpora
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val genDoc = for {
+      n <- Gen.chooseNum(3, 7)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    val genCorpus = Gen.listOfN(14, genDoc)
+
+    def shingles(t: String): Set[String] = {
+      val ws = t.split(' ')
+      (0 to ws.length - 3).map(i => ws.slice(i, i + 3).mkString(" ")).toSet
+    }
+    def jacc(a: Set[String], b: Set[String]): Double =
+      if (a.isEmpty || b.isEmpty) 0.0
+      else a.intersect(b).size.toDouble / a.union(b).size
+
+    var seed = Seed(42L)
+    (1 to 8).foreach { round =>
+      val (corpus, next) = {
+        val r = genCorpus.pureApply(org.scalacheck.Gen.Parameters.default, seed)
+        (r, seed.next)
+      }
+      seed = next
+      val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val (acc, bat) = docs.partition(_._1 % 2 == 0)
+      val a = IncrementalDedup.artifacts(acc.toDF("id", "text"), "id", "text")
+      val got = IncrementalDedup
+        .screen(bat.toDF("id", "text"), a, "id", "text", threshold = 0.5)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((Option(r.get(1)).map(_.toString.toLong),
+            Option(r.get(2)).map(_.toString.toLong)))).toMap
+      // brute-force reference
+      val byId = docs.toMap
+      bat.foreach { case (bId, bTxt) =>
+        val priors = acc.map(_._1) ++ bat.map(_._1).filter(_ < bId)
+        val wantExact = priors.filter(p => byId(p) == bTxt)
+          .sorted.headOption
+        val bSh = shingles(bTxt)
+        val wantNear = priors
+          .filter(p => jacc(shingles(byId(p)), bSh) >= 0.5)
+          .sorted.headOption
+        assert(got(bId)._1 == wantExact,
+          s"round $round doc $bId exact: got ${got(bId)._1}, want $wantExact")
+        assert(got(bId)._2 == wantNear,
+          s"round $round doc $bId near: got ${got(bId)._2}, want $wantNear")
+      }
+    }
+  }
+
   test("the gated query (dd_incremental) equals the API composed inline") {
     val dir = "/root/testdata/sf0.001"
     val docs = Tables(spark, dir, "documents")
