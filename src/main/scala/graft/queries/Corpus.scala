@@ -494,7 +494,10 @@ object Corpus {
     * table is at most 4096 rows — broadcast to a narrow per-token
     * join; one final per-doc aggregate.
     */
-  private def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+  private def dsirWeights(s: SparkSession, dir: String): DataFrame =
+    dsirScores(s, dir)
+
+  private def dsirScores(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val nBuckets = 4096
     val words = Tables(s, dir, "documents")
@@ -561,8 +564,44 @@ object Corpus {
        |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
   }
 
+  /** DSIR step 2 — the importance RESAMPLING itself: accept document d
+    * with probability exp(score_d - max_score) (self-normalized so the
+    * best-matching doc is accepted with probability 1), decided by the
+    * same deterministic md5 uniform the split/mix operators use. The
+    * acceptance probability rounds to 9 decimals (exp is the usual
+    * 1-ulp transcendental) and the uniform has 1e-6 granularity, so
+    * the keep verdict is engine-exact. One broadcast max scalar; the
+    * verdict pass is narrow over the score frame.
+    */
+  private def dsirResample(s: SparkSession, dir: String): DataFrame = {
+    val scores = dsirScores(s, dir)
+    val mx = scores.agg(max(col("dsir_score")).as("mx"))
+    scores.crossJoin(broadcast(mx))
+      .withColumn("u_micro", hashBucket("dsir:", 1000000))
+      .withColumn("p_accept",
+        round(exp(col("dsir_score") - col("mx")), 9))
+      .select(col("doc_id"), col("lang"), col("u_micro"), col("p_accept"),
+        (col("u_micro").cast("double") / 1000000.0 < col("p_accept"))
+          .as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dsirResampleSql = {
+    // the weights query verbatim as a CTE body (minus its ORDER BY)
+    val scoresBody = dsirWeightsSql.replace("ORDER BY doc_id", "")
+    s"""WITH scores AS ($scoresBody),
+       |mx AS (SELECT max(dsir_score) AS mx FROM scores)
+       |SELECT doc_id, lang,
+       |  ${bucketSql("dsir:", 1000000)} AS u_micro,
+       |  round(exp(dsir_score - mx), 9) AS p_accept,
+       |  ${bucketSql("dsir:", 1000000)} / 1000000.0
+       |    < round(exp(dsir_score - mx), 9) AS keep
+       |FROM scores, mx ORDER BY doc_id""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("cp_dsir_weights", dsirWeights, Some(dsirWeightsSql)),
+    QueryDef("cp_dsir_resample", dsirResample, Some(dsirResampleSql)),
     QueryDef("cp_contamination", contamination, Some(contaminationSql)),
     QueryDef("cp_chunk", chunk, Some(chunkSql)),
     QueryDef("cp_sequence_pack", sequencePack, Some(sequencePackSql)),

@@ -686,6 +686,76 @@ object TextAnalysis {
       |    / (1000.0 * n_feats)))), 6) >= 0.5 AS keep
       |FROM scored ORDER BY doc_id""".stripMargin
 
+  /** Corpus-drift monitoring: Jensen-Shannon divergence between each
+    * source's word distribution and the global corpus distribution —
+    * the metric a pipeline watches to catch a crawl source going off
+    * the rails (JSD is symmetric, bounded by ln 2, and defined even
+    * when supports differ, unlike raw KL). Per-word terms
+    * 0.5·p_s·ln(p_s/m) + 0.5·p_g·ln(p_g/m) (m the mixture) round to 9
+    * decimals and accumulate in DECIMAL; the mass of global words a
+    * source never uses is folded in analytically — those terms reduce
+    * to 0.5·ln 2·p_g, so their sum is 0.5·ln 2·(N_g - cov)/N_g with
+    * cov the INTEGER count of global occurrences of words the source
+    * does use. Plan shape: one (source, word) aggregate feeding both
+    * the per-source and global count tables (the global side is
+    * vocabulary-sized and re-aggregated from the first — no second
+    * corpus scan); the join is left to the optimizer exactly like the
+    * bigram-LM tables.
+    */
+  private def jsdDrift(s: SparkSession, dir: String): DataFrame = {
+    val sw = Tables(s, dir, "documents")
+      .select(col("source"), explode(TextFns.tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c_sw"))
+    val ns = sw.groupBy(col("source")).agg(sum(col("c_sw")).as("n_s"))
+    val gw = sw.groupBy(col("w")).agg(sum(col("c_sw")).as("c_gw"))
+    val ng = gw.agg(sum(col("c_gw")).as("n_g"))
+    val ps = col("c_sw").cast("double") / col("n_s")
+    val pg = col("c_gw").cast("double") / col("n_g")
+    val m = (ps + pg) / 2.0
+    sw.join(ns, "source").join(gw, "w").crossJoin(broadcast(ng))
+      .withColumn("term",
+        round(lit(0.5) * ps * log(ps / m) + lit(0.5) * pg * log(pg / m), 9)
+          .cast(DecimalType(12, 9)))
+      .groupBy(col("source"), col("n_s"), col("n_g"))
+      .agg(count(lit(1)).as("n_shared_words"),
+        sum(col("term")).as("t_sum"),
+        sum(col("c_gw")).as("cov"))
+      .select(col("source"), col("n_shared_words"),
+        round(col("t_sum").cast("double") +
+          lit(0.5 * math.log(2.0)) *
+            (col("n_g") - col("cov")).cast("double") / col("n_g"),
+          9).as("jsd"))
+      .orderBy(col("source"))
+  }
+
+  private val jsdDriftSql =
+    """WITH sw AS (
+      |  SELECT source, w, count(*) AS c_sw
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |ns AS (SELECT source, sum(c_sw) AS n_s FROM sw GROUP BY 1),
+      |gw AS (SELECT w, sum(c_sw) AS c_gw FROM sw GROUP BY 1),
+      |ng AS (SELECT sum(c_gw) AS n_g FROM gw),
+      |terms AS (
+      |  SELECT source, n_s, n_g, c_gw,
+      |    CAST(round(
+      |      0.5 * (CAST(c_sw AS DOUBLE) / n_s)
+      |        * ln((CAST(c_sw AS DOUBLE) / n_s)
+      |          / ((CAST(c_sw AS DOUBLE) / n_s
+      |            + CAST(c_gw AS DOUBLE) / n_g) / 2.0))
+      |      + 0.5 * (CAST(c_gw AS DOUBLE) / n_g)
+      |        * ln((CAST(c_gw AS DOUBLE) / n_g)
+      |          / ((CAST(c_sw AS DOUBLE) / n_s
+      |            + CAST(c_gw AS DOUBLE) / n_g) / 2.0)), 9)
+      |      AS DECIMAL(12,9)) AS term
+      |  FROM sw JOIN ns USING (source) JOIN gw USING (w), ng)
+      |SELECT source, count(*) AS n_shared_words,
+      |  round(CAST(sum(term) AS DOUBLE)
+      |    + 0.5 * ln(2.0) * CAST(n_g - sum(c_gw) AS DOUBLE) / n_g, 9)
+      |    AS jsd
+      |FROM terms GROUP BY source, n_s, n_g ORDER BY source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("ta_token_entropy", tokenEntropy, Some(tokenEntropySql)),
     QueryDef("ta_tfidf", tfidf, Some(tfidfSql)),
@@ -703,5 +773,6 @@ object TextAnalysis {
     QueryDef("ta_pii_redact", piiRedact, Some(piiRedactSql)),
     QueryDef("ta_zipf_slope", zipfSlope, Some(zipfSlopeSql)),
     QueryDef("ta_quality_classifier", qualityClassifier,
-      Some(qualityClassifierSql)))
+      Some(qualityClassifierSql)),
+    QueryDef("ta_jsd_drift", jsdDrift, Some(jsdDriftSql)))
 }
