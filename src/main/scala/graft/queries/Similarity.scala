@@ -766,6 +766,50 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Maximum inner-product search (MIPS) top-5 — what retrieval
+    * actually ranks by (relevance = q·d on unnormalized embeddings,
+    * NOT cosine: document norm carries signal). Same bounded
+    * `TopKPairsAgg` map-side shape as `sim_knn_brute`, scoring with
+    * the raw codegen dot product. To serve MIPS from the IVF/PQ
+    * indexes in this library, apply the standard norm-augmentation
+    * reduction (append sqrt(M² − ‖d‖²) to each document and 0 to each
+    * query with M = max ‖d‖; cosine order on the augmented vectors
+    * equals inner-product order) — the query here pins the ground
+    * truth that reduction must reproduce.
+    */
+  private def mipsTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{DoubleSortableBits, SortableBitsToDouble}
+    val e = Tables(s, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val corpus = e.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+    corpus.crossJoin(broadcast(queries))
+      .withColumn("dotv", TextFns.dot(col("qv"), col("nv")))
+      .groupBy(col("query_id"))
+      .agg(graft.operators.TopKPairsAgg(
+        DoubleSortableBits(col("dotv")), col("neighbor_id"), TopK).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "p")))
+      .select(col("query_id"), col("p.tie").as("neighbor_id"),
+        (col("i") + 1).as("rnk"),
+        SortableBitsToDouble(col("p.value")).as("dotv"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  private val mipsTopKSql =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    list_dot_product(CAST(q.embedding AS DOUBLE[]),
+       |                     CAST(c.embedding AS DOUBLE[])) AS dotv
+       |  FROM embeddings q JOIN embeddings c
+       |    ON q.vec_id < 20 AND c.vec_id >= 20),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dotv DESC, neighbor_id) AS rnk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rnk, dotv FROM ranked
+       |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin
+
   /** Recall@k of the IVF index against brute-force ground truth — THE
     * quality metric an ANN user tunes nprobe by. Per query: how many of
     * the true top-$TopK neighbors the $NumProbe-probe IVF search
@@ -806,6 +850,7 @@ object Similarity {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("sim_recall_at_k", recallAtK, Some(recallAtKSql)),
+    QueryDef("sim_mips_topk", mipsTopK, Some(mipsTopKSql)),
     QueryDef("sim_index_api", indexApi, Some(knnBruteSql)),
     QueryDef("sim_quantize_int8", quantizeInt8, Some(quantizeInt8Sql)),
     QueryDef("sim_pq_encode", pqEncode, Some(pqEncodeSql)),
