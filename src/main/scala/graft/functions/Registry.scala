@@ -28,6 +28,10 @@ object Registry {
       exprs => MinHashSignature(exprs(0), intArg(exprs(1), "minhash_signature"))),
     ("simhash60", "60-bit simhash of a token array",
       exprs => SimHash60(exprs(0))),
+    ("horner_hash", "codepoint Horner hash: fold((acc*mult + cp) % mod)",
+      exprs => HornerHash(exprs(0),
+        intArg(exprs(1), "horner_hash").toLong,
+        intArg(exprs(2), "horner_hash").toLong)),
     ("count_min", "count-min sketch cells (depth x width) of a bigint key",
       exprs => graft.operators.CountMinAgg(exprs(0),
         intArg(exprs(1), "count_min"), intArg(exprs(2), "count_min"))),

@@ -503,11 +503,10 @@ object Corpus {
     val words = Tables(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
         explode(graft.functions.TextFns.tokens(col("text"))).as("w"))
+      // codegen Horner fold (same arithmetic as the oracle's
+      // list_reduce; see functions.HornerHash for why not a HOF)
       .withColumn("bucket",
-        aggregate(sequence(lit(1), length(col("w"))), lit(0L),
-          (acc, j) =>
-            (acc * 31 + ascii(col("w").substr(j.cast("int"), lit(1)))) %
-              nBuckets))
+        graft.functions.HornerHash(col("w"), 31, nBuckets))
     // raw and target counts in ONE aggregate over the single token
     // explode (a conditional count instead of a second shuffle)
     val bucketCounts = words.groupBy(col("bucket"))

@@ -646,10 +646,9 @@ object TextAnalysis {
         sequence(lit(0), size(col("ws")) - 2),
         i => concat_ws(" ", element_at(col("ws"), i + 1),
           element_at(col("ws"), i + 2)))).as("g"))
-      .withColumn("bucket",
-        aggregate(sequence(lit(1), length(col("g"))), lit(0L),
-          (acc, j) =>
-            (acc * 31 + ascii(col("g").substr(j.cast("int"), lit(1)))) % 512))
+      // codegen Horner fold (same arithmetic as the oracle's
+      // list_reduce; see functions.HornerHash for why not a HOF)
+      .withColumn("bucket", graft.functions.HornerHash(col("g"), 31, 512))
       .withColumn("w_milli",
         (col("bucket") * lit(2654435761L)) % 1000 - 500)
       .groupBy(col("doc_id"))

@@ -86,6 +86,29 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("HornerHash equals the aggregate/ascii HOF fold, both codegen paths") {
+    bothPaths {
+      val hof = aggregate(
+        sequence(lit(1), length(col("w"))), lit(0L),
+        (acc, j) =>
+          (acc * 31 + ascii(col("w").substr(j.cast("int"), lit(1)))) % 4096)
+      val rows = docs
+        .select(explode(split(col("text"), " ")).as("w"))
+        .limit(500)
+        .select(HornerHash(col("w"), 31, 4096).as("fast"), hof.as("ref"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r))
+    }
+    // explicit codepoint check without the DF round-trip
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(HornerHashHelper.compute(UTF8String.fromString("ab"), 31, 4096) ==
+      ((97L * 31 + 98) % 4096))
+    assert(HornerHashHelper.compute(UTF8String.fromString("日"), 31, 100000) ==
+      '日'.toLong % 100000)
+    assert(HornerHashHelper.compute(UTF8String.fromString(""), 31, 4096) == 0L)
+  }
+
   test("MinHashSignature: deterministic, monotone under subset growth") {
     bothPaths {
       val sig = docs.select(col("doc_id"),
