@@ -459,38 +459,49 @@ object TextAnalysis {
       |GROUP BY 1, 2 ORDER BY n_docs DESC, w1, w2 LIMIT 25""".stripMargin
 
   /** Per-document unigram Shannon entropy — the information-density
-    * quality signal (low entropy = repetitive/templated text). The
-    * -p·ln(p) terms fold sequentially over the SORTED distinct tokens,
-    * so both engines accumulate in the same order, and the result is
-    * rounded to 9 decimals (ln differs by 1 ulp cross-engine on some
-    * inputs — the established transcendental contract). Narrow per-row
-    * arithmetic; the inner count is O(tokens²) per document, bounded
-    * by document length, not corpus size.
+    * quality signal (low entropy = repetitive/templated text).
+    * Computed LINEARLY: one (doc, word) count aggregate, then each
+    * distinct word contributes -p·ln(p) rounded to 9 decimals (ln is
+    * the usual 1-ulp transcendental) and the terms accumulate in
+    * DECIMAL — order-independent under any partitioning. An earlier
+    * form folded a per-word `filter().size` lambda over the token
+    * array, which is O(tokens²) in DOCUMENT length — fine on 100-word
+    * fixtures, 10¹⁰ ops on a 100k-token document; the aggregate shape
+    * is O(tokens) and partial-aggregates before its one shuffle.
     */
   private def tokenEntropy(s: SparkSession, dir: String): DataFrame = {
-    val ws = split(col("text"), " ")
-    val n = size(ws)
-    Tables(s, dir, "documents")
-      .select(col("doc_id"), n.as("n_tokens"),
-        size(array_distinct(ws)).as("n_distinct"),
-        round(aggregate(sort_array(array_distinct(ws)), lit(0.0),
-          (acc, u) => {
-            val p = size(filter(ws, w => w === u)).cast("double") / n
-            acc - p * log(p)
-          }), 9).as("entropy"))
+    val counts = Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    val lens = counts.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"))
+    val p = col("c").cast("double") / col("n")
+    counts.join(lens, "doc_id")
+      .withColumn("term",
+        round(-p * log(p), 9).cast(DecimalType(12, 9)))
+      .groupBy(col("doc_id"), col("n"), col("n_distinct"))
+      .agg(round(sum(col("term")).cast("double"), 9).as("entropy"))
+      .select(col("doc_id"), col("n").cast("int").as("n_tokens"),
+        col("n_distinct").cast("int").as("n_distinct"), col("entropy"))
       .orderBy(col("doc_id"))
   }
 
   private val tokenEntropySql =
-    """SELECT doc_id,
-      |  CAST(len(ws) AS INTEGER) AS n_tokens,
-      |  CAST(len(list_distinct(ws)) AS INTEGER) AS n_distinct,
-      |  round(list_aggregate(list_transform(list_sort(list_distinct(ws)),
-      |    u -> -(CAST(len(list_filter(ws, w -> w = u)) AS DOUBLE) / len(ws))
-      |      * ln(CAST(len(list_filter(ws, w -> w = u)) AS DOUBLE) / len(ws))),
-      |    'sum'), 9) AS entropy
-      |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
-      |ORDER BY doc_id""".stripMargin
+    """WITH counts AS (
+      |  SELECT doc_id, w, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |lens AS (
+      |  SELECT doc_id, sum(c) AS n, count(*) AS n_distinct
+      |  FROM counts GROUP BY 1)
+      |SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+      |  CAST(n_distinct AS INTEGER) AS n_distinct,
+      |  round(CAST(sum(CAST(round(
+      |    -(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n), 9)
+      |    AS DECIMAL(12,9))) AS DOUBLE), 9) AS entropy
+      |FROM counts JOIN lens USING (doc_id)
+      |GROUP BY doc_id, n, n_distinct ORDER BY doc_id""".stripMargin
 
   /** PII scrub — the redaction pass every training corpus runs before
     * anything else sees the text. Emails, NANP-style phone numbers and
