@@ -477,7 +477,62 @@ object Events {
       |  CAST(cusum AS DOUBLE) AS max_cusum
       |FROM picked WHERE pick = 1 ORDER BY event_type""".stripMargin
 
+  /** Path analysis: the most common within-session event-type
+    * sequences (truncated to the first 8 steps) — the product-analytics
+    * staple behind funnel discovery. Sessions come from the same
+    * 30-minute-gap rule as `ev_sessionize`; the path string is ordered
+    * by (ts, event_id), a total order, so both engines agg identical
+    * strings. Shape: the sessionize windows (per-user, parallel), one
+    * path aggregate, one count aggregate, top-15 merge.
+    */
+  private def pathAnalysis(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000000
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    Tables(s, dir, "events")
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(concat_ws(">", slice(transform(
+        array_sort(collect_list(struct(col("us"), col("event_id"),
+          col("event_type")))),
+        e => e("event_type")), 1, 8)).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(15)
+  }
+
+  private val pathAnalysisSql =
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |      THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sessions AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS UNBOUNDED PRECEDING) AS session_seq
+      |  FROM marked),
+      |paths AS (
+      |  SELECT user_id, session_seq,
+      |    array_to_string(list_slice(string_split(
+      |      string_agg(event_type, '>' ORDER BY epoch_us(ts), event_id),
+      |      '>'), 1, 8), '>') AS path
+      |  FROM sessions GROUP BY 1, 2)
+      |SELECT path, count(*) AS n_sessions
+      |FROM paths GROUP BY path
+      |ORDER BY n_sessions DESC, path LIMIT 15""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("ev_path_analysis", pathAnalysis, Some(pathAnalysisSql)),
     QueryDef("ev_cusum_changepoint", cusumChangepoint,
       Some(cusumChangepointSql)),
     QueryDef("ev_anomaly_mad", madOutliers, Some(madOutliersSql)),

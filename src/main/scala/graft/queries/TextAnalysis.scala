@@ -766,6 +766,96 @@ object TextAnalysis {
       |    AS jsd
       |FROM terms GROUP BY source, n_s, n_g ORDER BY source""".stripMargin
 
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    * maximal stopword-free token runs; each word scores
+    * degree/frequency over the corpus phrase set (degree = summed
+    * length of phrases containing it), and a phrase scores the sum of
+    * its word scores. Formulated RELATIONALLY — phrase ids come from a
+    * running stopword count per document (one per-doc window), word
+    * stats from two aggregates, phrase scores from a decimal-rounded
+    * sum — no per-row lambdas anywhere, so every stage codegens and
+    * partial-aggregates. Top 3 phrases per doc for the first 50 docs
+    * (deterministic ties: score desc, then phrase text).
+    */
+  private def rakeKeywords(s: SparkSession, dir: String): DataFrame = {
+    val stopArr = array(stopwords.map(lit): _*)
+    val wPh = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // phrase_id = running stopword count over ALL tokens, THEN drop
+    // the stopwords — consecutive non-stop tokens share an id
+    val pw = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "w")))
+      .withColumn("is_stop", array_contains(stopArr, col("w")))
+      .withColumn("phrase_id", sum(col("is_stop").cast("int")).over(wPh))
+      .filter(!col("is_stop"))
+      .select(col("doc_id"), col("phrase_id"), col("pos"), col("w"))
+    val phrases = pw
+      .groupBy(col("doc_id"), col("phrase_id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          p => p("w"))).as("phrase"),
+        count(lit(1)).as("phrase_len"))
+    val wordStats = pw.join(
+        phrases.select(col("doc_id"), col("phrase_id"), col("phrase_len")),
+        Seq("doc_id", "phrase_id"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("phrase_len")).as("degree"))
+      .withColumn("wscore",
+        round(col("degree").cast("double") / col("freq"), 9)
+          .cast(DecimalType(18, 9)))
+    val scores = pw.join(wordStats.select(col("w"), col("wscore")), "w")
+      .groupBy(col("doc_id"), col("phrase_id"))
+      .agg(round(sum(col("wscore")).cast("double"), 9).as("score"))
+    val wTop = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("phrase"))
+    phrases.join(scores, Seq("doc_id", "phrase_id"))
+      .filter(col("doc_id") < 50)
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("phrase"), col("phrase_len"),
+        col("score"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  private val rakeKeywordsSql = {
+    val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, i AS pos, ws[i] AS w, ws[i] IN ($stopList) AS is_stop
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |    LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i)),
+       |pw AS (
+       |  SELECT doc_id, phrase_id, pos, w FROM (
+       |    SELECT doc_id, pos, w, is_stop,
+       |      sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+       |        OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+       |    FROM toks)
+       |  WHERE NOT is_stop),
+       |phrases AS (
+       |  SELECT doc_id, phrase_id,
+       |    string_agg(w, ' ' ORDER BY pos) AS phrase,
+       |    count(*) AS phrase_len
+       |  FROM pw GROUP BY 1, 2),
+       |word_stats AS (
+       |  SELECT w,
+       |    CAST(round(CAST(sum(phrase_len) AS DOUBLE) / count(*), 9)
+       |      AS DECIMAL(18,9)) AS wscore
+       |  FROM pw JOIN phrases USING (doc_id, phrase_id)
+       |  GROUP BY w),
+       |scored AS (
+       |  SELECT doc_id, phrase_id,
+       |    round(CAST(sum(wscore) AS DOUBLE), 9) AS score
+       |  FROM pw JOIN word_stats USING (w)
+       |  GROUP BY 1, 2)
+       |SELECT doc_id, rnk, phrase, phrase_len, score FROM (
+       |  SELECT p.doc_id, p.phrase, p.phrase_len, s.score,
+       |    row_number() OVER (PARTITION BY p.doc_id
+       |      ORDER BY s.score DESC, p.phrase) AS rnk
+       |  FROM phrases p JOIN scored s USING (doc_id, phrase_id)
+       |  WHERE p.doc_id < 50)
+       |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("ta_token_entropy", tokenEntropy, Some(tokenEntropySql)),
     QueryDef("ta_tfidf", tfidf, Some(tfidfSql)),
@@ -784,5 +874,6 @@ object TextAnalysis {
     QueryDef("ta_zipf_slope", zipfSlope, Some(zipfSlopeSql)),
     QueryDef("ta_quality_classifier", qualityClassifier,
       Some(qualityClassifierSql)),
-    QueryDef("ta_jsd_drift", jsdDrift, Some(jsdDriftSql)))
+    QueryDef("ta_jsd_drift", jsdDrift, Some(jsdDriftSql)),
+    QueryDef("ta_rake_keywords", rakeKeywords, Some(rakeKeywordsSql)))
 }
