@@ -89,7 +89,14 @@ object TextAnalysis {
     * aggregate. At 100 TB a production variant would hash byte
     * shingles with the same plan.
     */
-  private def winnowFp(s: SparkSession, dir: String): DataFrame = {
+  /** The winnowing hash/select pipeline shared by `ta_winnow_fp` and
+    * `ta_winnow_pairs`: one (doc, pos, selected-min-hash) row per full
+    * window. The k-gram hash stream comes from the codegen
+    * [[graft.functions.KGramHashes]] rolling pass (one O(n) fold per
+    * document) instead of the original explode + O(k)-per-position
+    * aggregate HOF — same values bit-for-bit, no interpreted lambda.
+    */
+  private def winnowed(s: SparkSession, dir: String): DataFrame = {
     val k = 8
     val w = 4
     val M = 1000000007L
@@ -97,17 +104,19 @@ object TextAnalysis {
     val wMin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)
     Tables(s, dir, "documents")
-      .select(col("doc_id"), col("text"),
-        (length(col("text")) - k + 1).as("npos"))
+      .select(col("doc_id"),
+        (length(col("text")) - k + 1).as("npos"),
+        posexplode(graft.functions.KGramHashes(col("text"), k, B, M))
+          .as(Seq("pos0", "khash")))
       .filter(col("npos") >= w) // docs too short for one full window drop out
-      .select(col("doc_id"), col("text"), col("npos"),
-        explode(sequence(lit(1), col("npos"))).as("pos"))
-      .withColumn("khash",
-        aggregate(sequence(col("pos"), col("pos") + k - 1), lit(0L),
-          (acc, j) =>
-            (acc * B + ascii(col("text").substr(j.cast("int"), lit(1)))) % M))
+      .withColumn("pos", col("pos0") + 1)
       .withColumn("wmin", min(col("khash")).over(wMin))
       .filter(col("pos") <= col("npos") - (w - 1)) // full windows only
+      .select(col("doc_id"), col("pos"), col("wmin"))
+  }
+
+  private def winnowFp(s: SparkSession, dir: String): DataFrame = {
+    winnowed(s, dir)
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("wmin")).as("n_fp"),
         sum_distinct(col("wmin")).as("fp_sum"),

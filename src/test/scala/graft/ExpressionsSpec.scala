@@ -109,6 +109,30 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(HornerHashHelper.compute(UTF8String.fromString(""), 31, 4096) == 0L)
   }
 
+  test("KGramHashes equals the per-position aggregate fold, both codegen paths") {
+    bothPaths {
+      val k = 8
+      val hof = transform(
+        sequence(lit(1), greatest(length(col("text")) - (k - 1), lit(0))),
+        p => aggregate(sequence(p, p + (k - 1)), lit(0L),
+          (acc, j) =>
+            (acc * 257 + ascii(col("text").substr(j.cast("int"), lit(1))))
+              % 1000000007L))
+      val rows = docs.limit(50)
+        .select(KGramHashes(col("text"), k, 257, 1000000007L).as("fast"),
+          hof.as("ref"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1), r)
+      }
+    }
+    import org.apache.spark.unsafe.types.UTF8String
+    // short string: fewer than k codepoints -> empty stream
+    assert(KGramHashesHelper.compute(
+      UTF8String.fromString("abc"), 8, 257, 1000000007L).numElements() == 0)
+  }
+
   test("MinHashSignature: deterministic, monotone under subset growth") {
     bothPaths {
       val sig = docs.select(col("doc_id"),
