@@ -32,6 +32,11 @@ object Registry {
       exprs => HornerHash(exprs(0),
         intArg(exprs(1), "horner_hash").toLong,
         intArg(exprs(2), "horner_hash").toLong)),
+    ("kgram_hashes", "rolling k-gram Horner hashes of a string",
+      exprs => KGramHashes(exprs(0),
+        intArg(exprs(1), "kgram_hashes"),
+        intArg(exprs(2), "kgram_hashes").toLong,
+        intArg(exprs(3), "kgram_hashes").toLong)),
     ("count_min", "count-min sketch cells (depth x width) of a bigint key",
       exprs => graft.operators.CountMinAgg(exprs(0),
         intArg(exprs(1), "count_min"), intArg(exprs(2), "count_min"))),
