@@ -64,7 +64,9 @@ object KGramHashesHelper {
 case class KGramHashes(child: Expression, k: Int, b: Long, m: Long)
     extends UnaryExpression {
 
-  require(k >= 1 && b > 0 && m > 1 && m < Int.MaxValue,
+  // b < 2^31 keeps t*b < 2^62 (t < m < 2^31) and cp·b^(k-1) < 2^52 —
+  // inside Long; same guard style as HornerHash
+  require(k >= 1 && b > 0 && b < Int.MaxValue && m > 1 && m < Int.MaxValue,
     s"kgram_hashes: k=$k b=$b m=$m out of the overflow-safe range")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

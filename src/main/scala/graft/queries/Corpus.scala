@@ -494,9 +494,6 @@ object Corpus {
     * table is at most 4096 rows — broadcast to a narrow per-token
     * join; one final per-doc aggregate.
     */
-  private def dsirWeights(s: SparkSession, dir: String): DataFrame =
-    dsirScores(s, dir)
-
   private def dsirScores(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val nBuckets = 4096
@@ -508,13 +505,15 @@ object Corpus {
       .withColumn("bucket",
         graft.functions.HornerHash(col("w"), 31, nBuckets))
     // raw and target counts in ONE aggregate over the single token
-    // explode (a conditional count instead of a second shuffle)
+    // explode (a conditional count instead of a second shuffle); the
+    // corpus totals re-aggregate the <=4096-row bucket table — NOT the
+    // token stream — so the documents scan happens once for counting
+    // (the scoring join below is the only other pass)
     val bucketCounts = words.groupBy(col("bucket"))
       .agg(count(lit(1)).as("cr"),
         count(when(col("lang") === "en", 1)).as("ct"))
-    val totals = words.agg(
-      count(lit(1)).as("n_raw"),
-      count(when(col("lang") === "en", 1)).as("n_tgt"))
+    val totals = bucketCounts.agg(
+      sum(col("cr")).as("n_raw"), sum(col("ct")).as("n_tgt"))
     val weights = bucketCounts
       .crossJoin(broadcast(totals))
       .select(col("bucket"),
@@ -548,8 +547,7 @@ object Corpus {
        |    count(*) FILTER (lang = 'en') AS ct
        |  FROM words GROUP BY 1),
        |totals AS (
-       |  SELECT count(*) AS n_raw,
-       |    count(*) FILTER (lang = 'en') AS n_tgt FROM words),
+       |  SELECT sum(cr) AS n_raw, sum(ct) AS n_tgt FROM bucket_counts),
        |weights AS (
        |  SELECT bucket,
        |    CAST(round(ln(
@@ -599,7 +597,7 @@ object Corpus {
   }
 
   def defs: Seq[QueryDef] = Seq(
-    QueryDef("cp_dsir_weights", dsirWeights, Some(dsirWeightsSql)),
+    QueryDef("cp_dsir_weights", dsirScores, Some(dsirWeightsSql)),
     QueryDef("cp_dsir_resample", dsirResample, Some(dsirResampleSql)),
     QueryDef("cp_contamination", contamination, Some(contaminationSql)),
     QueryDef("cp_chunk", chunk, Some(chunkSql)),

@@ -521,12 +521,18 @@ object Events {
       |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
       |      ROWS UNBOUNDED PRECEDING) AS session_seq
       |  FROM marked),
+      |ranked AS (
+      |  SELECT user_id, session_seq, event_type,
+      |    row_number() OVER (PARTITION BY user_id, session_seq
+      |      ORDER BY epoch_us(ts), event_id) AS step
+      |  FROM sessions),
       |paths AS (
+      |  -- truncate to the first 8 EVENTS before aggregating, exactly
+      |  -- like the Spark side's list slice (splitting the aggregated
+      |  -- string on '>' would miscount if a type ever contained '>')
       |  SELECT user_id, session_seq,
-      |    array_to_string(list_slice(string_split(
-      |      string_agg(event_type, '>' ORDER BY epoch_us(ts), event_id),
-      |      '>'), 1, 8), '>') AS path
-      |  FROM sessions GROUP BY 1, 2)
+      |    string_agg(event_type, '>' ORDER BY step) AS path
+      |  FROM ranked WHERE step <= 8 GROUP BY 1, 2)
       |SELECT path, count(*) AS n_sessions
       |FROM paths GROUP BY path
       |ORDER BY n_sessions DESC, path LIMIT 15""".stripMargin

@@ -377,18 +377,48 @@ object Multimodal {
       |FROM (SELECT doc_id, text, length(text) AS len FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Canonical PCM16 mono RIFF/WAVE encoder used by `mm_decode_wav` —
+    * factored out so `QueriesSpec` can feed THESE bytes (not a test
+    * copy) to javax.sound's independent parser. Sample k derives from
+    * payload byte k mod payload length: the fixture contract is
+    * non-empty ASCII text (min 47 chars — same precondition the phash
+    * rasterizer documents), where byte index == character index, which
+    * is what lets the character-based SQL oracle predict the samples.
+    */
+  def encodeWavPcm16(blob: Array[Byte], nSamples: Int, rate: Int): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(rate)
+      .putInt(rate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits/sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) {
+      bb.putShort((((blob(i % blob.length) & 0xff) - 128) * 256).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
   /** REAL audio-container round-trip — codec #2 alongside
     * `mm_decode_png`: each document's payload bytes become 200 16-bit
     * PCM mono samples, written as a byte-correct RIFF/WAVE container
     * (canonical 44-byte header + little-endian data chunk — any WAV
-    * player parses it), then parsed BACK by a genuine chunk-walking
-    * RIFF reader (magic check, fmt/data chunk traversal tolerant of
-    * chunk order, word-aligned skips) inside one mapPartitions pass.
-    * Emitted scalars come from the PARSED stream, so a corrupt byte in
-    * either direction fails the gate; PCM is lossless, which is what
-    * lets the SQL oracle predict the decoded samples. Same scale
-    * contract as the other codec stages: narrow, CPU-bound, split-size
-    * is the only knob.
+    * player parses it; see [[encodeWavPcm16]]), then parsed BACK by a
+    * genuine chunk-walking RIFF reader (magic check, fmt/data chunk
+    * traversal tolerant of chunk order, word-aligned skips) inside one
+    * mapPartitions pass. Emitted scalars come from the PARSED stream,
+    * so a corrupt byte in either direction fails the gate; PCM is
+    * lossless, which is what lets the SQL oracle predict the decoded
+    * samples. Same scale contract as the other codec stages: narrow,
+    * CPU-bound, split-size is the only knob.
     */
   private def decodeWav(s: SparkSession, dir: String): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.product[WavDecoded]
@@ -400,26 +430,7 @@ object Multimodal {
         it.map { r =>
           val id = r.getLong(0)
           val blob = r.getAs[Array[Byte]](1)
-          // ---- encode: canonical PCM16 mono RIFF/WAVE ----
-          val dataLen = nSamples * 2
-          val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
-            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
-            .put("WAVE".getBytes("US-ASCII"))
-          bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
-            .putShort(1) // PCM
-            .putShort(1) // mono
-            .putInt(rate)
-            .putInt(rate * 2) // byte rate
-            .putShort(2) // block align
-            .putShort(16) // bits/sample
-          bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
-          var i = 0
-          while (i < nSamples) {
-            bb.putShort((((blob(i % blob.length) & 0xff) - 128) * 256).toShort)
-            i += 1
-          }
-          val wav = bb.array() // the real media blob
+          val wav = Multimodal.encodeWavPcm16(blob, nSamples, rate) // the real media blob
 
           // ---- decode: genuine chunk-walking RIFF parse ----
           val in = java.nio.ByteBuffer.wrap(wav)

@@ -104,20 +104,20 @@ object SqlApi {
     * ratio is an exact rational in doubles (both engines divide the
     * same two small ints), so no rounding is needed.
     */
-  // Registered once per session (same weak-keyed idiom as
-  // functions.Registry) so repeated bench/verify invocations don't spam
+  // Registered once per session (graft.SessionCache, the shared
+  // weak-keyed memo) so repeated bench/verify invocations don't spam
   // "replaced a previously registered function" warnings in the tail.
-  private val udfRegistered =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[AnyRef, java.lang.Boolean]())
+  private val udfOnce = new graft.SessionCache[Unit]
 
   private def udfQuality(s: SparkSession, dir: String): DataFrame = {
-    if (udfRegistered.putIfAbsent(s, java.lang.Boolean.TRUE) == null)
+    udfOnce.getOrElseUpdate(s, "type_token_ratio") {
       s.udf.register("type_token_ratio", (text: String) => {
         val words = text.split(' ')
         if (words.isEmpty) 0.0
         else words.distinct.length.toDouble / words.length
       })
+      ()
+    }
     withViews(s, dir, Seq("documents"))(
       """SELECT doc_id, type_token_ratio(text) AS ttr,
         |  type_token_ratio(text) >= 0.5 AS diverse

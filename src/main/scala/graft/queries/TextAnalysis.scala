@@ -89,9 +89,13 @@ object TextAnalysis {
     * aggregate. At 100 TB a production variant would hash byte
     * shingles with the same plan.
     */
-  /** The winnowing hash/select pipeline shared by `ta_winnow_fp` and
-    * `ta_winnow_pairs`: one (doc, pos, selected-min-hash) row per full
-    * window. The k-gram hash stream comes from the codegen
+  /** The winnowing hash/select pipeline behind `ta_winnow_fp`: one
+    * (doc, pos, selected-min-hash) row per full window. (A pairing
+    * query over shared fingerprints was considered and rejected: at
+    * k = 8 chars the fixture's hottest fingerprint is shared by
+    * thousands of documents — char-8-grams are boilerplate in this
+    * vocabulary — so fingerprint pairing has no exact-oracle-safe
+    * skew cap here; MOSS-style matching belongs at larger k.) The k-gram hash stream comes from the codegen
     * [[graft.functions.KGramHashes]] rolling pass (one O(n) fold per
     * document) instead of the original explode + O(k)-per-position
     * aggregate HOF — same values bit-for-bit, no interpreted lambda.

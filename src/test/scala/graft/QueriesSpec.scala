@@ -32,29 +32,25 @@ class QueriesSpec extends AnyFunSuite {
   }
 
   test("mm_decode_wav containers parse under the JDK's own audio stack") {
-    // independent-parser check: the bytes our encoder writes must be a
-    // WAV that javax.sound (a parser we did NOT write) also accepts,
-    // with the same format parameters our chunk-walker reports
+    // independent-parser check: the PRODUCTION encoder's bytes
+    // (queries.Multimodal.encodeWavPcm16 — the same function the query
+    // runs in mapPartitions) must be a WAV that javax.sound (a parser
+    // we did NOT write) also accepts, with the same format parameters
+    // our chunk-walker reports, and sample payloads decoded verbatim
     val blob = "the quick brown fox".getBytes("UTF-8")
     val nSamples = 200
-    val dataLen = nSamples * 2
-    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
-      .put("WAVE".getBytes("US-ASCII"))
-    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
-      .putShort(1).putShort(1).putInt(8000).putInt(16000)
-      .putShort(2).putShort(16)
-    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
-    (0 until nSamples).foreach { i =>
-      bb.putShort((((blob(i % blob.length) & 0xff) - 128) * 256).toShort)
-    }
+    val wav = graft.queries.Multimodal.encodeWavPcm16(blob, nSamples, 8000)
     val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(bb.array()))
+      new java.io.ByteArrayInputStream(wav))
     val fmt = in.getFormat
     assert(fmt.getSampleRate == 8000f && fmt.getChannels == 1 &&
       fmt.getSampleSizeInBits == 16)
     assert(in.getFrameLength == nSamples.toLong)
+    // javax.sound must hand back the exact PCM the encoder wrote
+    val pcm = in.readAllBytes()
+    assert(pcm.length == nSamples * 2)
+    val first = ((pcm(1) << 8) | (pcm(0) & 0xff)).toShort
+    assert(first == (((blob(0) & 0xff) - 128) * 256).toShort)
     in.close()
   }
 
