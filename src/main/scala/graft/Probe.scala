@@ -24,7 +24,12 @@ object Probe {
       r
     }
     Tables(spark, dir, "orders").count() // warm
-    for (q <- Seq("ta_bpe_token_count", "ta_winnow_fp"); _ <- 1 to 2)
+    // probe the queries named on the command line (twice each, so the
+    // second run shows warm timings); default to a recent pair
+    val targets =
+      if (args.nonEmpty) args.toSeq
+      else Seq("ta_bpe_token_count", "ta_winnow_fp")
+    for (q <- targets; _ <- 1 to 2)
       t(q)(println(SparkEntry.queries(q)(spark, dir).count()))
     spark.stop()
   }

@@ -62,9 +62,17 @@ object Registry {
     */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (registered.putIfAbsent(reg, java.lang.Boolean.TRUE) == null) {
-      builders.foreach { case (name, _, builder) =>
-        reg.createOrReplaceTempFunction(name, builder, "built-in")
+    // Mark the registry AFTER all functions land, under the map's
+    // lock: a concurrent caller must not proceed while registration is
+    // in flight (it would analyze against missing functions), and a
+    // builder failure must leave the session unmarked so the next call
+    // retries the full set.
+    registered.synchronized {
+      if (!registered.containsKey(reg)) {
+        builders.foreach { case (name, _, builder) =>
+          reg.createOrReplaceTempFunction(name, builder, "built-in")
+        }
+        registered.put(reg, java.lang.Boolean.TRUE)
       }
     }
   }

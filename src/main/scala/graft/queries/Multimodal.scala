@@ -59,6 +59,17 @@ case class WavDecoded(
 
 object Multimodal {
 
+
+  /** Codec-stage precondition: every byte-sampling stage indexes the
+    * payload modulo its length, so an empty payload would be a cryptic
+    * ArithmeticException mid-stage. Fail loud with the contract
+    * instead (fixture documents are non-empty ASCII; a production
+    * ingest would filter or dead-letter empties before decode).
+    */
+  private def requirePayload(id: Long, blob: Array[Byte]): Unit =
+    require(blob.nonEmpty,
+      s"doc $id: empty payload — codec stages sample bytes modulo payload length")
+
   /** Blob-level metadata: size + content hash + magic bytes. */
   private def blobMeta(s: SparkSession, dir: String): DataFrame = {
     Tables(s, dir, "documents")
@@ -136,6 +147,7 @@ object Multimodal {
         it.flatMap { r =>
           val id = r.getLong(0)
           val blob = r.getAs[Array[Byte]](1)
+          requirePayload(id, blob)
           val m = fakeDecode(id, blob)
           def b(i: Int): Int = blob(i % blob.length) & 0xff
           (0 until 8).map { y =>
@@ -192,6 +204,7 @@ object Multimodal {
         it.map { r =>
           val id = r.getLong(0)
           val blob = r.getAs[Array[Byte]](1)
+          requirePayload(id, blob)
           def b(i: Int): Int = if (i < blob.length) blob(i) & 0xff else 0
           val w = 64 + b(0) % 64
           val h = 64 + b(1) % 64
@@ -260,9 +273,10 @@ object Multimodal {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  // oracle re-derives the fingerprints, then verifies the pairing
-  // brute-force — pinning that the banded join loses no pairs
-  private val phashPairsSql =
+  // fingerprint-derivation CTEs shared verbatim by phashSql and
+  // phashPairsSql — one definition so the two oracles can never
+  // disagree about what a fingerprint is
+  private val phashCtes =
     """WITH base AS (
       |  SELECT doc_id, text,
       |    64 + (ascii(substring(text, 1, 1)) % 64) AS w,
@@ -282,33 +296,22 @@ object Multimodal {
       |      CASE WHEN ps[i] * 60 > list_aggregate(ps, 'sum')
       |        THEN CAST(power(2, 60 - i) AS BIGINT) ELSE 0 END), 'sum')
       |      AS BIGINT) AS phash
-      |  FROM px)
-      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |  bit_count(xor(a.phash, b.phash)) AS hamming
-      |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
-      |WHERE bit_count(xor(a.phash, b.phash)) <= 8
-      |ORDER BY doc_a, doc_b""".stripMargin
+      |  FROM px)""".stripMargin
+
+  // oracle re-derives the fingerprints (shared CTEs), then verifies
+  // the pairing brute-force — pinning that the banded join loses no
+  // pairs
+  private val phashPairsSql =
+    s"""$phashCtes
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  bit_count(xor(a.phash, b.phash)) AS hamming
+       |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.phash, b.phash)) <= 8
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   private val phashSql =
-    """WITH base AS (
-      |  SELECT doc_id, text,
-      |    64 + (ascii(substring(text, 1, 1)) % 64) AS w,
-      |    64 + (ascii(substring(text, 2, 1)) % 64) AS h,
-      |    length(text) AS len
-      |  FROM documents),
-      |px AS (
-      |  SELECT doc_id,
-      |    list_transform(range(0, 60), i ->
-      |      ascii(substring(text,
-      |        ((((i // 8) * h) // 8) * w + ((i % 8) * w) // 8) % len + 1,
-      |        1))) AS ps
-      |  FROM base)
-      |SELECT doc_id,
-      |  CAST(list_aggregate(list_transform(range(1, 61), i ->
-      |    CASE WHEN ps[i] * 60 > list_aggregate(ps, 'sum')
-      |      THEN CAST(power(2, 60 - i) AS BIGINT) ELSE 0 END), 'sum')
-      |    AS BIGINT) AS phash
-      |FROM px ORDER BY doc_id""".stripMargin
+    s"""$phashCtes
+       |SELECT doc_id, phash FROM ph ORDER BY doc_id""".stripMargin
 
   /** REAL codec round-trip — the one mm_ stage that is not a stub:
     * each document's payload bytes are rasterized into a 16x16 8-bit
@@ -337,6 +340,7 @@ object Multimodal {
         it.map { r =>
           val id = r.getLong(0)
           val blob = r.getAs[Array[Byte]](1)
+          requirePayload(id, blob)
           val img = new java.awt.image.BufferedImage(
             side, side, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
           var i = 0
@@ -430,6 +434,7 @@ object Multimodal {
         it.map { r =>
           val id = r.getLong(0)
           val blob = r.getAs[Array[Byte]](1)
+          requirePayload(id, blob)
           val wav = Multimodal.encodeWavPcm16(blob, nSamples, rate) // the real media blob
 
           // ---- decode: genuine chunk-walking RIFF parse ----

@@ -43,8 +43,10 @@ object TextAnalysis {
 
   /** BPE-style pre-tokenization count: the GPT-2-family pre-tokenizer
     * splits text into letter runs, SINGLE digits and punctuation runs
-    * before byte-pair merges, so `len(pre_tokens)` is the upper bound
-    * a tokenizer budget check uses (merges only shrink it). Counted
+    * before byte-pair merges. Merges never cross pre-token boundaries,
+    * so `len(pre_tokens)` LOWER-bounds the final BPE token count (and
+    * the byte count upper-bounds it) — the bracket a token-budget
+    * planner multiplies by its per-pre-token expansion factor. Counted
     * with one regexp_extract_all per document — a narrow codegen'd
     * map; the class-only pattern means Java regex (Spark) and RE2
     * (DuckDB) agree. Emits the whitespace count and the bpe/word
