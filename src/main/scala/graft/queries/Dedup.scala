@@ -606,7 +606,10 @@ object Dedup {
     * makes it tractable: candidate pairs are bounded per cluster, so
     * the quadratic term is (corpus/k)² per bucket, not corpus² — the
     * published method's exact trick, and the same bucket-join shape as
-    * the rest of the dedup tier (no n² cross join). Centroids here are
+    * the rest of the dedup tier (no n² cross join). At 100 TB the
+    * cluster count grows WITH the corpus (the paper runs ~100k
+    * clusters; k ≈ n/1000 keeps each bucket's pair count constant) —
+    * the fixture's k = 16 is scaled to its 500 vectors. Centroids here are
     * the fixed first-16 convention shared with `sim_knn_ivf` so the
     * oracle can mirror the assignment; `sim_kmeans_ivf` demonstrates
     * the trained version of the same loop. Output is a per-vector
