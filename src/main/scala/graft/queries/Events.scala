@@ -595,6 +595,15 @@ object Events {
       (s, d) => graft.streaming.EventStream.streamingDedup(s, d),
       Some("""SELECT DISTINCT user_id, event_type FROM events
              |ORDER BY user_id, event_type""".stripMargin)),
+    // Late-data drop: the oracle predicts the single surviving probe
+    // window from max(ts); if the aggregation ever stops dropping the
+    // late row, a second row appears and the gate fails on row count.
+    QueryDef("evs_late_data_drop",
+      (s, d) => graft.streaming.EventStream.lateDataDrop(s, d),
+      Some("""SELECT CAST(date_trunc('hour', max(ts) + INTERVAL 1 HOUR)
+             |    AS TIMESTAMP) AS hour,
+             |  CAST(1 AS BIGINT) AS n
+             |FROM events""".stripMargin)),
     QueryDef("evs_dedup_within_watermark",
       (s, d) => graft.streaming.EventStream.streamingDedupWithinWatermark(s, d),
       Some("""SELECT DISTINCT user_id, event_type FROM events

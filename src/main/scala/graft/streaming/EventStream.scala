@@ -242,6 +242,88 @@ object EventStream {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** Watermark LATE-DATA DROP — the defining watermark behavior, which
+    * single-batch streams never exercise (batch 1 runs with watermark
+    * -inf). Three files arrive as separate micro-batches
+    * (`maxFilesPerTrigger = 1`, ordered by staged modification time):
+    *
+    *   1. the fixture events (max event time T) — advances the
+    *      watermark to T - 1h;
+    *   2. a probe pair of type `late_probe`: one ON-TIME row at T + 1h
+    *      and one LATE row at T - 3 days — the stateful aggregation
+    *      admits the first and MUST drop the second (its window closed
+    *      an hour-delay below the watermark);
+    *   3. the far-future sentinel — advances the watermark so append
+    *      mode flushes the surviving window.
+    *
+    * Output: the hourly counts of `late_probe` windows. Exactly one
+    * row (the on-time hour, n = 1) iff the drop happened; the oracle
+    * predicts that row from `max(ts)`, so a regression that stops
+    * dropping late data fails the row-count gate, not just a spec.
+    */
+  def lateDataDrop(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // fresh staging per invocation: the batches must ARRIVE separately
+    // (a re-used dir would replay everything as one batch with
+    // watermark -inf, and nothing would be late)
+    val streamDir = Files.createTempDirectory("graft_late_stream")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(streamDir.toFile): Unit))
+    val maxTsNanos = graft.Tables(ss, dir, "events")
+      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0) * 1000L
+    import ss.implicits._
+    val hourNs = 3600L * 1000000000L
+    def writeBatch(name: String, rows: Seq[(Long, Long, Long, String,
+        Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(streamDir.resolve(name).toString)
+    Files.copy(Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    // PUSHDOWN TRAP (found the hard way): a pre-aggregation
+    // `filter(event_type = 'late_probe')` gets pushed below the
+    // watermark node INTO THE PARQUET SOURCE, so the fixture and
+    // sentinel batches emit zero rows from the scan and the watermark
+    // never advances — no row is ever "late". The type therefore stays
+    // in the aggregation key (the watermark node sees every row) and
+    // the probe windows are selected AFTER the sink.
+    val agg = ss.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("recursiveFileLookup", "true")
+      .parquet(streamDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+    val name = "evs_late_sink"
+    ss.catalog.dropTempView(name)
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      // batch 1: the fixture alone — advances the watermark to T - 1h
+      q.processAllAvailable()
+      // batch 2: the probe pair ARRIVES LATER — the on-time row (T + 1h)
+      // is admitted, the late row (T - 3 days) is below the watermark
+      // and must be dropped by the stateful aggregation
+      writeBatch("probe", Seq(
+        (9000001L, maxTsNanos + hourNs, 9000L, "late_probe", 0.0, "{}"),
+        (9000002L, maxTsNanos - 72 * hourNs, 9001L, "late_probe", 0.0, "{}")))
+      q.processAllAvailable()
+      // batch 3: far-future sentinel flushes the surviving window
+      writeBatch("sentinel", Seq(
+        (9000003L, maxTsNanos + 720 * hourNs, -1L, "sentinel", 0.0, "{}")))
+      q.processAllAvailable()
+    } finally q.stop()
+    ss.table(name)
+      .filter(col("event_type") === "late_probe")
+      .select(col("w.start").as("hour"), col("n"))
+      .orderBy(col("hour"))
+  }
+
   def sessionWindows(spark: SparkSession, dir: String): DataFrame = {
     val ss = streamSession(spark)
     val agg = sentinelFlushedEvents(ss, dir, Seq("sentinel"))
