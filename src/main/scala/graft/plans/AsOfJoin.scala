@@ -82,18 +82,26 @@ case class AsOfJoinExec(
       val rKeyProj = UnsafeProjection.create(Seq(rKey, rTime), rSchema)
       val joined = new JoinedRow
 
-      // One-row-lookahead over the right side.
+      // One-row-lookahead over the right side. SQL join semantics for
+      // nulls: a null key or time matches NOTHING, so null right rows
+      // are skipped (they would otherwise read as 0 through the unsafe
+      // projection and match genuine key-0 rows).
       var rRow: InternalRow = null
       var rK = 0L
       var rT = 0L
-      def advanceRight(): Boolean =
-        if (rIter.hasNext) {
-          rRow = rIter.next()
-          val kt = rKeyProj(rRow)
-          rK = kt.getLong(0)
-          rT = kt.getLong(1)
-          true
-        } else { rRow = null; false }
+      def advanceRight(): Boolean = {
+        rRow = null
+        while (rRow == null && rIter.hasNext) {
+          val cand = rIter.next()
+          val kt = rKeyProj(cand)
+          if (!kt.isNullAt(0) && !kt.isNullAt(1)) {
+            rRow = cand
+            rK = kt.getLong(0)
+            rT = kt.getLong(1)
+          }
+        }
+        rRow != null
+      }
       advanceRight()
 
       // Most recent right row for the key currently being merged.
@@ -102,6 +110,10 @@ case class AsOfJoinExec(
 
       lIter.flatMap { lRow =>
         val kt = lKeyProj(lRow)
+        if (kt.isNullAt(0) || kt.isNullAt(1)) {
+          // null-keyed left rows match nothing
+          Iterator.empty
+        } else {
         val lK = kt.getLong(0)
         val lT = kt.getLong(1)
         if (lK != matchKey) { matchKey = lK; matchRow = null }
@@ -112,6 +124,7 @@ case class AsOfJoinExec(
         }
         if (matchRow != null) Iterator.single(joined(lRow, matchRow))
         else Iterator.empty
+        }
       }
     }
   }

@@ -83,16 +83,24 @@ case class IntervalJoinExec(
       val rKeyProj = UnsafeProjection.create(Seq(rKey, rTime), rSchema)
       val joined = new JoinedRow
 
+      // SQL join semantics for nulls: a null key or time matches
+      // NOTHING — null right rows are skipped rather than read as 0
+      // through the unsafe projection (same contract as AsOfJoinExec).
       var rRow: InternalRow = null
       var rK = 0L
       var rT = 0L
-      def advanceRight(): Unit =
-        if (rIter.hasNext) {
-          rRow = rIter.next()
-          val kt = rKeyProj(rRow)
-          rK = kt.getLong(0)
-          rT = kt.getLong(1)
-        } else rRow = null
+      def advanceRight(): Unit = {
+        rRow = null
+        while (rRow == null && rIter.hasNext) {
+          val cand = rIter.next()
+          val kt = rKeyProj(cand)
+          if (!kt.isNullAt(0) && !kt.isNullAt(1)) {
+            rRow = cand
+            rK = kt.getLong(0)
+            rT = kt.getLong(1)
+          }
+        }
+      }
       advanceRight()
 
       // sliding window of right rows for the key being merged:
@@ -104,6 +112,9 @@ case class IntervalJoinExec(
 
       lIter.flatMap { lRow =>
         val kt = lKeyProj(lRow)
+        if (kt.isNullAt(0) || kt.isNullAt(1)) {
+          Iterator.empty // null-keyed left rows match nothing
+        } else {
         val lK = kt.getLong(0)
         val lT = kt.getLong(1)
         if (!haveBufKey || lK != bufKey) {
@@ -125,6 +136,7 @@ case class IntervalJoinExec(
         new Iterator[InternalRow] {
           override def hasNext: Boolean = it.hasNext
           override def next(): InternalRow = joined(lRow, it.next())
+        }
         }
       }
     }

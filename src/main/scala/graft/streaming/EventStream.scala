@@ -67,7 +67,11 @@ object EventStream {
 
   /** Tumbling 1-hour windows by type — streaming complete mode, so the
     * result equals the batch `ev_hourly_by_type` aggregation and can
-    * share its DuckDB oracle.
+    * share its DuckDB oracle. NOTE: in complete mode the watermark
+    * neither drops late rows nor evicts state (all windows are
+    * retained for re-emission) — bounded-state production shapes are
+    * the append-mode queries below; `lateDataDrop` is the one that
+    * actually exercises the drop.
     */
   def hourlyTumbling(spark: SparkSession, dir: String): DataFrame = {
     val ss = streamSession(spark)
@@ -152,11 +156,14 @@ object EventStream {
       .orderBy(col("purchase_id"), col("click_id"))
   }
 
-  /** Streaming deduplication: dropDuplicates on (user_id, event_type)
-    * with a watermark bounding state. The fixture arrives as one
-    * micro-batch, so the emitted set equals batch DISTINCT — which the
-    * oracle checks. At scale the watermark is what keeps the dedup
-    * state finite (keys older than the delay are evicted).
+  /** Streaming deduplication: dropDuplicates on (user_id, event_type).
+    * The fixture arrives as one micro-batch, so the emitted set equals
+    * batch DISTINCT — which the oracle checks. NOTE: with the event
+    * -time column absent from the key set, plain dropDuplicates state
+    * is NEVER evicted (the watermark bounds nothing here) — state
+    * grows with distinct keys forever. The production variant for
+    * bounded state is `streamingDedupWithinWatermark` below, which is
+    * exactly why it exists.
     */
   def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
     val ss = streamSession(spark)
@@ -189,16 +196,6 @@ object EventStream {
       .orderBy(col("user_id"), col("event_type"))
   }
 
-  /** Session windows (30-minute gap) per user — append mode with a
-    * 1-hour watermark. Append mode only emits sessions the watermark
-    * has passed, so sessions still open at end-of-input would be
-    * withheld; the stream is therefore driven to termination with a
-    * far-future sentinel event (a negative user_id, filtered from the
-    * output) that advances the watermark past every real session's
-    * close — the streaming equivalent of end-of-stream flush, making
-    * the emitted set equal the batch gaps-and-islands oracle. The
-    * sentinel's own session stays open and is never emitted.
-    */
   /** Stage events.parquet plus one far-future sentinel row per given
     * event type (user_id = -1, ts = max + 30 days) into a temp dir and
     * open it as a stream. The sentinels advance the watermark past
@@ -244,8 +241,9 @@ object EventStream {
 
   /** Watermark LATE-DATA DROP — the defining watermark behavior, which
     * single-batch streams never exercise (batch 1 runs with watermark
-    * -inf). Three files arrive as separate micro-batches
-    * (`maxFilesPerTrigger = 1`, ordered by staged modification time):
+    * -inf). Three file groups arrive as separate micro-batches — each
+    * is WRITTEN between `processAllAvailable()` calls, so the batch
+    * boundaries are deterministic without any source-ordering options:
     *
     *   1. the fixture events (max event time T) — advances the
     *      watermark to T - 1h;
@@ -268,8 +266,6 @@ object EventStream {
     // (a re-used dir would replay everything as one batch with
     // watermark -inf, and nothing would be late)
     val streamDir = Files.createTempDirectory("graft_late_stream")
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      org.apache.commons.io.FileUtils.deleteQuietly(streamDir.toFile): Unit))
     val maxTsNanos = graft.Tables(ss, dir, "events")
       .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0) * 1000L
     import ss.implicits._
@@ -317,13 +313,27 @@ object EventStream {
       writeBatch("sentinel", Seq(
         (9000003L, maxTsNanos + 720 * hourNs, -1L, "sentinel", 0.0, "{}")))
       q.processAllAvailable()
-    } finally q.stop()
+    } finally {
+      q.stop()
+      // the memory sink holds the rows; the staging copy is done with
+      org.apache.commons.io.FileUtils.deleteQuietly(streamDir.toFile)
+    }
     ss.table(name)
       .filter(col("event_type") === "late_probe")
       .select(col("w.start").as("hour"), col("n"))
       .orderBy(col("hour"))
   }
 
+  /** Session windows (30-minute gap) per user — append mode with a
+    * 1-hour watermark. Append mode only emits sessions the watermark
+    * has passed, so sessions still open at end-of-input would be
+    * withheld; the stream is therefore driven to termination with a
+    * far-future sentinel event (a negative user_id, filtered from the
+    * output) that advances the watermark past every real session's
+    * close — the streaming equivalent of end-of-stream flush, making
+    * the emitted set equal the batch gaps-and-islands oracle. The
+    * sentinel's own session stays open and is never emitted.
+    */
   def sessionWindows(spark: SparkSession, dir: String): DataFrame = {
     val ss = streamSession(spark)
     val agg = sentinelFlushedEvents(ss, dir, Seq("sentinel"))

@@ -38,6 +38,26 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got == Map("exact" -> 100L, "latest" -> 101L, "other_key" -> 200L))
   }
 
+  test("null keys/times match nothing on either side (SQL join semantics)") {
+    import spark.implicits._
+    val right = Seq(
+      (Some(0L), Some(10L), 900L), // genuine key 0 — null must NOT match it
+      (None, Some(10L), 901L), // null key: joins nothing
+      (Some(1L), None, 902L), // null time: joins nothing
+      (Some(1L), Some(10L), 903L))
+      .toDF("r_k", "r_t", "val")
+    val left = Seq(
+      (Some(0L), Some(20L), "key0"),
+      (None, Some(20L), "null_key"), // must NOT as-of join key 0
+      (Some(1L), None, "null_time"), // must NOT join anything
+      (Some(1L), Some(20L), "key1"))
+      .toDF("l_k", "l_t", "tag")
+    val got = AsOfJoin.join(spark, left, right, "l_k", "r_k", "l_t", "r_t")
+      .select(col("tag"), col("val")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("key0" -> 900L, "key1" -> 903L))
+  }
+
   test("equivalent to the union+window composition on fixtures") {
     val dir = "/root/testdata/sf0.001"
     val custom = SparkEntry.queries("q24_asof_custom_operator")(spark, dir)

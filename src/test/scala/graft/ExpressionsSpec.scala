@@ -86,6 +86,27 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("FloatVecDot null contract matches zip_with: length mismatch and null elements give NULL") {
+    bothPaths {
+      val hof = aggregate(
+        zip_with(col("a"), col("b"), (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      val rows = spark.range(1).select(
+          array(lit(1.0f), lit(2.0f)).as("a"),
+          array(lit(3.0f)).as("b"))
+        .select(FloatVecDot(col("a"), col("b")).as("fast"), hof.as("ref"))
+        .union(spark.range(1).select(
+            array(lit(1.0f), lit(null.asInstanceOf[java.lang.Float])).as("a"),
+            array(lit(3.0f), lit(4.0f)).as("b"))
+          .select(FloatVecDot(col("a"), col("b")).as("fast"), hof.as("ref")))
+        .collect()
+      rows.foreach { r =>
+        assert(r.isNullAt(0) && r.isNullAt(1),
+          s"expected NULL from both forms, got $r")
+      }
+    }
+  }
+
   test("HornerHash equals the aggregate/ascii HOF fold, both codegen paths") {
     bothPaths {
       val hof = aggregate(

@@ -41,6 +41,28 @@ class IntervalJoinSpec extends AnyFunSuite {
     // "d": key 3 absent on the right; r5's key absent on the left
   }
 
+  test("null keys/times match nothing on either side (SQL join semantics)") {
+    import spark.implicits._
+    import graft.plans.IntervalJoin
+    val right = Seq(
+      (Some(0L), Some(10L), 900L), // genuine key 0 — null must NOT match it
+      (None, Some(10L), 901L),
+      (Some(1L), None, 902L),
+      (Some(1L), Some(10L), 903L))
+      .toDF("r_k", "r_t", "val")
+    val left = Seq(
+      (Some(0L), Some(12L), "key0"),
+      (None, Some(12L), "null_key"),
+      (Some(1L), None, "null_time"),
+      (Some(1L), Some(12L), "key1"))
+      .toDF("l_k", "l_t", "tag")
+    val got = IntervalJoin.join(spark, left, right,
+        "l_k", "r_k", "l_t", "r_t", -5L, 0L)
+      .select(col("tag"), col("val")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("key0" -> 900L, "key1" -> 903L))
+  }
+
   test("equivalent to the bucketed composition on fixtures") {
     val dir = "/root/testdata/sf0.001"
     val custom = SparkEntry.queries("q30_interval_custom_operator")(spark, dir)
