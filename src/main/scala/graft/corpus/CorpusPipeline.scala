@@ -28,6 +28,12 @@ object CorpusPipeline {
   /** Gopher-family quality rules: repetition (repeated-5-gram ratio)
     * and lexical diversity (distinct-word ratio). Returns the kept
     * rows with the original schema.
+    *
+    * NOTE: documents shorter than 5 words are ALWAYS dropped (the
+    * `total5 > 0` conjunct) — the Gopher-style minimum-length rule,
+    * applied regardless of the threshold parameters. A short-document
+    * corpus (tweets, titles) needs a different filter; the rule is
+    * also what the `cp_curation_pipeline` oracle replicates.
     */
   def qualityFilter(docs: DataFrame, textCol: String,
       maxRepeated5gramRatio: Double = 0.2,

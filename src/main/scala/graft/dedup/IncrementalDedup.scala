@@ -86,9 +86,16 @@ object IncrementalDedup {
 
     // near layer: ONE bucket pass over tagged postings. Pairs are
     // (prior → batch): later side must be a batch doc; the earlier
-    // side is any accepted doc or a smaller-id batch doc.
+    // side is any accepted doc or a smaller-id batch doc. Buckets no
+    // batch shingle touches can never pair, so the accepted postings
+    // are semi-joined down to batch-touched shingles FIRST — the
+    // shuffle is bounded by the batch's bucket footprint, not the
+    // corpus (retained buckets keep ALL their accepted entries, so
+    // pair output and the df cap are untouched).
+    val batchGrams = b.shingles.select(col("g")).distinct()
     val tagged =
-      accepted.shingles.select(col("g"),
+      accepted.shingles.join(batchGrams, Seq("g"), "left_semi")
+        .select(col("g"),
           struct(col("id"), col("n"), lit(false).as("isb")).as("e"))
         .unionByName(b.shingles.select(col("g"),
           struct(col("id"), col("n"), lit(true).as("isb")).as("e")))

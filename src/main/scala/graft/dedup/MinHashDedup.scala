@@ -46,6 +46,12 @@ object MinHashDedup {
       return sigs.sparkSession.emptyDataFrame
         .select(lit(0L).as("id_a"), lit(0L).as("id_b")).limit(0)
     val numPerms = firstSig(0).getInt(0)
+    // fail fast on banding that silently degrades: a remainder would
+    // drop perms from banding (lower recall, no warning) and
+    // bandRows > numPerms would compute an end-relative bogus band
+    require(bandRows >= 1 && bandRows <= numPerms &&
+      numPerms % bandRows == 0,
+      s"bandRows=$bandRows must evenly divide the signature width $numPerms")
     val bands = sigs.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(numPerms / bandRows - 1)),
         b => xxhash64(b, slice(col("sig"), b * bandRows + 1, lit(bandRows)))))
@@ -64,7 +70,15 @@ object MinHashDedup {
   def verifiedPairs(docs: DataFrame, candidates: DataFrame,
       idCol: String, textCol: String,
       threshold: Double, shingleK: Int = 3): DataFrame = {
-    val sets = docs.select(col(idCol).as("id"),
+    // verification must only touch CANDIDATE documents (the class
+    // contract): semi-join the corpus down to ids appearing in a pair
+    // BEFORE the shingle pass, so its cost scales with candidates,
+    // not corpus size
+    val candIds = candidates.select(col("id_a").as("cid"))
+      .union(candidates.select(col("id_b").as("cid"))).distinct()
+    val sets = docs
+      .join(candIds, col(idCol) === col("cid"), "left_semi")
+      .select(col(idCol).as("id"),
         graft.functions.WordShingles(col(textCol), shingleK).as("gs"))
       .filter(size(col("gs")) > 0)
     candidates
@@ -81,12 +95,21 @@ object MinHashDedup {
     * duplicate with a smaller id (the standard greedy survivor rule —
     * deterministic, no component computation needed). Returns the
     * surviving rows of `docs`, original schema.
+    *
+    * RECALL vs threshold: candidate recall depends on the banding, not
+    * the verification threshold — with the default r=4 rows per band a
+    * pair at exactly j=0.5 shares a band with probability
+    * 1-(1-0.5⁴)^32 ≈ 0.87, so borderline pairs near a LOW threshold
+    * can be missed even though verification would accept them. For
+    * near-complete recall at j≥0.5 pass `bandRows = 2`
+    * (1-(1-0.25)^64 ≈ 1-1e-8) and accept the larger candidate volume;
+    * the default banding is tuned for the j≥0.8 regime (miss ≈ 3e-9).
     */
   def dedup(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, bandRows: Int = 4): DataFrame = {
     val sigs = signatures(docs, idCol, textCol)
-    val pairs = verifiedPairs(docs, candidatePairs(sigs), idCol, textCol,
-      threshold)
+    val pairs = verifiedPairs(docs, candidatePairs(sigs, bandRows), idCol,
+      textCol, threshold)
     val losers = pairs.select(col("id_b").as(idCol)).distinct()
     docs.join(losers, Seq(idCol), "left_anti")
   }

@@ -19,7 +19,11 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object WordShinglesHelper {
   def compute(text: UTF8String, k: Int): GenericArrayData = {
-    val words = text.toString.split(' ')
+    // limit -1 keeps trailing empty tokens — the exact convention of
+    // Spark's split(col, " ") and DuckDB's string_split (Scala's
+    // split(Char) would silently drop them, diverging from the chain
+    // this expression replaces on trailing-separator documents)
+    val words = text.toString.split(" ", -1)
     if (words.length < k) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String]((words.length - k + 1) * 2)
     var i = 0

@@ -124,7 +124,10 @@ object IvfIndex {
   def load(spark: SparkSession, path: String): IvfIndex = {
     val cents = spark.read.parquet(s"$path/centroids")
       .collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      // .toVector: the Seqs are Row-backed wrappers post-load, which
+      // the tuple encoder rejects if this index is save()d again (the
+      // hazard IvfPqIndex.load documents)
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toVector))
       .sortBy(_._1).toSeq
     new IvfIndex(cents, spark.read.parquet(s"$path/assignments"))
   }

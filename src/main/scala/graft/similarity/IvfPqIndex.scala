@@ -81,11 +81,8 @@ final class IvfPqIndex private[similarity] (
 
     // LUT: queries x nprobe x subspaces x codeCount exact sub-distances
     // in RESIDUAL space — the only thing that meets the codes
-    val lut = probes
-      .select(col("query_id"), col("cent_id"),
-        posexplode(array((0 until subspaces).map(m =>
-          slice(col("qrv"), m * subDims + 1, subDims)): _*))
-          .as(Seq("m", "sv")))
+    val lut = PqIndex.subVectors(probes, "query_id", "qrv",
+        subspaces, subDims, keep = Seq("cent_id"))
       .join(broadcast(codebookDf), "m")
       .withColumn("qd2", PqIndex.dist2(col("sv"), col("cbv")))
       .select(col("query_id"), col("cent_id"), col("m"), col("code"),
@@ -150,6 +147,11 @@ object IvfPqIndex {
   def build(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int = 8, subspaces: Int = 8, codeCount: Int = 16,
       trainIters: Int = 0): IvfPqIndex = {
+    // fail fast with the actual precondition, not the analyzer error
+    // it would otherwise surface as (single-argument greatest() for
+    // nlist = 1; NoSuchElementException on cents.head for an empty
+    // corpus)
+    require(nlist >= 2, s"nlist=$nlist: the coarse quantizer needs >= 2 cells")
     val s = corpus.sparkSession
     import s.implicits._
 
@@ -161,6 +163,7 @@ object IvfPqIndex {
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](0)) }
       .toSeq
+    require(cents.nonEmpty, "IVF-PQ build needs a non-empty corpus")
 
     // coarse assignment as a narrow argmax over literal centroids
     // (cosine desc, cent_id asc) — one cosine column per centroid,
@@ -226,11 +229,8 @@ object IvfPqIndex {
     // encode residual sub-vectors (L2, ties to the lower code)
     val wEnc = Window.partitionBy(col("id"), col("m"))
       .orderBy(col("d2").asc, col("code"))
-    val codes = resid
-      .select(col("id"), col("cent_id"),
-        posexplode(array((0 until subspaces).map(m =>
-          slice(col("rv"), m * subDims + 1, subDims)): _*))
-          .as(Seq("m", "sv")))
+    val codes = PqIndex.subVectors(resid, "id", "rv",
+        subspaces, subDims, keep = Seq("cent_id"))
       .join(broadcast(cbDf), "m")
       .withColumn("d2", PqIndex.dist2(col("sv"), col("cbv")))
       .withColumn("rnk", row_number().over(wEnc))

@@ -39,12 +39,24 @@ final class PqIndex private[similarity] (
 
   /** One BIGINT word per vector: the `subspaces` codes packed base-
     * `codeCount` — the 8-byte representation an index stores per
-    * vector instead of the float payload.
+    * vector instead of the float payload. Place values are EXACT Long
+    * literals (a double `pow` would silently lose precision past 2^53
+    * and clamp past 2^63 for large codeCount/subspaces), and the
+    * require rejects configurations whose packed range exceeds a
+    * BIGINT outright.
     */
-  def packedCodes: DataFrame =
+  def packedCodes: DataFrame = {
+    val places = Array.iterate(1L, subspaces) { p =>
+      require(p <= Long.MaxValue / codeCount,
+        s"codeCount=$codeCount^subspaces=$subspaces exceeds the 64-bit packed word")
+      p * codeCount
+    }
+    val placeOf = (0 until subspaces).foldRight(lit(-1L)) { (m, els) =>
+      when(col("m") === m, lit(places(m))).otherwise(els)
+    }
     codes.groupBy(col("id"))
-      .agg(sum(col("code").cast("long") *
-        pow(lit(codeCount.toDouble), col("m")).cast("long")).as("pq_word"))
+      .agg(sum(col("code").cast("long") * placeOf).as("pq_word"))
+  }
 
   /** ADC top-k per query: (query_id, neighbor_id, rnk, adc), rank
     * order (adc asc, neighbor_id asc).
@@ -54,7 +66,7 @@ final class PqIndex private[similarity] (
     val lut = PqIndex.subVectors(
       queries.select(col(idCol).as("query_id"),
         transform(col(vecCol), x => x.cast("double")).as("dv")),
-      "query_id", subspaces, subDims)
+      "query_id", "dv", subspaces, subDims)
       .join(broadcast(codebookDf), "m")
       .withColumn("qd2", PqIndex.dist2(col("sv"), col("cbv")))
       .select(col("query_id"), col("m"), col("code"), col("qd2"))
@@ -84,12 +96,18 @@ final class PqIndex private[similarity] (
 
 object PqIndex {
 
+  /** Explode a vector column into its `subspaces` fixed-width
+    * sub-vectors as (idCol, keep..., m, sv) — THE sub-vector
+    * convention every PQ consumer (encode, ADC, residual paths) must
+    * share bit-for-bit, hence one definition.
+    */
   private[similarity] def subVectors(df: DataFrame, idCol: String,
-      subspaces: Int, subDims: Int): DataFrame =
-    df.select(col(idCol),
+      vecCol: String, subspaces: Int, subDims: Int,
+      keep: Seq[String] = Nil): DataFrame =
+    df.select(col(idCol) +: keep.map(col) :+
       posexplode(array((0 until subspaces).map(m =>
-        slice(col("dv"), m * subDims + 1, subDims)): _*))
-        .as(Seq("m", "sv")))
+        slice(col(vecCol), m * subDims + 1, subDims)): _*))
+        .as(Seq("m", "sv")): _*)
 
   private[similarity] def dist2(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
@@ -127,7 +145,7 @@ object PqIndex {
 
     val wEnc = Window.partitionBy(col("id"), col("m"))
       .orderBy(col("d2").asc, col("code"))
-    val codes = subVectors(base, "id", subspaces, subDims)
+    val codes = subVectors(base, "id", "dv", subspaces, subDims)
       .join(broadcast(cbDf), "m")
       .withColumn("d2", dist2(col("sv"), col("cbv")))
       .withColumn("rnk", row_number().over(wEnc))
