@@ -74,9 +74,15 @@ object MigrateMain {
         cfg.warnings.foreach(w => log.warn(w))
         log.info("Using resolved database endpoints")
         (new JdbcSchemaSource(
-            ConfigResolver.mssqlJdbcUrl(cfg.mssqlDatabase)): SchemaSource,
+            ConfigResolver.mssqlJdbcUrl(cfg.mssqlDatabase),
+            user = Option(cfg.mssqlDatabase.username).filter(_.nonEmpty),
+            password = Option(cfg.mssqlDatabase.password).filter(_.nonEmpty))
+            : SchemaSource,
           new JdbcTargetWriter(
-            ConfigResolver.mysqlJdbcUrl(cfg.mysqlDatabase)): TargetWriter,
+            ConfigResolver.mysqlJdbcUrl(cfg.mysqlDatabase),
+            user = Option(cfg.mysqlDatabase.username).filter(_.nonEmpty),
+            password = Option(cfg.mysqlDatabase.password).filter(_.nonEmpty))
+            : TargetWriter,
           cfg.settings.maxPacketBytes,
           cfg.settings.whitelistedTables)
     }

@@ -74,13 +74,22 @@ case object AnsiFlavor extends SqlFlavor {
   override def translate(sql: String): String = {
     val upper = sql.toUpperCase
     if (upper.startsWith("INSERT INTO")) {
-      // values after VALUES are data literals — leave them untouched
+      // values after VALUES are data literals; the renderer escapes
+      // them for MySQL's backslash-escape mode, so for an ANSI target
+      // (backslash = plain character) every doubled backslash must
+      // come back down to one — sound precisely because every
+      // backslash in OUR generated literals was doubled by
+      // SqlEscape.sqlString (quotes are ''-escaped, ANSI-compatible)
       val at = upper.indexOf(" VALUES")
       if (at < 0) quoteIdents(sql)
-      else quoteIdents(sql.substring(0, at)) + sql.substring(at)
+      else quoteIdents(sql.substring(0, at)) +
+        sql.substring(at).replace("\\\\", "\\")
     } else if (upper.startsWith("CREATE TABLE") ||
         upper.startsWith("ALTER TABLE")) {
-      // type-defining DDL carries no string literals: requote + retype.
+      // type-defining DDL carries no string literals — a contract the
+      // DDL RENDERER upholds (SqlDdl emits only identifiers, types and
+      // key clauses; no CHECK/DEFAULT literals), not a property of
+      // arbitrary ALTER statements: requote + retype.
       // Identifiers are backtick-quoted in the rendered SQL and become
       // double-quoted before the type rules run, so a column named
       // "text" or "datetime" is not a bare \b-word and never matches.
@@ -109,13 +118,23 @@ case object AnsiFlavor extends SqlFlavor {
   * Spark-native upgrade of the reference's single-connection
   * `stream_rows`.
   */
-final class JdbcSchemaSource(url: String, numPartitions: Int = 8)
+final class JdbcSchemaSource(url: String, numPartitions: Int = 8,
+    user: Option[String] = None, password: Option[String] = None)
     extends SchemaSource {
 
   private def withConn[T](f: Connection => T): T = {
-    val c = DriverManager.getConnection(url)
+    val c = user match {
+      case Some(u) => DriverManager.getConnection(url, u, password.getOrElse(""))
+      case None => DriverManager.getConnection(url)
+    }
     try f(c) finally c.close()
   }
+
+  // one probe per table per source instance: Migrator fetches the
+  // schema and read() needs only the PK column — without the cache
+  // every table paid the 3 metadata round-trips twice
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[ColumnSchema]]
 
   /** Base tables of the connection's current schema
     * (extractor.rs:25-49: TABLE_TYPE = 'BASE TABLE').
@@ -134,7 +153,10 @@ final class JdbcSchemaSource(url: String, numPartitions: Int = 8)
     * portable rendering of the reference's TABLE_CONSTRAINTS /
     * REFERENTIAL_CONSTRAINTS joins).
     */
-  override def getTableSchema(table: String): Seq[ColumnSchema] = withConn { c =>
+  override def getTableSchema(table: String): Seq[ColumnSchema] =
+    schemaCache.getOrElseUpdate(table, probeTableSchema(table))
+
+  private def probeTableSchema(table: String): Seq[ColumnSchema] = withConn { c =>
     val md = c.getMetaData
 
     val pks = {
@@ -173,13 +195,23 @@ final class JdbcSchemaSource(url: String, numPartitions: Int = 8)
         case Types.REAL => (MssqlType.Real, None, None, None)
         case Types.CHAR => (MssqlType.Char, Some(size), None, None)
         case Types.NCHAR => (MssqlType.NChar, Some(size), None, None)
-        case Types.VARCHAR => (MssqlType.Varchar, Some(size), None, None)
+        // varchar(max)/nvarchar(max)/varbinary(max): drivers report
+        // plain VARCHAR etc. with COLUMN_SIZE 2^31-1 (not LONGVARCHAR);
+        // normalize to the -1 MAX encoding so the mapper promotes to
+        // longtext/longblob like the reference's
+        // CHARACTER_MAXIMUM_LENGTH = -1 probe does
+        case Types.VARCHAR =>
+          (MssqlType.Varchar, Some(if (size >= 1073741823) -1 else size),
+            None, None)
         case Types.NVARCHAR | Types.LONGNVARCHAR =>
-          (MssqlType.NVarchar, Some(size), None, None)
+          (MssqlType.NVarchar, Some(if (size >= 1073741823) -1 else size),
+            None, None)
         case Types.LONGVARCHAR | Types.CLOB =>
           (MssqlType.Text, Some(-1), None, None)
         case Types.BINARY => (MssqlType.Binary, Some(size), None, None)
-        case Types.VARBINARY => (MssqlType.VarBinary, Some(size), None, None)
+        case Types.VARBINARY =>
+          (MssqlType.VarBinary, Some(if (size >= 1073741823) -1 else size),
+            None, None)
         case Types.LONGVARBINARY | Types.BLOB =>
           (MssqlType.Image, Some(-1), None, None)
         case Types.DATE => (MssqlType.Date, None, None, None)
@@ -189,6 +221,10 @@ final class JdbcSchemaSource(url: String, numPartitions: Int = 8)
           throw new MigrationException.UnknownSourceType(
             table, name, s"jdbc:$other")
       }
+      // single constraint slot per column, PK taking precedence over
+      // FK — the reference's extractor CASE has the identical
+      // precedence (extractor.rs:62-70), so a column that is both PK
+      // and FK loses its FK on both engines (schema-model parity)
       val constraint: Option[Constraint] =
         if (pks.contains(name)) Some(Constraint.PrimaryKey)
         else fks.get(name).map { case (rt, rc) => Constraint.ForeignKey(rt, rc) }
@@ -206,6 +242,8 @@ final class JdbcSchemaSource(url: String, numPartitions: Int = 8)
     */
   override def read(spark: SparkSession, table: String): DataFrame = {
     val props = new java.util.Properties
+    user.foreach(props.setProperty("user", _))
+    password.foreach(props.setProperty("password", _))
     val numericPk = getTableSchema(table).filter(c =>
       c.constraints.contains(Constraint.PrimaryKey)) match {
       case Seq(only) if Seq(MssqlType.TinyInt, MssqlType.SmallInt,
@@ -247,10 +285,15 @@ final class JdbcSchemaSource(url: String, numPartitions: Int = 8)
 final class JdbcTargetWriter(
     url: String,
     flavor: SqlFlavor = MySqlFlavor,
-    defaultMaxPacket: Long = 16777216L) extends TargetWriter {
+    defaultMaxPacket: Long = 16777216L,
+    user: Option[String] = None,
+    password: Option[String] = None) extends TargetWriter {
 
   private def withConn[T](f: Connection => T): T = {
-    val c = DriverManager.getConnection(url)
+    val c = user match {
+      case Some(u) => DriverManager.getConnection(url, u, password.getOrElse(""))
+      case None => DriverManager.getConnection(url)
+    }
     try f(c) finally c.close()
   }
 

@@ -1,7 +1,7 @@
 package graft.engine
 
 import java.util.concurrent.atomic.AtomicBoolean
-import java.util.concurrent.{Executors, Semaphore}
+import java.util.concurrent.Executors
 
 import scala.concurrent.duration.Duration
 import scala.concurrent.{Await, ExecutionContext, Future}
@@ -87,8 +87,13 @@ final class Migrator(
       else None
     action.foreach { a =>
       val existing = writer.showTables()
-      val targets = outputNames.filter(t =>
-        existing.exists(_.equalsIgnoreCase(t)))
+      // retain the SERVER's casing, not the desired output casing:
+      // on a case-sensitive target (MySQL on Linux), dropping 'users'
+      // when the table is 'Users' fails the whole reset — the
+      // reference keeps all_tables entries for the same reason
+      // (inserter.rs reset_tables)
+      val targets = existing.filter(e =>
+        outputNames.exists(_.equalsIgnoreCase(e)))
       if (targets.nonEmpty) writer.executeReset(SqlDdl.resetQuery(targets, a))
     }
   }
@@ -98,7 +103,10 @@ final class Migrator(
     val pool = Executors.newFixedThreadPool(
       math.max(1, math.min(options.maxConcurrentTasks, math.max(tables.size, 1))))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    val permits = new Semaphore(options.maxConcurrentTasks)
+    // concurrency is bounded by the fixed pool itself (sized at
+    // min(maxConcurrentTasks, tables)); the reference needed an
+    // explicit Semaphore because tokio spawns unbounded tasks
+    // (migrator.rs:122) — a JVM fixed pool IS the gate
     val cancelled = new AtomicBoolean(false)
 
     // Futures never fail: each resolves to an outcome, so every
@@ -111,16 +119,13 @@ final class Migrator(
 
     val futures = tables.map { table =>
       Future[Outcome] {
-        permits.acquire()
-        try {
-          if (cancelled.get()) Skipped(table)
-          else Try(migrateTable(table)) match {
-            case Success(r) => Done(r)
-            case Failure(e) =>
-              cancelled.set(true) // fail-fast: queued tables skip
-              Failed(table, e)
-          }
-        } finally permits.release()
+        if (cancelled.get()) Skipped(table)
+        else Try(migrateTable(table)) match {
+          case Success(r) => Done(r)
+          case Failure(e) =>
+            cancelled.set(true) // fail-fast: queued tables skip
+            Failed(table, e)
+        }
       }
     }
 

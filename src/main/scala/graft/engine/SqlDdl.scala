@@ -18,12 +18,22 @@ object SqlDdl {
     * NULL/NOT NULL (query.rs:100-135).
     */
   def createTable(table: String, schema: Seq[TargetColumn]): String = {
+    val pkCols = schema.filter(_.constraints.contains(Constraint.PrimaryKey))
+    // reference parity renders a single PK inline (query.rs:114); a
+    // COMPOSITE key must be a table-level clause instead — inline
+    // 'PRIMARY KEY' on two columns is invalid DDL on every target
+    // (the reference would emit it; we deviate to stay executable)
+    val inlinePk = pkCols.size == 1
     val cols = schema.map { c =>
-      val pk = if (c.constraints.contains(Constraint.PrimaryKey)) " PRIMARY KEY" else ""
+      val pk = if (inlinePk && c.constraints.contains(Constraint.PrimaryKey))
+        " PRIMARY KEY" else ""
       val nullable = if (c.isNullable) "NULL" else "NOT NULL"
       s"${mysqlIdentifier(c.columnName)} ${c.dataType.toSql}$pk $nullable"
     }.mkString(", ")
-    s"CREATE TABLE ${mysqlIdentifier(table)} ($cols)"
+    val tableClause = if (pkCols.size > 1)
+      s", PRIMARY KEY (${pkCols.map(c => mysqlIdentifier(c.columnName)).mkString(", ")})"
+    else ""
+    s"CREATE TABLE ${mysqlIdentifier(table)} ($cols$tableClause)"
   }
 
   sealed trait ResetAction { def verb: String }

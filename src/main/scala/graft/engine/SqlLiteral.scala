@@ -40,7 +40,12 @@ object SqlLiteral {
     case b: Array[Byte] =>
       "0x" + b.map(x => f"${x & 0xff}%02x").mkString
     case t: Timestamp =>
-      val i = t.toInstant.atOffset(ZoneOffset.UTC)
+      // toLocalDateTime inverts the JDBC driver's wall-clock->instant
+      // conversion (both use the JVM default zone), so the rendered
+      // literal is the SOURCE's wall-clock time under ANY JVM zone;
+      // the previous atOffset(UTC) silently shifted datetimes by the
+      // JVM's UTC offset when the JVM was not running in UTC
+      val i = t.toLocalDateTime
       val base = dtNoFrac.format(i)
       val nanos = t.getNanos
       if (nanos == 0) s"'$base'"

@@ -132,7 +132,11 @@ object UserOverrides {
       if (line.nonEmpty) {
         if (line.startsWith("[")) {
           section = line.stripPrefix("[").stripSuffix("]").trim
-          if (section == "mappings") sawMappings = true
+          // [mappings.columns] implicitly defines [mappings] in TOML —
+          // the reference's serde parser accepts such a file, so the
+          // bare sub-table header must count as seeing the section
+          if (section == "mappings" || section.startsWith("mappings."))
+            sawMappings = true
         } else {
           val eq = line.indexOf('=')
           if (eq < 0) return Left(s"Invalid line in mappings.toml: '$line'")

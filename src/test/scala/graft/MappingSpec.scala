@@ -125,6 +125,12 @@ class MappingSpec extends AnyFunSuite {
     assert(UserOverrides.fromToml("[mappings]\nbanana = \"int\"").isLeft)
     assert(UserOverrides.fromToml("[mappings.columns]\nnodot = \"int\"").isLeft)
     assert(UserOverrides.fromToml("[other]\nint = \"int\"").isLeft)
+
+    // [mappings.columns] alone implicitly defines [mappings] in TOML —
+    // the reference's serde parser accepts such a file
+    val colsOnly = UserOverrides.fromToml(
+      "[mappings.columns]\n\"Orders.ID\" = \"int unsigned\"").toOption.get
+    assert(colsOnly.columnOverrides.keySet == Set("orders.id"))
   }
 
   // --- Constraints ---

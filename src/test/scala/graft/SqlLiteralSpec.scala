@@ -68,6 +68,33 @@ class SqlLiteralSpec extends AnyFunSuite {
       "TRUNCATE TABLE `a`;\nTRUNCATE TABLE `b`;")
   }
 
+  test("composite primary keys render as one table-level clause") {
+    val cols = Seq(
+      TargetColumn("order_id", MySqlType(MySqlBaseType.Int),
+        isNullable = false, Some(Constraint.PrimaryKey)),
+      TargetColumn("product_id", MySqlType(MySqlBaseType.Int),
+        isNullable = false, Some(Constraint.PrimaryKey)),
+      TargetColumn("qty", MySqlType(MySqlBaseType.Int),
+        isNullable = true, None))
+    // inline 'PRIMARY KEY' twice would be invalid DDL on every target
+    assert(SqlDdl.createTable("OrderItems", cols) ==
+      "CREATE TABLE `OrderItems` (`order_id` int NOT NULL, " +
+        "`product_id` int NOT NULL, `qty` int NULL, " +
+        "PRIMARY KEY (`order_id`, `product_id`))")
+  }
+
+  test("timestamp literals keep the source wall-clock under any JVM zone") {
+    val prev = java.util.TimeZone.getDefault
+    try {
+      // the JDBC driver materializes '2020-06-01 12:00:00' using the
+      // JVM default zone; rendering must invert with the SAME zone
+      java.util.TimeZone.setDefault(
+        java.util.TimeZone.getTimeZone("America/New_York"))
+      val t = java.sql.Timestamp.valueOf("2020-06-01 12:00:00")
+      assert(SqlLiteral.render(t) == "'2020-06-01 12:00:00'")
+    } finally java.util.TimeZone.setDefault(prev)
+  }
+
   test("constraint DDL: FK cascade text + skip list (query.rs:242-256)") {
     val cols = Seq(
       TargetColumn("org_id", MySqlType(MySqlBaseType.Int), isNullable = true,
