@@ -46,6 +46,9 @@ object MinHashSignatureHelper {
     java.util.Arrays.fill(sig, Long.MaxValue)
     var i = 0
     while (i < n) {
+      // null element -> null signature (SQL null propagation), not an
+      // executor NPE; internal callers produce containsNull=false
+      if (arr.isNullAt(i)) return null
       val s = arr.getUTF8String(i)
       val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
         s.numBytes, 0L)
@@ -63,6 +66,10 @@ object MinHashSignatureHelper {
 
 case class MinHashSignature(child: Expression, numPerms: Int)
     extends UnaryExpression {
+
+  require(numPerms >= 1, s"minhash_signature: numPerms=$numPerms must be >= 1")
+
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess

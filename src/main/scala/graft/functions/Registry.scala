@@ -18,6 +18,13 @@ object Registry {
       s"$name expects a literal int argument, got $other")
   }
 
+  private def longArg(e: Expression, name: String): Long = e.eval() match {
+    case i: Int => i.toLong
+    case l: Long => l
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal integer argument, got $other")
+  }
+
   /** name -> (usage, builder) for every SQL-exposed function. */
   val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("float_vec_dot", "dot product of two float arrays (double acc)",
@@ -30,13 +37,13 @@ object Registry {
       exprs => SimHash60(exprs(0))),
     ("horner_hash", "codepoint Horner hash: fold((acc*mult + cp) % mod)",
       exprs => HornerHash(exprs(0),
-        intArg(exprs(1), "horner_hash").toLong,
-        intArg(exprs(2), "horner_hash").toLong)),
+        longArg(exprs(1), "horner_hash"),
+        longArg(exprs(2), "horner_hash"))),
     ("kgram_hashes", "rolling k-gram Horner hashes of a string",
       exprs => KGramHashes(exprs(0),
         intArg(exprs(1), "kgram_hashes"),
-        intArg(exprs(2), "kgram_hashes").toLong,
-        intArg(exprs(3), "kgram_hashes").toLong)),
+        longArg(exprs(2), "kgram_hashes"),
+        longArg(exprs(3), "kgram_hashes"))),
     ("count_min", "count-min sketch cells (depth x width) of a bigint key",
       exprs => graft.operators.CountMinAgg(exprs(0),
         intArg(exprs(1), "count_min"), intArg(exprs(2), "count_min"))),

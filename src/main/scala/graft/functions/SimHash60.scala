@@ -21,13 +21,24 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * the sum is strictly positive.
   */
 object SimHash60Helper {
-  def compute(arr: ArrayData): Long = {
-    val md = MessageDigest.getInstance("MD5")
+  // one digest per thread (same pattern as CountMinAgg): md.digest()
+  // resets the instance itself, so no per-token reset is needed either
+  private val md5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+
+  /** Null on a null array element (SQL null propagation — the SQL
+    * surface admits containsNull arrays); a boxed Long so the codegen
+    * path can branch on it.
+    */
+  def compute(arr: ArrayData): java.lang.Long = {
+    val md = md5.get()
     val counts = new Array[Int](60)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      md.reset()
+      if (arr.isNullAt(i)) return null
       val digest = md.digest(arr.getUTF8String(i).getBytes)
       // hex chars 2..16 = low nibble of byte 0, then bytes 1..7
       var b = 0
@@ -55,6 +66,8 @@ object SimHash60Helper {
 
 case class SimHash60(child: Expression) extends UnaryExpression {
 
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
@@ -67,8 +80,14 @@ case class SimHash60(child: Expression) extends UnaryExpression {
     SimHash60Helper.compute(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.SimHash60Helper.compute($a);")
+    nullSafeCodeGen(ctx, ev, a => {
+      val tmp = ctx.freshName("sim")
+      s"""
+         |java.lang.Long $tmp = graft.functions.SimHash60Helper.compute($a);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.longValue(); }
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -49,6 +49,8 @@ object WordShinglesHelper {
 
 case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
 
+  require(k >= 1, s"word_shingles: k=$k must be >= 1")
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(

@@ -39,6 +39,9 @@ case class CountMinAgg(
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[CmsBuffer] {
 
+  require(depth >= 1 && width >= 1,
+    s"count_min: depth=$depth width=$width must both be >= 1")
+
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -26,6 +26,12 @@ final class TopKPairsBuffer(val k: Int) {
       if (size < k) size += 1
     }
   }
+
+  /** Append an entry KNOWN to sort after every current one (serialized
+    * buffers are written in order) — O(1), vs insert()'s full scan.
+    */
+  def appendSorted(v: Long, t: Long): Unit =
+    if (size < k) { values(size) = v; ties(size) = t; size += 1 }
 }
 
 /** Catalyst-native bounded top-k aggregate: per group, the k largest
@@ -57,6 +63,8 @@ case class TopKPairsAgg(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[TopKPairsBuffer] {
+
+  require(k >= 1, s"topk_pairs: k=$k must be >= 1")
 
   override def children: Seq[Expression] = Seq(valueExpr, tieExpr)
   override def nullable: Boolean = false
@@ -96,8 +104,9 @@ case class TopKPairsAgg(
     val b = new TopKPairsBuffer(bb.getInt())
     val n = bb.getInt()
     var i = 0
-    // entries arrive already sorted, so inserts append in O(1) scans
-    while (i < n) { b.insert(bb.getLong(), bb.getLong()); i += 1 }
+    // entries were serialized in sorted order: append directly (an
+    // insert() here would scan past every prior entry — O(k²))
+    while (i < n) { b.appendSorted(bb.getLong(), bb.getLong()); i += 1 }
     b
   }
 

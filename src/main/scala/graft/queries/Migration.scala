@@ -174,8 +174,10 @@ object Migration {
       new ScriptTargetWriter(out), TypeRegistry.withDefaults(),
       MigrationOptions(formatSnakeCase = true, createConstraints = true,
         maxConcurrentTasks = 8))
-    val results = migrator.run()
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    val results =
+      try migrator.run()
+      finally org.apache.commons.io.FileUtils // temp dir freed on failure too
+        .deleteDirectory(new java.io.File(out))
     import s.implicits._
     results.map(r => (r.tableName, r.created, r.rowsMigrated))
       .toDF("table_name", "created", "rows_migrated")
@@ -210,21 +212,31 @@ object Migration {
     val migrator = new Migrator(s, new JdbcSchemaSource(srcUrl),
       new JdbcTargetWriter(dstUrl, AnsiFlavor), TypeRegistry.withDefaults(),
       MigrationOptions(maxConcurrentTasks = 3))
-    val results = migrator.run()
-    // verify counts against the TARGET database, then drop both DBs
-    val verified = results.map { r =>
-      val c = java.sql.DriverManager.getConnection(dstUrl)
-      val st = c.createStatement()
-      val rs = st.executeQuery(s"""SELECT COUNT(*) FROM "${r.tableName}"""")
-      rs.next()
-      val landed = rs.getLong(1)
-      rs.close(); st.close(); c.close()
-      (r.tableName, r.created, landed)
-    }
-    for (u <- Seq(srcUrl, dstUrl))
-      try java.sql.DriverManager.getConnection(
-        u.replace(";create=true", ";drop=true"))
-      catch { case _: java.sql.SQLException => () } // drop always "fails"
+    // both in-memory databases are dropped in the finally: a failed
+    // migration or verification must not leave them (and their data)
+    // resident for the JVM's lifetime across bench/verify repetitions
+    val verified =
+      try {
+        val results = migrator.run()
+        // verify counts against the TARGET database
+        results.map { r =>
+          val c = java.sql.DriverManager.getConnection(dstUrl)
+          try {
+            val st = c.createStatement()
+            try {
+              val rs = st.executeQuery(
+                s"""SELECT COUNT(*) FROM "${r.tableName}"""")
+              try { rs.next(); (r.tableName, r.created, rs.getLong(1)) }
+              finally rs.close()
+            } finally st.close()
+          } finally c.close()
+        }
+      } finally {
+        for (u <- Seq(srcUrl, dstUrl))
+          try java.sql.DriverManager.getConnection(
+            u.replace(";create=true", ";drop=true"))
+          catch { case _: java.sql.SQLException => () } // drop always "fails"
+      }
     import s.implicits._
     verified.toDF("table_name", "created", "rows_migrated")
       .orderBy(col("table_name"))

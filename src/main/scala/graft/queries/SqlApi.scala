@@ -111,11 +111,17 @@ object SqlApi {
 
   private def udfQuality(s: SparkSession, dir: String): DataFrame = {
     udfOnce.getOrElseUpdate(s, "type_token_ratio") {
-      s.udf.register("type_token_ratio", (text: String) => {
-        val words = text.split(' ')
-        if (words.isEmpty) 0.0
-        else words.distinct.length.toDouble / words.length
-      })
+      // split(" ", -1) keeps trailing empty tokens exactly like the
+      // DuckDB oracle's string_split (the Scala split(Char) form drops
+      // them — the WordShingles lesson); boxed return so NULL text
+      // propagates instead of NPEing
+      s.udf.register("type_token_ratio", (text: String) =>
+        if (text == null) null
+        else {
+          val words = text.split(" ", -1)
+          java.lang.Double.valueOf(
+            words.distinct.length.toDouble / words.length)
+        })
       ()
     }
     withViews(s, dir, Seq("documents"))(
