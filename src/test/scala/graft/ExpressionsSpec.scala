@@ -250,6 +250,15 @@ class ExpressionsSpec extends AnyFunSuite {
     spark.conf.unset("spark.sql.codegen.factoryMode")
   }
 
+  test("horner_hash SQL surface accepts long-literal mult/mod like the Column API") {
+    graft.functions.Registry.registerAll(spark)
+    // a prime modulus above Int.MaxValue — inside HornerHash's
+    // overflow-safe domain; the SQL builder must not narrow it to Int
+    val got = spark.sql("SELECT horner_hash('ab', 31, 4294967311) AS h")
+      .collect()(0).getLong(0)
+    assert(got == (97L * 31 + 98) % 4294967311L)
+  }
+
   test("aggregates reach the SQL surface through the registry") {
     import spark.implicits._
     graft.functions.Registry.registerAll(spark)
