@@ -223,6 +223,9 @@ class PlanSpec extends AnyFunSuite {
     // stream filters on pmod(doc_b, 2) = 1 before the intersection counts
     assert(p.contains("pmod(") && p.contains("2) = 1") &&
       !p.contains("CartesianProduct"), p.take(1200))
+    // and the accepted postings must be semi-joined down to the batch's
+    // shingle footprint before the bucket pass (the 100 TB contract)
+    assert(p.contains("LeftSemi"), p.take(1200))
   }
 
   test("quality classifier is explode → one partial-aggregated shuffle") {
