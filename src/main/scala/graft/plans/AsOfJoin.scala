@@ -150,9 +150,7 @@ object AsOfJoin {
   def join(spark: SparkSession, left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String): DataFrame = {
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    Strategies.register(spark, AsOfJoinStrategy)
     ColumnBridge.ofRows(spark, AsOfJoin(
       ColumnBridge.plan(left), ColumnBridge.plan(right),
       UnresolvedAttribute(leftKey), UnresolvedAttribute(rightKey),

@@ -164,9 +164,7 @@ object IntervalJoin {
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
       lower: Long, upper: Long): DataFrame = {
-    if (!spark.experimental.extraStrategies.contains(IntervalJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ IntervalJoinStrategy
+    Strategies.register(spark, IntervalJoinStrategy)
     ColumnBridge.ofRows(spark, IntervalJoin(
       ColumnBridge.plan(left), ColumnBridge.plan(right),
       UnresolvedAttribute(leftKey), UnresolvedAttribute(rightKey),
