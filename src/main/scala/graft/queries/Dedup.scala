@@ -306,21 +306,20 @@ object Dedup {
     val nProbe = 8
     val e = Tables(s, dir, "embeddings")
       .withColumn("nrm", TextFns.norm(col("embedding")))
-    val cents = e.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"),
-        col("nrm").as("cn"))
+    val cm: Seq[Seq[Double]] = e.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id"), col("embedding")).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
 
     // multi-assign: each vector to its nProbe nearest centroid buckets
-    // (narrow pass over broadcast centroids — the corpus never shuffles
-    // here, and the bucket join key is just (cent_id))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cent_id"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("ccos", TextFns.cosineFrom(
-        TextFns.dot(col("embedding"), col("cv")), col("nrm"), col("cn")))
-      .withColumn("arnk", row_number().over(wAssign))
-      .filter(col("arnk") <= nProbe)
-      .select(col("vec_id"), col("cent_id"))
+    // in ONE narrow NearestCentroids projection exploded to nProbe
+    // rows — no corpus x centroids fan-out, no rank window, constant
+    // plan width in nlist; the bucket join key is just (cent_id)
+    val assigned = e
+      .select(col("vec_id"), explode(
+        graft.functions.NearestCentroids(col("embedding"), cm, nProbe))
+        .as("nc"))
+      .select(col("vec_id"), col("nc").getField("cid").as("cent_id"))
 
     val candidates = assigned.select(col("vec_id").as("id_a"), col("cent_id"))
       .join(assigned.select(col("vec_id").as("id_b"), col("cent_id")), "cent_id")
@@ -620,16 +619,19 @@ object Dedup {
     val nCentroids = 16
     val e = Tables(s, dir, "embeddings")
       .withColumn("nrm", TextFns.norm(col("embedding")))
-    val cents = e.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"),
-        col("nrm").as("cn"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cent_id"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("ccos", TextFns.cosineFrom(
-        TextFns.dot(col("embedding"), col("cv")), col("nrm"), col("cn")))
-      .withColumn("arnk", row_number().over(wAssign))
-      .filter(col("arnk") === 1)
+    // centroid matrix on the driver (nCentroids x dim floats, promoted
+    // losslessly); assignment is ONE narrow NearestCentroids projection
+    // — no corpus x centroids row fan-out, no rank window, constant
+    // plan width in the cluster count (the shape that survives the
+    // paper's ~100k clusters)
+    val cm: Seq[Seq[Double]] = e.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id"), col("embedding")).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val assigned = e
+      .withColumn("cent_id",
+        graft.functions.NearestCentroids(col("embedding"), cm, 1)
+          .getItem(0).getField("cid").cast("long"))
       .select(col("vec_id"), col("cent_id"), col("embedding"), col("nrm"))
     val a = assigned.select(col("cent_id"), col("vec_id").as("id_a"),
       col("embedding").as("va"), col("nrm").as("na"))

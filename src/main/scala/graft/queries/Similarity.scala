@@ -89,30 +89,32 @@ object Similarity {
     */
   private def knnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
-    val centroids = e.filter(col("vec_id") < NumCentroids)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    // centroid matrix on the driver (NumCentroids x dim floats,
+    // promoted losslessly) — assignment and probing are each ONE
+    // narrow NearestCentroids projection, constant plan width in
+    // nlist and no corpus x centroids row fan-out
+    val cm: Seq[Seq[Double]] = e.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id"), col("embedding")).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
     val corpus = e.filter(col("vec_id") >= 20)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
     val queries = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
 
-    // assign: nearest centroid per corpus vector (narrow, broadcast)
-    val wAssign = Window.partitionBy(col("neighbor_id"))
-      .orderBy(col("ccos").desc, col("cent_id"))
-    val assigned = corpus.crossJoin(broadcast(centroids))
-      .withColumn("ccos", TextFns.cosine(col("nv"), col("cv")))
-      .withColumn("arnk", row_number().over(wAssign))
-      .filter(col("arnk") === 1)
+    // assign: nearest centroid per corpus vector (narrow)
+    val assigned = corpus
+      .withColumn("cent_id",
+        graft.functions.NearestCentroids(col("nv"), cm, 1)
+          .getItem(0).getField("cid"))
       .select(col("neighbor_id"), col("nv"), col("cent_id"))
 
-    // probe: top-NumProbe centroids per query
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("qcos").desc, col("cent_id"))
-    val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("qcos", TextFns.cosine(col("qv"), col("cv")))
-      .withColumn("prnk", row_number().over(wProbe))
-      .filter(col("prnk") <= NumProbe)
-      .select(col("query_id"), col("qv"), col("cent_id"))
+    // probe: top-NumProbe centroids per query (explode of the
+    // k-element result)
+    val probes = queries
+      .select(col("query_id"), col("qv"), explode(
+        graft.functions.NearestCentroids(col("qv"), cm, NumProbe)).as("nc"))
+      .select(col("query_id"), col("qv"), col("nc").getField("cid").as("cent_id"))
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosv").desc, col("neighbor_id"))
@@ -224,14 +226,6 @@ object Similarity {
     * pass touches every vector.
     */
   private def kmeansIvf(s: SparkSession, dir: String): DataFrame = {
-    val dims = 64
-
-    def cosDD(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
-      def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
-        graft.functions.DoubleVecDot(x, y)
-      dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-    }
-
     val e = Tables(s, dir, "embeddings")
       .withColumn("dv", transform(col("embedding"), x => x.cast("double")))
     val corpus = e.filter(col("vec_id") >= 20)
@@ -250,29 +244,19 @@ object Similarity {
       .select(col("vec_id"), col("dv")).collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).sortBy(_._1).toSeq
 
-    def litVec(v: Seq[Double]) = array(v.map(lit): _*)
-
-    /** Nearest centroid as flat projections: one cosine column per
-      * centroid, then argmax via greatest + a first-match CASE chain
-      * (attribute references only — a nested best-so-far fold would
-      * duplicate its subtree per level and blow up exponentially).
-      * Ties go to the lower cid (chain order).
+    /** Nearest centroid as ONE narrow projection — the
+      * [[graft.functions.NearestCentroids]] codegen expression carries
+      * the whole centroid matrix as a single reference object, so plan
+      * width is constant in nlist (the earlier per-centroid cosine
+      * fan-out + greatest/CASE argmax capped nlist at a few hundred
+      * before Janino limits; production nlist ~ √n is 10⁴–10⁵).
+      * Identical semantics: cosine desc, ties to the lower cid,
+      * bit-identical doubles (ExpressionsSpec pins both).
       */
-    def withNearestCentroid(df: DataFrame): DataFrame = {
-      val withNorm = df.withColumn("nvn",
-        sqrt(graft.functions.DoubleVecDot(col("nv"), col("nv"))))
-      val withCos = cents.foldLeft(withNorm) { case (acc, (cid, v)) =>
-        acc.withColumn(s"cos_$cid",
-          graft.functions.DoubleVecDot(col("nv"), litVec(v)) /
-            (col("nvn") * math.sqrt(v.map(x => x * x).sum)))
-      }
-      val best = greatest(cents.map { case (cid, _) => col(s"cos_$cid") }: _*)
-      val pick = cents.map(_._1).foldRight(lit(-1)) { case (cid, els) =>
-        when(col(s"cos_$cid") === best, lit(cid)).otherwise(els)
-      }
-      withCos.withColumn("cid", pick)
-        .drop("nvn" +: cents.map(c => s"cos_${c._1}"): _*)
-    }
+    def withNearestCentroid(df: DataFrame): DataFrame =
+      df.withColumn("cid",
+        graft.functions.NearestCentroids(col("nv"), cents.map(_._2), 1)
+          .getItem(0).getField("cid"))
 
     // Lloyd iterations: assignment (narrow) + decimal-exact means
     for (_ <- 1 to 2) {
@@ -294,16 +278,13 @@ object Similarity {
     val finalAssign = withNearestCentroid(corpus)
       .select(col("neighbor_id"), col("cid"))
 
-    // probes: 20 queries x k centroids — trivial window
-    import s.implicits._
-    val centsDf = cents.toDF("cid", "cv")
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("qcos").desc, col("cid"))
-    val probes = queries.crossJoin(broadcast(centsDf))
-      .withColumn("qcos", cosDD(col("qv"), col("cv")))
-      .withColumn("prnk", row_number().over(wProbe))
-      .filter(col("prnk") <= NumProbe)
-      .select(col("query_id"), col("qf"), col("cid"))
+    // probes: NumProbe nearest centroids per query — the same narrow
+    // expression, multi-probe via explode of its k-element result
+    val probes = queries
+      .select(col("query_id"), col("qf"), explode(
+        graft.functions.NearestCentroids(col("qv"), cents.map(_._2), NumProbe))
+        .as("nc"))
+      .select(col("query_id"), col("qf"), col("nc").getField("cid").as("cid"))
 
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("cosv").desc, col("neighbor_id"))

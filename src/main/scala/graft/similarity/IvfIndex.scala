@@ -44,22 +44,22 @@ final class IvfIndex private[similarity] (
         col(vecCol).as("qv"))
       .withColumn("qn", TextFns.norm(col("qv")))
 
-    val centsDf = {
-      val s = assignments.sparkSession
-      import s.implicits._
-      centroids.map { case (cid, v) => (cid, v.map(_.toFloat)) }
-        .toDF("cent_id", "cv")
-        .withColumn("cn", TextFns.norm(col("cv")))
+    // probe: nprobe nearest centroids per query — one narrow
+    // NearestCentroids projection exploded to nprobe rows (no
+    // queries x nlist fan-out, constant plan width in nlist). The
+    // centroid matrix is sorted by cent_id so the expression's row
+    // index IS the cent_id (build emits consecutive ids; load sorts).
+    val cm: Seq[Seq[Double]] = {
+      val sorted = centroids.sortBy(_._1)
+      require(sorted.map(_._1) == sorted.indices,
+        s"centroid ids must be 0..${sorted.length - 1}")
+      sorted.map(_._2)
     }
-
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("qcos").desc, col("cent_id"))
-    val probes = q.crossJoin(broadcast(centsDf))
-      .withColumn("qcos", TextFns.cosineFrom(
-        TextFns.dot(col("qv"), col("cv")), col("qn"), col("cn")))
-      .withColumn("prnk", row_number().over(wProbe))
-      .filter(col("prnk") <= nprobe)
-      .select(col("query_id"), col("qv"), col("qn"), col("cent_id"))
+    val probes = q
+      .select(col("query_id"), col("qv"), col("qn"), explode(
+        graft.functions.NearestCentroids(col("qv"), cm, nprobe)).as("nc"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("nc").getField("cid").as("cent_id"))
 
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("cosv").desc, col("id"))
@@ -100,19 +100,16 @@ object IvfIndex {
       .map { case (r, i) => (i, r.getSeq[Double](1)) }
       .toSeq
 
-    val s = corpus.sparkSession
-    import s.implicits._
-    val centsDf = cents.map { case (cid, v) => (cid, v.map(_.toFloat)) }
-      .toDF("cent_id", "cv")
-      .withColumn("cn", TextFns.norm(col("cv")))
-
-    val wAssign = Window.partitionBy(col("id"))
-      .orderBy(col("ccos").desc, col("cent_id"))
-    val assigned = base.crossJoin(broadcast(centsDf))
-      .withColumn("ccos", TextFns.cosineFrom(
-        TextFns.dot(col("vec"), col("cv")), col("nrm"), col("cn")))
-      .withColumn("arnk", row_number().over(wAssign))
-      .filter(col("arnk") === 1)
+    // assignment is ONE narrow NearestCentroids projection — the
+    // matrix rides codegen as a single reference object, so plan
+    // width is constant in nlist and the corpus never fans out to
+    // corpus x nlist rows (cents came off float vectors, so their
+    // doubles are exactly the promoted elements FloatVecDot computes
+    // with — bit-identical cosines)
+    val assigned = base
+      .withColumn("cent_id",
+        graft.functions.NearestCentroids(col("vec"), cents.map(_._2), 1)
+          .getItem(0).getField("cid"))
       .select(col("cent_id"), col("id"), col("vec"), col("nrm"))
 
     new IvfIndex(cents, assigned)

@@ -45,7 +45,15 @@ final class IvfPqIndex private[similarity] (
     val codebook: Seq[(Int, Int, Seq[Double])], // (m, code, residual sub-vector)
     val codes: DataFrame) { // (cent_id, id, m, code)
 
-  import IvfPqIndex.{cosineToLit, litVec}
+  /** Centroid matrix indexed by cent_id (build emits consecutive ids;
+    * load may return rows in any order — sort and verify).
+    */
+  private lazy val centMatrix: Seq[Seq[Double]] = {
+    val sorted = centroids.sortBy(_._1)
+    require(sorted.map(_._1) == sorted.indices,
+      s"centroid ids must be 0..${sorted.length - 1}")
+    sorted.map(_._2)
+  }
 
   private def codebookDf: DataFrame = {
     val s = codes.sparkSession
@@ -64,20 +72,18 @@ final class IvfPqIndex private[similarity] (
     val q = queries.select(col(idCol).as("query_id"),
       transform(col(vecCol), x => x.cast("double")).as("qv"))
 
-    // probe: nprobe nearest centroids per query (tiny window: queries
-    // x nlist rows)
-    // fresh Array[Double] per row: the Seqs may be Row-backed wrappers
-    // (post-load), which the tuple encoder rejects
-    val centsDf = centroids.map { case (cid, v) => (cid, v.toArray) }
-      .toDF("cent_id", "cv")
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("qcos").desc, col("cent_id"))
-    val probes = q.crossJoin(broadcast(centsDf))
-      .withColumn("qcos", cosineToLit(col("qv"), col("cv")))
-      .withColumn("prnk", row_number().over(wProbe))
-      .filter(col("prnk") <= nprobe)
-      .select(col("query_id"), col("cent_id"),
-        zip_with(col("qv"), col("cv"), (x, c) => x - c).as("qrv"))
+    // probe: nprobe nearest centroids per query — one narrow
+    // NearestCentroids projection exploded to nprobe rows (no
+    // queries x nlist fan-out), residual via O(1) matrix lookup
+    val probes = q
+      .select(col("query_id"), col("qv"), explode(
+        graft.functions.NearestCentroids(col("qv"), centMatrix, nprobe))
+        .as("nc"))
+      .select(col("query_id"), col("nc").getField("cid").as("cent_id"),
+        zip_with(col("qv"),
+          graft.functions.CentroidVector(
+            col("nc").getField("cid"), centMatrix),
+          (x, c) => x - c).as("qrv"))
 
     // LUT: queries x nprobe x subspaces x codeCount exact sub-distances
     // in RESIDUAL space — the only thing that meets the codes
@@ -121,16 +127,6 @@ final class IvfPqIndex private[similarity] (
 
 object IvfPqIndex {
 
-  private[similarity] def litVec(v: Seq[Double]): Column =
-    array(v.map(lit): _*)
-
-  /** Exact cosine between two double-array columns — sequential folds,
-    * matching DuckDB's list_cosine_similarity bit for bit (same
-    * contract the kmeans/IVF queries are gated on).
-    */
-  private[similarity] def cosineToLit(a: Column, b: Column): Column =
-    DoubleVecDot(a, b) / (sqrt(DoubleVecDot(a, a)) * sqrt(DoubleVecDot(b, b)))
-
   /** Build over a corpus with a long id column and an Array[Float]
     * vector column.
     *
@@ -165,20 +161,16 @@ object IvfPqIndex {
       .toSeq
     require(cents.nonEmpty, "IVF-PQ build needs a non-empty corpus")
 
-    // coarse assignment as a narrow argmax over literal centroids
-    // (cosine desc, cent_id asc) — one cosine column per centroid,
-    // flat CASE chain, NO shuffle of the corpus
-    def withNearest(df: DataFrame): DataFrame = {
-      val withCos = cents.foldLeft(df) { case (acc, (cid, v)) =>
-        acc.withColumn(s"cos_$cid", cosineToLit(col("dv"), litVec(v)))
-      }
-      val best = greatest(cents.map { case (cid, _) => col(s"cos_$cid") }: _*)
-      val pick = cents.map(_._1).foldRight(lit(-1)) { case (cid, els) =>
-        when(col(s"cos_$cid") === best, lit(cid)).otherwise(els)
-      }
-      withCos.withColumn("cent_id", pick)
-        .drop(cents.map(c => s"cos_${c._1}"): _*)
-    }
+    // coarse assignment as a narrow argmax over the centroid matrix —
+    // ONE NearestCentroids expression (matrix enters codegen as a
+    // single reference object), so plan width is constant in nlist
+    // and the corpus never shuffles. Same semantics as the earlier
+    // per-centroid fan-out: cosine desc, ties to the lower cent_id,
+    // bit-identical doubles (ExpressionsSpec).
+    def withNearest(df: DataFrame): DataFrame =
+      df.withColumn("cent_id",
+        graft.functions.NearestCentroids(col("dv"), cents.map(_._2), 1)
+          .getItem(0).getField("cid"))
 
     // Lloyd passes over the seeds: assignment (narrow) + decimal-exact
     // per-dimension means (order-independent), driver sees nlist x dim
@@ -197,15 +189,13 @@ object IvfPqIndex {
       cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
     }
 
-    // residual = vector - assigned centroid (centroid again a literal,
-    // picked by the same CASE chain)
-    val centArr = cents.map(_._1).foldRight(litVec(cents.head._2)) {
-      case (cid, els) =>
-        when(col("cent_id") === cid, litVec(cents.find(_._1 == cid).get._2))
-          .otherwise(els)
-    }
+    // residual = vector - assigned centroid; the matrix row is looked
+    // up by cent_id in O(1) plan width (CentroidVector), not a
+    // per-centroid CASE chain
     val resid = withNearest(base)
-      .withColumn("rv", zip_with(col("dv"), centArr, (x, c) => x - c))
+      .withColumn("rv", zip_with(col("dv"),
+        graft.functions.CentroidVector(col("cent_id"), cents.map(_._2)),
+        (x, c) => x - c))
       .select(col("id"), col("cent_id"), col("rv"))
 
     // residual-space codebook: residuals of the codeCount lowest-id

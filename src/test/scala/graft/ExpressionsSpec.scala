@@ -274,6 +274,97 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(topk.map(_.getLong(0)) == Seq(99L, 98L, 97L))
   }
 
+  test("NearestCentroids k=1 equals the per-centroid fan-out chain bit-for-bit") {
+    // the exact shape this expression replaced: one cosine column per
+    // centroid, greatest + first-match CASE chain (ties to lower cid)
+    val cents: Seq[Seq[Double]] = embs.limit(16)
+      .select(transform(col("embedding"), x => x.cast("double")))
+      .collect().map(_.getSeq[Double](0)).toSeq
+    def litVec(v: Seq[Double]) = array(v.map(lit): _*)
+    bothPaths {
+      val base = embs.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("dv"))
+        .withColumn("nvn", sqrt(DoubleVecDot(col("dv"), col("dv"))))
+      val withCos = cents.zipWithIndex.foldLeft(base) { case (acc, (v, cid)) =>
+        acc.withColumn(s"cos_$cid",
+          DoubleVecDot(col("dv"), litVec(v)) /
+            (col("nvn") * math.sqrt(v.map(x => x * x).sum)))
+      }
+      val best = greatest(cents.indices.map(cid => col(s"cos_$cid")): _*)
+      val pick = cents.indices.foldRight(lit(-1)) { case (cid, els) =>
+        when(col(s"cos_$cid") === best, lit(cid)).otherwise(els)
+      }
+      val rows = withCos
+        .withColumn("chain_cid", pick)
+        .withColumn("chain_best", best)
+        .withColumn("nc", NearestCentroids(col("dv"), cents, 1))
+        .select(col("chain_cid"), col("chain_best"),
+          col("nc").getItem(0).getField("cid"),
+          col("nc").getItem(0).getField("score"))
+        .collect()
+      assert(rows.length >= 100)
+      rows.foreach { r =>
+        assert(r.getInt(0) == r.getInt(2), s"cid mismatch: $r")
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(3)), s"score: $r")
+      }
+    }
+  }
+
+  test("NearestCentroids k>1 equals the crossJoin + rank-window probe shape") {
+    import spark.implicits._
+    val nProbe = 5
+    val centsF: Seq[(Int, Seq[Float])] = embs.limit(16)
+      .select(col("vec_id"), col("embedding"))
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1)) }.toSeq
+    // float centroids promoted per element — lossless, FloatVecDot's
+    // own promotion
+    val m: Seq[Seq[Double]] = centsF.map(_._2.map(_.toDouble))
+    bothPaths {
+      val centsDf = centsF.toDF("cent_id", "cv")
+        .withColumn("cn", TextFns.norm(col("cv")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cent_id"))
+      val expect = embs.withColumn("nrm", TextFns.norm(col("embedding")))
+        .crossJoin(broadcast(centsDf))
+        .withColumn("ccos", TextFns.cosineFrom(
+          TextFns.dot(col("embedding"), col("cv")), col("nrm"), col("cn")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= nProbe)
+        .select(col("vec_id"), col("rnk"), col("cent_id"), col("ccos"))
+      val got = embs
+        .select(col("vec_id"), posexplode(
+          NearestCentroids(col("embedding"), m, nProbe)).as(Seq("p", "nc")))
+        .select(col("vec_id"), (col("p") + 1).as("rnk"),
+          col("nc.cid").as("cent_id"), col("nc.score").as("ccos"))
+      assert(expect.exceptAll(got).isEmpty && got.exceptAll(expect).isEmpty)
+    }
+  }
+
+  test("NearestCentroids ties go to the lower cid; CentroidVector looks up") {
+    import spark.implicits._
+    // two identical centroids -> equal cosines; the chain/window both
+    // pick the lower cid on ties
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(1.0, 0.0))
+    bothPaths {
+      val rows = Seq(Seq(2.0, 0.1), Seq(0.1, 3.0)).toDF("v")
+        .select(col("v"),
+          NearestCentroids(col("v"), cents, 3).as("nc"),
+          CentroidVector(
+            NearestCentroids(col("v"), cents, 1).getItem(0).getField("cid"),
+            cents).as("cv"))
+        .collect()
+      val nc0 = rows(0).getSeq[org.apache.spark.sql.Row](1)
+      assert(nc0.map(_.getInt(0)) == Seq(0, 2, 1)) // tie 0 before 2
+      assert(rows(0).getSeq[Double](2) == Seq(1.0, 0.0))
+      val nc1 = rows(1).getSeq[org.apache.spark.sql.Row](1)
+      assert(nc1.map(_.getInt(0)) == Seq(1, 0, 2))
+      assert(rows(1).getSeq[Double](2) == Seq(0.0, 1.0))
+    }
+  }
+
   test("registerAll reclaims a graft name from a foreign registration," +
       " in a fresh session") {
     // fresh session state: newSession() shares the context but gets its

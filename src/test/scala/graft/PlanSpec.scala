@@ -73,9 +73,9 @@ class PlanSpec extends AnyFunSuite {
 
   test("embedding near-dup generates candidates from bucket joins, no n² cross join") {
     val p = plan("dd_embedding_neardup")
-    // the only permitted product is corpus x broadcast(16 centroids) —
-    // the linear assignment pass; candidate pairing must be an equi-join
-    // on the centroid bucket, and nothing may be a shuffled cartesian
+    // assignment is a narrow NearestCentroids projection (no product
+    // at all); candidate pairing must be an equi-join on the centroid
+    // bucket, and nothing may be a shuffled cartesian
     assert(!p.contains("CartesianProduct"), p.take(800))
     assert(p.contains("Join [cent_id") || p.contains("Join cent_id") ||
       p.contains("[cent_id"), p.take(800))
@@ -209,11 +209,41 @@ class PlanSpec extends AnyFunSuite {
 
   test("SemDeDup pairs only within clusters — equi-join on cent_id, no n² product") {
     val p = plan("dd_semdedup")
-    // same contract as dd_embedding_neardup: the only product is
-    // corpus x broadcast(16 centroids); in-cluster pairing is an
-    // equi-join on the cluster id
+    // same contract as dd_embedding_neardup: assignment is a narrow
+    // NearestCentroids projection; in-cluster pairing is an equi-join
+    // on the cluster id
     assert(!p.contains("CartesianProduct"), p.take(800))
     assert(p.contains("[cent_id"), p.take(800))
+  }
+
+  test("centroid assignment plan width is constant in nlist — builds at " +
+      "nlist=256 with one NearestCentroids expression, no column fan-out") {
+    import org.apache.spark.sql.functions._
+    // the per-centroid fan-out this replaced would emit 256 cosine
+    // columns + greatest + a 256-arm CASE chain here (Janino territory);
+    // the expression form keeps the plan O(1) wide at any nlist.
+    // spark.range (not a local Seq) so the projection isn't
+    // constant-folded into a LocalTableScan before we can inspect it.
+    val dim = 8
+    val corpus = spark.range(300).select(col("id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        d => ((col("id") * 31 + d * 7) % 13 + 1).cast("float")).as("vec"))
+    val idx = similarity.IvfIndex.build(corpus, "id", "vec", 256)
+    val p = idx.assignments.queryExecution.executedPlan.toString
+    assert(!p.toLowerCase.contains("greatest"), p.take(500))
+    assert(p.toLowerCase.contains("nearestcentroids"), p.take(500))
+    assert(p.length < 20000, s"plan unexpectedly large: ${p.length} chars")
+    assert(idx.assignments.count() == 300)
+    assert(idx.assignments.select("cent_id").distinct().count() > 1)
+
+    // the trained IVF-PQ build path (assignment + residual lookup +
+    // probe explode) holds the same contract at a wide nlist
+    val pq = similarity.IvfPqIndex.build(corpus, "id", "vec",
+      nlist = 64, subspaces = 4, codeCount = 16, trainIters = 1)
+    val res = pq.search(corpus.limit(5), "id", "vec", k = 3, nprobe = 4)
+    val sp = res.queryExecution.executedPlan.toString
+    assert(!sp.toLowerCase.contains("greatest"), sp.take(500))
+    assert(res.count() == 15)
   }
 
   test("incremental dedup never pairs existing-existing docs") {
