@@ -353,12 +353,12 @@ object Dedup {
   /** Near-duplicate clustering: connected components over the
     * jaccard >= 0.5 pair graph, labeling every document in a
     * component with the minimum member doc_id (the canonical
-    * keep-one-per-cluster step after pair finding). Spark side is
-    * iterative min-label propagation — each round joins labels across
-    * edges and keeps the minimum, converging in O(diameter) rounds
-    * (the fixture graph converges in <= 3; production would switch to
-    * large-star/small-star after a few rounds). The oracle is a
-    * DuckDB recursive CTE reaching the same fixpoint.
+    * keep-one-per-cluster step after pair finding). Spark side is the
+    * large-star/small-star algorithm (Kiveris et al. 2014, in
+    * [[graft.dedup.ConnectedComponents]]) — O(log² n) rounds on any
+    * graph shape, independent of component diameter, so chain-y
+    * crawl-scale duplicate graphs converge as fast as cliques. The
+    * oracle is a DuckDB recursive CTE reaching the same fixpoint.
     */
   /** The jaccard pair set is consumed by both dd_ngram_jaccard and
     * dd_components; within one session the materialized result is
@@ -377,7 +377,7 @@ object Dedup {
     // Materialize the pair cache under the caller's session (AQE on —
     // the right config for the corpus-wide build), then iterate in a
     // cloned session with AQE off and a narrow shuffle width: the loop
-    // moves a few hundred labels per round, where per-round adaptive
+    // moves a few hundred edges per round, where per-round adaptive
     // replanning costs more than the work itself (measured 2x). The
     // clone shares the SharedState cache manager, so the pair set and
     // the round caches are shared, and no global conf is touched
@@ -387,38 +387,14 @@ object Dedup {
     s2.conf.set("spark.sql.adaptive.enabled", "false")
     s2.conf.set("spark.sql.shuffle.partitions", "8")
     val pairs = cachedJaccard(s2, dir).select(col("doc_a"), col("doc_b"))
-    // Undirected edges, both directions. The pair graph is orders of
-    // magnitude smaller than the corpus (only near-dup members appear);
-    // AQE sizes the per-round shuffles from the cached edge stats, so
-    // no explicit width probe (an extra job per call) is needed.
-    val edges = pairs.unionByName(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .distinct().cache()
-    var labels = edges.select(col("doc_a").as("node"))
-      .distinct()
-      .withColumn("label", col("node"))
-    // Labels only ever decrease, so the label sum strictly decreases
-    // until the fixpoint — one aggregate per round detects convergence
-    // (cheaper than a per-node join against the previous round).
-    var prevSum = Long.MaxValue
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 20) {
-      val viaEdges = edges
-        .join(labels, edges("doc_b") === labels("node"))
-        .select(col("doc_a").as("node"), col("label"))
-      val next = labels.unionByName(viaEdges)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .cache()
-      val s = Option(next.agg(sum(col("label"))).collect()(0).get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L) // empty graph sums to null
-      labels.unpersist()
-      labels = next
-      converged = s == prevSum
-      prevSum = s
-      rounds += 1
-    }
-    labels.select(col("node").as("doc_id"), col("label").as("component"))
+    // Large-star/small-star (graft.dedup.ConnectedComponents): rounds
+    // grow O(log² n) on any graph shape, not with component diameter —
+    // a chain-y crawl-scale duplicate graph converges in the same
+    // handful of rounds as the fixture's cliques. Equivalence with
+    // min-label propagation is property-tested on random graphs
+    // (ConnectedComponentsSpec).
+    graft.dedup.ConnectedComponents.alternatingStars(pairs)
+      .select(col("node").as("doc_id"), col("component"))
       .orderBy(col("doc_id"))
   }
 
