@@ -36,6 +36,11 @@ object MinHashDedup {
   /** Banded-LSH candidate pairs from a signature frame: (id_a, id_b)
     * with id_a < id_b, distinct. Band key = hash of each band's
     * `bandRows`-hash slice.
+    *
+    * `bandRows` must evenly divide the signature width (and lie in
+    * [1, width]) — a remainder would silently drop the trailing perms
+    * from banding (lower recall, no warning), so the mismatch throws
+    * here instead.
     */
   def candidatePairs(sigs: DataFrame, bandRows: Int = 4): DataFrame = {
     // signature width probed from one row (cheap: LocalLimit(1) stops

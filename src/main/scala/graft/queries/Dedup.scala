@@ -538,9 +538,15 @@ object Dedup {
 
   // True ingest semantics: a batch (odd) doc is a dup of ANY accepted
   // (even) doc — id order irrelevant on the accepted side — or of an
-  // earlier (smaller-id) batch doc.
+  // earlier (smaller-id) batch doc. The `gdf` CTE mirrors screen()'s
+  // hot-shingle cap (buckets over MaxShingleDf are dropped whole) so
+  // both sides compute the SAME function — equivalence no longer rests
+  // on the fixture happening to catch capped-away pairs in the exact
+  // layer. For batch-touched grams the Spark bucket holds every
+  // accepted + batch posting, i.e. the gram's df over all documents,
+  // which is what gdf counts.
   private val incrementalSql =
-    """WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+    s"""WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
       |exact_of AS (
       |  SELECT b.doc_id AS doc_id, min(a.doc_id) AS exact_of
       |  FROM fp b JOIN fp a ON a.fp = b.fp
@@ -554,9 +560,11 @@ object Dedup {
       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
       |  WHERE len(ws) >= 3),
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |gdf AS (SELECT g FROM sh GROUP BY g
+      |        HAVING count(*) BETWEEN 2 AND $MaxShingleDf),
       |inter AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-      |  FROM sh a JOIN sh b
+      |  FROM sh a JOIN gdf ON a.g = gdf.g JOIN sh b
       |    ON a.g = b.g AND b.doc_id % 2 = 1
       |    AND (a.doc_id % 2 = 0 OR a.doc_id < b.doc_id)
       |    AND a.doc_id <> b.doc_id

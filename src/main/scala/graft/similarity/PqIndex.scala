@@ -51,6 +51,10 @@ final class PqIndex private[similarity] (
         s"codeCount=$codeCount^subspaces=$subspaces exceeds the 64-bit packed word")
       p * codeCount
     }
+    // The iterate guard only proves codeCount^(subspaces-1) fits; the
+    // maximum packed word is codeCount^subspaces - 1, one factor more.
+    require(places.last <= Long.MaxValue / codeCount,
+      s"codeCount=$codeCount^subspaces=$subspaces exceeds the 64-bit packed word")
     val placeOf = (0 until subspaces).foldRight(lit(-1L)) { (m, els) =>
       when(col("m") === m, lit(places(m))).otherwise(els)
     }
