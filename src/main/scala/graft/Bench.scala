@@ -14,7 +14,9 @@ import org.apache.spark.sql.SparkSession
   * times (default 3), alternating iteration order between passes
   * (forward / reverse / forward ...) so a query's position relative to
   * GC pauses and JIT warmup differs per pass. Each query reports its
-  * MEDIAN across passes; min/max are kept as the spread. Rationale:
+  * MEDIAN across passes; min/max are kept as the spread, computed over
+  * the steady-state passes only (the first pass is excluded so the
+  * spread measures run-to-run variance, not JIT/codegen warmup). Rationale:
   * three consecutive rounds (r3 mm_*, r4 q17-q20, r5 dd_exact_norm +
   * five sim_*) produced 1.5-4.7x "regressions" on untouched code that
   * reverted by themselves — single-shot timing on a shared box is
@@ -77,10 +79,17 @@ object Bench {
       }
     }
 
-    // (name, med, min, max) in name order; headline value = sum of medians
+    // (name, med, min, max) in name order; headline value = sum of
+    // medians over ALL reps (stable definition across rounds). The
+    // min/max spread is STEADY-STATE only: the first pass is dropped
+    // when reps >= 2, because it mostly measures JIT/codegen warmup of
+    // whichever query runs first (r6: mig_pipeline max 8.53 s vs med
+    // 2.39 s was entirely rep-1) — a spread that records warmup says
+    // nothing about run-to-run variance.
     val stats = byName.map { case (name, _) =>
       val xs = samples(name)
-      (name, median(xs), xs.min, xs.max)
+      val steady = if (xs.length >= 2) xs.tail else xs
+      (name, median(xs), steady.min, steady.max)
     }
     val total = stats.map(_._2).sum
 

@@ -42,6 +42,11 @@ object ConnectedComponents {
     * m(u) = min(u ∪ Γ(u)). Keeps all nodes (a node whose neighbors
     * are all smaller is re-emitted by each of those neighbors) and
     * preserves connectivity; strictly shrinks long chains.
+    *
+    * Emits a MULTISET (no dedup shuffle here): smallStar consumes it
+    * through a min-aggregate and its own terminal distinct, both
+    * duplicate-insensitive, so one round pays one dedup instead of
+    * two. The duplicate volume is bounded by the input edge count.
     */
   private def largeStar(e: DataFrame): DataFrame = {
     val bi = e.select(col("a").as("u"), col("b").as("v"))
@@ -53,13 +58,13 @@ object ConnectedComponents {
     bi.join(m, "u")
       .filter(col("v") > col("u"))
       .select(col("m").as("a"), col("v").as("b"))
-      .distinct()
   }
 
   /** Small-star: every node u connects its SMALLER neighbors (and
     * itself) to the minimum among them. Orients each edge max→min, so
     * each group sees only smaller neighbors; m < x for every emitted
-    * (m, x).
+    * (m, x). Duplicate input edges are harmless (min-aggregate), and
+    * the terminal distinct restores set semantics for the round.
     */
   private def smallStar(e: DataFrame): DataFrame = {
     val dir = e.select(col("b").as("u"), col("a").as("v")) // u > v

@@ -11,9 +11,11 @@ import org.apache.spark.sql.types._
   * deterministic STUB (`fakeDecode`) — but everything around them is
   * the real Spark shape: BinaryType columns, explicit result schema,
   * per-partition batch iteration via `mapPartitions`, and
-  * frame/feature extraction as narrow map stages. The exception is
-  * `mm_decode_png`, which runs a genuine PNG encode+decode round-trip
-  * through javax.imageio (JDK-built-in).
+  * frame/feature extraction as narrow map stages. The exceptions are
+  * `mm_decode_png` and `mm_decode_jpeg` (genuine encode+decode
+  * round-trips through javax.imageio, JDK-built-in) and
+  * `mm_decode_wav` (byte-correct RIFF/PCM16 encode + chunk-walking
+  * parse).
   *
   * The `documents.text` bytes stand in for media payloads (the
   * fixtures ship no real blobs); `fakeDecode` derives metadata from
@@ -49,6 +51,13 @@ case class PngDecoded(
   * encoder-codegen reason as [[DecodedMeta]].
   */
 case class PhashRow(doc_id: Long, phash: Long)
+
+/** Result schema of the JPEG round-trip — top-level for the same
+  * encoder-codegen reason as [[DecodedMeta]].
+  */
+case class JpegDecoded(
+    doc_id: Long, width: Int, height: Int, px_sum: Long, mid_px: Int,
+    max_err: Int)
 
 /** Result schema of the WAV round-trip — top-level for the same
   * encoder-codegen reason as [[DecodedMeta]].
@@ -381,6 +390,97 @@ object Multimodal {
       |FROM (SELECT doc_id, text, length(text) AS len FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** REAL codec round-trip #3 — JPEG via javax.imageio (the JDK ships
+    * a baseline JPEG encoder/decoder; no external libs). JPEG is
+    * LOSSY, so an exact SQL oracle cannot predict arbitrary decoded
+    * pixels the way it can for PNG/PCM — the image content must be
+    * chosen so the round-trip is provably bit-exact. Flat 8x8 blocks
+    * are that content: each block is DC-only (all AC coefficients
+    * exactly zero), and at compression quality 1.0 the quantization
+    * tables are all ones, so the DC coefficient survives quantization
+    * and the decoded block equals the source value exactly (verified
+    * empirically: 0 max error over 2000 random flat-block images; the
+    * emitted `max_err` column re-asserts it per document, and the
+    * oracle pins it to 0).
+    *
+    * Each document rasterizes to a 16x16 grayscale image of four flat
+    * 8x8 blocks whose values are the first four payload bytes (mod
+    * payload length), encodes to genuine JPEG bytes, decodes back, and
+    * emits scalars from the DECODED raster — dimensions, pixel sum,
+    * center pixel, and the max deviation from the source raster. Any
+    * corruption in either codec direction fails the gate. Same scale
+    * contract as the other codec stages: narrow CPU-bound
+    * mapPartitions work, split size is the only knob.
+    */
+  private def decodeJpeg(s: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.product[JpegDecoded]
+    val side = 16
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .mapPartitions { it: Iterator[Row] =>
+        // writer reused across the partition's rows (dispose once)
+        val writer =
+          javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+        val param = writer.getDefaultWriteParam
+        param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionQuality(1.0f)
+        it.map { r =>
+          val id = r.getLong(0)
+          val blob = r.getAs[Array[Byte]](1)
+          requirePayload(id, blob)
+          def blockVal(k: Int): Int = blob(k % blob.length) & 0xff
+          val img = new java.awt.image.BufferedImage(
+            side, side, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          var i = 0
+          while (i < side * side) {
+            val x = i % side; val y = i / side
+            img.getRaster.setSample(x, y, 0, blockVal((y / 8) * 2 + x / 8))
+            i += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+          ios.close()
+          val jpeg = bos.toByteArray // the real media blob
+
+          val back = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(jpeg))
+          val raster = back.getRaster
+          var sum = 0L
+          var maxErr = 0
+          var j = 0
+          while (j < side * side) {
+            val x = j % side; val y = j / side
+            val px = raster.getSample(x, y, 0)
+            sum += px
+            val err = math.abs(px - blockVal((y / 8) * 2 + x / 8))
+            if (err > maxErr) maxErr = err
+            j += 1
+          }
+          JpegDecoded(id, back.getWidth, back.getHeight, sum,
+            raster.getSample(side / 2, side / 2, 0), maxErr)
+        }
+      }(enc)
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  // the oracle predicts the decoded raster from the block-fill
+  // arithmetic alone — valid because flat-block q=1.0 JPEG is bit-exact
+  // (see decodeJpeg's scaladoc); max_err pins that claim per document
+  private val decodeJpegSql =
+    """SELECT doc_id, 16 AS width, 16 AS height,
+      |  CAST(64 * (b0 + b1 + b2 + b3) AS BIGINT) AS px_sum,
+      |  b3 AS mid_px, 0 AS max_err
+      |FROM (SELECT doc_id,
+      |        ascii(substring(text, 0 % len + 1, 1)) AS b0,
+      |        ascii(substring(text, 1 % len + 1, 1)) AS b1,
+      |        ascii(substring(text, 2 % len + 1, 1)) AS b2,
+      |        ascii(substring(text, 3 % len + 1, 1)) AS b3
+      |      FROM (SELECT doc_id, text, length(text) AS len FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
   /** Canonical PCM16 mono RIFF/WAVE encoder used by `mm_decode_wav` —
     * factored out so `QueriesSpec` can feed THESE bytes (not a test
     * copy) to javax.sound's independent parser. Sample k derives from
@@ -578,6 +678,7 @@ object Multimodal {
     QueryDef("mm_blob_meta", blobMeta, Some(blobMetaSql)),
     QueryDef("mm_decode_stub", decodeStub, Some(decodeStubSql)),
     QueryDef("mm_decode_png", decodePng, Some(decodePngSql)),
+    QueryDef("mm_decode_jpeg", decodeJpeg, Some(decodeJpegSql)),
     QueryDef("mm_decode_wav", decodeWav, Some(decodeWavSql)),
     QueryDef("mm_resize_stub", resizeStub, Some(resizeStubSql)),
     QueryDef("mm_frame_sample", frameSample, Some(frameSampleSql)),

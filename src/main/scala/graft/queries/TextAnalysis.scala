@@ -7,6 +7,13 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+/** Result schema of the true-BPE token count — top-level (not
+  * nested/private) so the ExpressionEncoder's generated code can reach
+  * the accessors (the [[graft.queries.DecodedMeta]] lesson).
+  */
+case class BpeTrueRow(
+    doc_id: Long, n_true_bpe: Int, n_pre: Int, true_per_pre: Double)
+
 /** Text-analysis operators over the `documents` table: token counting,
   * quality scoring, n-gram language ID, document fingerprinting, and
   * word/bigram frequency — the per-document metrics an LLM-data
@@ -51,7 +58,8 @@ object TextAnalysis {
     * map; the class-only pattern means Java regex (Spark) and RE2
     * (DuckDB) agree. Emits the whitespace count and the bpe/word
     * blow-up ratio alongside, the two numbers a token-budget planner
-    * compares.
+    * compares. `ta_bpe_true_count` below runs ACTUAL merges; this
+    * bracket stays as the cheap path (no per-char loop).
     */
   private def bpeTokenCount(s: SparkSession, dir: String): DataFrame = {
     val pat = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
@@ -72,6 +80,124 @@ object TextAnalysis {
       |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))
       |    AS DOUBLE) / len(string_split(text, ' ')) AS bpe_per_word
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** TRUE BPE token count — actual byte-pair merges against a fixed
+    * merge table, not the pre-token/byte bracket of
+    * `ta_bpe_token_count` (which stays as the cheap planning path).
+    *
+    * The merge table is a deterministic literal (ranked like a trained
+    * vocab: each rule's components are base characters or outputs of
+    * strictly earlier rules — the well-formedness every trained table
+    * has by construction, because a pair can only be learned once its
+    * components exist). The Spark side runs the canonical tokenizer
+    * algorithm per pre-token: find the lowest-ranked adjacent pair,
+    * merge all its occurrences left-to-right, repeat until no ranked
+    * pair remains. Merges never cross pre-token boundaries
+    * (GPT-2-family semantics, same pre-tokenizer as the bracket
+    * query); only letter-run pre-tokens can merge since every rule is
+    * letter-only.
+    *
+    * The DuckDB oracle replays the SAME table as sequential string
+    * replacements in rank order, one unique control-char sentinel per
+    * merged symbol (the fixture text is printable ASCII, so sentinels
+    * cannot collide). Equivalence is a theorem for well-formed tables:
+    * merging a pair only creates adjacencies INVOLVING the new symbol,
+    * and the new symbol is a component only of later rules — so once
+    * rule i is exhausted nothing re-creates its pair, and
+    * exhaust-in-rank-order equals lowest-rank-first. replace()'s
+    * left-to-right non-overlapping scan matches the tokenizer's
+    * occurrence order, spaces (never in any rule) keep cross-pre-token
+    * letter pairs apart in the flat string, and the final token count
+    * is just length minus the space count because every symbol is one
+    * character. Both sides are generated from the one `BpeMerges`
+    * literal, so they cannot drift.
+    *
+    * Scale shape: narrow mapPartitions over documents, O(len · rules)
+    * per doc, no shuffle — identical contract to the other per-doc
+    * text stages.
+    */
+  private val BpeMerges: Vector[(String, String)] = Vector(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("an", "d"))
+
+  private def bpeTrueCount(s: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.product[BpeTrueRow]
+    val rank: Map[(String, String), Int] =
+      BpeMerges.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+        // canonical BPE over one letter run: lowest-ranked pair first,
+        // all occurrences left-to-right, until no ranked pair remains
+        def bpeLen(run: String): Int = {
+          var syms = run.map(_.toString).toArray
+          var done = false
+          while (!done && syms.length > 1) {
+            var best = Int.MaxValue
+            var i = 0
+            while (i < syms.length - 1) {
+              val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+              if (r < best) best = r
+              i += 1
+            }
+            if (best == Int.MaxValue) done = true
+            else {
+              val (a, b) = BpeMerges(best)
+              val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+              var j = 0
+              while (j < syms.length) {
+                if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+                  out += a + b; j += 2
+                } else { out += syms(j); j += 1 }
+              }
+              syms = out.toArray
+            }
+          }
+          syms.length
+        }
+        it.map { r =>
+          val id = r.getLong(0)
+          val text = r.getString(1)
+          var nTrue = 0
+          var nPre = 0
+          var i = 0
+          while (i < text.length) {
+            val c = text.charAt(i)
+            if (c == ' ') i += 1
+            else if (c.isLetter) { // letter run: one pre-token, BPE merges
+              val start = i
+              while (i < text.length && text.charAt(i).isLetter) i += 1
+              nPre += 1
+              nTrue += bpeLen(text.substring(start, i))
+            } else { nPre += 1; nTrue += 1; i += 1 } // digit/punct: atomic
+          }
+          BpeTrueRow(id, nTrue, nPre, nTrue.toDouble / nPre)
+        }
+      }(enc)
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  // oracle generated from the SAME BpeMerges literal: symbol repr is
+  // the symbol itself for base chars, chr(rank+1) for merged symbols
+  private val bpeTrueCountSql: String = {
+    val reprOf: String => String = sym =>
+      if (sym.length == 1) s"'$sym'"
+      else s"chr(${BpeMerges.indexWhere { case (a, b) => a + b == sym } + 1})"
+    val replaced = BpeMerges.zipWithIndex.foldLeft("text") {
+      case (acc, ((a, b), i)) =>
+        s"replace($acc, ${reprOf(a)} || ${reprOf(b)}, chr(${i + 1}))"
+    }
+    s"""WITH r AS (
+       |  SELECT doc_id, $replaced AS s,
+       |    length(text) - length(replace(text, ' ', '')) AS n_sp,
+       |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))
+       |      AS n_pre
+       |  FROM documents)
+       |SELECT doc_id, length(s) - n_sp AS n_true_bpe, n_pre,
+       |  CAST(length(s) - n_sp AS DOUBLE) / n_pre AS true_per_pre
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
 
   /** Rolling-hash winnowing fingerprint (the MOSS scheme): a Horner
     * rolling hash over character 8-grams mod 1e9+7, then the minimum
@@ -878,6 +1004,7 @@ object TextAnalysis {
     QueryDef("ta_vocab_hll", vocabHll, Some(vocabHllSql)),
     QueryDef("ta_token_stats", tokenStats, Some(tokenStatsSql)),
     QueryDef("ta_bpe_token_count", bpeTokenCount, Some(bpeTokenCountSql)),
+    QueryDef("ta_bpe_true_count", bpeTrueCount, Some(bpeTrueCountSql)),
     QueryDef("ta_winnow_fp", winnowFp, Some(winnowFpSql)),
     QueryDef("ta_quality_score", quality, Some(qualitySql)),
     QueryDef("ta_lang_id", langId, Some(langIdSql)),
