@@ -583,6 +583,72 @@ object Dedup {
       |  LEFT JOIN near_of USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Streaming ingest gate — `graft.streaming.IncrementalIngest`
+    * drives [[graft.dedup.IncrementalDedup]] through a real
+    * multi-micro-batch Structured Streaming run (foreachBatch +
+    * versioned persisted artifacts): even docs are the pre-accepted
+    * seed, odd docs arrive as TWO micro-batches (doc_id % 4 == 1 then
+    * % 4 == 3). The oracle unrolls both stages: a batch-2 doc is a dup
+    * of any seed doc, any batch-1 KEEPER (rejects never enter the
+    * accepted set), or an earlier batch-2 doc; each stage's
+    * hot-shingle cap counts only that stage's bucket universe, exactly
+    * as screen() builds its buckets.
+    */
+  private def incrementalIngest(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.IncrementalIngest.ingest(s, dir,
+      threshold = 0.5, shingleK = ShingleK, maxShingleDf = MaxShingleDf)
+
+  private val incrementalIngestSql = {
+    // one stage of the unrolled gate: `bsel` picks the arriving batch,
+    // `prior` decides which docs qualify as the earlier side
+    def stage(n: Int, bsel: String, prior: String, universe: String) =
+      s"""gdf$n AS (SELECT g FROM sh WHERE $universe
+         |  GROUP BY g HAVING count(*) BETWEEN 2 AND $MaxShingleDf),
+         |inter$n AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+         |  FROM sh a JOIN gdf$n ON a.g = gdf$n.g JOIN sh b ON a.g = b.g
+         |  WHERE b.$bsel AND ${prior.replace("A.", "a.").replace("B.", "b.")}
+         |  GROUP BY 1, 2),
+         |near$n AS (
+         |  SELECT doc_b AS doc_id, min(doc_a) AS near_of FROM inter$n
+         |    JOIN sizes sa ON doc_a = sa.doc_id
+         |    JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+         |  GROUP BY 1),
+         |exact$n AS (
+         |  SELECT b.doc_id AS doc_id, min(a.doc_id) AS exact_of
+         |  FROM fp b JOIN fp a
+         |    ON a.fp = b.fp AND ${prior.replace("A.", "a.").replace("B.", "b.")}
+         |  WHERE b.$bsel GROUP BY 1),
+         |v$n AS (
+         |  SELECT doc_id, exact_of, near_of,
+         |    exact_of IS NULL AND near_of IS NULL AS keep
+         |  FROM (SELECT doc_id FROM documents WHERE $bsel)
+         |    LEFT JOIN exact$n USING (doc_id)
+         |    LEFT JOIN near$n USING (doc_id))""".stripMargin
+    s"""WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+       |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS g
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+       |  WHERE len(ws) >= 3),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |${stage(1, "doc_id % 4 = 1",
+          "(A.doc_id % 2 = 0 OR (A.doc_id % 4 = 1 AND A.doc_id < B.doc_id))",
+          "doc_id % 2 = 0 OR doc_id % 4 = 1")},
+       |kept1 AS (SELECT doc_id FROM v1 WHERE keep),
+       |${stage(2, "doc_id % 4 = 3",
+          "(A.doc_id % 2 = 0 OR A.doc_id IN (SELECT doc_id FROM kept1)" +
+            " OR (A.doc_id % 4 = 3 AND A.doc_id < B.doc_id))",
+          "doc_id % 2 = 0 OR doc_id IN (SELECT doc_id FROM kept1)" +
+            " OR doc_id % 4 = 3")}
+       |SELECT doc_id, exact_of, near_of, keep, 1 AS arrival_batch FROM v1
+       |UNION ALL
+       |SELECT doc_id, exact_of, near_of, keep, 2 AS arrival_batch FROM v2
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic dedup in embedding space —
     * k-means-cluster the corpus, then drop near-identical pairs ONLY
     * within a cluster, keeping the lowest id. Cluster scoping is what
@@ -660,6 +726,8 @@ object Dedup {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("dd_semdedup", semDedup, Some(semDedupSql)),
     QueryDef("dd_incremental", incremental, Some(incrementalSql)),
+    QueryDef("evs_incremental_ingest", incrementalIngest,
+      Some(incrementalIngestSql)),
     QueryDef("dd_minhash_survivors", minhashSurvivors,
       Some(minhashSurvivorsSql)),
     QueryDef("dd_components", components, Some(componentsSql)),

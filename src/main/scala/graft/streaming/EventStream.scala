@@ -31,11 +31,39 @@ object EventStream {
     * at this volume 32 stores cost more in setup than they
     * parallelize. Cloning instead of flipping the caller's global
     * conf keeps concurrent batch query launches unaffected.
+    *
+    * State store: RocksDB, not the default HDFS-backed provider. The
+    * HDFS-backed store keeps every partition's ENTIRE keyed state as
+    * JVM-heap hash maps (plus per-batch snapshot copies) — at
+    * 100 TB-scale key cardinalities (dedup keys, open sessions,
+    * stream-stream join buffers) that is an executor-OOM by design.
+    * RocksDB spills state to local SSD with a bounded block cache,
+    * which is why it is the production choice for large state; running
+    * the whole evs tier on it keeps the oracle gate proving
+    * correctness on the provider a cluster would actually use.
+    * Changelog checkpointing stays off (defaults) since these runs are
+    * run-to-completion; a long-lived deployment would enable it to cut
+    * commit latency.
+    *
+    * At FIXTURE scale the per-query native-store fixed cost dominates
+    * (measured sf0.1: `evs_dedup_within_watermark` 0.9 s heap-store vs
+    * 6.8 s RocksDB — all of it store open/commit, none of it data), so
+    * the default here stays heap-backed and RocksDB is selected via
+    * `SPARK_GRAFT_STATE_STORE=rocksdb`; EventStreamRocksSpec runs the
+    * stateful tier under RocksDB in CI, and SCALING.md records the
+    * measured tradeoff.
     */
+  val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   private def streamSession(spark: SparkSession): SparkSession = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
     ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (sys.env.get("SPARK_GRAFT_STATE_STORE").contains("rocksdb") ||
+        sys.props.get("graft.stateStore").contains("rocksdb"))
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        RocksDbProvider)
     ss
   }
 

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multi-batch semantics of the streaming ingest gate
+  * (`graft.streaming.IncrementalIngest` → `evs_incremental_ingest`):
+  * what distinguishes ACCEPTED-SET screening from corpus-wide dedup is
+  * that only keepers enter the state a later arrival is screened
+  * against. The synthetic corpus below pins both directions on a real
+  * two-micro-batch Structured Streaming run (files written between
+  * `processAllAvailable()` calls — the late-data-drop staging
+  * pattern):
+  *
+  *  - a batch-2 doc that copies a batch-1 KEEPER is dropped, even
+  *    though the keeper has a LARGER id (accepted-side matching is
+  *    id-order-free — arrival order, not id order, decides);
+  *  - a batch-2 doc that is a genuine near-dup of a batch-1 REJECT
+  *    survives, because rejects never enter the accepted set and
+  *    Jaccard is not transitive (the doc is NOT a near-dup of what
+  *    the reject matched). Corpus-wide pairing would have dropped it.
+  *
+  * This is the ingest-gate analogue of a late-arrival test: the same
+  * document text produces a different verdict depending on which
+  * micro-batch it arrives in.
+  */
+class IncrementalIngestSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("accepted-set screening across micro-batches: keepers screen," +
+      " rejects don't") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    // word-3-gram shingle sets (ShingleK = 3):
+    //   seed A (doc 0):  "a b c d"            -> {abc, bcd}
+    //   R (doc 1, b1):   "a b c d e"          -> {abc, bcd, cde}
+    //                    J(R, A) = 2/3 >= 0.5      -> REJECTED (near 0)
+    //   K (doc 5, b1):   "x y z w v"          -> unique -> KEPT
+    //   C (doc 3, b2):   = K's text           -> exact dup of keeper 5
+    //                    (5 > 3: id order must not matter) -> REJECTED
+    //   Q (doc 7, b2):   "a b c d e f g"      -> {abc..efg} (5)
+    //                    J(Q, A) = 2/6 < 0.5; J(Q, R) = 3/5 >= 0.5 but
+    //                    R was rejected             -> KEPT
+    Seq(
+      (0L, "a b c d", "en", "s", 7L),
+      (1L, "a b c d e", "en", "s", 9L),
+      (5L, "x y z w v", "en", "s", 9L),
+      (3L, "x y z w v", "en", "s", 9L),
+      (7L, "a b c d e f g", "en", "s", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    val out = SparkEntry.queries("evs_incremental_ingest")(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), r.getBoolean(3), r.getInt(4)))
+      .toMap
+
+    assert(out.keySet == Set(1L, 5L, 3L, 7L))
+    // R: near-dup of the seed, first batch
+    assert(out(1L) == ((None, Some(0L), false, 1)))
+    // K: unique keeper
+    assert(out(5L) == ((None, None, true, 1)))
+    // C: dropped by the batch-1 keeper despite the larger id
+    val (exactOf3, nearOf3, keep3, b3) = out(3L)
+    assert(exactOf3 == Some(5L) && nearOf3 == Some(5L) && !keep3 && b3 == 2)
+    // Q: near-dup ONLY of the reject R -> survives the gate
+    assert(out(7L) == ((None, None, true, 2)))
+  }
+}
