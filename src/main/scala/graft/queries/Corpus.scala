@@ -91,6 +91,49 @@ object Corpus {
        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** Weighted reservoir sample WITHOUT replacement (Efraimidis &
+    * Spirtes A-ES): each doc draws u ∈ (0,1] from a seeded hash and
+    * keys on ln(u)/w with w = n_chars (longer docs proportionally
+    * likelier); the top-k keys are exactly a weighted sample without
+    * replacement. One narrow projection + TakeOrderedAndProject
+    * (per-partition top-k, single merge — never a full sort), the
+    * right shape for "sample 10k docs from 100 TB by quality weight"
+    * in one pass with zero sampling state.
+    *
+    * Exactness: u = (bucket + 1) / 2^24 is an EXACT double (24-bit
+    * numerator over a power of two), so both engines feed identical
+    * doubles to ln; ln itself can drift 1 ulp across libm/StrictMath,
+    * so the key is rounded to 9 decimals on both sides and ranks
+    * tie-break on doc_id (the transcendental-function contract).
+    */
+  private def reservoirSample(s: SparkSession, dir: String): DataFrame = {
+    val k = 50
+    val u = (hashBucket("res:", 1 << 24).cast("double") + 1.0) /
+      (1 << 24).toDouble
+    val key = round(log(u) / col("n_chars"), 9)
+    val top = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars").as("w"),
+        key.as("key_r"))
+      .orderBy(col("key_r").desc, col("doc_id"))
+      .limit(k)
+    top.withColumn("rnk", row_number().over(
+        Window.orderBy(col("key_r").desc, col("doc_id"))))
+      .select(col("rnk"), col("doc_id"), col("source"), col("w"),
+        col("key_r"))
+      .orderBy(col("rnk"))
+  }
+
+  private val reservoirSampleSql =
+    s"""WITH r AS (
+       |  SELECT doc_id, source, n_chars AS w,
+       |    round(ln((${bucketSql("res:", 1 << 24)} + 1) / 16777216.0)
+       |      / n_chars, 9) AS key_r
+       |  FROM documents)
+       |SELECT rnk, doc_id, source, w, key_r FROM (
+       |  SELECT r.*, row_number() OVER (ORDER BY key_r DESC, doc_id) AS rnk
+       |  FROM r)
+       |WHERE rnk <= 50 ORDER BY rnk""".stripMargin
+
   /** Repeated-5-gram quality rule (the Gopher/RefinedWeb family):
     * fraction of 5-grams that are repeats of an earlier 5-gram in the
     * same document. Distinct counting rides the codegen WordShingles
@@ -607,6 +650,8 @@ object Corpus {
     QueryDef("cp_hash_split", hashSplit, Some(hashSplitSql)),
     QueryDef("cp_quality_filter", qualityFilter, Some(qualityFilterSql)),
     QueryDef("cp_source_mix", sourceMix, Some(sourceMixSql)),
+    QueryDef("cp_reservoir_sample", reservoirSample,
+      Some(reservoirSampleSql)),
     QueryDef("cp_upsample", upsample, Some(upsampleSql)),
     QueryDef("cp_interleave", interleave, Some(interleaveSql)),
     QueryDef("cp_ngram_repetition", ngramRepetition, Some(ngramRepetitionSql)),

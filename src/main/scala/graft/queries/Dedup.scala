@@ -583,6 +583,79 @@ object Dedup {
       |  LEFT JOIN near_of USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** MinHash cluster assignment — the keep-one-per-cluster surface the
+    * staged MinHashDedup API feeds: signatures → banded candidates →
+    * exact verification, then connected components
+    * ([[graft.dedup.ConnectedComponents.alternatingStars]]) over the
+    * verified pair graph, labeling every clustered doc with its
+    * component minimum and cluster size. `dd_minhash_survivors` checks
+    * the greedy survivor set; this exposes the full cluster structure
+    * (what a pipeline needs to pick a representative by quality score
+    * instead of by smallest id). The oracle derives the same clusters
+    * from exact all-pairs Jaccard via a recursive reachability CTE, so
+    * LSH recall is again held to ground truth.
+    */
+  /** Verified minhash pair set shared across a session (the
+    * cachedJaccard convention): signatures → banded candidates → exact
+    * verification, built once and cached.
+    */
+  private val minhashPairsCache = new graft.SessionCache[DataFrame]
+
+  private def cachedMinhashPairs(s: SparkSession, dir: String): DataFrame =
+    minhashPairsCache.getOrElseUpdate(s, dir) {
+      val docs = Tables(s, dir, "documents")
+      graft.dedup.MinHashDedup.verifiedPairs(docs,
+        graft.dedup.MinHashDedup.candidatePairs(
+          graft.dedup.MinHashDedup.signatures(docs, "doc_id", "text")),
+        "doc_id", "text", 0.5).cache()
+    }
+
+  private def minhashClusters(s: SparkSession, dir: String): DataFrame = {
+    // pair build under the caller's session (AQE on), star loop in the
+    // AQE-off narrow clone — the dd_components pattern, same rationale
+    cachedMinhashPairs(s, dir).count()
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val pairs = cachedMinhashPairs(s2, dir).select(col("id_a"), col("id_b"))
+    val comp = graft.dedup.ConnectedComponents.alternatingStars(pairs)
+    comp.select(col("node").as("doc_id"), col("component").as("cluster"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster"))))
+      .orderBy(col("doc_id"))
+  }
+
+  private val minhashClustersSql =
+    """WITH RECURSIVE pairs AS (
+      |  WITH sh AS (
+      |    SELECT doc_id,
+      |      unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS g
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |    WHERE len(ws) >= 3),
+      |  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |  inter AS (
+      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      |    FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      |    GROUP BY 1, 2)
+      |  SELECT doc_a, doc_b FROM inter
+      |    JOIN sizes sa ON doc_a = sa.doc_id
+      |    JOIN sizes sb ON doc_b = sb.doc_id
+      |  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5),
+      |edges AS (
+      |  SELECT doc_a, doc_b FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |walk AS (
+      |  SELECT doc_a AS node, doc_a AS reach FROM edges
+      |  UNION
+      |  SELECT e.doc_a AS node, w.reach
+      |  FROM edges e JOIN walk w ON e.doc_b = w.node),
+      |labels AS (
+      |  SELECT node AS doc_id, min(reach) AS cluster FROM walk GROUP BY node)
+      |SELECT doc_id, cluster,
+      |  count(*) OVER (PARTITION BY cluster) AS cluster_size
+      |FROM labels ORDER BY doc_id""".stripMargin
+
   /** Streaming ingest gate — `graft.streaming.IncrementalIngest`
     * drives [[graft.dedup.IncrementalDedup]] through a real
     * multi-micro-batch Structured Streaming run (foreachBatch +
@@ -730,6 +803,8 @@ object Dedup {
       Some(incrementalIngestSql)),
     QueryDef("dd_minhash_survivors", minhashSurvivors,
       Some(minhashSurvivorsSql)),
+    QueryDef("dd_minhash_clusters", minhashClusters,
+      Some(minhashClustersSql)),
     QueryDef("dd_components", components, Some(componentsSql)),
     QueryDef("dd_exact", exact, Some(exactSql)),
     QueryDef("dd_exact_norm", exactNorm, Some(exactNormSql)),

@@ -177,7 +177,10 @@ class PlanSpec extends AnyFunSuite {
     val allowed = Set(
       "mig_batch_plan", // offsets pass — Migration.scala chunked prefix sum
       "mig_pipeline", // composes the same batch planner
-      "cp_sequence_pack" // offsets pass — Corpus.scala sequence packing
+      "cp_sequence_pack", // offsets pass — Corpus.scala sequence packing
+      // rank pass runs AFTER TakeOrderedAndProject cut the set to k=50
+      // rows — the windowed input is the sample, never the corpus
+      "cp_reservoir_sample"
     )
     // excluded: constructing these DataFrames runs real side effects
     // (streaming micro-batches, Derby DDL, index build/persist, an
