@@ -187,6 +187,7 @@ class PlanSpec extends AnyFunSuite {
     // iterative driver loop) — their window shapes are covered by
     // their own dedicated specs/queries
     val excluded = Set("mig_pipeline_jdbc", "dd_components",
+      "dd_minhash_clusters", // iterative star loop (dedicated spec above)
       "sim_index_api", "sim_pq_index_api", "sim_ivfpq_index_api",
       "sim_ivfpq_trained", "sim_kmeans_ivf", "sim_knn_ivf")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
@@ -298,6 +299,42 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("ta_pii_redact")
     assert(!p.contains("Join") && !p.contains("HashAggregate") &&
       !p.contains("Window"), p.take(800))
+  }
+
+  test("reservoir sample is TakeOrdered over a narrow projection — " +
+      "never a global sort of the corpus") {
+    val p = plan("cp_reservoir_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.take(900))
+    // the only Sort allowed is inside the post-limit k-row rank stage;
+    // the corpus-side scan must feed TakeOrdered directly
+    val beforeTake = p.substring(p.indexOf("TakeOrderedAndProject"))
+    assert(!beforeTake.contains("Exchange rangepartitioning"), p.take(1200))
+  }
+
+  test("minhash cluster pairs come from band buckets — no n² cross join") {
+    // the query's own final plan is lineage-truncated by the star
+    // loop's localCheckpoint, so the audit targets the pair pipeline
+    // it consumes (the same staged API, same parameters)
+    val docs = Tables(spark, dir, "documents")
+    val pairs = graft.dedup.MinHashDedup.verifiedPairs(docs,
+      graft.dedup.MinHashDedup.candidatePairs(
+        graft.dedup.MinHashDedup.signatures(docs, "doc_id", "text")),
+      "doc_id", "text", 0.5)
+    val p = pairs.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(900))
+    assert(p.contains("band"), p.take(900)) // candidate join keyed on bands
+  }
+
+  test("true BPE count is a narrow per-partition map — no shuffle") {
+    val p = plan("ta_bpe_true_count")
+    assert(p.contains("SerializeFromObject"), p.take(800)) // typed mapPartitions
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p.take(800))
+  }
+
+  test("real JPEG codec round-trip is a narrow per-partition map") {
+    val p = plan("mm_decode_jpeg")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p.take(800))
+    assert(p.contains("SerializeFromObject"), p.take(800))
   }
 
 }
