@@ -370,6 +370,80 @@ object Events {
       |WHERE abs(round((value - sv/n) / sqrt(ssv/n - (sv/n)*(sv/n)), 9)) > 3
       |ORDER BY event_id""".stripMargin
 
+  /** A/B experiment readout — Welch's two-sample z-test per event
+    * type: users hash-assign to variants (the same cross-engine
+    * md5-bucket arithmetic as the corpus split operators, so
+    * assignment is stable under re-partitioning and re-runs), and each
+    * event type reports per-variant counts/means and the Welch
+    * z-statistic on `value` with the |z| > 1.96 verdict — the readout
+    * an experimentation pipeline computes per metric.
+    *
+    * One aggregate pass: both variants come out of the same groupBy
+    * via conditional aggregation (no self-join), stats move one row
+    * per event type. Exactness follows ev_zscore_outliers: decimal
+    * sums / sums of squares, double arithmetic on identical operands,
+    * sqrt correctly rounded, final round(9); the significance boolean
+    * derives from the rounded z so both engines compare equal values.
+    */
+  private def abTest(s: SparkSession, dir: String): DataFrame = {
+    val variant = conv(substring(md5(
+      concat(lit("ab:"), col("user_id").cast("string"))), 1, 6), 16, 10)
+      .cast("long") % 2
+    val d18 = col("value").cast(DecimalType(18, 6))
+    val d28 = (col("value") * col("value")).cast(DecimalType(28, 12))
+    val agg = Tables(s, dir, "events")
+      .withColumn("variant", variant)
+      .groupBy(col("event_type"))
+      .agg(
+        count(when(col("variant") === 0, 1)).as("n_a"),
+        count(when(col("variant") === 1, 1)).as("n_b"),
+        sum(when(col("variant") === 0, d18)).cast("double").as("s_a"),
+        sum(when(col("variant") === 1, d18)).cast("double").as("s_b"),
+        sum(when(col("variant") === 0, d28)).cast("double").as("ss_a"),
+        sum(when(col("variant") === 1, d28)).cast("double").as("ss_b"))
+    val meanA = col("s_a") / col("n_a")
+    val meanB = col("s_b") / col("n_b")
+    val varA = (col("ss_a") - col("s_a") * col("s_a") / col("n_a")) /
+      (col("n_a") - 1)
+    val varB = (col("ss_b") - col("s_b") * col("s_b") / col("n_b")) /
+      (col("n_b") - 1)
+    val z = round((meanA - meanB) /
+      sqrt(varA / col("n_a") + varB / col("n_b")), 9)
+    agg.select(col("event_type"), col("n_a"), col("n_b"),
+        round(meanA, 9).as("mean_a"), round(meanB, 9).as("mean_b"),
+        z.as("z_score"), (abs(z) > 1.96).as("significant"))
+      .orderBy(col("event_type"))
+  }
+
+  private val abTestSql =
+    """WITH v AS (
+      |  SELECT event_type, value,
+      |    CAST(('0x' || substring(md5('ab:' || CAST(user_id AS VARCHAR)),
+      |      1, 6)) AS BIGINT) % 2 AS variant
+      |  FROM events),
+      |agg AS (
+      |  SELECT event_type,
+      |    count(CASE WHEN variant = 0 THEN 1 END) AS n_a,
+      |    count(CASE WHEN variant = 1 THEN 1 END) AS n_b,
+      |    CAST(sum(CASE WHEN variant = 0
+      |      THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS s_a,
+      |    CAST(sum(CASE WHEN variant = 1
+      |      THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS s_b,
+      |    CAST(sum(CASE WHEN variant = 0
+      |      THEN CAST(value * value AS DECIMAL(28,12)) END) AS DOUBLE) AS ss_a,
+      |    CAST(sum(CASE WHEN variant = 1
+      |      THEN CAST(value * value AS DECIMAL(28,12)) END) AS DOUBLE) AS ss_b
+      |  FROM v GROUP BY 1)
+      |SELECT event_type, n_a, n_b,
+      |  round(s_a / n_a, 9) AS mean_a, round(s_b / n_b, 9) AS mean_b,
+      |  round((s_a/n_a - s_b/n_b) / sqrt(
+      |    ((ss_a - s_a*s_a/n_a) / (n_a - 1)) / n_a +
+      |    ((ss_b - s_b*s_b/n_b) / (n_b - 1)) / n_b), 9) AS z_score,
+      |  abs(round((s_a/n_a - s_b/n_b) / sqrt(
+      |    ((ss_a - s_a*s_a/n_a) / (n_a - 1)) / n_a +
+      |    ((ss_b - s_b*s_b/n_b) / (n_b - 1)) / n_b), 9)) > 1.96 AS significant
+      |FROM agg ORDER BY event_type""".stripMargin
+
   /** Robust anomaly detection: median/MAD outliers per event type —
     * the heavy-tail-safe complement to `ev_zscore_outliers` (a single
     * wild value shifts a mean but not a median, so MAD flags genuine
@@ -553,6 +627,7 @@ object Events {
     QueryDef("ev_session_window_batch", sessionWindowBatch,
       Some(sessionWindowBatchSql)),
     QueryDef("ev_user_stats", userStats, Some(userStatsSql)),
+    QueryDef("ev_ab_test", abTest, Some(abTestSql)),
     // Structured Streaming counterparts (graft.streaming.EventStream).
     // The tumbling-window stream runs in complete mode, so it matches
     // the batch oracle exactly; session windows are flushed by a

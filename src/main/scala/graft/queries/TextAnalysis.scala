@@ -199,6 +199,45 @@ object TextAnalysis {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  /** Readability scoring — Flesch-Kincaid grade level with the
+    * standard vowel-group syllable heuristic (a maximal [aeiou]+ run
+    * approximates one syllable): grade = 0.39·(words/sentences) +
+    * 11.8·(syllables/words) − 15.59. Sentences count [.!?]+ runs,
+    * clamped to ≥ 1 so punctuation-free documents score instead of
+    * dividing by zero. The quality-filter companion: corpus curation
+    * uses grade bands to segment elementary vs technical text. One
+    * narrow codegen projection (class-only regexes — Java and RE2
+    * agree); the ratios are int-derived doubles with literal
+    * coefficients, rounded to 9 like every derived score.
+    */
+  private def readability(s: SparkSession, dir: String): DataFrame = {
+    val words = size(TextFns.tokens(col("text")))
+    val sentences = size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+    val syllables =
+      size(regexp_extract_all(col("text"), lit("[aeiouAEIOU]+"), lit(0)))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), words.as("n_words"),
+        sentences.as("n_sentences"), syllables.as("n_syllables"))
+      .withColumn("fk_grade", round(
+        lit(0.39) * (col("n_words").cast("double") /
+          greatest(col("n_sentences"), lit(1))) +
+        lit(11.8) * (col("n_syllables").cast("double") / col("n_words")) -
+        lit(15.59), 9))
+      .orderBy(col("doc_id"))
+  }
+
+  private val readabilitySql =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_words,
+      |  len(regexp_extract_all(text, '[.!?]+')) AS n_sentences,
+      |  len(regexp_extract_all(text, '[aeiouAEIOU]+')) AS n_syllables,
+      |  round(0.39 * (CAST(len(string_split(text, ' ')) AS DOUBLE)
+      |      / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+      |    + 11.8 * (CAST(len(regexp_extract_all(text, '[aeiouAEIOU]+'))
+      |      AS DOUBLE) / len(string_split(text, ' ')))
+      |    - 15.59, 9) AS fk_grade
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Rolling-hash winnowing fingerprint (the MOSS scheme): a Horner
     * rolling hash over character 8-grams mod 1e9+7, then the minimum
     * hash of every 4-hash window — the classic guarantee that any
@@ -1005,6 +1044,7 @@ object TextAnalysis {
     QueryDef("ta_token_stats", tokenStats, Some(tokenStatsSql)),
     QueryDef("ta_bpe_token_count", bpeTokenCount, Some(bpeTokenCountSql)),
     QueryDef("ta_bpe_true_count", bpeTrueCount, Some(bpeTrueCountSql)),
+    QueryDef("ta_readability", readability, Some(readabilitySql)),
     QueryDef("ta_winnow_fp", winnowFp, Some(winnowFpSql)),
     QueryDef("ta_quality_score", quality, Some(qualitySql)),
     QueryDef("ta_lang_id", langId, Some(langIdSql)),
