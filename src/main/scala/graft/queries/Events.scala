@@ -252,6 +252,55 @@ object Events {
         sum(when(s4, 1L).otherwise(0L)).cast("long").as("n_purchase_after"))
   }
 
+  /** Time-windowed SEQUENTIAL funnel — the strict form of `ev_funnel`:
+    * each step must occur within 30 minutes of the PREVIOUS step's
+    * chosen event, with the canonical greedy resolution (the earliest
+    * qualifying event anchors the next step). `ev_funnel` compares
+    * global first-occurrences, which admits view→click pairs hours
+    * apart; this one is the conversion-window semantics product
+    * analytics actually reports. Each stage is a user-keyed equi-join
+    * + min-aggregate (shuffle on user_id, no row multiplication
+    * beyond a user's own events); the final readout cross-joins three
+    * single-row broadcast aggregates.
+    */
+  private def funnelWindowed(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val win = expr("INTERVAL 30 MINUTES")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("ts") > col("t1") && col("ts") <= col("t1") + win)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("ts") > col("t2") && col("ts") <= col("t2") + win)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("n_click_30m"))))
+      .crossJoin(broadcast(p.agg(count(lit(1)).as("n_purchase_30m"))))
+  }
+
+  private val funnelWindowedSql =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS t2
+      |  FROM events e JOIN v USING (user_id)
+      |  WHERE e.event_type = 'click'
+      |    AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 30 MINUTE
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS t3
+      |  FROM events e JOIN c USING (user_id)
+      |  WHERE e.event_type = 'purchase'
+      |    AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL 30 MINUTE
+      |  GROUP BY e.user_id)
+      |SELECT (SELECT count(*) FROM v) AS n_view,
+      |  (SELECT count(*) FROM c) AS n_click_30m,
+      |  (SELECT count(*) FROM p) AS n_purchase_30m""".stripMargin
+
   private val funnelSql =
     """WITH firsts AS (
       |  SELECT user_id,
@@ -628,6 +677,7 @@ object Events {
       Some(sessionWindowBatchSql)),
     QueryDef("ev_user_stats", userStats, Some(userStatsSql)),
     QueryDef("ev_ab_test", abTest, Some(abTestSql)),
+    QueryDef("ev_funnel_windowed", funnelWindowed, Some(funnelWindowedSql)),
     // Structured Streaming counterparts (graft.streaming.EventStream).
     // The tumbling-window stream runs in complete mode, so it matches
     // the batch oracle exactly; session windows are flushed by a

@@ -52,6 +52,11 @@ case class PngDecoded(
   */
 case class PhashRow(doc_id: Long, phash: Long)
 
+/** Result schema of the real box-filter resize — top-level for the
+  * same encoder-codegen reason as [[DecodedMeta]].
+  */
+case class ResizedRealRow(doc_id: Long, y: Int, row_sum: Long)
+
 /** Result schema of the JPEG round-trip — top-level for the same
   * encoder-codegen reason as [[DecodedMeta]].
   */
@@ -390,6 +395,78 @@ object Multimodal {
       |FROM (SELECT doc_id, text, length(text) AS len FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** REAL resize over REAL codec output — upgrades the resize tier
+    * from the stub: each document rasterizes to the same 16x16 gray
+    * image as `mm_decode_png`, round-trips through genuine PNG
+    * encode/decode, and is then downsampled 2x with an actual
+    * area-average (box) filter over the DECODED raster — each output
+    * pixel is floor(mean of its 2x2 source block), the arithmetic a
+    * production thumbnailer runs (interpolating scalers like
+    * Graphics2D are float-kernel and engine-unpredictable; the box
+    * filter is the deterministic member of the family, which is what
+    * makes the decoded-pixel oracle possible — PNG losslessness plus
+    * integer averaging). Emitted as one checksum per output row,
+    * exactly the `mm_resize_stub` shape, so the stub and the real path
+    * stay comparable. Narrow CPU-bound mapPartitions; split size is
+    * the only knob.
+    */
+  private def resizeBox(s: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.product[ResizedRealRow]
+    val side = 16
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .mapPartitions { it: Iterator[Row] =>
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val blob = r.getAs[Array[Byte]](1)
+          requirePayload(id, blob)
+          val img = new java.awt.image.BufferedImage(
+            side, side, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          var i = 0
+          while (i < side * side) {
+            img.getRaster.setSample(i % side, i / side, 0,
+              blob(i % blob.length) & 0xff)
+            i += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          val back = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          val ras = back.getRaster
+          (0 until side / 2).map { y =>
+            var sum = 0L
+            var x = 0
+            while (x < side / 2) {
+              sum += (ras.getSample(2 * x, 2 * y, 0) +
+                ras.getSample(2 * x + 1, 2 * y, 0) +
+                ras.getSample(2 * x, 2 * y + 1, 0) +
+                ras.getSample(2 * x + 1, 2 * y + 1, 0)) / 4
+              x += 1
+            }
+            ResizedRealRow(id, y, sum)
+          }
+        }
+      }(enc)
+      .toDF()
+      .orderBy(col("doc_id"), col("y"))
+  }
+
+  // the oracle predicts the box-filtered raster from the rasterization
+  // arithmetic alone — PNG gray-8 is lossless and floor-average is
+  // integer-exact
+  private val resizeBoxSql =
+    """SELECT doc_id, y,
+      |  CAST(sum((
+      |    ascii(substring(text, ((2*y) * 16 + 2*x) % len + 1, 1)) +
+      |    ascii(substring(text, ((2*y) * 16 + 2*x + 1) % len + 1, 1)) +
+      |    ascii(substring(text, ((2*y + 1) * 16 + 2*x) % len + 1, 1)) +
+      |    ascii(substring(text, ((2*y + 1) * 16 + 2*x + 1) % len + 1, 1))
+      |    ) // 4) AS BIGINT) AS row_sum
+      |FROM (SELECT doc_id, text, length(text) AS len FROM documents),
+      |  (SELECT unnest(range(0, 8)) AS y),
+      |  (SELECT unnest(range(0, 8)) AS x)
+      |GROUP BY doc_id, y ORDER BY doc_id, y""".stripMargin
+
   /** REAL codec round-trip #3 — JPEG via javax.imageio (the JDK ships
     * a baseline JPEG encoder/decoder; no external libs). JPEG is
     * LOSSY, so an exact SQL oracle cannot predict arbitrary decoded
@@ -681,6 +758,7 @@ object Multimodal {
     QueryDef("mm_decode_jpeg", decodeJpeg, Some(decodeJpegSql)),
     QueryDef("mm_decode_wav", decodeWav, Some(decodeWavSql)),
     QueryDef("mm_resize_stub", resizeStub, Some(resizeStubSql)),
+    QueryDef("mm_resize_box", resizeBox, Some(resizeBoxSql)),
     QueryDef("mm_frame_sample", frameSample, Some(frameSampleSql)),
     QueryDef("mm_feature_extract", featureExtract, Some(featureExtractSql)),
     QueryDef("mm_phash", phash, Some(phashSql)),
