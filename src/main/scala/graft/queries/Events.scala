@@ -252,6 +252,43 @@ object Events {
         sum(when(s4, 1L).otherwise(0L)).cast("long").as("n_purchase_after"))
   }
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences: consecutive event pairs (ordered by ts, ties broken by
+    * event_id — the sessionize convention) counted into
+    * P(next | current), the model behind next-action prediction and
+    * anomalous-flow detection. One lag window partitioned BY USER
+    * (parallel across users, never global) feeding one aggregate;
+    * probabilities are int/int divisions rounded to 9.
+    */
+  private def markovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables(s, dir, "events")
+      .withColumn("from_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("from_type").isNotNull)
+      .select(col("from_type"), col("event_type").as("to_type"))
+    val totals = Window.partitionBy(col("from_type"))
+    pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(totals), 9))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  private val markovTransitionsSql =
+    """WITH pairs AS (
+      |  SELECT lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS from_type,
+      |    event_type AS to_type
+      |  FROM events),
+      |counts AS (
+      |  SELECT from_type, to_type, count(*) AS n FROM pairs
+      |  WHERE from_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  round(CAST(n AS DOUBLE) /
+      |    sum(n) OVER (PARTITION BY from_type), 9) AS p
+      |FROM counts ORDER BY from_type, to_type""".stripMargin
+
   /** Time-windowed SEQUENTIAL funnel — the strict form of `ev_funnel`:
     * each step must occur within 30 minutes of the PREVIOUS step's
     * chosen event, with the canonical greedy resolution (the earliest
@@ -678,6 +715,8 @@ object Events {
     QueryDef("ev_user_stats", userStats, Some(userStatsSql)),
     QueryDef("ev_ab_test", abTest, Some(abTestSql)),
     QueryDef("ev_funnel_windowed", funnelWindowed, Some(funnelWindowedSql)),
+    QueryDef("ev_markov_transitions", markovTransitions,
+      Some(markovTransitionsSql)),
     // Structured Streaming counterparts (graft.streaming.EventStream).
     // The tumbling-window stream runs in complete mode, so it matches
     // the batch oracle exactly; session windows are flushed by a

@@ -734,6 +734,31 @@ object Similarity {
     * the brute-force oracle pins the whole build/save/load/search
     * path including the bucket-partitioned persistence.
     */
+  /** Incremental index maintenance — `IvfIndex.append`: build over
+    * part of the corpus, persist, APPEND the remainder as a later
+    * ingest batch (assigned to the existing centroids, bucket files
+    * appended, nothing rebuilt), reload, search. With nprobe = nlist
+    * the search scans every bucket, so the result must equal
+    * brute-force over the WHOLE corpus — the same oracle trick as
+    * `sim_index_api`, here proving the appended vectors are fully
+    * searchable with bit-identical scores.
+    */
+  private def ivfAppend(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val idx = graft.similarity.IvfIndex.build(
+      e.filter(col("vec_id") >= 20 && col("vec_id") < 300),
+      "vec_id", "embedding", nlist = 8)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_append_q").toString
+    idx.save(s"$path/index")
+    graft.similarity.IvfIndex.append(s, s"$path/index",
+      e.filter(col("vec_id") >= 300), "vec_id", "embedding")
+    val loaded = graft.similarity.IvfIndex.load(s, s"$path/index")
+    loaded.search(e.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = TopK, nprobe = 8)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   private def indexApi(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
     val idx = graft.similarity.IvfIndex.build(
@@ -833,6 +858,7 @@ object Similarity {
     QueryDef("sim_recall_at_k", recallAtK, Some(recallAtKSql)),
     QueryDef("sim_mips_topk", mipsTopK, Some(mipsTopKSql)),
     QueryDef("sim_index_api", indexApi, Some(knnBruteSql)),
+    QueryDef("sim_ivf_append", ivfAppend, Some(knnBruteSql)),
     QueryDef("sim_quantize_int8", quantizeInt8, Some(quantizeInt8Sql)),
     QueryDef("sim_pq_encode", pqEncode, Some(pqEncodeSql)),
     QueryDef("sim_pq_adc", pqAdc, Some(pqAdcSql)),

@@ -115,6 +115,32 @@ object IvfIndex {
     new IvfIndex(cents, assigned)
   }
 
+  /** Append a batch to a PERSISTED index without rebuilding: assign
+    * the new vectors to the EXISTING centroids (one narrow
+    * NearestCentroids projection) and append their bucket files under
+    * `path/assignments` — O(batch) written, the existing buckets are
+    * untouched, and the next `load` serves the union. This is the IVF
+    * maintenance contract at scale: ingest appends; centroids retrain
+    * only on measured drift (a rebuild, not an append). Quality note:
+    * appended vectors get the same centroid geometry the corpus was
+    * bucketed with, so recall@nprobe degrades only as the data
+    * distribution drifts from the trained centroids — the metric
+    * SCALING.md's recall table tracks.
+    */
+  def append(spark: SparkSession, path: String, batch: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    val idx = load(spark, path)
+    val cm = idx.centroids.sortBy(_._1).map(_._2)
+    batch.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("nrm", TextFns.norm(col("vec")))
+      .withColumn("cent_id",
+        graft.functions.NearestCentroids(col("vec"), cm, 1)
+          .getItem(0).getField("cid"))
+      .select(col("cent_id"), col("id"), col("vec"), col("nrm"))
+      .write.mode("append").partitionBy("cent_id")
+      .parquet(s"$path/assignments")
+  }
+
   /** Load a persisted index; the search plan prunes unprobed bucket
     * partitions at the parquet scan.
     */

@@ -88,4 +88,23 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("cent_id"),
       plan.take(500))
   }
+
+  test("append to a persisted index equals building over the union") {
+    val tmp = Files.createTempDirectory("graft_ivf_append").toString
+    // build over the first half of the corpus, append the second half
+    val half = 150
+    IvfIndex.build(corpus.filter(col("vec_id") < half),
+      "vec_id", "embedding", nlist = 8).save(s"$tmp/idx")
+    IvfIndex.append(spark, s"$tmp/idx",
+      corpus.filter(col("vec_id") >= half), "vec_id", "embedding")
+    val appended = IvfIndex.load(spark, s"$tmp/idx")
+      .search(queries, "vec_id", "embedding", k = 5, nprobe = 8)
+      .collect().map(_.toString).sorted.toSeq
+    // reference: one-shot build over everything (same centroid seeds:
+    // build takes the nlist lowest ids, which the first half contains)
+    val full = IvfIndex.build(corpus, "vec_id", "embedding", nlist = 8)
+      .search(queries, "vec_id", "embedding", k = 5, nprobe = 8)
+      .collect().map(_.toString).sorted.toSeq
+    assert(appended.nonEmpty && appended == full)
+  }
 }
