@@ -583,6 +583,111 @@ object Dedup {
       |  LEFT JOIN near_of USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Distributed PageRank over the near-dup pair graph — centrality
+    * for cluster-representative selection (the most-connected member
+    * of a duplicate cluster is usually its canonical version; smallest
+    * id is a convention, centrality is a policy). Ten power-iteration
+    * rounds in FIXED-POINT integer arithmetic: ranks are BIGINT
+    * micro-units (SCALE = 1e12), every division is an explicit floor
+    * (`div` / `//`), so each iteration is bit-identical on both
+    * engines by construction — no order-dependent double accumulation
+    * anywhere, and the oracle simply unrolls the same ten iterations
+    * as chained CTEs. (Floor division leaks a few micro-units of mass
+    * per round; that loss is part of the operator's defined
+    * arithmetic, identically on both sides.)
+    *
+    * Scale shape: the classic join–aggregate power iteration — each
+    * round shuffles one (node, contribution) row per EDGE with
+    * map-side combine, the driver sees node count once and per-round
+    * nothing; lineage is truncated per round (localCheckpoint, the
+    * ConnectedComponents convention). Rounds are a fixed 10 — no
+    * convergence probe needed.
+    */
+  private def pairPagerank(s: SparkSession, dir: String): DataFrame = {
+    val Scale = 1000000000000L
+    val iters = 10
+    cachedJaccard(s, dir).count()
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val pairs = cachedJaccard(s2, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .cache()
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val nodes = edges.select(col("u").as("node")).distinct()
+    val n = nodes.count() // one scalar; the only thing the driver sees
+    if (n == 0) {
+      edges.unpersist()
+      return s2.emptyDataFrame
+        .select(lit(0L).as("doc_id"), lit(0L).as("pr")).limit(0)
+    }
+    val base = Scale * 15L / 100L / n
+    var pr = nodes.withColumn("pr", lit(Scale / n))
+    for (_ <- 1 to iters) {
+      val contrib = pr.join(deg, pr("node") === deg("u"))
+        .select(col("node"), expr("pr div d").as("c"))
+      pr = edges.join(contrib, edges("u") === contrib("node"))
+        .groupBy(edges("v").as("node"))
+        .agg(sum(col("c")).as("s"))
+        .select(col("node"), (lit(base) + expr("(85 * s) div 100")).as("pr"))
+        .localCheckpoint() // truncate per-round lineage
+    }
+    edges.unpersist()
+    pr.select(col("node").as("doc_id"), col("pr"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The oracle unrolls the same ten fixed-point iterations as chained
+    * CTEs over the SAME capped pair graph (gdf mirrors the hot-shingle
+    * cap, as dd_incremental's oracle does), with `//` floors matching
+    * Spark's `div` exactly.
+    */
+  private val pairPagerankSql: String = {
+    val iterCtes = (1 to 10).map { i =>
+      s"""pr$i AS (
+         |  SELECT e.v AS node,
+         |    (SELECT base FROM consts) + (85 * sum(p.pr // d.d)) // 100 AS pr
+         |  FROM pr${i - 1} p JOIN deg d ON d.u = p.node
+         |    JOIN edges e ON e.u = p.node
+         |  GROUP BY e.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+       |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS g
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+       |  WHERE len(ws) >= 3),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |gdf AS (SELECT g FROM sh GROUP BY g
+       |        HAVING count(*) BETWEEN 2 AND $MaxShingleDf),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM sh a JOIN gdf ON a.g = gdf.g JOIN sh b
+       |    ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM inter
+       |    JOIN sizes sa ON doc_a = sa.doc_id
+       |    JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5),
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |deg AS (SELECT u, count(*) AS d FROM edges GROUP BY u),
+       |consts AS (
+       |  SELECT count(DISTINCT u) AS cnt,
+       |    1000000000000 // count(DISTINCT u) AS init,
+       |    (1000000000000 * 15 // 100) // count(DISTINCT u) AS base
+       |  FROM edges),
+       |pr0 AS (
+       |  SELECT DISTINCT u AS node, (SELECT init FROM consts) AS pr
+       |  FROM edges),
+       |$iterCtes
+       |SELECT node AS doc_id, CAST(pr AS BIGINT) AS pr FROM pr10
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** MinHash cluster assignment — the keep-one-per-cluster surface the
     * staged MinHashDedup API feeds: signatures → banded candidates →
     * exact verification, then connected components
@@ -805,6 +910,7 @@ object Dedup {
       Some(minhashSurvivorsSql)),
     QueryDef("dd_minhash_clusters", minhashClusters,
       Some(minhashClustersSql)),
+    QueryDef("dd_pair_pagerank", pairPagerank, Some(pairPagerankSql)),
     QueryDef("dd_components", components, Some(componentsSql)),
     QueryDef("dd_exact", exact, Some(exactSql)),
     QueryDef("dd_exact_norm", exactNorm, Some(exactNormSql)),

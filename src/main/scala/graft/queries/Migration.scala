@@ -247,7 +247,64 @@ object Migration {
       s"SELECT '$t' AS table_name, TRUE AS created, count(*) AS rows_migrated FROM $t")
       .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
 
+  /** Source/sink format fidelity — the engine's non-parquet lake
+    * formats, proven by round-trip: the documents table is WRITTEN to
+    * ORC, CSV and JSON and READ back (explicit schema on read — no
+    * inference drift), and each format must reproduce the identical
+    * per-format row count, id sum, char total, and text-content
+    * checksum (the cross-engine md5-bucket sum, so a single corrupted
+    * character anywhere fails the hash gate). CSV uses RFC 4180
+    * quoting (quote-escape = double quote) — the fixture text is
+    * single-line, the punctuation/quote content is what the checksum
+    * guards. The oracle computes the expected quadruple straight from
+    * the parquet table: format transport must be invisible.
+    *
+    * Scale: each leg is a straight columnar write + scan, the
+    * aggregate is one partial-aggregated pass per leg — format choice
+    * changes IO bytes, never the plan shape.
+    */
+  private def formatRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_formats").toString
+    def checksum(df: DataFrame, format: String): DataFrame =
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(conv(substring(md5(col("text")), 1, 6), 16, 10).cast("long"))
+          .as("sum_text_bucket"))
+        .select(lit(format).as("format"), col("n_rows"),
+          col("sum_doc_id"), col("sum_chars"), col("sum_text_bucket"))
+    docs.write.mode("overwrite").orc(s"$tmp/orc")
+    docs.write.mode("overwrite").option("header", "true")
+      .option("escape", "\"").csv(s"$tmp/csv")
+    docs.write.mode("overwrite").json(s"$tmp/json")
+    val orc = s.read.schema(docs.schema).orc(s"$tmp/orc")
+    val csv = s.read.schema(docs.schema).option("header", "true")
+      .option("escape", "\"").csv(s"$tmp/csv")
+    val json = s.read.schema(docs.schema).json(s"$tmp/json")
+    checksum(csv, "csv")
+      .unionByName(checksum(json, "json"))
+      .unionByName(checksum(orc, "orc"))
+      .orderBy(col("format"))
+  }
+
+  private val formatRoundtripSql =
+    """WITH agg AS (
+      |  SELECT count(*) AS n_rows,
+      |    CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+      |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |    CAST(sum(CAST(('0x' || substring(md5(text), 1, 6)) AS BIGINT))
+      |      AS BIGINT) AS sum_text_bucket
+      |  FROM documents)
+      |SELECT format, n_rows, sum_doc_id, sum_chars, sum_text_bucket
+      |FROM (VALUES ('csv'), ('json'), ('orc')) t(format), agg
+      |ORDER BY format""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("mig_format_roundtrip", formatRoundtrip,
+      Some(formatRoundtripSql)),
     QueryDef("mig_pipeline", pipeline, Some(pipelineSql)),
     QueryDef("mig_pipeline_jdbc", pipelineJdbc, Some(pipelineJdbcSql)),
     QueryDef("mig_literal_render", literalRender, Some(literalRenderSql)),
