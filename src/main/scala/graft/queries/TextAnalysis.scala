@@ -199,6 +199,40 @@ object TextAnalysis {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  /** Heavy hitters via the bounded Misra–Gries summary
+    * ([[graft.operators.MisraGriesAgg]]) — the at-scale alternative to
+    * `ta_word_topk`'s exact groupBy when the KEY SPACE itself is
+    * corpus-sized (urls, shingles, n-grams): k counters per partition,
+    * k entries per partition across the shuffle, guarantee that every
+    * item above n/(k+1) frequency is present within n/(k+1) error.
+    * The fixture vocabulary (31 words) sits under k = 64, so the
+    * summary is in its EXACT regime (no decrement can ever fire — map
+    * side or merge) and the oracle pins every counter to the true
+    * count; the eviction-regime guarantee is asserted by property
+    * spec on skewed synthetic streams (the CMS verdict split).
+    */
+  private def heavyHittersMg(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables(s, dir, "documents")
+      .select(explode(TextFns.tokens(col("text"))).as("word"))
+    val entries = words
+      .agg(graft.operators.MisraGriesAgg(col("word"), 64).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e").getField("item").as("word"),
+        col("e").getField("est").as("est"))
+    words.groupBy(col("word")).agg(count(lit(1)).as("n_true"))
+      .join(entries, Seq("word"), "left")
+      .select(col("word"), col("n_true"), col("est"),
+        (col("est").isNotNull && col("est") === col("n_true"))
+          .as("exact_in_sketch"))
+      .orderBy(col("word"))
+  }
+
+  private val heavyHittersMgSql =
+    """SELECT w AS word, count(*) AS n_true, count(*) AS est,
+      |  true AS exact_in_sketch
+      |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |GROUP BY w ORDER BY word""".stripMargin
+
   /** Readability scoring — Flesch-Kincaid grade level with the
     * standard vowel-group syllable heuristic (a maximal [aeiou]+ run
     * approximates one syllable): grade = 0.39·(words/sentences) +
@@ -1045,6 +1079,7 @@ object TextAnalysis {
     QueryDef("ta_bpe_token_count", bpeTokenCount, Some(bpeTokenCountSql)),
     QueryDef("ta_bpe_true_count", bpeTrueCount, Some(bpeTrueCountSql)),
     QueryDef("ta_readability", readability, Some(readabilitySql)),
+    QueryDef("ta_heavy_hitters_mg", heavyHittersMg, Some(heavyHittersMgSql)),
     QueryDef("ta_winnow_fp", winnowFp, Some(winnowFpSql)),
     QueryDef("ta_quality_score", quality, Some(qualitySql)),
     QueryDef("ta_lang_id", langId, Some(langIdSql)),

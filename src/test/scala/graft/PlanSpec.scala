@@ -304,6 +304,14 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("Window"), p.take(800))
   }
 
+  test("Misra-Gries summary is one ObjectHashAggregate pass with " +
+      "map-side partials") {
+    val p = plan("ta_heavy_hitters_mg")
+    assert(p.contains("ObjectHashAggregate"), p.take(900))
+    assert(p.contains("partial_misra_gries"), p.take(900))
+    assert(!p.toLowerCase.contains("kryo"))
+  }
+
   test("reservoir sample is TakeOrdered over a narrow projection — " +
       "never a global sort of the corpus") {
     val p = plan("cp_reservoir_sample")
