@@ -49,7 +49,34 @@ object Registry {
         intArg(exprs(1), "count_min"), intArg(exprs(2), "count_min"))),
     ("topk_pairs", "bounded top-k (value desc, tie asc) long pairs",
       exprs => graft.operators.TopKPairsAgg(exprs(0), exprs(1),
-        intArg(exprs(2), "topk_pairs"))))
+        intArg(exprs(2), "topk_pairs"))),
+    ("double_vec_dot", "dot product of two double arrays (sequential fold)",
+      exprs => DoubleVecDot(exprs(0), exprs(1))),
+    ("double_sortable_bits", "order-preserving bits of a double (for long top-k)",
+      exprs => DoubleSortableBits(exprs(0))),
+    ("sortable_bits_to_double", "inverse of double_sortable_bits",
+      exprs => SortableBitsToDouble(exprs(0))),
+    ("nearest_centroids",
+      "k nearest (cid, cosine) for a float vector vs a literal centroid matrix",
+      exprs => NearestCentroids(exprs(0), matrixArg(exprs(1)),
+        intArg(exprs(2), "nearest_centroids"))),
+    ("misra_gries", "bounded heavy-hitter summary: k (item, est) counters",
+      exprs => graft.operators.MisraGriesAgg(exprs(0),
+        intArg(exprs(1), "misra_gries"))))
+
+  /** Literal array-of-double-arrays argument (the centroid matrix). */
+  private def matrixArg(e: Expression): Seq[Seq[Double]] = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    e.eval() match {
+      case a: ArrayData =>
+        (0 until a.numElements()).map { i =>
+          val row = a.getArray(i)
+          (0 until row.numElements()).map(j => row.getDouble(j))
+        }
+      case other => throw new IllegalArgumentException(
+        s"nearest_centroids expects a literal array<array<double>> matrix, got $other")
+    }
+  }
 
   // Registries graft has already populated, weakly keyed so dropped
   // sessions don't pin their registry. Tracking OUR registrations

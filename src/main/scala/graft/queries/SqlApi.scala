@@ -207,7 +207,27 @@ object SqlApi {
       |           ORDER BY c_acctbal DESC, c_name LIMIT 2) c
       |ORDER BY n_name, acctbal DESC, c_name""".stripMargin
 
+  /** The Misra–Gries aggregate through the SQL surface (exact regime
+    * on the fixture vocabulary — see ta_heavy_hitters_mg): a SQL user
+    * writes one `misra_gries(word, k)` call and gets the same bounded
+    * ObjectHashAggregate plan the Column API builds.
+    */
+  private def heavyHitters(s: SparkSession, dir: String): DataFrame =
+    withViews(s, dir, Seq("documents"))(
+      """SELECT hh.item AS word, hh.est
+        |FROM (
+        |  SELECT explode(misra_gries(word, 64)) AS hh
+        |  FROM (
+        |    SELECT explode(split(text, ' ')) AS word FROM documents))
+        |ORDER BY word""".stripMargin)
+
+  private val heavyHittersSql =
+    """SELECT w AS word, count(*) AS est
+      |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |GROUP BY w ORDER BY word""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sqlapi_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     QueryDef("sqlapi_lateral_topk", lateralTopk, Some(lateralTopkSql)),
     QueryDef("sqlapi_recursive_spine", recursiveSpine, Some(recursiveSpineSql)),
     QueryDef("sqlapi_udf_quality", udfQuality, Some(udfQualitySql)),

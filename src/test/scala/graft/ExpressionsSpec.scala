@@ -389,4 +389,26 @@ class ExpressionsSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == h)
   }
 
+  test("nearest_centroids through SQL: literal matrix argument resolves" +
+      " and matches the Column API") {
+    import spark.implicits._
+    graft.functions.Registry.registerAll(spark)
+    val cm = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(-1.0, 0.0))
+    Seq((1L, Array(0.9f, 0.1f)), (2L, Array(-0.5f, 0.2f)))
+      .toDF("id", "v").createOrReplaceTempView("nc_probe")
+    val viaSql = spark.sql(
+      """SELECT id, nearest_centroids(v,
+        |  array(array(1.0d, 0.0d), array(0.0d, 1.0d), array(-1.0d, 0.0d)),
+        |  1)[0].cid AS cid
+        |FROM nc_probe ORDER BY id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val viaColumn = spark.table("nc_probe")
+      .select(col("id"), graft.functions.NearestCentroids(col("v"), cm, 1)
+        .getItem(0).getField("cid").as("cid"))
+      .orderBy(col("id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(viaSql.sameElements(viaColumn))
+    assert(viaSql.toSeq == Seq((1L, 0), (2L, 2)))
+  }
+
 }
