@@ -530,6 +530,32 @@ object Similarity {
     * the identical index: centroids are the 8 lowest-id corpus
     * vectors, the codebook is the residuals of the 16 lowest-id ones.
     */
+  /** PQ-tier incremental ingest — `IvfPqIndex.append`: build over the
+    * corpus below vec_id 300, persist, append the rest (assigned to
+    * the frozen centroids, residual-encoded against the frozen
+    * codebook, bucket files appended), reload, search. Both geometry
+    * seeds (nlist lowest-id centroids, codeCount lowest-id codebook
+    * residuals) live in the base split, so the appended index state is
+    * IDENTICAL to the one-shot build and the sim_ivfpq_index_api
+    * oracle must match bit-for-bit — ingest proven invisible to ADC
+    * search.
+    */
+  private def ivfPqAppend(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val idx = graft.similarity.IvfPqIndex.build(
+      e.filter(col("vec_id") >= 20 && col("vec_id") < 300),
+      "vec_id", "embedding", IvfPqNlist, PqSubspaces, PqCodes)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_append_q").toString
+    idx.save(s"$path/index")
+    graft.similarity.IvfPqIndex.append(s, s"$path/index",
+      e.filter(col("vec_id") >= 300), "vec_id", "embedding")
+    val loaded = graft.similarity.IvfPqIndex.load(s, s"$path/index")
+    loaded.search(e.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = TopK, nprobe = NumProbe)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   private def ivfPqIndexApi(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
     val idx = graft.similarity.IvfPqIndex.build(
@@ -864,6 +890,7 @@ object Similarity {
     QueryDef("sim_pq_adc", pqAdc, Some(pqAdcSql)),
     QueryDef("sim_pq_index_api", pqIndexApi, Some(pqAdcSql)),
     QueryDef("sim_ivfpq_index_api", ivfPqIndexApi, Some(ivfPqIndexApiSql)),
+    QueryDef("sim_ivfpq_append", ivfPqAppend, Some(ivfPqIndexApiSql)),
     QueryDef("sim_ivfpq_trained", ivfPqTrained, Some(ivfPqTrainedSql)),
     QueryDef("sim_kmeans_ivf", kmeansIvf, Some(kmeansIvfSql)),
     QueryDef("sim_knn_brute", knnBrute, Some(knnBruteSql)),

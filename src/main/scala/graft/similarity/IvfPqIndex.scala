@@ -231,6 +231,43 @@ object IvfPqIndex {
       codes)
   }
 
+  /** Append a batch to a PERSISTED index without rebuilding — the PQ
+    * counterpart of [[IvfIndex.append]]: new vectors assign to the
+    * EXISTING centroids, residual-encode against the EXISTING codebook
+    * (both geometry decisions are frozen at build time; retraining is
+    * a rebuild), and their packed codes append as new bucket files
+    * under `path/codes`. O(batch) written; quality degrades only with
+    * distribution drift from the trained geometry, like any vector
+    * store's ingest path.
+    */
+  def append(spark: SparkSession, path: String, batch: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    val idx = load(spark, path)
+    import spark.implicits._
+    val cm = idx.centroids.sortBy(_._1).map(_._2)
+    val resid = batch.select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("dv"))
+      .withColumn("cent_id",
+        graft.functions.NearestCentroids(col("dv"), cm, 1)
+          .getItem(0).getField("cid"))
+      .withColumn("rv", zip_with(col("dv"),
+        graft.functions.CentroidVector(col("cent_id"), cm),
+        (x, c) => x - c))
+      .select(col("id"), col("cent_id"), col("rv"))
+    val cbDf = idx.codebook.toDF("m", "code", "cbv")
+    val wEnc = Window.partitionBy(col("id"), col("m"))
+      .orderBy(col("d2").asc, col("code"))
+    PqIndex.subVectors(resid, "id", "rv", idx.subspaces, idx.subDims,
+        keep = Seq("cent_id"))
+      .join(broadcast(cbDf), "m")
+      .withColumn("d2", PqIndex.dist2(col("sv"), col("cbv")))
+      .withColumn("rnk", row_number().over(wEnc))
+      .filter(col("rnk") === 1)
+      .select(col("cent_id"), col("id"), col("m"), col("code"))
+      .write.mode("append").partitionBy("cent_id")
+      .parquet(s"$path/codes")
+  }
+
   def load(spark: SparkSession, path: String): IvfPqIndex = {
     val cn = spark.read.parquet(s"$path/centroids").collect()
     val nlist = cn.head.getAs[Int]("nlist")

@@ -190,7 +190,8 @@ class PlanSpec extends AnyFunSuite {
       "dd_minhash_clusters", // iterative star loop (dedicated spec above)
       "dd_pair_pagerank", // iterative power loop, windowless by shape
       "mig_format_roundtrip", // construction writes the format legs
-      "sim_index_api", "sim_ivf_append", "sim_pq_index_api",
+      "sim_index_api", "sim_ivf_append", "sim_ivfpq_append",
+      "sim_pq_index_api",
       "sim_ivfpq_index_api", "sim_ivfpq_trained", "sim_kmeans_ivf",
       "sim_knn_ivf")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
