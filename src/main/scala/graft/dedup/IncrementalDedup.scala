@@ -133,4 +133,26 @@ object IncrementalDedup {
     Artifacts(a.fingerprints.unionByName(k.fingerprints),
       a.shingles.unionByName(k.shingles))
   }
+
+  /** LSM-style maintenance for delta-published artifact state (the
+    * `streaming.IncrementalIngest` layout — `d0` seed + one delta per
+    * ingested batch): union every delta and publish the result as ONE
+    * artifact set at `outPath`. Run periodically so reader-side fan-in
+    * (one parquet listing per delta) stays bounded; the deltas are
+    * disjoint by construction (each doc is accepted exactly once), so
+    * compaction is a pure union — no dedup pass, no ordering
+    * sensitivity, and screening against the compacted set is
+    * row-for-row the same as against the delta union (asserted in
+    * IncrementalIngestSpec).
+    */
+  def compact(spark: SparkSession, deltaPaths: Seq[String],
+      outPath: String): Artifacts = {
+    require(deltaPaths.nonEmpty, "compact needs at least one delta")
+    val merged = deltaPaths.map(p => load(spark, p))
+      .reduce((x, y) => Artifacts(
+        x.fingerprints.unionByName(y.fingerprints),
+        x.shingles.unionByName(y.shingles)))
+    save(merged, outPath)
+    load(spark, outPath)
+  }
 }

@@ -72,4 +72,30 @@ class IncrementalIngestSpec extends AnyFunSuite {
     // Q: near-dup ONLY of the reject R -> survives the gate
     assert(out(7L) == ((None, None, true, 2)))
   }
+
+  test("compacting artifact deltas is screening-invariant") {
+    import spark.implicits._
+    import graft.dedup.IncrementalDedup
+    val work = java.nio.file.Files.createTempDirectory("graft_compact")
+    def docsDf(rows: (Long, String)*) =
+      rows.toSeq.toDF("doc_id", "text")
+    // two disjoint accepted deltas, as IncrementalIngest publishes them
+    IncrementalDedup.save(IncrementalDedup.artifacts(
+      docsDf(0L -> "a b c d", 2L -> "p q r s t"), "doc_id", "text"),
+      s"$work/d0")
+    IncrementalDedup.save(IncrementalDedup.artifacts(
+      docsDf(4L -> "x y z w v u"), "doc_id", "text"), s"$work/d1")
+    val batch = docsDf(9L -> "a b c d e", 11L -> "k l m n o p")
+    def verdicts(a: IncrementalDedup.Artifacts) =
+      IncrementalDedup.screen(batch, a, "doc_id", "text")
+        .collect().map(_.toString).sorted.toSeq
+    val viaDeltas = verdicts(
+      Seq(s"$work/d0", s"$work/d1").map(p => IncrementalDedup.load(spark, p))
+        .reduce((x, y) => IncrementalDedup.Artifacts(
+          x.fingerprints.unionByName(y.fingerprints),
+          x.shingles.unionByName(y.shingles))))
+    val viaCompacted = verdicts(IncrementalDedup.compact(spark,
+      Seq(s"$work/d0", s"$work/d1"), s"$work/compacted"))
+    assert(viaDeltas.nonEmpty && viaCompacted == viaDeltas)
+  }
 }
