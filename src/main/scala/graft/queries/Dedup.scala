@@ -583,6 +583,73 @@ object Dedup {
       |  LEFT JOIN near_of USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Pair-similarity histogram — the threshold-tuning diagnostic every
+    * dedup rollout needs before picking 0.5 vs 0.8: ALL candidate
+    * pairs sharing at least one (df-capped) shingle, bucketed into 20
+    * Jaccard bins. The same one-shuffle inverted index as
+    * `dd_ngram_jaccard` with the threshold filter replaced by a
+    * histogram aggregate, so the candidate volume (and the cap's
+    * exactness contract) is identical to the production screen being
+    * tuned. Bin edges are floor(j·20) on identical IEEE doubles —
+    * engine-exact.
+    */
+  private def jaccardHistogram(s: SparkSession, dir: String): DataFrame = {
+    val sizes = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.WordShingles(col("text"), ShingleK).as("gs"))
+      .filter(size(col("gs")) > 0)
+      .select(col("doc_id"), size(col("gs")).as("n"))
+    val inter = cachedShingles(s, dir)
+      .groupBy(col("g")).agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")).between(2, MaxShingleDf))
+      .select(explode(flatten(transform(col("ds"), a =>
+        transform(filter(col("ds"), b => b > a),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (col("na") + col("nb") - col("n_inter")))
+      .withColumn("bin",
+        least(floor(col("jaccard") * 20).cast("int"), lit(19)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(min(col("jaccard")), 9).as("min_j"),
+        round(max(col("jaccard")), 9).as("max_j"))
+      .orderBy(col("bin"))
+  }
+
+  private val jaccardHistogramSql =
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+       |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS g
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+       |  WHERE len(ws) >= 3),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |gdf AS (SELECT g FROM sh GROUP BY g
+       |        HAVING count(*) BETWEEN 2 AND $MaxShingleDf),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM sh a JOIN gdf ON a.g = gdf.g JOIN sh b
+       |    ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT least(CAST(floor(CAST(n_inter AS DOUBLE)
+       |      / (sa.n + sb.n - n_inter) * 20) AS INTEGER), 19) AS bin,
+       |    CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+       |  FROM inter
+       |    JOIN sizes sa ON doc_a = sa.doc_id
+       |    JOIN sizes sb ON doc_b = sb.doc_id)
+       |SELECT bin, count(*) AS n_pairs,
+       |  round(min(jaccard), 9) AS min_j, round(max(jaccard), 9) AS max_j
+       |FROM scored GROUP BY bin ORDER BY bin""".stripMargin
+
   /** Distributed PageRank over the near-dup pair graph — centrality
     * for cluster-representative selection (the most-connected member
     * of a duplicate cluster is usually its canonical version; smallest
@@ -911,6 +978,8 @@ object Dedup {
     QueryDef("dd_minhash_clusters", minhashClusters,
       Some(minhashClustersSql)),
     QueryDef("dd_pair_pagerank", pairPagerank, Some(pairPagerankSql)),
+    QueryDef("dd_jaccard_histogram", jaccardHistogram,
+      Some(jaccardHistogramSql)),
     QueryDef("dd_components", components, Some(componentsSql)),
     QueryDef("dd_exact", exact, Some(exactSql)),
     QueryDef("dd_exact_norm", exactNorm, Some(exactNormSql)),
