@@ -91,6 +91,63 @@ object Corpus {
        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** Config-DECLARED curation — `corpus.PipelineConfig`: the same
+    * staged pipeline as `cp_curation_pipeline`, but the stage order
+    * and thresholds come from a TOML document (the reference's
+    * config.toml posture: minimal grammar, unknown sections / stages /
+    * keys are hard errors). The parameters here deliberately differ
+    * from every library default (0.3/0.4 thresholds, 70/15 split,
+    * custom salt), and the oracle hard-codes exactly these values — so
+    * the gate proves the config actually FLOWS through to the
+    * transforms rather than defaults passing by coincidence.
+    */
+  private def pipelineFromConfig(s: SparkSession, dir: String): DataFrame = {
+    val toml =
+      """[pipeline]
+        |stages = "quality_filter, dedup_exact, split"
+        |
+        |[quality_filter]
+        |max_repeated_5gram_ratio = "0.3"
+        |min_distinct_word_ratio = "0.4"
+        |
+        |[split]
+        |train_pct = "70"
+        |validation_pct = "15"
+        |salt = "cfg:"
+        |""".stripMargin
+    val cfg = graft.corpus.PipelineConfig.fromToml(toml)
+      .fold(err => throw new IllegalArgumentException(err), identity)
+    graft.corpus.CorpusPipeline.splitStats(
+      cfg.run(Tables(s, dir, "documents"), "doc_id", "text"),
+      "doc_id", "n_chars")
+  }
+
+  private val pipelineFromConfigSql =
+    s"""WITH kept AS (
+       |  SELECT doc_id, text, n_chars FROM (
+       |    SELECT doc_id, text, n_chars,
+       |      greatest(len(ws) - 4, 0) AS total5,
+       |      CASE WHEN len(ws) >= 5 THEN len(list_distinct(
+       |        list_transform(range(1, len(ws) - 3),
+       |          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+       |            || ws[i+3] || ' ' || ws[i+4]))) ELSE 0 END AS dist5,
+       |      len(ws) AS nw, len(list_distinct(ws)) AS ndw
+       |    FROM (SELECT doc_id, text, n_chars,
+       |            string_split(text, ' ') AS ws FROM documents))
+       |  WHERE total5 > 0
+       |    AND 1.0 - CAST(dist5 AS DOUBLE) / total5 <= 0.3
+       |    AND CAST(ndw AS DOUBLE) / nw >= 0.4),
+       |survivors AS (
+       |  SELECT min(doc_id) AS doc_id, min(n_chars) AS n_chars
+       |  FROM kept GROUP BY text)
+       |SELECT CASE WHEN ${bucketSql("cfg:", 100)} < 70 THEN 'train'
+       |            WHEN ${bucketSql("cfg:", 100)} < 85 THEN 'validation'
+       |            ELSE 'test' END AS split,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |  min(doc_id) AS first_doc
+       |FROM survivors GROUP BY 1 ORDER BY split""".stripMargin
+
   /** Weighted reservoir sample WITHOUT replacement (Efraimidis &
     * Spirtes A-ES): each doc draws u ∈ (0,1] from a seeded hash and
     * keys on ln(u)/w with w = n_chars (longer docs proportionally
@@ -645,6 +702,8 @@ object Corpus {
     QueryDef("cp_contamination", contamination, Some(contaminationSql)),
     QueryDef("cp_chunk", chunk, Some(chunkSql)),
     QueryDef("cp_sequence_pack", sequencePack, Some(sequencePackSql)),
+    QueryDef("cp_pipeline_from_config", pipelineFromConfig,
+      Some(pipelineFromConfigSql)),
     QueryDef("cp_curation_pipeline", curationPipeline,
       Some(curationPipelineSql)),
     QueryDef("cp_hash_split", hashSplit, Some(hashSplitSql)),

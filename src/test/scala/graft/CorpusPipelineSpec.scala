@@ -65,4 +65,40 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(row.getLong(1) == 4L)
     assert(row.getLong(3) == 1L)
   }
+
+  test("pipeline config: valid TOML parses, invalid configs reject loudly") {
+    import graft.corpus.PipelineConfig
+    val ok = PipelineConfig.fromToml(
+      """[pipeline]
+        |stages = "quality_filter, split"  # comment survives stripping
+        |[split]
+        |train_pct = "70"
+        |""".stripMargin)
+    assert(ok.exists(_.stages == Seq("quality_filter", "split")))
+    // reference posture: every malformed input is a hard, named error
+    def err(toml: String): String =
+      PipelineConfig.fromToml(toml).swap.getOrElse(fail(s"accepted: $toml"))
+    assert(err("[quality_filter]\nx = \"1\"").contains("Unknown key"))
+    assert(err("[pipeline]\nstages = \"nope\"").contains("Unknown stage"))
+    assert(err("[bogus]\na = \"b\"").contains("Unknown section"))
+    assert(err("[pipeline]\nstages = \"\"").contains("at least one"))
+    assert(err("x = \"1\"").contains("outside any section"))
+    assert(PipelineConfig.fromToml(
+      """[pipeline]
+        |stages = "dedup_exact"
+        |[split]
+        |salt = "s"
+        |""".stripMargin).swap.exists(_.contains("not listed in stages")))
+    // typed parameter errors surface at run construction
+    val cfg = PipelineConfig.fromToml(
+      """[pipeline]
+        |stages = "split"
+        |[split]
+        |train_pct = "many"
+        |""".stripMargin).toOption.get
+    import spark.implicits._
+    val docs = Seq((1L, "a b", 3L)).toDF("doc_id", "text", "n_chars")
+    val e = intercept[IllegalArgumentException](cfg.run(docs, "doc_id", "text"))
+    assert(e.getMessage.contains("not an integer"))
+  }
 }
