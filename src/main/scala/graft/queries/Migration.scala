@@ -284,10 +284,15 @@ object Migration {
     val csv = s.read.schema(docs.schema).option("header", "true")
       .option("escape", "\"").csv(s"$tmp/csv")
     val json = s.read.schema(docs.schema).json(s"$tmp/json")
-    checksum(csv, "csv")
+    val out = checksum(csv, "csv")
       .unionByName(checksum(json, "json"))
       .unionByName(checksum(orc, "orc"))
       .orderBy(col("format"))
+      // materialize before the staging legs are deleted (three full
+      // format copies per invocation would otherwise pile up in tmp)
+      .localCheckpoint()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    out
   }
 
   private val formatRoundtripSql =

@@ -551,9 +551,12 @@ object Similarity {
     graft.similarity.IvfPqIndex.append(s, s"$path/index",
       e.filter(col("vec_id") >= 300), "vec_id", "embedding")
     val loaded = graft.similarity.IvfPqIndex.load(s, s"$path/index")
-    loaded.search(e.filter(col("vec_id") < 20), "vec_id", "embedding",
-        k = TopK, nprobe = NumProbe)
+    val out = loaded.search(e.filter(col("vec_id") < 20), "vec_id",
+        "embedding", k = TopK, nprobe = NumProbe)
       .orderBy(col("query_id"), col("rnk"))
+      .localCheckpoint() // materialize before the temp index is deleted
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    out
   }
 
   private def ivfPqIndexApi(s: SparkSession, dir: String): DataFrame = {
@@ -780,9 +783,12 @@ object Similarity {
     graft.similarity.IvfIndex.append(s, s"$path/index",
       e.filter(col("vec_id") >= 300), "vec_id", "embedding")
     val loaded = graft.similarity.IvfIndex.load(s, s"$path/index")
-    loaded.search(e.filter(col("vec_id") < 20), "vec_id", "embedding",
-        k = TopK, nprobe = 8)
+    val out = loaded.search(e.filter(col("vec_id") < 20), "vec_id",
+        "embedding", k = TopK, nprobe = 8)
       .orderBy(col("query_id"), col("rnk"))
+      .localCheckpoint() // materialize before the temp index is deleted
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    out
   }
 
   private def indexApi(s: SparkSession, dir: String): DataFrame = {
