@@ -11,6 +11,47 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Relational3 {
 
+  /** Null-aware window battery — IGNORE NULLS navigation and
+    * positional frame functions, the SQL:2011 corner every migration
+    * from a warehouse dialect trips over: per customer in order-date
+    * order, the most recent HIGH-VALUE order (a derived nullable
+    * column walked with last_value IGNORE NULLS), the second order's
+    * price (nth_value under an explicit running frame), and a running
+    * filtered count. All frames are explicit ROWS UNBOUNDED
+    * PRECEDING..CURRENT ROW on a unique (date, key) order, so both
+    * engines see identical frame contents. Windows partition BY
+    * CUSTOMER — parallel across the key space, never global.
+    */
+  private def windowIgnoreNulls(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "orders")
+      .filter(col("o_custkey") <= 200)
+      .withColumn("big", when(col("o_totalprice") > 200000.0,
+        col("o_totalprice")))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        last(col("big"), ignoreNulls = true).over(w).as("last_big_price"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).over(w)
+          .as("n_f_so_far"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  private val windowIgnoreNullsSql =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  last_value(CASE WHEN o_totalprice > 200000.0
+      |      THEN o_totalprice END IGNORE NULLS)
+      |    OVER w AS last_big_price,
+      |  nth_value(o_totalprice, 2) OVER w AS second_price,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+      |    OVER w AS BIGINT) AS n_f_so_far
+      |FROM orders WHERE o_custkey <= 200
+      |WINDOW w AS (PARTITION BY o_custkey
+      |  ORDER BY o_orderdate, o_orderkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
   /** Interval/range join — pairs of events by the same user within
     * ±10 minutes of each other. A plain inequality join degenerates to
     * a nested-loop at scale; the scalable plan buckets time by the
@@ -523,5 +564,7 @@ object Relational3 {
     QueryDef("q21_topk_aggregate", topkAggregate, Some(topkAggregateSql)),
     QueryDef("q22_word_topk_salted", wordTopkSalted, Some(wordTopkSaltedSql)),
     QueryDef("q23_percentiles", percentiles, Some(percentilesSql)),
-    QueryDef("q35_salted_skew_join", saltedSkewJoin, Some(saltedSkewJoinSql)))
+    QueryDef("q35_salted_skew_join", saltedSkewJoin, Some(saltedSkewJoinSql)),
+    QueryDef("q36_window_ignore_nulls", windowIgnoreNulls,
+      Some(windowIgnoreNullsSql)))
 }
