@@ -127,8 +127,14 @@ object IncrementalIngest {
             // the verdict log is stable however the source batches
             .withColumn("arrival_batch",
               when(pmod(col("id"), lit(4)) === 1, 1).otherwise(2))
-          verdicts.write.mode("append").parquet(verdictDir)
-          val keptIds = s2.read.parquet(verdictDir) // read back: one screen pass
+          // the audit log partitions BY BATCH, so the keeper read-back
+          // below (and any later per-batch audit) scans O(batch) — an
+          // append-then-rescan of the whole log would creep to
+          // O(corpus) per batch as ingest accumulates
+          val batchVerdicts =
+            work.resolve(s"verdicts/b${deltaPaths.size}").toString
+          verdicts.write.parquet(batchVerdicts)
+          val keptIds = s2.read.parquet(batchVerdicts) // one screen pass
             .filter(col("keep")).select(col("id").as("doc_id"))
           // publish ONLY this batch's keepers as the next delta —
           // O(batch) written, the corpus-sized union is never rewritten
@@ -145,7 +151,8 @@ object IncrementalIngest {
       q.processAllAvailable()
     } finally q.stop()
 
-    val out = ss.read.parquet(verdictDir)
+    val out = ss.read
+      .option("recursiveFileLookup", "true").parquet(verdictDir)
       .select(col("id").as("doc_id"), col("exact_of"), col("near_of"),
         col("keep"), col("arrival_batch"))
       .orderBy(col("doc_id"))
