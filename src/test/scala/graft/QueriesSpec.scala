@@ -76,6 +76,34 @@ class QueriesSpec extends AnyFunSuite {
     assert(out.count() == 0)
   }
 
+  test("true BPE count sits inside the pre-token/char bracket") {
+    // the planning contract ta_bpe_token_count documents: merges never
+    // cross pre-token boundaries, so pre-tokens lower-bound the true
+    // count and non-space chars upper-bound it, on every document
+    val bracket = SparkEntry.queries("ta_bpe_token_count")(spark, dir)
+      .select("doc_id", "n_bpe").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = SparkEntry.queries("ta_bpe_true_count")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, nTrue, nPre) = (r.getLong(0), r.getInt(1), r.getInt(2))
+      assert(nPre == bracket(id), s"doc $id: pre-token counts disagree")
+      assert(nPre <= nTrue, s"doc $id: true BPE below the pre-token floor")
+    }
+  }
+
+  test("weighted reservoir sample is biased toward heavy documents") {
+    // deterministic given the fixture + salt: the n_chars-weighted
+    // A-ES sample's mean weight must exceed the corpus mean (the
+    // entire point of weighting), which no oracle row can express
+    val sample = SparkEntry.queries("cp_reservoir_sample")(spark, dir)
+      .agg(avg(col("w"))).collect()(0).getDouble(0)
+    val corpus = Tables(spark, dir, "documents")
+      .agg(avg(col("n_chars"))).collect()(0).getDouble(0)
+    assert(sample > corpus,
+      f"sample mean weight $sample%.1f not above corpus mean $corpus%.1f")
+  }
+
   test("sentinel-flushed streaming sessions equal batch sessionization") {
     val streamed = SparkEntry.queries("evs_session_windows")(spark, dir).count()
     val batch = SparkEntry.queries("ev_sessionize")(spark, dir).count()
