@@ -90,45 +90,58 @@ object Dedup {
     */
   private val MaxShingleDf = 64
 
-  private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    // Per-doc shingle-set sizes come straight off the shingle array —
-    // a narrow scan, no explode/shuffle. One (id, n) row per doc: AQE
-    // broadcasts it at fixture scale; at corpus scale it key-shuffles
-    // against the (much smaller) candidate pair set.
-    val sizes = Tables(s, dir, "documents")
-      .select(col("doc_id"),
-        graft.functions.WordShingles(col("text"), ShingleK).as("gs"))
-      .filter(size(col("gs")) > 0)
-      .select(col("doc_id"), size(col("gs")).as("n"))
-    // One corpus-wide shuffle: group the inverted index by shingle and
-    // emit the bucket's doc pairs directly from the grouped list. The
-    // df cap is the same filter as before (buckets above MaxShingleDf
-    // are dropped whole); each doc appears once per bucket (shingles
-    // are distinct within a doc), and pairs are (lo, hi)-normalized by
-    // value, so bucket order never shows in the output.
-    val pairs = cachedShingles(s, dir)
-      .groupBy(col("g")).agg(collect_list(col("doc_id")).as("ds"))
-      .filter(size(col("ds")).between(2, MaxShingleDf))
-      .select(explode(flatten(transform(col("ds"), a =>
-        transform(filter(col("ds"), b => b > a),
-          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
-    val inter = pairs
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n", "nb"), "doc_b")
-      .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
-      .withColumn("jaccard",
-        col("n_inter").cast("double") / col("n_union"))
+  /** ALL scored candidate pairs (every pair sharing a df-capped
+    * shingle, with n_inter/n_union/jaccard), cached per session — the
+    * one corpus-wide shuffle behind BOTH the near-dup screen
+    * (`dd_ngram_jaccard`, a >= 0.5 filter on top) and the
+    * threshold-tuning histogram (`dd_jaccard_histogram`, a bucket
+    * aggregate on top): one index, many consumers.
+    */
+  private val scoredPairsCache = new graft.SessionCache[DataFrame]
+
+  private def cachedScoredPairs(s: SparkSession, dir: String): DataFrame =
+    scoredPairsCache.getOrElseUpdate(s, dir) {
+      // Per-doc shingle-set sizes come straight off the shingle array —
+      // a narrow scan, no explode/shuffle. One (id, n) row per doc: AQE
+      // broadcasts it at fixture scale; at corpus scale it key-shuffles
+      // against the (much smaller) candidate pair set.
+      val sizes = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.WordShingles(col("text"), ShingleK).as("gs"))
+        .filter(size(col("gs")) > 0)
+        .select(col("doc_id"), size(col("gs")).as("n"))
+      // One corpus-wide shuffle: group the inverted index by shingle and
+      // emit the bucket's doc pairs directly from the grouped list. The
+      // df cap is the same filter as before (buckets above MaxShingleDf
+      // are dropped whole); each doc appears once per bucket (shingles
+      // are distinct within a doc), and pairs are (lo, hi)-normalized by
+      // value, so bucket order never shows in the output.
+      val pairs = cachedShingles(s, dir)
+        .groupBy(col("g")).agg(collect_list(col("doc_id")).as("ds"))
+        .filter(size(col("ds")).between(2, MaxShingleDf))
+        .select(explode(flatten(transform(col("ds"), a =>
+          transform(filter(col("ds"), b => b > a),
+            b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"))
+      pairs
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_inter"))
+        .join(sizes.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
+        .withColumn("jaccard",
+          col("n_inter").cast("double") / col("n_union"))
+        .cache()
+    }
+
+  private def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    cachedScoredPairs(s, dir)
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
         col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   /** Shared oracle for the two shingle-Jaccard queries: DuckDB computes
     * exact all-pairs Jaccard over the same distinct 3-shingles.
@@ -371,7 +384,10 @@ object Dedup {
   private val jaccardCache = new graft.SessionCache[DataFrame]
 
   private def cachedJaccard(s: SparkSession, dir: String): DataFrame =
-    jaccardCache.getOrElseUpdate(s, dir)(ngramJaccard(s, dir).cache())
+    // no second .cache(): the filtered view rides the scored-pair
+    // cache; a loop materializing this (components, pagerank) warms
+    // that cache and re-filters the tiny cached set per round
+    jaccardCache.getOrElseUpdate(s, dir)(ngramJaccard(s, dir))
 
   private def components(s: SparkSession, dir: String): DataFrame = {
     // Materialize the pair cache under the caller's session (AQE on —
@@ -593,28 +609,8 @@ object Dedup {
     * tuned. Bin edges are floor(j·20) on identical IEEE doubles —
     * engine-exact.
     */
-  private def jaccardHistogram(s: SparkSession, dir: String): DataFrame = {
-    val sizes = Tables(s, dir, "documents")
-      .select(col("doc_id"),
-        graft.functions.WordShingles(col("text"), ShingleK).as("gs"))
-      .filter(size(col("gs")) > 0)
-      .select(col("doc_id"), size(col("gs")).as("n"))
-    val inter = cachedShingles(s, dir)
-      .groupBy(col("g")).agg(collect_list(col("doc_id")).as("ds"))
-      .filter(size(col("ds")).between(2, MaxShingleDf))
-      .select(explode(flatten(transform(col("ds"), a =>
-        transform(filter(col("ds"), b => b > a),
-          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n", "nb"), "doc_b")
-      .withColumn("jaccard", col("n_inter").cast("double") /
-        (col("na") + col("nb") - col("n_inter")))
+  private def jaccardHistogram(s: SparkSession, dir: String): DataFrame =
+    cachedScoredPairs(s, dir)
       .withColumn("bin",
         least(floor(col("jaccard") * 20).cast("int"), lit(19)))
       .groupBy(col("bin"))
@@ -622,7 +618,6 @@ object Dedup {
         round(min(col("jaccard")), 9).as("min_j"),
         round(max(col("jaccard")), 9).as("max_j"))
       .orderBy(col("bin"))
-  }
 
   private val jaccardHistogramSql =
     s"""WITH sh AS (
