@@ -5,6 +5,7 @@ import graft.functions.TextFns
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Deduplication operators over `documents` / `embeddings`: exact
   * (hash-groupBy), normalized-exact, n-gram Jaccard, MinHash+LSH,
@@ -963,8 +964,109 @@ object Dedup {
       |FROM assigned LEFT JOIN dup_of USING (vec_id)
       |ORDER BY vec_id""".stripMargin
 
+  /** SemDeDup over TRAINED clusters — the paper's actual protocol
+    * (k-means the corpus, then dedup within clusters), where
+    * `dd_semdedup` uses the fixed-seed convention. Two deterministic
+    * Lloyd passes (the sim_kmeans_ivf loop: narrow NearestCentroids
+    * assignment, decimal-exact per-dimension means, empty clusters
+    * keep their centroid — driver sees k×dim doubles per pass), then
+    * the cluster-scoped pair verdict. Better centroids mean tighter
+    * clusters and fewer cross-cluster misses; the plan shapes are
+    * identical to the untrained variant. The oracle unrolls the same
+    * two passes as CTEs and replays the verdict.
+    */
+  private def semDedupTrained(s: SparkSession, dir: String): DataFrame = {
+    val nCent = 16
+    val e = Tables(s, dir, "embeddings")
+      .withColumn("dv", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("nrm", TextFns.norm(col("embedding")))
+    var cents: Seq[(Int, Seq[Double])] = e.filter(col("vec_id") < nCent)
+      .select(col("vec_id"), col("dv")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).sortBy(_._1).toSeq
+    def assign(df: DataFrame): DataFrame = df.withColumn("cid",
+      graft.functions.NearestCentroids(col("dv"), cents.map(_._2), 1)
+        .getItem(0).getField("cid"))
+    for (_ <- 1 to 2) {
+      val means = assign(e)
+        .select(col("cid"), posexplode(col("dv")).as(Seq("d", "v")))
+        .groupBy(col("cid"), col("d"))
+        .agg((sum(col("v").cast(DecimalType(18, 9))).cast("double") /
+          count(lit(1))).as("m"))
+        .collect().groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+    val assigned = assign(e)
+      .select(col("vec_id"), col("cid"), col("embedding"), col("nrm"))
+    val a = assigned.select(col("vec_id").as("id_a"), col("cid"),
+      col("embedding").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("vec_id").as("id_b"), col("cid"),
+      col("embedding").as("vb"), col("nrm").as("nb"))
+    val dupOf = a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosv", TextFns.cosineFrom(
+        TextFns.dot(col("va"), col("vb")), col("na"), col("nb")))
+      .filter(col("cosv") >= 0.4)
+      .groupBy(col("id_b")).agg(min(col("id_a")).as("dup_of"))
+      .withColumnRenamed("id_b", "vec_id")
+    assigned.select(col("vec_id"), col("cid").as("cent_id"))
+      .join(dupOf, Seq("vec_id"), "left")
+      .withColumn("keep", col("dup_of").isNull)
+      .orderBy(col("vec_id"))
+  }
+
+  private val semDedupTrainedSql: String = {
+    def stepSql(prev: String, n: Int): String =
+      s"""a$n AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT vec_id, v, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS arnk
+         |    FROM e, $prev)
+         |  WHERE arnk = 1),
+         |m$n AS (
+         |  SELECT cid, list(m ORDER BY d) AS newcv FROM (
+         |    SELECT cid, d,
+         |      CAST(sum(CAST(v[d] AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS m
+         |    FROM a$n, (SELECT unnest(range(1, 65)) AS d)
+         |    GROUP BY cid, d)
+         |  GROUP BY cid),
+         |c$n AS (
+         |  SELECT cid, coalesce(newcv, cv) AS cv
+         |  FROM $prev LEFT JOIN m$n USING (cid))""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv
+       |  FROM e WHERE vec_id < 16),
+       |${stepSql("c0", 1)},
+       |${stepSql("c1", 2)},
+       |assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS arnk
+       |    FROM e, c2)
+       |  WHERE arnk = 1),
+       |dup_of AS (
+       |  SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  JOIN e ea ON ea.vec_id = a.vec_id
+       |  JOIN e eb ON eb.vec_id = b.vec_id
+       |  WHERE list_cosine_similarity(ea.v, eb.v) >= 0.4
+       |  GROUP BY 1)
+       |SELECT vec_id, cid AS cent_id, dup_of, dup_of IS NULL AS keep
+       |FROM assigned LEFT JOIN dup_of USING (vec_id)
+       |ORDER BY vec_id""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("dd_semdedup", semDedup, Some(semDedupSql)),
+    QueryDef("dd_semdedup_trained", semDedupTrained,
+      Some(semDedupTrainedSql)),
     QueryDef("dd_incremental", incremental, Some(incrementalSql)),
     QueryDef("evs_incremental_ingest", incrementalIngest,
       Some(incrementalIngestSql)),
