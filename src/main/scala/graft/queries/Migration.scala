@@ -307,9 +307,88 @@ object Migration {
       |FROM (VALUES ('csv'), ('json'), ('orc')) t(format), agg
       |ORDER BY format""".stripMargin
 
+  /** Parquet schema evolution — the lake behavior every long-lived
+    * ingest hits: an old writer's files lack a column a new writer
+    * added, and a `mergeSchema` read must unify the footers and
+    * null-backfill the missing column, never misalign or drop rows.
+    * Staged as two generations (even docs written WITHOUT `lang`, odd
+    * docs with it) under one root; the gate checks per-generation row
+    * counts, null backfill, and that the surviving columns' content
+    * checksums are unharmed.
+    */
+  private def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_evolve").toString
+    docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select(col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(s"$tmp/gen1")
+    docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .write.mode("overwrite").parquet(s"$tmp/gen2")
+    val merged = s.read.option("mergeSchema", "true")
+      .option("recursiveFileLookup", "true").parquet(tmp)
+    val out = merged
+      .groupBy(pmod(col("doc_id"), lit(2)).as("generation"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("lang").isNull, 1L).otherwise(0L)).as("n_null_lang"),
+        sum(conv(substring(md5(col("text")), 1, 6), 16, 10).cast("long"))
+          .as("sum_text_bucket"))
+      .orderBy(col("generation"))
+      // materialize before the staging generations are deleted
+      .localCheckpoint()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    out
+  }
+
+  private val schemaEvolutionSql =
+    """SELECT doc_id % 2 AS generation, count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_null_lang,
+      |  CAST(sum(CAST(('0x' || substring(md5(text), 1, 6)) AS BIGINT))
+      |    AS BIGINT) AS sum_text_bucket
+      |FROM documents GROUP BY 1 ORDER BY generation""".stripMargin
+
+  /** Hive-partitioned lake round-trip — `partitionBy` write, partition
+    * discovery on read, and PRUNING at the scan (StorageSpec asserts
+    * the PartitionFilters on this exact layout): events land bucketed
+    * by type, the read filters one type, and the per-type aggregate
+    * must match computing the same thing from the unpartitioned
+    * fixture.
+    */
+  private def partitionedLake(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_partlake").toString
+    ev.select(col("event_id"), col("user_id"), col("value"),
+        col("event_type"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+    val out = s.read.parquet(tmp)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double")
+          .as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .localCheckpoint() // materialize before the staging is deleted
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    out
+  }
+
+  private val partitionedLakeSql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY event_type""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("mig_format_roundtrip", formatRoundtrip,
       Some(formatRoundtripSql)),
+    QueryDef("mig_schema_evolution", schemaEvolution,
+      Some(schemaEvolutionSql)),
+    QueryDef("mig_partitioned_lake", partitionedLake,
+      Some(partitionedLakeSql)),
     QueryDef("mig_pipeline", pipeline, Some(pipelineSql)),
     QueryDef("mig_pipeline_jdbc", pipelineJdbc, Some(pipelineJdbcSql)),
     QueryDef("mig_literal_render", literalRender, Some(literalRenderSql)),

@@ -191,6 +191,7 @@ class PlanSpec extends AnyFunSuite {
       "dd_pair_pagerank", // iterative power loop, windowless by shape
       "dd_semdedup_trained", // Lloyd-loop construction (collect side effects)
       "mig_format_roundtrip", // construction writes the format legs
+      "mig_schema_evolution", "mig_partitioned_lake", // staging writes
       "sim_index_api", "sim_ivf_append", "sim_ivfpq_append",
       "sim_pq_index_api",
       "sim_ivfpq_index_api", "sim_ivfpq_trained", "sim_kmeans_ivf",

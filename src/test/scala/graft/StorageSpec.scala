@@ -140,4 +140,24 @@ class StorageSpec extends AnyFunSuite {
     assert(filtered.count() ==
       src.filter(col("l_quantity") > 25).count())
   }
+
+  test("hive-partitioned write prunes unmatched partitions at the scan") {
+    // the layout mig_partitioned_lake stages: partitionBy(event_type),
+    // then a type filter must land in PartitionFilters (directory
+    // pruning), not as a post-scan predicate over every partition
+    val tmp = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    Tables(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("event_type"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+    val filtered = spark.read.parquet(tmp)
+      .filter(col("event_type") === "purchase")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("event_type"), plan.take(600))
+    assert(filtered.count() ==
+      Tables(spark, "/root/testdata/sf0.001", "events")
+        .filter(col("event_type") === "purchase").count())
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
 }
