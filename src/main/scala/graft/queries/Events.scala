@@ -772,6 +772,13 @@ object Events {
       (s, d) => graft.streaming.EventStream.streamingDedupWithinWatermark(s, d),
       Some("""SELECT DISTINCT user_id, event_type FROM events
              |ORDER BY user_id, event_type""".stripMargin)),
+    QueryDef("evs_jdbc_sink",
+      (s, d) => graft.streaming.EventStream.jdbcSink(s, d),
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |    AS total_value
+             |FROM events GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
     QueryDef("evs_user_running_counts",
       (s, d) => graft.streaming.EventStream.userRunningCounts(s, d),
       Some("""SELECT user_id, count(*) AS n_events

@@ -375,6 +375,48 @@ object EventStream {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** Streaming → WAREHOUSE sink: the event stream lands in a real JDBC
+    * database (embedded Derby) through the transactional foreachBatch
+    * pattern — each micro-batch is one batched append, the shape every
+    * no-native-connector warehouse sink uses (and the streaming
+    * counterpart of the migration tier's JDBC writer). The gate reads
+    * the warehouse BACK over JDBC and aggregates per type, so the
+    * oracle checks the full stream → sink → scan loop: a row lost,
+    * duplicated or corrupted anywhere in the batched inserts fails the
+    * hash. The in-memory database is dropped in a finally so repeated
+    * bench/verify invocations never accumulate resident data.
+    */
+  def jdbcSink(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val nonce = java.util.UUID.randomUUID.toString.replace("-", "")
+    val url = s"jdbc:derby:memory:evsink_$nonce;create=true"
+    val props = new java.util.Properties
+    try {
+      val q = streamingEvents(ss, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").jdbc(url, "EV_SINK", props)
+          ()
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      ss.read.jdbc(url, "EV_SINK", props)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double")
+            .as("total_value"))
+        .orderBy(col("event_type"))
+        .localCheckpoint() // materialize before the database is dropped
+    } finally {
+      try java.sql.DriverManager.getConnection(
+        url.replace(";create=true", ";drop=true"))
+      catch { case _: java.sql.SQLException => () } // drop always "fails"
+    }
+  }
+
   /** Stream-stream LEFT OUTER join: every purchase, with its following
     * clicks where they exist and nulls where they don't. Outer rows
     * can only emit once the watermark proves no match can still
