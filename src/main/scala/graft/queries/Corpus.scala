@@ -4,6 +4,7 @@ import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Corpus-preparation operators for a training-data pipeline: the
   * deterministic bookkeeping that sits between dedup/quality filtering
@@ -90,6 +91,53 @@ object Corpus {
        |     WHEN 0 THEN 1000 WHEN 1 THEN 500 ELSE 250 END)
        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** Source-mix entropy per split — the diversity diagnostic a mixing
+    * step is tuned against (a collapsed split shows up as entropy near
+    * 0, a uniform mix as ln(n_sources)): per split, the Shannon
+    * entropy of its source distribution. Per-source probabilities are
+    * exact int/int doubles; each p·ln(p) term rounds to 9 and
+    * accumulates as DECIMAL(12,9) (the ta_jsd_drift transcendental
+    * convention — order-independent, engine-exact). Two tiny
+    * aggregates: (split, source) counts, then one row per split.
+    */
+  private def mixEntropy(s: SparkSession, dir: String): DataFrame = {
+    val split = when(hashBucket("split:", 100) < 80, "train")
+      .when(hashBucket("split:", 100) < 90, "validation")
+      .otherwise("test")
+    val bySrc = Tables(s, dir, "documents")
+      .withColumn("split", split)
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    val totals = bySrc.groupBy(col("split"))
+      .agg(sum(col("n")).as("n_docs"))
+    bySrc.join(totals, "split")
+      .withColumn("p", col("n").cast("double") / col("n_docs"))
+      .withColumn("term",
+        round(col("p") * log(col("p")), 9).cast(DecimalType(12, 9)))
+      .groupBy(col("split"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        round(-sum(col("term")).cast("double"), 9).as("entropy"))
+      .orderBy(col("split"))
+  }
+
+  private val mixEntropySql =
+    s"""WITH by_src AS (
+       |  SELECT CASE WHEN ${bucketSql("split:", 100)} < 80 THEN 'train'
+       |              WHEN ${bucketSql("split:", 100)} < 90 THEN 'validation'
+       |              ELSE 'test' END AS split,
+       |    source, count(*) AS n
+       |  FROM documents GROUP BY 1, 2),
+       |totals AS (
+       |  SELECT split, CAST(sum(n) AS BIGINT) AS n_docs
+       |  FROM by_src GROUP BY split)
+       |SELECT split, max(n_docs) AS n_docs, count(*) AS n_sources,
+       |  round(-CAST(sum(CAST(round(
+       |    (CAST(n AS DOUBLE) / n_docs) * ln(CAST(n AS DOUBLE) / n_docs),
+       |    9) AS DECIMAL(12,9))) AS DOUBLE), 9) AS entropy
+       |FROM by_src JOIN totals USING (split)
+       |GROUP BY split ORDER BY split""".stripMargin
 
   /** Config-DECLARED curation — `corpus.PipelineConfig`: the same
     * staged pipeline as `cp_curation_pipeline`, but the stage order
@@ -711,6 +759,7 @@ object Corpus {
     QueryDef("cp_source_mix", sourceMix, Some(sourceMixSql)),
     QueryDef("cp_reservoir_sample", reservoirSample,
       Some(reservoirSampleSql)),
+    QueryDef("cp_mix_entropy", mixEntropy, Some(mixEntropySql)),
     QueryDef("cp_upsample", upsample, Some(upsampleSql)),
     QueryDef("cp_interleave", interleave, Some(interleaveSql)),
     QueryDef("cp_ngram_repetition", ngramRepetition, Some(ngramRepetitionSql)),

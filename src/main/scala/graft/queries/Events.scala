@@ -252,6 +252,48 @@ object Events {
         sum(when(s4, 1L).otherwise(0L)).cast("long").as("n_purchase_after"))
   }
 
+  /** DAU / WAU / stickiness — the product-analytics daily readout:
+    * daily active users, trailing-7-day weekly actives, and their
+    * ratio. Distinct users over a sliding window can't partial-
+    * aggregate directly, so the scalable shape is the standard
+    * user-day reduction (one distinct pass, tiny result) self-joined
+    * within the 7-day range — cardinality is users × days, never raw
+    * events. Dates cast to DATE on both engines (the date_trunc
+    * divergence contract); stickiness is an int/int double rounded
+    * to 9.
+    */
+  private def dauWau(s: SparkSession, dir: String): DataFrame = {
+    val userDays = Tables(s, dir, "events")
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+    val days = userDays.select(col("day")).distinct()
+    val dau = userDays.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = days.join(userDays.select(col("user_id"),
+        col("day").as("active_day")),
+        col("active_day").between(date_sub(col("day"), 6), col("day")))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, "day")
+      .withColumn("stickiness",
+        round(col("dau").cast("double") / col("wau"), 9))
+      .orderBy(col("day"))
+  }
+
+  private val dauWauSql =
+    """WITH user_days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |days AS (SELECT DISTINCT day FROM user_days),
+      |dau AS (
+      |  SELECT day, count(*) AS dau FROM user_days GROUP BY day),
+      |wau AS (
+      |  SELECT d.day, count(DISTINCT u.user_id) AS wau
+      |  FROM days d JOIN user_days u
+      |    ON u.day BETWEEN d.day - 6 AND d.day
+      |  GROUP BY d.day)
+      |SELECT day, dau, wau,
+      |  round(CAST(dau AS DOUBLE) / wau, 9) AS stickiness
+      |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin
+
   /** First-order Markov transition matrix over per-user event
     * sequences: consecutive event pairs (ordered by ts, ties broken by
     * event_id — the sessionize convention) counted into
@@ -717,6 +759,7 @@ object Events {
     QueryDef("ev_funnel_windowed", funnelWindowed, Some(funnelWindowedSql)),
     QueryDef("ev_markov_transitions", markovTransitions,
       Some(markovTransitionsSql)),
+    QueryDef("ev_dau_wau", dauWau, Some(dauWauSql)),
     // Structured Streaming counterparts (graft.streaming.EventStream).
     // The tumbling-window stream runs in complete mode, so it matches
     // the batch oracle exactly; session windows are flushed by a
