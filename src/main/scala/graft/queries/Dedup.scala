@@ -600,6 +600,47 @@ object Dedup {
       |  LEFT JOIN near_of USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** SimHash cluster labeling — alternating-star components over the
+    * banded Hamming pair graph (`dd_simhash_hamming`'s candidates),
+    * completing the cluster surface across all three fuzzy tiers
+    * (shingle Jaccard, MinHash, SimHash): every near-identical doc
+    * labeled with its component minimum and cluster size. The oracle
+    * derives the same clusters from brute-force Hamming pairs via
+    * recursive reachability, so the pigeonhole banding's
+    * no-recall-loss claim is re-proven through the cluster structure
+    * too.
+    */
+  private def simhashClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = simhashHamming(s, dir).select(col("doc_a"), col("doc_b"))
+    val comp = graft.dedup.ConnectedComponents.alternatingStars(pairs)
+    comp.select(col("node").as("doc_id"), col("component").as("cluster"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster"))))
+      .orderBy(col("doc_id"))
+  }
+
+  private val simhashClustersSql =
+    "WITH RECURSIVE " + simhashCte.stripPrefix("WITH ") +
+      """,
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+        |edges AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |walk AS (
+        |  SELECT doc_a AS node, doc_a AS reach FROM edges
+        |  UNION
+        |  SELECT e.doc_a AS node, w.reach
+        |  FROM edges e JOIN walk w ON e.doc_b = w.node),
+        |labels AS (
+        |  SELECT node AS doc_id, min(reach) AS cluster FROM walk
+        |  GROUP BY node)
+        |SELECT doc_id, cluster,
+        |  count(*) OVER (PARTITION BY cluster) AS cluster_size
+        |FROM labels ORDER BY doc_id""".stripMargin
+
   /** Pair-similarity histogram — the threshold-tuning diagnostic every
     * dedup rollout needs before picking 0.5 vs 0.8: ALL candidate
     * pairs sharing at least one (df-capped) shingle, bucketed into 20
@@ -1077,6 +1118,8 @@ object Dedup {
     QueryDef("dd_pair_pagerank", pairPagerank, Some(pairPagerankSql)),
     QueryDef("dd_jaccard_histogram", jaccardHistogram,
       Some(jaccardHistogramSql)),
+    QueryDef("dd_simhash_clusters", simhashClusters,
+      Some(simhashClustersSql)),
     QueryDef("dd_components", components, Some(componentsSql)),
     QueryDef("dd_exact", exact, Some(exactSql)),
     QueryDef("dd_exact_norm", exactNorm, Some(exactNormSql)),

@@ -252,6 +252,43 @@ object Events {
         sum(when(s4, 1L).otherwise(0L)).cast("long").as("n_purchase_after"))
   }
 
+  /** Weekly cohort retention matrix — the classic growth grid: users
+    * cohort by FIRST-activity week, and each (cohort week, week
+    * offset) cell counts the cohort members active that many weeks
+    * later. Built entirely on the user-week reduction (one distinct
+    * pass; the matrix join is users × weeks, never raw events), with
+    * week buckets via date_trunc cast to DATE on both engines and the
+    * offset as an exact day-difference division.
+    */
+  private def cohortMatrix(s: SparkSession, dir: String): DataFrame = {
+    val userWeeks = Tables(s, dir, "events")
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("week"))
+      .distinct()
+    val cohorts = userWeeks.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    userWeeks.join(cohorts, "user_id")
+      .withColumn("week_offset",
+        (datediff(col("week"), col("cohort_week")) / 7).cast("int"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  private val cohortMatrixSql =
+    """WITH user_weeks AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_trunc('week', ts) AS DATE) AS week
+      |  FROM events),
+      |cohorts AS (
+      |  SELECT user_id, min(week) AS cohort_week
+      |  FROM user_weeks GROUP BY user_id)
+      |SELECT cohort_week,
+      |  CAST((week - cohort_week) // 7 AS INTEGER) AS week_offset,
+      |  count(*) AS n_active
+      |FROM user_weeks JOIN cohorts USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
+
   /** DAU / WAU / stickiness — the product-analytics daily readout:
     * daily active users, trailing-7-day weekly actives, and their
     * ratio. Distinct users over a sliding window can't partial-
@@ -760,6 +797,7 @@ object Events {
     QueryDef("ev_markov_transitions", markovTransitions,
       Some(markovTransitionsSql)),
     QueryDef("ev_dau_wau", dauWau, Some(dauWauSql)),
+    QueryDef("ev_cohort_matrix", cohortMatrix, Some(cohortMatrixSql)),
     // Structured Streaming counterparts (graft.streaming.EventStream).
     // The tumbling-window stream runs in complete mode, so it matches
     // the batch oracle exactly; session windows are flushed by a
