@@ -610,8 +610,23 @@ object Dedup {
     * no-recall-loss claim is re-proven through the cluster structure
     * too.
     */
+  /** Hamming pair set shared per session (the cachedJaccard
+    * convention) — consumed by dd_simhash_hamming's surface and the
+    * cluster labeling below.
+    */
+  private val simhashPairsCache = new graft.SessionCache[DataFrame]
+
+  private def cachedSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    simhashPairsCache.getOrElseUpdate(s, dir)(simhashHamming(s, dir).cache())
+
   private def simhashClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = simhashHamming(s, dir).select(col("doc_a"), col("doc_b"))
+    // pair build under the caller's session (AQE on), star loop in the
+    // AQE-off narrow clone — the dd_components pattern, same rationale
+    cachedSimhashPairs(s, dir).count()
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val pairs = cachedSimhashPairs(s2, dir).select(col("doc_a"), col("doc_b"))
     val comp = graft.dedup.ConnectedComponents.alternatingStars(pairs)
     comp.select(col("node").as("doc_id"), col("component").as("cluster"))
       .withColumn("cluster_size",
@@ -1127,6 +1142,7 @@ object Dedup {
     QueryDef("dd_ngram_jaccard", cachedJaccard, Some(jaccardSql)),
     QueryDef("dd_minhash_lsh", minhashLsh, Some(jaccardSql)),
     QueryDef("dd_simhash", simhash, Some(simhashSql)),
-    QueryDef("dd_simhash_hamming", simhashHamming, Some(simhashHammingSql)),
+    QueryDef("dd_simhash_hamming", cachedSimhashPairs,
+      Some(simhashHammingSql)),
     QueryDef("dd_embedding_neardup", embeddingNearDup, Some(embeddingNearDupSql)))
 }
