@@ -656,6 +656,88 @@ object Dedup {
         |  count(*) OVER (PARTITION BY cluster) AS cluster_size
         |FROM labels ORDER BY doc_id""".stripMargin
 
+  /** Cluster-representative selection — the policy the cluster queries
+    * exist for: per minhash cluster, KEEP the member with the highest
+    * quality score (the ta_quality_score formula; ties to the smaller
+    * id), instead of the smallest-id convention. Composes the cached
+    * verified pairs → star components → a broadcast-sized quality join
+    * → one rank window partitioned by cluster. Only clustered docs
+    * appear (singletons keep themselves trivially); the oracle replays
+    * clusters via recursive reachability and the same score formula.
+    */
+  private def clusterRepresentatives(s: SparkSession, dir: String): DataFrame = {
+    val comp = minhashClusters(s, dir)
+      .select(col("doc_id"), col("cluster"), col("cluster_size"))
+    val ws = split(col("text"), " ")
+    val stopArr = array(Seq("the", "a", "of", "and", "to", "in", "is")
+      .map(lit): _*)
+    val quality = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        round(
+          lit(0.5) * least(size(ws).cast("double") / 100.0, lit(1.0)) +
+            lit(0.3) * (size(filter(ws, w => array_contains(stopArr, w)))
+              .cast("double") / size(ws)) +
+            lit(0.2) * (size(array_distinct(ws)).cast("double") / size(ws)),
+          6).as("quality"))
+    val wRank = Window.partitionBy(col("cluster"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    comp.join(quality, "doc_id")
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") === 1)
+      .select(col("cluster"), col("cluster_size"),
+        col("doc_id").as("representative"), col("quality"))
+      .orderBy(col("cluster"))
+  }
+
+  private val clusterRepresentativesSql =
+    """WITH RECURSIVE pairs AS (
+      |  WITH sh AS (
+      |    SELECT doc_id,
+      |      unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS g
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |    WHERE len(ws) >= 3),
+      |  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |  inter AS (
+      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      |    FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      |    GROUP BY 1, 2)
+      |  SELECT doc_a, doc_b FROM inter
+      |    JOIN sizes sa ON doc_a = sa.doc_id
+      |    JOIN sizes sb ON doc_b = sb.doc_id
+      |  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5),
+      |edges AS (
+      |  SELECT doc_a, doc_b FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |walk AS (
+      |  SELECT doc_a AS node, doc_a AS reach FROM edges
+      |  UNION
+      |  SELECT e.doc_a AS node, w.reach
+      |  FROM edges e JOIN walk w ON e.doc_b = w.node),
+      |labels AS (
+      |  SELECT node AS doc_id, min(reach) AS cluster FROM walk GROUP BY node),
+      |quality AS (
+      |  SELECT doc_id,
+      |    round(0.5 * least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
+      |        + 0.3 * (CAST(n_stop AS DOUBLE) / n_tok)
+      |        + 0.2 * (CAST(n_dis AS DOUBLE) / n_tok), 6) AS quality
+      |  FROM (
+      |    SELECT doc_id,
+      |      len(list_filter(string_split(text, ' '),
+      |          w -> w IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')))
+      |        AS n_stop,
+      |      len(string_split(text, ' ')) AS n_tok,
+      |      len(list_distinct(string_split(text, ' '))) AS n_dis
+      |    FROM documents))
+      |SELECT cluster, cluster_size, representative, quality FROM (
+      |  SELECT l.cluster,
+      |    count(*) OVER (PARTITION BY l.cluster) AS cluster_size,
+      |    l.doc_id AS representative, q.quality,
+      |    row_number() OVER (PARTITION BY l.cluster
+      |      ORDER BY q.quality DESC, l.doc_id) AS rnk
+      |  FROM labels l JOIN quality q USING (doc_id))
+      |WHERE rnk = 1 ORDER BY cluster""".stripMargin
+
   /** Pair-similarity histogram — the threshold-tuning diagnostic every
     * dedup rollout needs before picking 0.5 vs 0.8: ALL candidate
     * pairs sharing at least one (df-capped) shingle, bucketed into 20
@@ -1135,6 +1217,8 @@ object Dedup {
       Some(jaccardHistogramSql)),
     QueryDef("dd_simhash_clusters", simhashClusters,
       Some(simhashClustersSql)),
+    QueryDef("dd_cluster_representatives", clusterRepresentatives,
+      Some(clusterRepresentativesSql)),
     QueryDef("dd_components", components, Some(componentsSql)),
     QueryDef("dd_exact", exact, Some(exactSql)),
     QueryDef("dd_exact_norm", exactNorm, Some(exactNormSql)),

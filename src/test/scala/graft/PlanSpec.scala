@@ -189,6 +189,7 @@ class PlanSpec extends AnyFunSuite {
     val excluded = Set("mig_pipeline_jdbc", "dd_components",
       "dd_minhash_clusters", // iterative star loop (dedicated spec above)
       "dd_simhash_clusters", // iterative star loop, same machinery
+      "dd_cluster_representatives", // composes the minhash star loop
       "dd_pair_pagerank", // iterative power loop, windowless by shape
       "dd_semdedup_trained", // Lloyd-loop construction (collect side effects)
       "mig_format_roundtrip", // construction writes the format legs
