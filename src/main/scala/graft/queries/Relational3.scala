@@ -11,6 +11,42 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Relational3 {
 
+  /** Explicit GROUPING SETS with the grouping-identification function
+    * — the corner ROLLUP/CUBE (q09/q26) don't exercise: a hand-picked
+    * set list (two one-dimension slices plus the grand total, NOT the
+    * rollup lattice) where `grouping()` flags distinguish a genuine
+    * NULL group key from a superaggregate row. Routed through
+    * `spark.sql` GROUPING SETS text; one aggregation pass expanding to
+    * the declared sets only, partial-aggregated like any groupBy.
+    */
+  private def groupingSetsId(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "orders").createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_priority,
+        |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        |""".stripMargin)
+  }
+
+  private val groupingSetsIdSql =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY g_status, g_priority,
+      |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
   /** Null-aware window battery — IGNORE NULLS navigation and
     * positional frame functions, the SQL:2011 corner every migration
     * from a warehouse dialect trips over: per customer in order-date
@@ -566,5 +602,7 @@ object Relational3 {
     QueryDef("q23_percentiles", percentiles, Some(percentilesSql)),
     QueryDef("q35_salted_skew_join", saltedSkewJoin, Some(saltedSkewJoinSql)),
     QueryDef("q36_window_ignore_nulls", windowIgnoreNulls,
-      Some(windowIgnoreNullsSql)))
+      Some(windowIgnoreNullsSql)),
+    QueryDef("q37_grouping_sets_id", groupingSetsId,
+      Some(groupingSetsIdSql)))
 }
