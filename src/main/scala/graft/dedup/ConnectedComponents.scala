@@ -115,6 +115,18 @@ object ConnectedComponents {
       sig = nextSig
       rounds += 1
     }
+    if (!converged) {
+      e.unpersist()
+      // a partially-converged labeling is WRONG (components split into
+      // fragments) and downstream keep-one-per-cluster dedup would
+      // over-keep with no signal — fail loudly instead. Kiveris et
+      // al.'s O(log² n) round bound can exceed any fixed cap on
+      // adversarial graphs; the caller raises maxRounds.
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxRounds " +
+          "large/small-star rounds; raise maxRounds (rounds needed grow " +
+          "O(log² n) in the node count)")
+    }
     // star fixpoint: per component, edges (root, x) for every other
     // member; label = min over both directions ∪ self
     val bi = e.select(col("a").as("node"), col("b").as("nbr"))
@@ -158,6 +170,15 @@ object ConnectedComponents {
       rounds += 1
     }
     bi.unpersist()
+    if (!converged) {
+      // same contract as alternatingStars: never hand back a wrong
+      // (partially-propagated) labeling. Rounds here = diameter, so
+      // chain-y graphs trip this first — the error says which knob.
+      throw new IllegalStateException(
+        s"label propagation did not converge in $maxRounds rounds " +
+          "(rounds = component diameter); raise maxRounds or use " +
+          "alternatingStars for deep graphs")
+    }
     labels.select(col("node"), col("label").as("component"))
   }
 }

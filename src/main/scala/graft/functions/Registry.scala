@@ -64,17 +64,41 @@ object Registry {
       exprs => graft.operators.MisraGriesAgg(exprs(0),
         intArg(exprs(1), "misra_gries"))))
 
-  /** Literal array-of-double-arrays argument (the centroid matrix). */
+  /** Literal array-of-numeric-arrays argument (the centroid matrix).
+    * SQL literals type freely — `array(array(1.0, 0.0))` is
+    * decimal(2,1), not double — so dispatch the element read on the
+    * DECLARED element type; reading decimal bytes through getDouble
+    * would misread (or throw an opaque ClassCastException).
+    */
   private def matrixArg(e: Expression): Seq[Seq[Double]] = {
     import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types._
+    val readElem: (ArrayData, Int) => Double = e.dataType match {
+      case ArrayType(ArrayType(et, _), _) => et match {
+        case DoubleType => (r, j) => r.getDouble(j)
+        case FloatType => (r, j) => r.getFloat(j).toDouble
+        case d: DecimalType =>
+          (r, j) => r.getDecimal(j, d.precision, d.scale).toDouble
+        case IntegerType => (r, j) => r.getInt(j).toDouble
+        case LongType => (r, j) => r.getLong(j).toDouble
+        case ShortType => (r, j) => r.getShort(j).toDouble
+        case ByteType => (r, j) => r.getByte(j).toDouble
+        case other => throw new IllegalArgumentException(
+          "nearest_centroids expects a literal array<array<numeric>> " +
+            s"matrix, got element type $other")
+      }
+      case other => throw new IllegalArgumentException(
+        "nearest_centroids expects a literal array<array<numeric>> " +
+          s"matrix, got ${other.sql}")
+    }
     e.eval() match {
       case a: ArrayData =>
         (0 until a.numElements()).map { i =>
           val row = a.getArray(i)
-          (0 until row.numElements()).map(j => row.getDouble(j))
+          (0 until row.numElements()).map(j => readElem(row, j))
         }
       case other => throw new IllegalArgumentException(
-        s"nearest_centroids expects a literal array<array<double>> matrix, got $other")
+        s"nearest_centroids expects a literal array<array<numeric>> matrix, got $other")
     }
   }
 

@@ -34,6 +34,19 @@ final class IvfIndex private[similarity] (
     val centroids: Seq[(Int, Seq[Double])],
     val assignments: DataFrame) {
 
+  /** Centroid matrix sorted by cent_id so the NearestCentroids row
+    * index IS the cent_id — validated here (ids must be consecutive
+    * 0..n-1) so EVERY consumer (search, append) inherits the check; a
+    * persisted index with gapped ids would otherwise silently map row
+    * index ≠ cent_id and bucket vectors wrongly.
+    */
+  private[similarity] lazy val centMatrix: Seq[Seq[Double]] = {
+    val sorted = centroids.sortBy(_._1)
+    require(sorted.map(_._1) == sorted.indices,
+      s"centroid ids must be 0..${sorted.length - 1}")
+    sorted.map(_._2)
+  }
+
   /** Top-k cosine neighbors for each query vector, probing the
     * `nprobe` nearest centroid buckets. Output: (query_id,
     * neighbor_id, rnk, cosv), rank order (cosine desc, id asc).
@@ -46,15 +59,8 @@ final class IvfIndex private[similarity] (
 
     // probe: nprobe nearest centroids per query — one narrow
     // NearestCentroids projection exploded to nprobe rows (no
-    // queries x nlist fan-out, constant plan width in nlist). The
-    // centroid matrix is sorted by cent_id so the expression's row
-    // index IS the cent_id (build emits consecutive ids; load sorts).
-    val cm: Seq[Seq[Double]] = {
-      val sorted = centroids.sortBy(_._1)
-      require(sorted.map(_._1) == sorted.indices,
-        s"centroid ids must be 0..${sorted.length - 1}")
-      sorted.map(_._2)
-    }
+    // queries x nlist fan-out, constant plan width in nlist)
+    val cm = centMatrix
     val probes = q
       .select(col("query_id"), col("qv"), col("qn"), explode(
         graft.functions.NearestCentroids(col("qv"), cm, nprobe)).as("nc"))
@@ -130,7 +136,7 @@ object IvfIndex {
   def append(spark: SparkSession, path: String, batch: DataFrame,
       idCol: String, vecCol: String): Unit = {
     val idx = load(spark, path)
-    val cm = idx.centroids.sortBy(_._1).map(_._2)
+    val cm = idx.centMatrix // same 0..n-1 id validation as search
     batch.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("nrm", TextFns.norm(col("vec")))
       .withColumn("cent_id",

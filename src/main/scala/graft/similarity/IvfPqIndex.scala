@@ -244,7 +244,7 @@ object IvfPqIndex {
       idCol: String, vecCol: String): Unit = {
     val idx = load(spark, path)
     import spark.implicits._
-    val cm = idx.centroids.sortBy(_._1).map(_._2)
+    val cm = idx.centMatrix // same 0..n-1 id validation as search
     val resid = batch.select(col(idCol).as("id"),
         transform(col(vecCol), x => x.cast("double")).as("dv"))
       .withColumn("cent_id",

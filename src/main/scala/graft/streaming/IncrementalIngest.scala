@@ -101,12 +101,18 @@ object IncrementalIngest {
 
     // an arrival = copy of the staged batch's parquet part files; the
     // second copy happens between processAllAvailable() calls so it
-    // arrives as its own micro-batch (the late-data-drop pattern)
+    // arrives as its own micro-batch (the late-data-drop pattern).
+    // Stage under a .tmp name (invisible to the *.parquet glob) and
+    // atomically rename into place — a plain copy straight to the
+    // final name can be listed half-written by a running source.
     def arrive(name: String): Unit = {
       val listing = Files.list(stagedPath.resolve(name))
       try listing.filter(_.getFileName.toString.endsWith(".parquet"))
         .forEach { f =>
-          Files.copy(f, arrivals.resolve(s"${name}_${f.getFileName}"))
+          val tmp = arrivals.resolve(s"${name}_${f.getFileName}.tmp")
+          Files.copy(f, tmp)
+          Files.move(tmp, arrivals.resolve(s"${name}_${f.getFileName}"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         }
       finally listing.close()
     }

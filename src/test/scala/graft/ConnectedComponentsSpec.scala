@@ -88,4 +88,20 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       Seq.empty[(Long, Long)].toDF("x", "y"))
     assert(empty.collect().isEmpty)
   }
+
+  test("round-cap exhaustion throws instead of returning a wrong labeling") {
+    import spark.implicits._
+    // a 64-node path needs several star rounds and ~64 propagation
+    // rounds; with maxRounds = 1 neither can reach the fixpoint, and a
+    // silent partial labeling would split the component downstream
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("x", "y")
+    val e1 = intercept[IllegalStateException] {
+      ConnectedComponents.alternatingStars(chain, maxRounds = 1).collect()
+    }
+    assert(e1.getMessage.contains("did not converge"))
+    val e2 = intercept[IllegalStateException] {
+      ConnectedComponents.labelPropagation(chain, maxRounds = 1).collect()
+    }
+    assert(e2.getMessage.contains("did not converge"))
+  }
 }

@@ -411,4 +411,30 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(viaSql.toSeq == Seq((1L, 0), (2L, 2)))
   }
 
+  test("nearest_centroids through SQL: decimal/int literal matrices" +
+      " coerce, non-numeric raises the descriptive error") {
+    import spark.implicits._
+    graft.functions.Registry.registerAll(spark)
+    Seq((1L, Array(0.9f, 0.1f)), (2L, Array(-0.5f, 0.2f)))
+      .toDF("id", "v").createOrReplaceTempView("nc_coerce_probe")
+    // a bare SQL literal like 1.0 types as decimal(2,1), not double —
+    // the element read must dispatch on the declared type, not assume
+    // double bytes
+    for (mat <- Seq(
+        "array(array(1.0, 0.0), array(0.0, 1.0), array(-1.0, 0.0))",
+        "array(array(1, 0), array(0, 1), array(-1, 0))")) {
+      val got = spark.sql(
+        s"""SELECT id, nearest_centroids(v, $mat, 1)[0].cid AS cid
+           |FROM nc_coerce_probe ORDER BY id""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      assert(got == Seq((1L, 0), (2L, 2)), s"matrix literal $mat")
+    }
+    val err = intercept[Exception] {
+      spark.sql("SELECT nearest_centroids(v, array(array('a')), 1)" +
+        " FROM nc_coerce_probe").collect()
+    }
+    assert(err.getMessage.contains("array<array<numeric>>"),
+      err.getMessage.take(300))
+  }
+
 }

@@ -107,4 +107,26 @@ class IvfIndexSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted.toSeq
     assert(appended.nonEmpty && appended == full)
   }
+
+  test("append to an index with gapped centroid ids fails the same" +
+      " validation as search (row index must equal cent_id)") {
+    val tmp = Files.createTempDirectory("graft_ivf_gap").toString
+    IvfIndex.build(corpus, "vec_id", "embedding", nlist = 4)
+      .save(s"$tmp/idx")
+    // doctor the persisted centroids: ids 0,1,2,3 -> 0,1,2,7 (gapped);
+    // an unvalidated append would assign by row index != cent_id and
+    // silently bucket the batch wrongly
+    val doctored = spark.read.parquet(s"$tmp/idx/centroids")
+      .withColumn("cent_id",
+        when(col("cent_id") === 3, 7).otherwise(col("cent_id")))
+      .collect()
+    import spark.implicits._
+    doctored.map(r => (r.getInt(0), r.getSeq[Double](1).toVector)).toSeq
+      .toDF("cent_id", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/idx/centroids")
+    val err = intercept[IllegalArgumentException] {
+      IvfIndex.append(spark, s"$tmp/idx", corpus, "vec_id", "embedding")
+    }
+    assert(err.getMessage.contains("centroid ids must be 0.."))
+  }
 }
