@@ -63,7 +63,12 @@ object Bench {
 
     Tables(spark, sfDir, "lineitem").count() // warmup
 
+    // optional args = query-name filter (bench only these; the
+    // new-query-at-sf0.1 workflow) — BENCH_DETAIL.json is NOT a full
+    // artifact in that mode, so the driver's no-arg run is unaffected
+    val only = args.toSet
     val byName = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
     for (rep <- 0 until reps) {
@@ -100,7 +105,9 @@ object Bench {
     val fullJson =
       s"""{"metric":"total","value":${js(total)},"unit":"sec","stat":"median","reps":$reps,"queries":$fullQs,"sf":"$sfDir","cpus":$cpus}"""
     val detailPath = Paths.get("BENCH_DETAIL.json").toAbsolutePath
-    Files.write(detailPath, (fullJson + "\n").getBytes(StandardCharsets.UTF_8))
+    if (only.isEmpty) // a filtered run must not clobber the full artifact
+      Files.write(detailPath,
+        (fullJson + "\n").getBytes(StandardCharsets.UTF_8))
 
     // Compact line: per-family median totals + ten slowest queries by
     // median. Family = query-name prefix before the first '_' (cp dd

@@ -744,7 +744,53 @@ object Corpus {
        |FROM scores, mx ORDER BY doc_id""".stripMargin
   }
 
+  /** Exact stratified downsampling: every language balanced to the
+    * SMALLEST stratum's size by keeping each stratum's min_count
+    * hash-smallest documents (salted md5 order — deterministic,
+    * RNG-free, and a doc's keep/drop never depends on re-crawl order
+    * within its stratum beyond the count target). The equal-size
+    * output is the language-balancing step multilingual corpus recipes
+    * run before mixing.
+    *
+    * Scale: one count aggregate (broadcast back) + one rank window
+    * per stratum. With few huge strata the window's partitionBy(lang)
+    * is the skew point at 100 TB — production swaps the exact rank for
+    * a hash THRESHOLD chosen by distributed selection (the min_count-th
+    * smallest hash, an approximate-quantile pass + exact trim), which
+    * needs no single-stratum sort; the fixture-scale rank keeps the
+    * oracle exact.
+    */
+  private def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val target = counts.agg(min(col("n_lang")).as("n_target"))
+    docs.select(col("doc_id"), col("lang"),
+        md5(concat(lit("strat:"), col("doc_id").cast("string"))
+          .cast("binary")).as("hk"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("hk"), col("doc_id"))))
+      .crossJoin(broadcast(target))
+      .filter(col("rnk") <= col("n_target"))
+      .select(col("lang"), col("rnk"), col("doc_id"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  private val stratifiedSampleSql =
+    """WITH target AS (
+      |  SELECT min(n_lang) AS n_target FROM (
+      |    SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1)),
+      |ranked AS (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id)
+      |      AS rnk
+      |  FROM documents)
+      |SELECT lang, rnk, doc_id FROM ranked, target
+      |WHERE rnk <= n_target ORDER BY lang, rnk""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("cp_stratified_sample", stratifiedSample,
+      Some(stratifiedSampleSql)),
     QueryDef("cp_dsir_weights", dsirScores, Some(dsirWeightsSql)),
     QueryDef("cp_dsir_resample", dsirResample, Some(dsirResampleSql)),
     QueryDef("cp_contamination", contamination, Some(contaminationSql)),

@@ -1201,7 +1201,165 @@ object Dedup {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** EXACT all-pairs Jaccard >= t via PREFIX FILTERING (the AllPairs /
+    * PPJoin family: Bayardo et al. WWW'07, Xiao et al. WWW'08) — the
+    * exactness-preserving alternative to the df-capped inverted index
+    * behind `dd_ngram_jaccard`. Each doc's distinct shingles are sorted
+    * by GLOBAL rarity (document frequency asc, shingle asc — any total
+    * order works; rarity minimizes bucket sizes) and only the first
+    * p = n - ceil(t*n) + 1 shingles are indexed: two sets with
+    * J >= t MUST share a token inside both prefixes under a common
+    * total order (if a's prefix and b's token set were disjoint,
+    * |a ∩ b| <= n_a - p_a < ceil(t*n_a) <= ceil(t*max) <= |a ∩ b| —
+    * contradiction), so no qualifying pair is missed — no df cap, no
+    * exactness caveat.
+    *
+    * Scale shape: the rarity sort needs NO global rank — each doc
+    * sorts its own (df, shingle) structs locally after one df join;
+    * the inverted index holds only prefixes, and the bucket for
+    * shingle g fans out <= df(g)² pairs while prefix membership skews
+    * mass toward the rarest shingles (a hot shingle is by definition
+    * late in every doc's rarity order, so it rarely enters a prefix).
+    * Candidates then pass the size filter (t*max <= min) before the
+    * exact intersection join touches full shingle sets. Output equals
+    * `dd_ngram_jaccard` (same space, same threshold) — by two
+    * different algorithms, which is itself a cross-check.
+    */
+  private def prefixJaccard(s: SparkSession, dir: String): DataFrame = {
+    val t = 0.5
+    val sh = cachedShingles(s, dir) // (doc_id, g) distinct
+    val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    // per-doc rarity-sorted shingle array + its prefix
+    val docs = sh.join(dfreq, "g")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("g"))))
+        .as("sorted"), count(lit(1)).as("n"))
+      .withColumn("p", col("n") - ceil(lit(t) * col("n")).cast("int") + 1)
+    val prefixes = docs
+      .select(col("doc_id"), col("n"),
+        explode(slice(col("sorted"), lit(1), col("p").cast("int"))).as("pg"))
+      .select(col("doc_id"), col("n"), col("pg.g").as("g"))
+    // candidates: share a prefix shingle, pass the size filter
+    val cands = prefixes.groupBy(col("g"))
+      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(flatten(transform(col("ds"), a =>
+        transform(filter(col("ds"), b => b.getField("doc_id") >
+            a.getField("doc_id")),
+          b => struct(a.getField("doc_id").as("doc_a"),
+            b.getField("doc_id").as("doc_b"),
+            a.getField("n").as("na"), b.getField("n").as("nb"))))))
+        .as("c"))
+      .select(col("c.doc_a"), col("c.doc_b"), col("c.na"), col("c.nb"))
+      .distinct()
+      .filter(least(col("na"), col("nb")) >=
+        ceil(lit(t) * greatest(col("na"), col("nb"))))
+    // exact verification on full shingle sets, candidates only — the
+    // sets ride as per-doc ARRAYS (two key joins, one array_intersect
+    // per pair, O(na+nb) each) instead of exploding candidates ×
+    // shingles through a shuffle + re-aggregate, which moves ~|doc|×
+    // more rows for the same intersection counts
+    val docArrs = docs.select(col("doc_id"),
+      transform(col("sorted"), x => x.getField("g")).as("gs"))
+    cands
+      .join(docArrs.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("gs", "ga"), "doc_a")
+      .join(docArrs.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("gs", "gb"), "doc_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
+      .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
+      .filter(col("jaccard") >= t)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
+        col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Triangle census of the near-dup CANDIDATE graph — pairs sharing
+    * at least TWO shingles (one shared shingle is mostly chance
+    * collision; two is where candidacy starts meaning something, and
+    * the single-shingle graph is ~10× denser with no extra signal):
+    * per-node triangle participation, top 20. High triangle density
+    * around a node marks boilerplate families (its candidates are
+    * candidates of each other), the signal that separates template
+    * clusters from chance shingle collisions.
+    *
+    * The count uses the degree-ordered node-iterator: orient every
+    * edge from its (degree, id)-smaller endpoint, enumerate wedges at
+    * each node over its OUT-neighbors only, close them against the
+    * oriented edge set. Out-degrees are bounded (a node's out-edges go
+    * only to higher-degree nodes, so out-degree <= sqrt(2m)), giving
+    * the O(m^1.5) bound that survives skew — the naive
+    * wedge-at-every-node join explodes on hub nodes. Each triangle is
+    * found exactly once (at its unique (deg, id)-minimal corner).
+    */
+  private def triangles(s: SparkSession, dir: String): DataFrame = {
+    val e = cachedScoredPairs(s, dir)
+      .filter(col("n_inter") >= 2)
+      .select(col("doc_a"), col("doc_b"))
+    val deg = e.select(col("doc_a").as("n"))
+      .unionByName(e.select(col("doc_b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // orient by (degree, id): src = smaller endpoint under that order;
+    // dst keeps its (deg, id) key so wedge pairs order without another
+    // degree join
+    val withDeg = e
+      .join(deg.withColumnRenamed("n", "doc_a").withColumnRenamed("d", "da"),
+        "doc_a")
+      .join(deg.withColumnRenamed("n", "doc_b").withColumnRenamed("d", "db"),
+        "doc_b")
+    val keyA = struct(col("da").as("d"), col("doc_a").as("i"))
+    val keyB = struct(col("db").as("d"), col("doc_b").as("i"))
+    val oriented = withDeg.select(
+      when(keyA < keyB, col("doc_a")).otherwise(col("doc_b")).as("src"),
+      when(keyA < keyB, keyB).otherwise(keyA).as("dst"))
+    // wedges at src over (deg,id)-ordered out-neighbor pairs, closed
+    // against the oriented edge (v1 -> v2)
+    val o1 = oriented.select(col("src"), col("dst").as("v1"))
+    val o2 = oriented.select(col("src"), col("dst").as("v2"))
+    val tri = o1.join(o2, "src").filter(col("v1") < col("v2"))
+      .join(oriented.select(col("src").as("cs"),
+          col("dst").getField("i").as("cd")),
+        col("v1").getField("i") === col("cs") &&
+          col("v2").getField("i") === col("cd"))
+      .select(col("src").as("u"), col("v1").getField("i").as("v"),
+        col("v2").getField("i").as("w"))
+    tri.select(explode(array(col("u"), col("v"), col("w"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  // the oracle enumerates each triangle once at its canonical a<b<c
+  // corner — orientation-free (exactness doesn't need the degree
+  // trick, only the distributed join does)
+  private val trianglesSql =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS g
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |  WHERE len(ws) >= 3),
+      |e AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |tri AS (
+      |  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+      |  FROM e e1
+      |    JOIN e e2 ON e2.doc_a = e1.doc_b
+      |    JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+      |nodes AS (
+      |  SELECT a AS doc_id FROM tri
+      |  UNION ALL SELECT b FROM tri
+      |  UNION ALL SELECT c FROM tri)
+      |SELECT doc_id, count(*) AS n_triangles FROM nodes
+      |GROUP BY doc_id ORDER BY n_triangles DESC, doc_id LIMIT 20""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("dd_prefix_jaccard", prefixJaccard, Some(jaccardSql)),
+    QueryDef("dd_triangles", triangles, Some(trianglesSql)),
     QueryDef("dd_semdedup", semDedup, Some(semDedupSql)),
     QueryDef("dd_semdedup_trained", semDedupTrained,
       Some(semDedupTrainedSql)),

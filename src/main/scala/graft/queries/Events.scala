@@ -776,7 +776,78 @@ object Events {
       |FROM paths GROUP BY path
       |ORDER BY n_sessions DESC, path LIMIT 15""".stripMargin
 
+  /** Per-user EWMA of event values — the smoothed "current level"
+    * behind rate limiting / anomaly baselines. alpha = 0.5 over the
+    * trailing 20 events, emitted at each user's LATEST event:
+    * ewma = Σ_{k<m} 0.5^k·x_{n-k} / Σ_{k<m} 0.5^k, m = min(n, 20).
+    *
+    * Spark-first shape: 20 lag() columns over one (user, time) window
+    * — constant plan width, whole-stage codegen'd, and the only
+    * shuffle is the window's partitionBy(user). (A collect_list + HOF
+    * fold computes the same thing but leaves codegen; a running
+    * recursive form needs per-row state Spark SQL doesn't express.)
+    *
+    * Exactness: alpha = 0.5 makes every weight 2^-k — scaling a
+    * double by it is EXACT (mantissa untouched), so the only rounding
+    * is the shared double→decimal(38,18) term cast, identical on both
+    * engines; the decimal sum is order-independent. The denominator
+    * Σ 0.5^k = 2 - 2^(1-m) is an exact closed form.
+    */
+  private def ewma(s: SparkSession, dir: String): DataFrame = {
+    val m = 20
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val terms = (0 until m).map { k =>
+      coalesce(
+        (lag(col("value"), k).over(w) * lit(math.pow(0.5, k)))
+          .cast(DecimalType(38, 18)),
+        lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 18)))
+    }
+    val avail = least(count(lit(1)).over(
+      Window.partitionBy(col("user_id"))), lit(m))
+    Tables(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      // cast back to (38,18) after EVERY addition: Spark's decimal
+      // promotion would otherwise shed one scale digit per chained `+`
+      // ((38,18)+(38,18) -> (38,17) -> ...), compounding to ~1e-8
+      // drift over 20 terms; with the interleaved cast each step
+      // rounds at 1e-18 (bounded 2e-17 total), and DuckDB's
+      // fixed-scale addition is exact, so both sides agree through
+      // the 9-decimal output rounding
+      .withColumn("num",
+        terms.reduce((a, b) => (a + b).cast(DecimalType(38, 18))))
+      .withColumn("m", avail)
+      .withColumn("rn_desc", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn_desc") === 1)
+      .select(col("user_id"), col("m").as("n_window"),
+        round(col("num").cast("double") /
+          (lit(2.0) - pow(lit(0.5), col("m") - 1)), 9).as("ewma"))
+      .orderBy(col("user_id"))
+  }
+
+  private val ewmaSql = {
+    val terms = (0 until 20).map { k =>
+      s"COALESCE(CAST(lag(value, $k) OVER w * power(0.5, $k)" +
+        " AS DECIMAL(38,18)), 0)"
+    }.mkString(" + ")
+    s"""WITH x AS (
+       |  SELECT user_id, ts, event_id,
+       |    $terms AS num,
+       |    least(count(*) OVER (PARTITION BY user_id), 20) AS m
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |SELECT user_id, m AS n_window,
+       |  round(CAST(num AS DOUBLE) / (2 - power(0.5, m - 1)), 9) AS ewma
+       |FROM x
+       |QUALIFY row_number() OVER (PARTITION BY user_id
+       |  ORDER BY ts DESC, event_id DESC) = 1
+       |ORDER BY user_id""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("ev_ewma", ewma, Some(ewmaSql)),
     QueryDef("ev_path_analysis", pathAnalysis, Some(pathAnalysisSql)),
     QueryDef("ev_cusum_changepoint", cusumChangepoint,
       Some(cusumChangepointSql)),

@@ -57,6 +57,13 @@ case class PhashRow(doc_id: Long, phash: Long)
   */
 case class ResizedRealRow(doc_id: Long, y: Int, row_sum: Long)
 
+/** Result schema of the real decoded-raster feature extraction —
+  * top-level for the same encoder-codegen reason as [[DecodedMeta]].
+  */
+case class PngFeatures(
+    doc_id: Long, px_sum: Long, px_sum_sq: Long, px_min: Int, px_max: Int,
+    grad_sum: Long)
+
 /** Result schema of the JPEG round-trip — top-level for the same
   * encoder-codegen reason as [[DecodedMeta]].
   */
@@ -750,7 +757,85 @@ object Multimodal {
       |GROUP BY doc_id, frame_idx
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** REAL feature extraction over REAL codec output — the
+    * embedding-from-media stage upgraded from the byte-sampling stub:
+    * each document rasterizes to the same 16x16 gray image as
+    * `mm_decode_png`, round-trips through genuine PNG encode/decode,
+    * and the features come off the DECODED raster: moment sums
+    * (Σp, Σp² — mean/variance numerators, integer-exact), dynamic
+    * range (min/max), and horizontal gradient energy Σ|p(x+1,y)-p(x,y)|
+    * (the edge-density signal an image-quality filter thresholds on).
+    * All integers, so the oracle predicts them from the rasterization
+    * arithmetic alone — PNG gray-8 is lossless. Narrow CPU-bound
+    * mapPartitions; split size is the only scale knob.
+    */
+  private def featureReal(s: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.product[PngFeatures]
+    val side = 16
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .mapPartitions { it: Iterator[Row] =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val blob = r.getAs[Array[Byte]](1)
+          requirePayload(id, blob)
+          val img = new java.awt.image.BufferedImage(
+            side, side, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          var i = 0
+          while (i < side * side) {
+            img.getRaster.setSample(i % side, i / side, 0,
+              blob(i % blob.length) & 0xff)
+            i += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          val ras = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bos.toByteArray)).getRaster
+          var (sum, sumSq, gradSum) = (0L, 0L, 0L)
+          var (mn, mx) = (255, 0)
+          var y = 0
+          while (y < side) {
+            var x = 0
+            while (x < side) {
+              val p = ras.getSample(x, y, 0)
+              sum += p; sumSq += p.toLong * p
+              if (p < mn) mn = p
+              if (p > mx) mx = p
+              if (x + 1 < side)
+                gradSum += math.abs(ras.getSample(x + 1, y, 0) - p)
+              x += 1
+            }
+            y += 1
+          }
+          PngFeatures(id, sum, sumSq, mn, mx, gradSum)
+        }
+      }(enc)
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  // the oracle predicts the decoded raster from the rasterization
+  // arithmetic alone (PNG gray-8 is lossless); pixel (x,y) = byte
+  // ((y*16+x) mod len)
+  private val featureRealSql =
+    """WITH px AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 256),
+      |      i -> ascii(substring(text, i % len + 1, 1))) AS p
+      |  FROM (SELECT doc_id, text, length(text) AS len FROM documents))
+      |SELECT doc_id,
+      |  CAST(list_aggregate(p, 'sum') AS BIGINT) AS px_sum,
+      |  CAST(list_aggregate(list_transform(p, v -> v * v), 'sum')
+      |    AS BIGINT) AS px_sum_sq,
+      |  CAST(list_aggregate(p, 'min') AS INT) AS px_min,
+      |  CAST(list_aggregate(p, 'max') AS INT) AS px_max,
+      |  CAST(list_aggregate(list_transform(range(0, 256),
+      |    i -> CASE WHEN i % 16 < 15 THEN abs(p[i + 2] - p[i + 1])
+      |         ELSE 0 END), 'sum') AS BIGINT) AS grad_sum
+      |FROM px ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("mm_feature_real", featureReal, Some(featureRealSql)),
     QueryDef("mm_frame_energy", frameEnergy, Some(frameEnergySql)),
     QueryDef("mm_blob_meta", blobMeta, Some(blobMetaSql)),
     QueryDef("mm_decode_stub", decodeStub, Some(decodeStubSql)),

@@ -886,7 +886,51 @@ object Similarity {
        |    GROUP BY 1) USING (query_id)
        |ORDER BY query_id""".stripMargin
 
+  /** Gram matrix Gᵢⱼ = Σ_rows xᵢ·xⱼ of the embedding corpus (upper
+    * triangle) — the d×d moment matrix behind PCA whitening, OPQ
+    * rotation, and covariance-based drift monitors. Spark-first shape:
+    * each row explodes to its d(d+1)/2 dimension pairs, which
+    * partial-aggregate map-side down to d² groups BEFORE the one
+    * shuffle — the shuffle carries O(partitions·d²) rows, never
+    * O(n·d²), so the plan survives any corpus size (d is the fixed
+    * model dimension; the d² explode per row is the same work any
+    * Gramian pass does).
+    *
+    * Exactness: float×float promoted to double is EXACT (24-bit
+    * mantissas fit), each product casts to decimal(38,18) identically
+    * on both engines, and the decimal sum is order-independent under
+    * any partitioning — no tolerance needed.
+    */
+  private def gramMatrix(s: SparkSession, dir: String): DataFrame = {
+    val d = 64
+    Tables(s, dir, "embeddings")
+      .select(col("embedding").as("v"),
+        explode(sequence(lit(0), lit(d - 1))).as("i"))
+      .select(col("i"), col("v"),
+        explode(sequence(col("i"), lit(d - 1))).as("j"))
+      .select(col("i"), col("j"),
+        (element_at(col("v"), col("i") + 1).cast("double") *
+          element_at(col("v"), col("j") + 1).cast("double"))
+          .cast(DecimalType(38, 18)).as("p"))
+      .groupBy(col("i"), col("j"))
+      .agg(round(sum(col("p")).cast("double"), 9).as("gram"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  private val gramMatrixSql =
+    """SELECT i, j,
+      |  round(CAST(sum(CAST(
+      |    CAST(embedding[i + 1] AS DOUBLE) *
+      |    CAST(embedding[j + 1] AS DOUBLE)
+      |    AS DECIMAL(38, 18))) AS DOUBLE), 9) AS gram
+      |FROM embeddings,
+      |  (SELECT unnest(range(0, 64)) AS i),
+      |  (SELECT unnest(range(0, 64)) AS j)
+      |WHERE j >= i
+      |GROUP BY i, j ORDER BY i, j""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sim_gram_matrix", gramMatrix, Some(gramMatrixSql)),
     QueryDef("sim_recall_at_k", recallAtK, Some(recallAtKSql)),
     QueryDef("sim_mips_topk", mipsTopK, Some(mipsTopKSql)),
     QueryDef("sim_index_api", indexApi, Some(knnBruteSql)),

@@ -1070,7 +1070,66 @@ object TextAnalysis {
        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
   }
 
+  /** BM25 keyword retrieval (Robertson/Okapi, k1=1.2, b=0.75): top 20
+    * docs for the fixed query {dup, key, fast} — the ranked-retrieval
+    * step a corpus-curation pipeline runs to pull topic slices.
+    * idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (the non-negative
+    * variant), tf saturates through k1 with the b-weighted length
+    * normalization dl/avgdl.
+    *
+    * Scale shape: tf touches only query-term postings (the isin filter
+    * pushes to the scan), df/N/avgdl are one tiny broadcast row each,
+    * and the per-doc score is a 3-term aggregate — no corpus-wide
+    * shuffle beyond the dl count. Exactness: each term's weight is
+    * rounded to 9 decimals (ln is the usual 1-ulp transcendental) and
+    * summed in DECIMAL, order-independent under any partitioning.
+    */
+  private def bm25(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val words = docs
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
+    val terms = Seq("dup", "key", "fast")
+    val tf = words.filter(col("w").isin(terms: _*))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(words.agg(count(lit(1)).as("n_words")))
+    val avgdl = col("n_words").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val termW = idf * (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / avgdl)))
+    tf.join(dl, "doc_id")
+      .join(broadcast(dfreq), "w")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(sum(round(termW, 9).cast(DecimalType(20, 9)))
+        .cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val bm25Sql =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |tf AS (SELECT doc_id, w, count(*) AS tf FROM words
+      |       WHERE w IN ('dup', 'key', 'fast') GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY 1),
+      |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+      |stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+      |                 (SELECT count(*) FROM words) AS n_words)
+      |SELECT doc_id,
+      |  CAST(sum(CAST(round(
+      |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2) /
+      |      (tf + 1.2 * (0.25 + 0.75 *
+      |        (dl / (CAST(n_words AS DOUBLE) / n_docs)))), 9)
+      |    AS DECIMAL(20, 9))) AS DOUBLE) AS score
+      |FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (w), stats
+      |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("ta_bm25", bm25, Some(bm25Sql)),
     QueryDef("ta_token_entropy", tokenEntropy, Some(tokenEntropySql)),
     QueryDef("ta_tfidf", tfidf, Some(tfidfSql)),
     QueryDef("ta_cooccurrence", cooccurrence, Some(cooccurrenceSql)),
