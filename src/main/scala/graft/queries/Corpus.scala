@@ -788,7 +788,77 @@ object Corpus {
       |SELECT lang, rnk, doc_id FROM ranked, target
       |WHERE rnk <= n_target ORDER BY lang, rnk""".stripMargin
 
+  /** Token-budget allocation across sources — the planning step a
+    * training-mix recipe runs BEFORE sampling: the run is budgeted in
+    * TOKENS (not documents), each source gets a target share, and the
+    * per-source epoch count (how many times the source repeats) is
+    * capped to bound memorization. Target share here ∝ (source index
+    * + 1) — a deterministic stand-in for the quality-weighted shares a
+    * real recipe assigns; budget = 60% of corpus tokens; epochs capped
+    * at 2. The emitted shortfall column is the signal that triggers
+    * share re-balancing in the recipe loop.
+    *
+    * Scale shape: one map-side-combined aggregate over the corpus
+    * (token counts per source — sources number in the tens, so the
+    * post-shuffle state is trivially small), then O(sources)
+    * arithmetic. The allocation math is double over exact integer
+    * counts — identical IEEE results on both engines, rounded where
+    * fractional.
+    */
+  private def tokenMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val perSource = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(graft.functions.TextFns.tokens(col("text"))).cast("long")).as("n_tokens"))
+    val totals = perSource.agg(
+      sum(col("n_tokens")).as("total_tokens"),
+      sum(substring(col("source"), 4, 10).cast("int") + 1).as("weight_sum"))
+    val share = (substring(col("source"), 4, 10).cast("int") + 1)
+      .cast("double") / col("weight_sum")
+    val budget = lit(0.6) * col("total_tokens")
+    val epochs = least(lit(2.0), share * budget / col("n_tokens"))
+    perSource.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(share, 9).as("target_share"),
+        round(epochs, 6).as("epochs"),
+        floor(epochs * col("n_tokens") + lit(0.5)).cast("long")
+          .as("granted_tokens"),
+        floor(share * budget - epochs * col("n_tokens") + lit(0.5))
+          .cast("long").as("shortfall"))
+      .orderBy(col("source"))
+  }
+
+  private val tokenMixSql =
+    """WITH per_source AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (
+      |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |    CAST(sum(CAST(substring(source, 4, 10) AS INTEGER) + 1)
+      |      AS BIGINT) AS weight_sum
+      |  FROM per_source)
+      |SELECT source, n_docs, n_tokens,
+      |  round(CAST(CAST(substring(source, 4, 10) AS INTEGER) + 1 AS DOUBLE)
+      |    / weight_sum, 9) AS target_share,
+      |  round(least(2.0,
+      |    CAST(CAST(substring(source, 4, 10) AS INTEGER) + 1 AS DOUBLE)
+      |      / weight_sum * (0.6 * total_tokens) / n_tokens), 6) AS epochs,
+      |  CAST(floor(least(2.0,
+      |    CAST(CAST(substring(source, 4, 10) AS INTEGER) + 1 AS DOUBLE)
+      |      / weight_sum * (0.6 * total_tokens) / n_tokens)
+      |    * n_tokens + 0.5) AS BIGINT) AS granted_tokens,
+      |  CAST(floor(
+      |    CAST(CAST(substring(source, 4, 10) AS INTEGER) + 1 AS DOUBLE)
+      |      / weight_sum * (0.6 * total_tokens)
+      |    - least(2.0,
+      |        CAST(CAST(substring(source, 4, 10) AS INTEGER) + 1 AS DOUBLE)
+      |          / weight_sum * (0.6 * total_tokens) / n_tokens)
+      |      * n_tokens + 0.5) AS BIGINT) AS shortfall
+      |FROM per_source, tot ORDER BY source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("cp_token_mix", tokenMix, Some(tokenMixSql)),
     QueryDef("cp_stratified_sample", stratifiedSample,
       Some(stratifiedSampleSql)),
     QueryDef("cp_dsir_weights", dsirScores, Some(dsirWeightsSql)),

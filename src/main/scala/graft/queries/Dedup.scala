@@ -28,6 +28,12 @@ import org.apache.spark.sql.types.DecimalType
 object Dedup {
 
   private val ShingleK = 3
+  private val SpanW = 8 // dd_span_dupes window width (tokens)
+  // dd_containment threshold: production uses ~0.8 on real crawl text;
+  // the synthetic fixture's non-identical overlaps top out near 0.35,
+  // so the exercised threshold sits below that (the plan is identical
+  // at any t — only the final filter selectivity moves)
+  private val ContainT = 0.2
   private val NumPerms = 128
   private val BandRows = 4 // 32 bands x 4 rows
 
@@ -1357,7 +1363,116 @@ object Dedup {
       |SELECT doc_id, count(*) AS n_triangles FROM nodes
       |GROUP BY doc_id ORDER BY n_triangles DESC, doc_id LIMIT 20""".stripMargin
 
+  /** Asymmetric CONTAINMENT dedup: C(a,b) = |A∩B| / min(|A|,|B|) —
+    * catches doc-in-doc duplication (quoting, boilerplate wrapping,
+    * truncated re-crawls) that symmetric Jaccard structurally misses:
+    * a 50-shingle doc fully embedded in a 500-shingle doc has C = 1.0
+    * but J ≤ 0.1. Emits pairs with containment ≥ ContainT that the Jaccard
+    * pass (threshold 0.5) does NOT emit — exactly the duplication a
+    * Jaccard-only dedup leaves in the corpus.
+    *
+    * Candidate space: the same df-capped inverted index as
+    * `dd_ngram_jaccard` (buckets with df > MaxShingleDf dropped
+    * whole) — but unlike the Jaccard threshold there is NO exactness
+    * argument against the cap here (a small all-boilerplate doc can
+    * hide entirely in hot buckets), so the cap is part of this
+    * query's CONTRACT and the oracle applies the identical df
+    * filter. Production tunes MaxShingleDf against the hot-shingle
+    * histogram; the capped index is what bounds the bucket fan-out
+    * at 100 TB.
+    */
+  private def containment(s: SparkSession, dir: String): DataFrame =
+    cachedScoredPairs(s, dir)
+      .withColumn("n_small", least(col("na"), col("nb")))
+      .withColumn("containment",
+        col("n_inter").cast("double") / col("n_small"))
+      .filter(col("containment") >= ContainT && col("jaccard") < 0.5)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_small"),
+        col("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  // identical df-capped candidate space: shingles in > MaxShingleDf
+  // docs are excluded from the intersection count (bucket dropped
+  // whole), exactly as the Spark inverted index does; sizes stay
+  // uncapped on both sides
+  private val containmentSql =
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+       |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS g
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+       |  WHERE len(ws) >= 3),
+       |hot AS (SELECT g FROM sh GROUP BY g HAVING count(*) > $MaxShingleDf),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  WHERE a.g NOT IN (SELECT g FROM hot)
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_inter,
+       |  least(sa.n, sb.n) AS n_small,
+       |  CAST(n_inter AS DOUBLE) / least(sa.n, sb.n) AS containment
+       |FROM inter
+       |  JOIN sizes sa ON doc_a = sa.doc_id
+       |  JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE CAST(n_inter AS DOUBLE) / least(sa.n, sb.n) >= $ContainT
+       |  AND CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) < 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Per-doc duplicated-SPAN coverage — the substring-level dedup
+    * signal (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", ACL'22) re-expressed set-at-a-time: every
+    * SpanW-token window is a span; a span is duplicated if it occurs
+    * in ≥ 2 distinct documents; each doc reports the fraction of its
+    * DISTINCT spans that are duplicated (the trim/cut signal — docs
+    * above a coverage threshold are mostly copied text even when no
+    * single whole-doc pair crosses a Jaccard bar). Top 20 by coverage.
+    *
+    * Scale shape: spans come off the same codegen'd WordShingles
+    * expression as the Jaccard tier (distinct within doc — no
+    * per-position blow-up); the span-frequency table aggregates
+    * map-side before its one shuffle, and the join back to per-doc
+    * rows is key-keyed (one row per span — no bucket fan-out, so no
+    * df cap needed: a hot boilerplate span costs its occurrence count,
+    * not its square). Wider spans (SpanW=8 vs the Jaccard tier's 3)
+    * keep the frequency table sparse on natural text.
+    */
+  private def spanDupes(s: SparkSession, dir: String): DataFrame = {
+    val sp = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.WordShingles(col("text"), SpanW)).as("g"))
+    val spanDocs = sp.groupBy(col("g")).agg(count(lit(1)).as("n_docs"))
+    sp.join(spanDocs, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_frac",
+        col("n_dup_spans").cast("double") / col("n_spans"))
+      .orderBy(col("dup_frac").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val spanDupesSql = {
+    val cat = (0 until SpanW).map(o => s"ws[i+$o]").mkString(" || ' ' || ")
+    s"""WITH sp AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct(list_transform(
+       |      range(1, len(ws) - ${SpanW - 2}), i -> $cat))) AS g
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+       |  WHERE len(ws) >= $SpanW),
+       |freq AS (SELECT g, count(*) AS n_docs FROM sp GROUP BY g)
+       |SELECT doc_id, count(*) AS n_spans,
+       |  CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup_spans,
+       |  CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*) AS dup_frac
+       |FROM sp JOIN freq USING (g)
+       |GROUP BY doc_id ORDER BY dup_frac DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("dd_containment", containment, Some(containmentSql)),
+    QueryDef("dd_span_dupes", spanDupes, Some(spanDupesSql)),
     QueryDef("dd_prefix_jaccard", prefixJaccard, Some(jaccardSql)),
     QueryDef("dd_triangles", triangles, Some(trianglesSql)),
     QueryDef("dd_semdedup", semDedup, Some(semDedupSql)),

@@ -382,7 +382,146 @@ object Migration {
       |FROM events WHERE event_type = 'purchase'
       |GROUP BY event_type""".stripMargin
 
+  /** Bucketed-table co-located join — the lake layout that removes the
+    * shuffle from every future join on the bucket key. Orders and
+    * customer are written ONCE as bucketed+sorted tables (8 buckets on
+    * custkey); the revenue-by-segment join then runs with NO exchange
+    * on either side: the scan exposes the bucket hash-partitioning and
+    * SortMergeJoin consumes both scans directly (PlanSpec asserts zero
+    * exchanges under the join — a cheap in-partition Sort remains
+    * because Spark 3+ dropped per-bucket sort-order propagation from
+    * bucketed scans). At 100 TB this is THE join
+    * strategy for recurring fact-dim joins too big to broadcast —
+    * the shuffle is paid once at layout time, amortized over every
+    * downstream run; broadcast stays the answer for genuinely small
+    * dims (the engine's dimension joins), bucketing for the big-big
+    * case. The post-join segment rollup still shuffles — 5 groups.
+    *
+    * Mechanics worth the demo: both sides must agree on bucket COUNT
+    * and KEY; `spark.table` (catalog metadata) carries the bucket
+    * spec — a plain parquet path read would not. Tables are external
+    * (explicit path) in a per-invocation temp dir, dropped after
+    * materialization.
+    */
+  /** Stages the bucketed tables and returns the co-located join DF
+    * un-materialized (PlanSpec inspects its physical plan) plus the
+    * staging dir. The pre-write `repartition(8, key)` aligns write
+    * partitioning with the bucket spec so each bucket lands in ONE
+    * file per table — no small-file fan-out (tasks × buckets files)
+    * from the bucketed write.
+    */
+  private[graft] def stageBucketedJoin(
+      s: SparkSession, dir: String): (DataFrame, String) = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_bucketed").toString
+    def stage(name: String, df: DataFrame, key: String): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      df.repartition(8, col(key)).write.mode("overwrite")
+        .option("path", s"$tmp/$name")
+        .bucketBy(8, key).sortBy(key)
+        .format("parquet").saveAsTable(name)
+    }
+    stage("graft_bkt_orders", Tables(s, dir, "orders")
+      .select(col("o_custkey"), col("o_totalprice")), "o_custkey")
+    stage("graft_bkt_customer", Tables(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment")), "c_custkey")
+    val joined = s.table("graft_bkt_orders")
+      .join(s.table("graft_bkt_customer").hint("merge"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+          .as("revenue"))
+      .orderBy(col("c_mktsegment"))
+    (joined, tmp)
+  }
+
+  private[graft] def cleanupBucketedJoin(s: SparkSession, tmp: String): Unit = {
+    s.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+    s.sql("DROP TABLE IF EXISTS graft_bkt_customer")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
+
+  private def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val (joined, tmp) = stageBucketedJoin(s, dir)
+    val out = joined.localCheckpoint()
+    cleanupBucketedJoin(s, tmp)
+    out
+  }
+
+  private val bucketedJoinSql =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE)
+      |    AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** CDC log compaction — the MERGE a long-lived lake table runs to
+    * fold a change stream (upserts + deletes, each stamped with a
+    * monotone version) into the snapshot: per key the LATEST version
+    * wins, a winning delete drops the row. The change log here is
+    * synthesized deterministically from the snapshot itself (updates
+    * at v2/v5, deletes at v3, re-inserts at v4 — including the
+    * deleted-then-re-inserted and updated-after-delete orderings that
+    * break naive "apply ops in arrival order" merges); output is the
+    * post-merge per-status rollup.
+    *
+    * Scale shape: ONE shuffle — union log + snapshot, hash-partition
+    * by key, per-key max-version pick (window over the key, no global
+    * sort). This is merge-on-read compaction; with the snapshot
+    * bucketed by key (mig_bucketed_join's layout) even that shuffle
+    * only moves the delta. The copy-on-write alternative (anti-join
+    * base against delta keys + union) trades read cost for write
+    * amplification — same key-partitioned join shape either way.
+    */
+  private def cdcMerge(s: SparkSession, dir: String): DataFrame = {
+    def snap(v: Long, op: String) = Tables(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        col("o_totalprice").as("price"),
+        lit(v).as("version"), lit(op).as("op"))
+    val log = snap(1L, "U")
+      .unionByName(snap(2L, "U").filter(col("k") % 10 === 0)
+        .withColumn("price", col("price") + 1000.0))
+      .unionByName(snap(3L, "D").filter(col("k") % 17 === 0))
+      .unionByName(snap(4L, "U").filter(col("k") % 34 === 0)
+        .withColumn("price", lit(42.0)))
+      .unionByName(snap(5L, "U").filter(col("k") % 20 === 0)
+        .withColumn("price", col("price") + 5000.0))
+    val w = Window.partitionBy(col("k")).orderBy(col("version").desc)
+    log.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .groupBy(col("st"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("k")).as("sum_keys"),
+        sum(col("price").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_price"))
+      .orderBy(col("st"))
+  }
+
+  private val cdcMergeSql =
+    """WITH log AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS price,
+      |    1 AS version, 'U' AS op FROM orders
+      |  UNION ALL SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0,
+      |    2, 'U' FROM orders WHERE o_orderkey % 10 = 0
+      |  UNION ALL SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |    3, 'D' FROM orders WHERE o_orderkey % 17 = 0
+      |  UNION ALL SELECT o_orderkey, o_orderstatus, 42.0,
+      |    4, 'U' FROM orders WHERE o_orderkey % 34 = 0
+      |  UNION ALL SELECT o_orderkey, o_orderstatus, o_totalprice + 5000.0,
+      |    5, 'U' FROM orders WHERE o_orderkey % 20 = 0),
+      |merged AS (
+      |  SELECT * FROM log
+      |  QUALIFY row_number() OVER (PARTITION BY k ORDER BY version DESC) = 1)
+      |SELECT st, count(*) AS n_rows,
+      |  CAST(sum(k) AS BIGINT) AS sum_keys,
+      |  CAST(sum(CAST(price AS DECIMAL(18, 2))) AS DOUBLE) AS sum_price
+      |FROM merged WHERE op <> 'D'
+      |GROUP BY st ORDER BY st""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("mig_cdc_merge", cdcMerge, Some(cdcMergeSql)),
+    QueryDef("mig_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
     QueryDef("mig_format_roundtrip", formatRoundtrip,
       Some(formatRoundtripSql)),
     QueryDef("mig_schema_evolution", schemaEvolution,

@@ -929,7 +929,81 @@ object Similarity {
       |WHERE j >= i
       |GROUP BY i, j ORDER BY i, j""".stripMargin
 
+  /** Covariance matrix of the embedding corpus — the centered Gramian
+    * Cᵢⱼ = E[xᵢxⱼ] − E[xᵢ]E[xⱼ] behind PCA whitening and drift
+    * monitors; emitted as the top-20 off-diagonal entries by
+    * magnitude (the correlated-dimension hotlist a whitening pass
+    * targets first). Same one-shuffle moment-pass shape as
+    * `sim_gram_matrix`: raw second moments and per-dimension sums
+    * partial-aggregate map-side to d² + d groups, the centering is
+    * O(d²) arithmetic AFTER aggregation — no second corpus pass, no
+    * d²-wide rows through the shuffle.
+    *
+    * Exactness: moments accumulate in order-independent DECIMAL; the
+    * centering arithmetic runs in double from identical decimal
+    * inputs on both engines (same ops, same order → same IEEE
+    * result), rounded at 9. Ties in |cov| order break by (i, j).
+    */
+  private def covariance(s: SparkSession, dir: String): DataFrame = {
+    val d = 64
+    val emb = Tables(s, dir, "embeddings")
+    val moments = emb
+      .select(col("embedding").as("v"),
+        explode(sequence(lit(0), lit(d - 1))).as("i"))
+      .select(col("i"), col("v"),
+        explode(sequence(col("i"), lit(d - 1))).as("j"))
+      .select(col("i"), col("j"),
+        (element_at(col("v"), col("i") + 1).cast("double") *
+          element_at(col("v"), col("j") + 1).cast("double"))
+          .cast(DecimalType(38, 18)).as("p"))
+      .groupBy(col("i"), col("j")).agg(sum(col("p")).as("sxy"))
+    val sums = emb
+      .select(explode(sequence(lit(0), lit(d - 1))).as("k"),
+        col("embedding").as("v"))
+      .select(col("k"), element_at(col("v"), col("k") + 1).cast("double")
+        .cast(DecimalType(38, 18)).as("x"))
+      .groupBy(col("k")).agg(sum(col("x")).as("sx"))
+    val n = emb.agg(count(lit(1)).as("n_rows"))
+    moments.filter(col("i") < col("j"))
+      .join(broadcast(sums.withColumnRenamed("k", "i")
+        .withColumnRenamed("sx", "si")), "i")
+      .join(broadcast(sums.withColumnRenamed("k", "j")
+        .withColumnRenamed("sx", "sj")), "j")
+      .crossJoin(broadcast(n))
+      .select(col("i"), col("j"),
+        round(col("sxy").cast("double") / col("n_rows") -
+          (col("si").cast("double") / col("n_rows")) *
+          (col("sj").cast("double") / col("n_rows")), 9).as("cov"))
+      .orderBy(abs(col("cov")).desc, col("i"), col("j"))
+      .limit(20)
+  }
+
+  private val covarianceSql =
+    """WITH m AS (
+      |  SELECT i, j,
+      |    sum(CAST(CAST(embedding[i + 1] AS DOUBLE) *
+      |             CAST(embedding[j + 1] AS DOUBLE)
+      |        AS DECIMAL(38, 18))) AS sxy
+      |  FROM embeddings,
+      |    (SELECT unnest(range(0, 64)) AS i),
+      |    (SELECT unnest(range(0, 64)) AS j)
+      |  WHERE j > i GROUP BY i, j),
+      |s AS (
+      |  SELECT k, sum(CAST(CAST(embedding[k + 1] AS DOUBLE)
+      |    AS DECIMAL(38, 18))) AS sx
+      |  FROM embeddings, (SELECT unnest(range(0, 64)) AS k) GROUP BY k),
+      |n AS (SELECT count(*) AS n_rows FROM embeddings)
+      |SELECT i, j,
+      |  round(CAST(sxy AS DOUBLE) / n_rows -
+      |    (CAST(si.sx AS DOUBLE) / n_rows) *
+      |    (CAST(sj.sx AS DOUBLE) / n_rows), 9) AS cov
+      |FROM m JOIN s si ON si.k = m.i JOIN s sj ON sj.k = m.j, n
+      |ORDER BY abs(round(CAST(sxy AS DOUBLE) / n_rows -
+      |  (CAST(si.sx AS DOUBLE) / n_rows) *
+      |  (CAST(sj.sx AS DOUBLE) / n_rows), 9)) DESC, i, j LIMIT 20""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sim_covariance", covariance, Some(covarianceSql)),
     QueryDef("sim_gram_matrix", gramMatrix, Some(gramMatrixSql)),
     QueryDef("sim_recall_at_k", recallAtK, Some(recallAtKSql)),
     QueryDef("sim_mips_topk", mipsTopK, Some(mipsTopKSql)),

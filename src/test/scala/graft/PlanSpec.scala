@@ -353,4 +353,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("SerializeFromObject"), p.take(800))
   }
 
+  test("bucketed join consumes both scans in place — no exchange " +
+    "below the merge join (mig_bucketed_join)") {
+    val (joined, tmp) = queries.Migration.stageBucketedJoin(spark, dir)
+    try {
+      val p = joined.queryExecution.executedPlan.toString
+      val joinIdx = p.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, p.take(900))
+      // depth-first print: everything after the join line is its subtree.
+      // An in-partition Sort is allowed (Spark 3+ stopped propagating
+      // per-bucket sort order from bucketed scans); the shuffle is not.
+      val below = p.substring(joinIdx)
+      assert(!below.contains("Exchange"), below.take(900))
+      assert(below.contains("Bucketed: true"), below.take(900))
+      assert(below.contains("SelectedBucketsCount: 8 out of 8"),
+        below.take(900))
+    } finally queries.Migration.cleanupBucketedJoin(spark, tmp)
+  }
+
 }
