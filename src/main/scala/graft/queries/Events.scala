@@ -846,7 +846,178 @@ object Events {
        |ORDER BY user_id""".stripMargin
   }
 
+  /** Last-touch revenue attribution: each purchase credits its full
+    * value to the user's most recent preceding view/click channel
+    * ('direct' if none) — the marketing-analytics join every event
+    * warehouse runs. Spark-first shape: NO purchase×touch join (which
+    * fans out per-user purchases × touches) — one (user, time) window
+    * carries the last non-null touch type forward via
+    * last(ignoreNulls) over the mixed stream, so the fact stream
+    * shuffles once on user_id and every purchase row reads its
+    * attribution from the frame. The q36 IGNORE NULLS machinery doing
+    * real analytics work.
+    *
+    * Tie discipline: the frame orders by (ts, event_id) and excludes
+    * the current row, so a touch and purchase sharing a timestamp
+    * attribute deterministically by event_id.
+    */
+  private def attribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables(s, dir, "events")
+      .withColumn("touch",
+        when(col("event_type").isin("view", "click"), col("event_type")))
+      .withColumn("last_touch",
+        last(col("touch"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("last_touch"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("revenue"))
+      .orderBy(col("channel"))
+  }
+
+  private val attributionSql =
+    """SELECT coalesce(last_touch, 'direct') AS channel,
+      |  count(*) AS n_purchases,
+      |  CAST(sum(CAST(value AS DECIMAL(18, 2))) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT event_type, value,
+      |    last_value(CASE WHEN event_type IN ('view', 'click')
+      |               THEN event_type END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS last_touch
+      |  FROM events)
+      |WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY channel""".stripMargin
+
+  /** RFM segmentation — the classic recency/frequency/monetary user
+    * scoring, quintiled: per user, days since last activity,
+    * purchase count, purchase revenue; each dimension quintiled over
+    * a total order (metric + user_id tiebreak → deterministic
+    * boundaries), then the segment census (≤125 rows).
+    *
+    * The quintile is NOT a global ntile window (a partition-less sort
+    * of the full user table — the shape the PlanSpec sweep exists to
+    * catch; ~1e9 users at 100 TB). Instead it is the repo's chunked
+    * two-pass global rank (the mig_batch_plan / cp_sequence_pack
+    * idiom): chunk by a monotone bucketing of the metric, rank within
+    * chunks (partitioned window), add broadcast per-chunk offsets,
+    * then tile = floor((rank−1)·5/n)+1 — which reproduces ntile(5)
+    * EXACTLY (bucket sizes differ by ≤1, earlier buckets take the
+    * extra rows), so the oracle can still say plain `ntile(5)`. The
+    * only partition-less window runs over the chunk-count table —
+    * O(distinct metric buckets) rows, bounded by the metric domain
+    * (days / purchase counts / whole currency units), not by users.
+    */
+  private def rfm(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val stats = ev.agg(max(col("ts")).as("max_ts"),
+      count_distinct(col("user_id")).as("n_users_total"))
+    val users = ev.groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_ts"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("freq"),
+        sum(when(col("event_type") === "purchase",
+          col("value").cast(DecimalType(18, 2)))
+          .otherwise(lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 2))))
+          .as("monetary"))
+      .crossJoin(broadcast(stats))
+      .withColumn("recency_days",
+        datediff(to_date(col("max_ts")), to_date(col("last_ts"))))
+
+    // chunked two-pass global rank → exact ntile(5) replica. `chunk`
+    // must ascend with the sort order; rows order by (metric, user_id)
+    // inside chunks.
+    def tile5(df: DataFrame, ordCols: Seq[org.apache.spark.sql.Column], chunk: org.apache.spark.sql.Column,
+        out: String): DataFrame = {
+      val tagged = df.withColumn("chunk", chunk)
+      val offsets = tagged.groupBy(col("chunk"))
+        .agg(count(lit(1)).as("chunk_n"))
+        .withColumn("offset",
+          coalesce(sum(col("chunk_n")).over(
+            Window.orderBy(col("chunk"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("chunk"), col("offset"))
+      tagged.join(broadcast(offsets), "chunk")
+        .withColumn("rnk", col("offset") + row_number().over(
+          Window.partitionBy(col("chunk")).orderBy(ordCols: _*)))
+        .withColumn(out,
+          (floor((col("rnk") - 1) * 5 / col("n_users_total")) + 1)
+            .cast("int"))
+        .drop("chunk", "offset", "rnk")
+    }
+
+    val r = tile5(users, Seq(col("recency_days"), col("user_id")),
+      col("recency_days"), "r_tile")
+    val f = tile5(r, Seq(col("freq").desc, col("user_id")),
+      -col("freq"), "f_tile")
+    val m = tile5(f, Seq(col("monetary").desc, col("user_id")),
+      -floor(col("monetary")), "m_tile")
+    m.groupBy(col("r_tile"), col("f_tile"), col("m_tile"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("monetary")).cast("double").as("segment_revenue"))
+      .orderBy(col("r_tile"), col("f_tile"), col("m_tile"))
+  }
+
+  private val rfmSql =
+    """WITH users AS (
+      |  SELECT user_id, max(ts) AS last_ts,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS freq,
+      |    sum(CASE WHEN event_type = 'purchase'
+      |        THEN CAST(value AS DECIMAL(18, 2))
+      |        ELSE CAST(0 AS DECIMAL(18, 2)) END) AS monetary
+      |  FROM events GROUP BY user_id),
+      |mx AS (SELECT max(ts) AS max_ts FROM events),
+      |seg AS (
+      |  SELECT user_id, monetary,
+      |    ntile(5) OVER (ORDER BY date_diff('day', CAST(last_ts AS DATE),
+      |      CAST(max_ts AS DATE)), user_id) AS r_tile,
+      |    ntile(5) OVER (ORDER BY freq DESC, user_id) AS f_tile,
+      |    ntile(5) OVER (ORDER BY monetary DESC, user_id) AS m_tile
+      |  FROM users, mx)
+      |SELECT r_tile, f_tile, m_tile, count(*) AS n_users,
+      |  CAST(sum(monetary) AS DOUBLE) AS segment_revenue
+      |FROM seg GROUP BY 1, 2, 3 ORDER BY r_tile, f_tile, m_tile""".stripMargin
+
+  /** Semi-structured props through Spark 4's VARIANT type —
+    * `parse_json` once into the binary VARIANT encoding, then typed
+    * path extraction with `variant_get` (and `is_variant_null` as the
+    * malformed-row guard). Contrast with `ev_json_props`
+    * (from_json + declared schema): VARIANT is the schema-LESS path —
+    * ingest doesn't commit to a schema, extraction is still typed and
+    * codegen'd, and at 100 TB the parquet writer shreds frequently-
+    * accessed paths into columns so `variant_get` reads become column
+    * scans. The right default for evolving event payloads where a
+    * declared struct would silently null out new fields.
+    */
+  private def variantProps(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "events")
+      .withColumn("v", parse_json(col("props")))
+      .withColumn("k", variant_get(col("v"), "$.k", "long"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
+  private val variantPropsSql =
+    """SELECT event_type,
+      |  count(CAST(props ->> '$.k' AS BIGINT)) AS n_with_k,
+      |  CAST(sum(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(min(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS min_k,
+      |  CAST(max(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("ev_variant_props", variantProps, Some(variantPropsSql)),
+    QueryDef("ev_attribution", attribution, Some(attributionSql)),
+    QueryDef("ev_rfm", rfm, Some(rfmSql)),
     QueryDef("ev_ewma", ewma, Some(ewmaSql)),
     QueryDef("ev_path_analysis", pathAnalysis, Some(pathAnalysisSql)),
     QueryDef("ev_cusum_changepoint", cusumChangepoint,

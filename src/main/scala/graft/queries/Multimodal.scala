@@ -64,6 +64,12 @@ case class PngFeatures(
     doc_id: Long, px_sum: Long, px_sum_sq: Long, px_min: Int, px_max: Int,
     grad_sum: Long)
 
+/** Result schema of the multi-frame TIFF round-trip — top-level for
+  * the same encoder-codegen reason as [[DecodedMeta]].
+  */
+case class TiffFrame(
+    doc_id: Long, n_frames: Int, frame_idx: Int, px_sum: Long, px_max: Int)
+
 /** Result schema of the JPEG round-trip — top-level for the same
   * encoder-codegen reason as [[DecodedMeta]].
   */
@@ -834,7 +840,94 @@ object Multimodal {
       |         ELSE 0 END), 'sum') AS BIGINT) AS grad_sum
       |FROM px ORDER BY doc_id""".stripMargin
 
+  /** REAL multi-frame container round-trip — the video-frame analogue
+    * of `mm_decode_png`, with a genuine multi-image codec in the loop:
+    * each document renders NumFrames 16×16 gray frames (frame f shifts
+    * the byte phase by 7f — deterministic distinct frames), encodes
+    * them into ONE baseline-TIFF blob via the JDK's ImageIO sequence
+    * writer, then a TIFF ImageReader re-opens the blob, reports the
+    * frame COUNT from the container directory (not assumed), and
+    * emits per-frame raster stats. Gray-8 baseline TIFF is lossless,
+    * so the oracle predicts every stat from the rasterization
+    * arithmetic alone. This is the real plumbing a frame-sampling
+    * stage needs: one blob per row in, per-frame rows out, all inside
+    * a narrow CPU-bound mapPartitions — split size is the only scale
+    * knob, and the frame fan-out happens AFTER decode, executor-side.
+    */
+  private def framesReal(s: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.product[TiffFrame]
+    val side = 16
+    val nf = 4
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .mapPartitions { it: Iterator[Row] =>
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val blob = r.getAs[Array[Byte]](1)
+          requirePayload(id, blob)
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          val w = javax.imageio.ImageIO
+            .getImageWritersByFormatName("tiff").next()
+          w.setOutput(ios)
+          w.prepareWriteSequence(null)
+          var f = 0
+          while (f < nf) {
+            val img = new java.awt.image.BufferedImage(
+              side, side, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            var i = 0
+            while (i < side * side) {
+              img.getRaster.setSample(i % side, i / side, 0,
+                blob((i + 7 * f) % blob.length) & 0xff)
+              i += 1
+            }
+            w.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
+          }
+          w.endWriteSequence(); ios.flush(); w.dispose(); ios.close()
+          val tiff = bos.toByteArray // the real multi-frame media blob
+
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(tiff))
+          val rd = javax.imageio.ImageIO
+            .getImageReadersByFormatName("tiff").next()
+          rd.setInput(iis)
+          val n = rd.getNumImages(true) // container directory, not assumed
+          val rows = (0 until n).map { fi =>
+            val ras = rd.read(fi).getRaster
+            var (sum, mx, j) = (0L, 0, 0)
+            while (j < side * side) {
+              val p = ras.getSample(j % side, j / side, 0)
+              sum += p; if (p > mx) mx = p
+              j += 1
+            }
+            TiffFrame(id, n, fi, sum, mx)
+          }
+          rd.dispose(); iis.close()
+          rows
+        }
+      }(enc)
+      .toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  // frame f, pixel linear index i → byte ((i + 7f) mod len); TIFF
+  // gray-8 is lossless so the decoded raster equals the rasterization
+  private val framesRealSql =
+    """WITH px AS (
+      |  SELECT doc_id, f AS frame_idx,
+      |    list_transform(range(0, 256),
+      |      i -> ascii(substring(text, (i + 7 * f) % len + 1, 1))) AS p
+      |  FROM (SELECT doc_id, text, length(text) AS len FROM documents),
+      |    (SELECT unnest(range(0, 4)) AS f))
+      |SELECT doc_id, 4 AS n_frames, CAST(frame_idx AS INT) AS frame_idx,
+      |  CAST(list_aggregate(p, 'sum') AS BIGINT) AS px_sum,
+      |  CAST(list_aggregate(p, 'max') AS INT) AS px_max
+      |FROM px ORDER BY doc_id, frame_idx""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("mm_frames_real", framesReal, Some(framesRealSql)),
     QueryDef("mm_feature_real", featureReal, Some(featureRealSql)),
     QueryDef("mm_frame_energy", frameEnergy, Some(frameEnergySql)),
     QueryDef("mm_blob_meta", blobMeta, Some(blobMetaSql)),

@@ -180,7 +180,11 @@ class PlanSpec extends AnyFunSuite {
       "cp_sequence_pack", // offsets pass — Corpus.scala sequence packing
       // rank pass runs AFTER TakeOrderedAndProject cut the set to k=50
       // rows — the windowed input is the sample, never the corpus
-      "cp_reservoir_sample"
+      "cp_reservoir_sample",
+      // chunked two-pass quintile ranks: the partition-less windows run
+      // over per-chunk COUNT tables (O(distinct metric buckets) rows,
+      // bounded by the metric domain), never over the user table
+      "ev_rfm"
     )
     // excluded: constructing these DataFrames runs real side effects
     // (streaming micro-batches, Derby DDL, index build/persist, an
