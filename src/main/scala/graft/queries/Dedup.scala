@@ -1470,7 +1470,104 @@ object Dedup {
        |GROUP BY doc_id ORDER BY dup_frac DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  /** Leakage-safe train/test split — the fix for the eval-integrity
+    * hole plain hash splitting leaves open: two NEAR-duplicates can
+    * land in train and test, leaking training text into evaluation
+    * even after a same-split dedup pass. Here the split is keyed on
+    * the near-dup CLUSTER representative (connected components over
+    * the verified MinHash pair graph; singletons represent
+    * themselves), so an entire duplicate family moves as one unit and
+    * no qualifying pair can ever straddle the boundary — by
+    * construction, not by post-hoc filtering. Per split: docs,
+    * distinct clusters, multi-doc clusters.
+    *
+    * Scale shape: the pair graph + star loop are the dd_components
+    * machinery (bounded rounds, driver sees one scalar per round);
+    * the split itself stays the same stateless md5 bucket as
+    * cp_hash_split, just salted on the representative id — re-crawls
+    * reassign identically as long as cluster membership is stable.
+    */
+  private def leakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    cachedMinhashPairs(s, dir).count()
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val pairs = cachedMinhashPairs(s2, dir).select(col("id_a"), col("id_b"))
+    val comp = graft.dedup.ConnectedComponents.alternatingStars(pairs)
+      .withColumnRenamed("node", "doc_id")
+    val labeled = Tables(s, dir, "documents").select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("component"), col("doc_id")))
+    val bucket = graft.corpus.CorpusPipeline.hashBucket("rep", "lsplit:", 100)
+    labeled
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "validation")
+          .otherwise("test"))
+      .groupBy(col("split"), col("rep"))
+      .agg(count(lit(1)).as("cluster_docs"))
+      .groupBy(col("split"))
+      .agg(sum(col("cluster_docs")).as("n_docs"),
+        count(lit(1)).as("n_clusters"),
+        sum(when(col("cluster_docs") >= 2, 1L).otherwise(0L))
+          .as("n_multi_clusters"))
+      .orderBy(col("split"))
+  }
+
+  // components via the recursive reachability CTE (the
+  // dd_minhash_clusters oracle), singletons fall back to their own id,
+  // then the identical md5 bucket on the representative
+  private val leakageSafeSplitSql =
+    """WITH RECURSIVE pairs AS (
+      |  WITH sh AS (
+      |    SELECT doc_id,
+      |      unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS g
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |    WHERE len(ws) >= 3),
+      |  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |  inter AS (
+      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      |    FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      |    GROUP BY 1, 2)
+      |  SELECT doc_a, doc_b FROM inter
+      |    JOIN sizes sa ON doc_a = sa.doc_id
+      |    JOIN sizes sb ON doc_b = sb.doc_id
+      |  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5),
+      |edges AS (
+      |  SELECT doc_a, doc_b FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |walk AS (
+      |  SELECT doc_a AS node, doc_a AS reach FROM edges
+      |  UNION
+      |  SELECT e.doc_a AS node, w.reach
+      |  FROM edges e JOIN walk w ON e.doc_b = w.node),
+      |labels AS (
+      |  SELECT node AS doc_id, min(reach) AS component FROM walk
+      |  GROUP BY node),
+      |assigned AS (
+      |  SELECT d.doc_id, coalesce(l.component, d.doc_id) AS rep
+      |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+      |split_docs AS (
+      |  SELECT rep,
+      |    CASE WHEN CAST(('0x' || substring(md5('lsplit:' ||
+      |        CAST(rep AS VARCHAR)), 1, 6)) AS BIGINT) % 100 < 80
+      |      THEN 'train'
+      |      WHEN CAST(('0x' || substring(md5('lsplit:' ||
+      |        CAST(rep AS VARCHAR)), 1, 6)) AS BIGINT) % 100 < 90
+      |      THEN 'validation' ELSE 'test' END AS split
+      |  FROM assigned),
+      |clusters AS (
+      |  SELECT split, rep, count(*) AS cluster_docs
+      |  FROM split_docs GROUP BY 1, 2)
+      |SELECT split, CAST(sum(cluster_docs) AS BIGINT) AS n_docs,
+      |  count(*) AS n_clusters,
+      |  CAST(sum(CASE WHEN cluster_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_multi_clusters
+      |FROM clusters GROUP BY split ORDER BY split""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("cp_leakage_safe_split", leakageSafeSplit,
+      Some(leakageSafeSplitSql)),
     QueryDef("dd_containment", containment, Some(containmentSql)),
     QueryDef("dd_span_dupes", spanDupes, Some(spanDupesSql)),
     QueryDef("dd_prefix_jaccard", prefixJaccard, Some(jaccardSql)),

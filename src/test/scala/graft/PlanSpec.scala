@@ -194,6 +194,7 @@ class PlanSpec extends AnyFunSuite {
       "dd_minhash_clusters", // iterative star loop (dedicated spec above)
       "dd_simhash_clusters", // iterative star loop, same machinery
       "dd_cluster_representatives", // composes the minhash star loop
+      "cp_leakage_safe_split", // same star loop keyed split
       "dd_pair_pagerank", // iterative power loop, windowless by shape
       "dd_semdedup_trained", // Lloyd-loop construction (collect side effects)
       "mig_format_roundtrip", // construction writes the format legs
