@@ -147,4 +147,122 @@ class QueriesSpec extends AnyFunSuite {
     assert(landed.columns.sorted.sameElements(Array("n", "user_id")))
   }
 
+  test("mm_frames_real TIFF blobs parse under a hand-written IFD walker") {
+    // the multi-frame claim must hold at the CONTAINER level, checked
+    // by a parser we wrote from the TIFF 6.0 layout, not by the same
+    // ImageIO stack that produced the blob: walk the IFD offset chain,
+    // count directories, and read width/height from tags 256/257
+    val side = 16
+    val nf = 4
+    val blob = "the quick brown fox".getBytes("UTF-8")
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    w.setOutput(ios)
+    w.prepareWriteSequence(null)
+    for (f <- 0 until nf) {
+      val img = new java.awt.image.BufferedImage(
+        side, side, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (i <- 0 until side * side)
+        img.getRaster.setSample(i % side, i / side, 0,
+          blob((i + 7 * f) % blob.length) & 0xff)
+      w.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    w.endWriteSequence(); ios.flush(); w.dispose(); ios.close()
+    val t = bos.toByteArray
+
+    val little = (t(0), t(1)) match {
+      case ('I', 'I') => true
+      case ('M', 'M') => false
+      case other => fail(s"bad TIFF byte-order mark: $other")
+    }
+    def u16(off: Int): Int =
+      if (little) (t(off) & 0xff) | ((t(off + 1) & 0xff) << 8)
+      else ((t(off) & 0xff) << 8) | (t(off + 1) & 0xff)
+    def u32(off: Int): Long =
+      if (little) (0 to 3).map(i => (t(off + i) & 0xffL) << (8 * i)).sum
+      else (0 to 3).map(i => (t(off + i) & 0xffL) << (8 * (3 - i))).sum
+    assert(u16(2) == 42, "TIFF magic")
+
+    var ifdOff = u32(4)
+    var frames = 0
+    while (ifdOff != 0) {
+      val n = u16(ifdOff.toInt)
+      val entries = (0 until n).map { e =>
+        val base = ifdOff.toInt + 2 + e * 12
+        // entry: tag(+0), type(+2), count(+4), value/offset(+8);
+        // inline value: SHORT (type 3) sits in the first 2 bytes,
+        // LONG (4) in all 4 — both cover width/height here
+        val v = if (u16(base + 2) == 3) u16(base + 8).toLong
+          else u32(base + 8)
+        u16(base) -> v
+      }.toMap
+      assert(entries(256) == side && entries(257) == side,
+        s"frame $frames dims: $entries")
+      frames += 1
+      ifdOff = u32(ifdOff.toInt + 2 + n * 12)
+    }
+    assert(frames == nf, s"container holds $frames IFDs, expected $nf")
+  }
+
+  test("cp_leakage_safe_split invariant: no verified near-dup pair " +
+    "straddles splits") {
+    import graft.dedup.MinHashDedup
+    val docs = Tables(spark, dir, "documents")
+    val pairs = MinHashDedup.verifiedPairs(docs,
+      MinHashDedup.candidatePairs(
+        MinHashDedup.signatures(docs, "doc_id", "text")),
+      "doc_id", "text", 0.5).select(col("id_a"), col("id_b")).cache()
+    assert(pairs.count() > 0, "fixture has no near-dup pairs — vacuous")
+    val comp = graft.dedup.ConnectedComponents.alternatingStars(pairs)
+      .withColumnRenamed("node", "doc_id")
+    val bucket = graft.corpus.CorpusPipeline.hashBucket("rep", "lsplit:", 100)
+    val assigned = docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("component"), col("doc_id")))
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "validation")
+          .otherwise("test"))
+      .select(col("doc_id"), col("split"))
+    val straddlers = pairs
+      .join(assigned.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("split", "split_a"), "id_a")
+      .join(assigned.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("split", "split_b"), "id_b")
+      .filter(col("split_a") =!= col("split_b"))
+    assert(straddlers.count() == 0)
+  }
+
+  test("mig_cdc_merge equals a driver-side replay of the change log") {
+    // independent semantics check: apply the ops sequentially by
+    // version into a plain map (the definitionally-correct merge),
+    // then compare the per-status rollup with the distributed window
+    val out = SparkEntry.queries("mig_cdc_merge")(spark, dir)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val base = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val state = scala.collection.mutable.Map.empty[Long, (String, Double)]
+    base.foreach { case (k, st, p) => state(k) = (st, p) } // v1
+    base.foreach { case (k, st, p) => // v2: update
+      if (k % 10 == 0) state(k) = (st, p + 1000.0) }
+    base.foreach { case (k, _, _) => // v3: delete
+      if (k % 17 == 0) state.remove(k) }
+    base.foreach { case (k, st, _) => // v4: re-insert
+      if (k % 34 == 0) state(k) = (st, 42.0) }
+    base.foreach { case (k, st, p) => // v5: update
+      if (k % 20 == 0) state(k) = (st, p + 5000.0) }
+    val expected = state.toSeq
+      .groupBy { case (_, (st, _)) => st }
+      .map { case (st, rows) =>
+        val cents = rows.map { case (_, (_, p)) =>
+          java.math.BigDecimal.valueOf(p)
+            .setScale(2, java.math.RoundingMode.HALF_UP)
+        }.reduce(_ add _)
+        st -> (rows.size.toLong, rows.map(_._1).sum, cents.doubleValue)
+      }
+    assert(out == expected, s"query=$out expected=$expected")
+  }
+
 }
