@@ -1565,7 +1565,80 @@ object Dedup {
       |    AS n_multi_clusters
       |FROM clusters GROUP BY split ORDER BY split""".stripMargin
 
+  /** LSH design tuning — the analytic detection curve of the deployed
+    * banding (b=32 bands × r=4 rows) evaluated against the observed
+    * pair-similarity distribution: per Jaccard decile,
+    * P(detect) = 1 − (1 − j⁴)³², the expected missed pairs, and the
+    * observed count. This is the table an operator reads before
+    * changing threshold or banding — "at j=0.5 the current scheme
+    * catches 88%; the mass sits at 0.1 where it catches 0.3%" — and
+    * the analytic justification for the LSH == exact-oracle contract
+    * the dd_minhash_lsh gate enforces at threshold 0.5.
+    *
+    * Exactness: j is an exact int/int double; j⁴ and the power ^32
+    * are explicit multiplication chains (j·j·j·j, then five
+    * squarings), so both engines run the identical IEEE sequence —
+    * no pow() transcendental drift; final display rounding at 9.
+    */
+  private def lshTuning(s: SparkSession, dir: String): DataFrame = {
+    val j4 = pow4(col("jaccard"))
+    val miss1 = lit(1.0) - j4 // per-band miss
+    val missAll = sq(sq(sq(sq(sq(miss1))))) // ^32 by five squarings
+    cachedScoredPairs(s, dir)
+      .withColumn("j_decile",
+        floor(col("jaccard") * 10).cast("int"))
+      .withColumn("p_detect", lit(1.0) - missAll)
+      .groupBy(col("j_decile"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(min(col("p_detect")), 9).as("p_detect_min"),
+        round(max(col("p_detect")), 9).as("p_detect_max"),
+        sum(round(lit(1.0) - col("p_detect"), 9)
+          .cast(DecimalType(28, 9))).cast("double")
+          .as("expected_missed"))
+      .orderBy(col("j_decile"))
+  }
+
+  private def sq(c: org.apache.spark.sql.Column) = c * c
+  private def pow4(c: org.apache.spark.sql.Column) = c * c * c * c
+
+  // the same multiplication chains spelled out in SQL; DECIMAL sum for
+  // the order-independent expected-missed accumulation
+  private val lshTuningSql =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS g
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |  WHERE len(ws) >= 3),
+      |hot AS (SELECT g FROM sh GROUP BY g HAVING count(*) > 64),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  WHERE a.g NOT IN (SELECT g FROM hot)
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS j
+      |  FROM inter
+      |    JOIN sizes sa ON doc_a = sa.doc_id
+      |    JOIN sizes sb ON doc_b = sb.doc_id),
+      |curve AS (
+      |  SELECT j, CAST(floor(j * 10) AS INT) AS j_decile,
+      |    m2 * m2 AS m32
+      |  FROM (SELECT j, m8 * m8 AS m2 FROM (
+      |    SELECT j, m4 * m4 AS m8 FROM (
+      |      SELECT j, mm * mm AS m4 FROM (
+      |        SELECT j, m * m AS mm FROM (
+      |          SELECT j, 1.0 - j * j * j * j AS m FROM scored))))))
+      |SELECT j_decile, count(*) AS n_pairs,
+      |  round(min(1.0 - m32), 9) AS p_detect_min,
+      |  round(max(1.0 - m32), 9) AS p_detect_max,
+      |  CAST(sum(CAST(round(m32, 9) AS DECIMAL(28, 9))) AS DOUBLE)
+      |    AS expected_missed
+      |FROM curve GROUP BY j_decile ORDER BY j_decile""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("dd_lsh_tuning", lshTuning, Some(lshTuningSql)),
     QueryDef("cp_leakage_safe_split", leakageSafeSplit,
       Some(leakageSafeSplitSql)),
     QueryDef("dd_containment", containment, Some(containmentSql)),

@@ -1050,6 +1050,14 @@ object Events {
         .select(col("hour"), col("event_type"), col("n"),
           col("total_value").cast("double").as("total_value")),
       Some(hourlySql)),
+    QueryDef("evs_variant_tumbling",
+      (s, d) => graft.streaming.EventStream.variantTumbling(s, d),
+      Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
+             |  count(CAST(props ->> '$.k' AS BIGINT)) AS n_with_k,
+             |  CAST(sum(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT)
+             |    AS sum_k
+             |FROM events GROUP BY 1, 2
+             |ORDER BY hour, event_type""".stripMargin)),
     QueryDef("evs_session_windows",
       (s, d) => graft.streaming.EventStream.sessionWindows(s, d),
       Some(sessionWindowBatchSql)),

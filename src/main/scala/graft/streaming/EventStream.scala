@@ -114,6 +114,28 @@ object EventStream {
       .orderBy(col("hour"), col("event_type"))
   }
 
+  /** VARIANT extraction INSIDE the stream: parse_json per arriving
+    * row, typed variant_get, then the watermarked tumbling window —
+    * the schema-less semi-structured path composed with streaming.
+    * This is the evolving-payload ingest posture: producers add JSON
+    * fields without coordinated schema pushes (a declared from_json
+    * struct would silently null out anything new), extraction stays
+    * typed and codegen'd, and the window state keys only on the
+    * extracted scalar — VARIANT binaries never enter the state store.
+    */
+  def variantTumbling(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val agg = streamingEvents(ss, dir)
+      .withColumn("k", variant_get(parse_json(col("props")), "$.k", "long"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"))
+    runToCompletion(ss, agg, "evs_variant_sink", "complete")
+      .select(col("w.start").as("hour"), col("event_type"),
+        col("n_with_k"), col("sum_k"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
   /** Custom stateful streaming via flatMapGroupsWithState: per-user
     * running event counts held in explicit GroupState. The fixture
     * arrives as a single micro-batch, so the final emission per user
