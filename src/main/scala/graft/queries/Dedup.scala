@@ -1231,9 +1231,18 @@ object Dedup {
     * `dd_ngram_jaccard` (same space, same threshold) — by two
     * different algorithms, which is itself a cross-check.
     */
-  private def prefixJaccard(s: SparkSession, dir: String): DataFrame = {
-    val t = 0.5
-    val sh = cachedShingles(s, dir) // (doc_id, g) distinct
+  private def prefixJaccard(s: SparkSession, dir: String): DataFrame =
+    prefixJaccardPairs(cachedShingles(s, dir), 0.5)
+
+  /** The AllPairs/PPJoin core over an arbitrary distinct (doc_id, g)
+    * shingle relation — factored so PrefixJaccardSpec can check the
+    * prefix bound against brute force on random corpora (the fixture
+    * oracle pins only one data shape; the bound's edge cases — tiny
+    * sets, identical sets, prefix length 1 — need adversarial input).
+    */
+  private[graft] def prefixJaccardPairs(
+      shingles: DataFrame, t: Double): DataFrame = {
+    val sh = shingles // (doc_id, g) distinct
     val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
     // per-doc rarity-sorted shingle array + its prefix
     val docs = sh.join(dfreq, "g")

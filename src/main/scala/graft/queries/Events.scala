@@ -1014,7 +1014,55 @@ object Events {
       |  CAST(max(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Seasonal-naive forecast backtest — the capacity-planning baseline
+    * every volume forecast is judged against: predict each hour's
+    * event count per type as the count one week (168 h) earlier, then
+    * score MAE and bias over every hour where both sides exist. The
+    * join is on (hour − 168h, type) rather than lag(168) over present
+    * rows — with sparse hours a row-offset lag silently reads the
+    * wrong hour, the classic sparse-series forecasting bug; inner-join
+    * semantics (hours present in BOTH weeks) are applied identically
+    * in the oracle.
+    *
+    * Scale shape: two map-side-combined hourly aggregates and one
+    * (hour, type)-keyed join of two already-aggregated series —
+    * shuffle rows are O(hours·types), never O(events).
+    */
+  private def forecastBaseline(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val pred = hourly.select(
+      (col("hour") + expr("INTERVAL 168 HOURS")).as("hour"),
+      col("event_type"), col("n").as("n_pred"))
+    hourly.join(pred, Seq("hour", "event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(abs(col("n") - col("n_pred"))).as("sum_abs_err"),
+        round(sum(abs(col("n") - col("n_pred"))).cast("double") /
+          count(lit(1)), 9).as("mae"),
+        round(sum(col("n") - col("n_pred")).cast("double") /
+          count(lit(1)), 9).as("bias"))
+      .orderBy(col("event_type"))
+  }
+
+  private val forecastBaselineSql =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS hour, event_type,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT a.event_type, count(*) AS n_hours,
+      |  CAST(sum(abs(a.n - p.n)) AS BIGINT) AS sum_abs_err,
+      |  round(CAST(sum(abs(a.n - p.n)) AS DOUBLE) / count(*), 9) AS mae,
+      |  round(CAST(sum(a.n - p.n) AS DOUBLE) / count(*), 9) AS bias
+      |FROM hourly a JOIN hourly p
+      |  ON a.hour = p.hour + INTERVAL 168 HOUR
+      |  AND a.event_type = p.event_type
+      |GROUP BY a.event_type ORDER BY a.event_type""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("ev_forecast_baseline", forecastBaseline,
+      Some(forecastBaselineSql)),
     QueryDef("ev_variant_props", variantProps, Some(variantPropsSql)),
     QueryDef("ev_attribution", attribution, Some(attributionSql)),
     QueryDef("ev_rfm", rfm, Some(rfmSql)),
