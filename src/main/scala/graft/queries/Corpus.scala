@@ -333,8 +333,12 @@ object Corpus {
     * was. Entirely narrow (per-row array arithmetic, integer sums —
     * no fold-order hazards); the only shuffle is the output sort.
     */
-  private def qualityFilter(s: SparkSession, dir: String): DataFrame = {
-    Tables(s, dir, "documents")
+  /** The Gopher-style rule flags, shared by cp_quality_filter (per-doc
+    * audit) and cp_filter_ablation (per-rule aggregate): one narrow
+    * projection, no shuffle.
+    */
+  private def withQualityFlags(docs: DataFrame): DataFrame =
+    docs
       .withColumn("ws", split(col("text"), " "))
       .withColumn("n_words", size(col("ws")))
       .withColumn("mean_word_len",
@@ -351,6 +355,9 @@ object Corpus {
       .withColumn("r_diversity", col("distinct_ratio") >= 0.45)
       .withColumn("keep", col("r_word_count") && col("r_mean_len") &&
         col("r_stopwords") && col("r_diversity"))
+
+  private def qualityFilter(s: SparkSession, dir: String): DataFrame = {
+    withQualityFlags(Tables(s, dir, "documents"))
       .select(col("doc_id"), col("n_words"), col("mean_word_len"),
         col("distinct_ratio"), col("n_stop"), col("r_word_count"),
         col("r_mean_len"), col("r_stopwords"), col("r_diversity"),
@@ -857,7 +864,79 @@ object Corpus {
       |      * n_tokens + 0.5) AS BIGINT) AS shortfall
       |FROM per_source, tot ORDER BY source""".stripMargin
 
+  /** Quality-rule ablation — the tuning table behind threshold
+    * choices: per rule, how many docs it alone rejects (solo) and how
+    * many ONLY it rejects (marginal — the docs that come back if the
+    * rule is dropped). A rule with big solo but near-zero marginal is
+    * redundant with the others; big marginal means the corpus size is
+    * sensitive to exactly that threshold. One narrow flags projection,
+    * ONE aggregate row, then a 4-row stack — per-rule counts without
+    * four passes over the corpus.
+    */
+  private def filterAblation(s: SparkSession, dir: String): DataFrame = {
+    def solo(r: String) = sum(when(!col(r), 1L).otherwise(0L))
+    def marginal(r: String) = sum(when(!col(r) &&
+      Seq("r_word_count", "r_mean_len", "r_stopwords", "r_diversity")
+        .filter(_ != r).map(col).reduce(_ && _), 1L).otherwise(0L))
+    withQualityFlags(Tables(s, dir, "documents"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_removed"),
+        solo("r_word_count").as("s_wc"), marginal("r_word_count").as("m_wc"),
+        solo("r_mean_len").as("s_ml"), marginal("r_mean_len").as("m_ml"),
+        solo("r_stopwords").as("s_sw"), marginal("r_stopwords").as("m_sw"),
+        solo("r_diversity").as("s_dv"), marginal("r_diversity").as("m_dv"))
+      .select(expr("stack(4, 'diversity', s_dv, m_dv, " +
+          "'mean_len', s_ml, m_ml, 'stopwords', s_sw, m_sw, " +
+          "'word_count', s_wc, m_wc) " +
+          "as (rule, solo_removed, marginal_removed)"),
+        col("n_docs"), col("n_removed"))
+      .orderBy(col("rule"))
+  }
+
+  private val filterAblationSql =
+    """WITH m AS (
+      |  SELECT len(ws) AS n_words,
+      |    round(CAST(list_aggregate(list_transform(ws, w -> len(w)), 'sum')
+      |      AS DOUBLE) / len(ws), 9) AS mean_word_len,
+      |    round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 9)
+      |      AS distinct_ratio,
+      |    len(list_filter(ws, w -> w IN ('the','a','and','of','to')))
+      |      AS n_stop
+      |  FROM (SELECT string_split(text, ' ') AS ws FROM documents)),
+      |f AS (
+      |  SELECT n_words BETWEEN 50 AND 100000 AS r_wc,
+      |    mean_word_len BETWEEN 4.0 AND 10.0 AS r_ml,
+      |    n_stop >= 2 AS r_sw, distinct_ratio >= 0.45 AS r_dv
+      |  FROM m),
+      |a AS (
+      |  SELECT count(*) AS n_docs,
+      |    CAST(sum(CASE WHEN NOT (r_wc AND r_ml AND r_sw AND r_dv)
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |    CAST(sum(CASE WHEN NOT r_wc THEN 1 ELSE 0 END) AS BIGINT) AS s_wc,
+      |    CAST(sum(CASE WHEN NOT r_wc AND r_ml AND r_sw AND r_dv
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS m_wc,
+      |    CAST(sum(CASE WHEN NOT r_ml THEN 1 ELSE 0 END) AS BIGINT) AS s_ml,
+      |    CAST(sum(CASE WHEN NOT r_ml AND r_wc AND r_sw AND r_dv
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS m_ml,
+      |    CAST(sum(CASE WHEN NOT r_sw THEN 1 ELSE 0 END) AS BIGINT) AS s_sw,
+      |    CAST(sum(CASE WHEN NOT r_sw AND r_wc AND r_ml AND r_dv
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS m_sw,
+      |    CAST(sum(CASE WHEN NOT r_dv THEN 1 ELSE 0 END) AS BIGINT) AS s_dv,
+      |    CAST(sum(CASE WHEN NOT r_dv AND r_wc AND r_ml AND r_sw
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS m_dv
+      |  FROM f)
+      |SELECT r.rule,
+      |  CASE r.rule WHEN 'word_count' THEN s_wc WHEN 'mean_len' THEN s_ml
+      |    WHEN 'stopwords' THEN s_sw ELSE s_dv END AS solo_removed,
+      |  CASE r.rule WHEN 'word_count' THEN m_wc WHEN 'mean_len' THEN m_ml
+      |    WHEN 'stopwords' THEN m_sw ELSE m_dv END AS marginal_removed,
+      |  n_docs, n_removed
+      |FROM a, (VALUES ('diversity'), ('mean_len'), ('stopwords'),
+      |  ('word_count')) r(rule)
+      |ORDER BY r.rule""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("cp_filter_ablation", filterAblation, Some(filterAblationSql)),
     QueryDef("cp_token_mix", tokenMix, Some(tokenMixSql)),
     QueryDef("cp_stratified_sample", stratifiedSample,
       Some(stratifiedSampleSql)),
