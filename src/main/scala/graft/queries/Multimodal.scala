@@ -64,6 +64,13 @@ case class PngFeatures(
     doc_id: Long, px_sum: Long, px_sum_sq: Long, px_min: Int, px_max: Int,
     grad_sum: Long)
 
+/** Result schema of the decoded-audio frame features — top-level for
+  * the same encoder-codegen reason as [[DecodedMeta]].
+  */
+case class AudioFrame(
+    doc_id: Long, frame_idx: Int, energy: Long, zero_crossings: Int,
+    peak: Int)
+
 /** Result schema of the multi-frame TIFF round-trip — top-level for
   * the same encoder-codegen reason as [[DecodedMeta]].
   */
@@ -579,6 +586,46 @@ object Multimodal {
     * rasterizer documents), where byte index == character index, which
     * is what lets the character-based SQL oracle predict the samples.
     */
+  /** Genuine chunk-walking RIFF/PCM16 parse (magic check, fmt/data
+    * traversal tolerant of chunk order, word-aligned skips) — the
+    * container reader behind `mm_decode_wav` and `mm_audio_features`.
+    * Returns (channels, sampleRate, samples).
+    */
+  def parseWavPcm16(wav: Array[Byte], ctx: String): (Int, Int, Array[Short]) = {
+    val in = java.nio.ByteBuffer.wrap(wav)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val b = new Array[Byte](4); in.get(b); new String(b, "US-ASCII")
+    }
+    require(fourcc() == "RIFF", s"$ctx: not a RIFF container")
+    in.getInt // riff size
+    require(fourcc() == "WAVE", s"$ctx: not a WAVE form")
+    var channels = -1; var sampleRate = -1; var bits = -1
+    var samples: Array[Short] = null
+    while (in.remaining() >= 8) {
+      val ck = fourcc(); val ckLen = in.getInt
+      ck match {
+        case "fmt " =>
+          val p0 = in.position()
+          require(in.getShort == 1, s"$ctx: not PCM")
+          channels = in.getShort.toInt
+          sampleRate = in.getInt
+          in.getInt; in.getShort // byte rate, block align
+          bits = in.getShort.toInt
+          in.position(p0 + ckLen + (ckLen & 1)) // word-aligned skip
+        case "data" =>
+          samples = new Array[Short](ckLen / 2)
+          var j = 0
+          while (j < samples.length) { samples(j) = in.getShort; j += 1 }
+          if ((ckLen & 1) == 1) in.get
+        case _ =>
+          in.position(in.position() + ckLen + (ckLen & 1))
+      }
+    }
+    require(bits == 16 && samples != null, s"$ctx: malformed WAV")
+    (channels, sampleRate, samples)
+  }
+
   def encodeWavPcm16(blob: Array[Byte], nSamples: Int, rate: Int): Array[Byte] = {
     val dataLen = nSamples * 2
     val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
@@ -626,39 +673,8 @@ object Multimodal {
           val blob = r.getAs[Array[Byte]](1)
           requirePayload(id, blob)
           val wav = Multimodal.encodeWavPcm16(blob, nSamples, rate) // the real media blob
-
-          // ---- decode: genuine chunk-walking RIFF parse ----
-          val in = java.nio.ByteBuffer.wrap(wav)
-            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          def fourcc(): String = {
-            val b = new Array[Byte](4); in.get(b); new String(b, "US-ASCII")
-          }
-          require(fourcc() == "RIFF", s"doc $id: not a RIFF container")
-          in.getInt // riff size
-          require(fourcc() == "WAVE", s"doc $id: not a WAVE form")
-          var channels = -1; var sampleRate = -1; var bits = -1
-          var samples: Array[Short] = null
-          while (in.remaining() >= 8) {
-            val ck = fourcc(); val ckLen = in.getInt
-            ck match {
-              case "fmt " =>
-                val p0 = in.position()
-                require(in.getShort == 1, s"doc $id: not PCM")
-                channels = in.getShort.toInt
-                sampleRate = in.getInt
-                in.getInt; in.getShort // byte rate, block align
-                bits = in.getShort.toInt
-                in.position(p0 + ckLen + (ckLen & 1)) // word-aligned skip
-              case "data" =>
-                samples = new Array[Short](ckLen / 2)
-                var j = 0
-                while (j < samples.length) { samples(j) = in.getShort; j += 1 }
-                if ((ckLen & 1) == 1) in.get
-              case _ =>
-                in.position(in.position() + ckLen + (ckLen & 1))
-            }
-          }
-          require(bits == 16 && samples != null, s"doc $id: malformed WAV")
+          val (channels, sampleRate, samples) =
+            Multimodal.parseWavPcm16(wav, s"doc $id")
           var absSum = 0L
           var j = 0
           while (j < samples.length) {
@@ -926,7 +942,71 @@ object Multimodal {
       |  CAST(list_aggregate(p, 'max') AS INT) AS px_max
       |FROM px ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Audio feature extraction off DECODED samples — the audio
+    * analogue of `mm_feature_real`: each payload round-trips through
+    * the real RIFF/PCM16 container (encode, then the chunk-walking
+    * parse — never a shortcut to byte offset 44), and per 50-sample
+    * frame the features come off the PARSED stream: energy (Σs²,
+    * integer-exact), zero-crossing count (the pitch/noisiness proxy a
+    * speech/music discriminator thresholds on), and peak amplitude.
+    * PCM16 is lossless so the oracle predicts every number from the
+    * sample-synthesis arithmetic. Narrow CPU-bound mapPartitions;
+    * frame fan-out after decode, executor-side.
+    */
+  private def audioFeatures(s: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.product[AudioFrame]
+    val nSamples = 200
+    val frameLen = 50
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .mapPartitions { it: Iterator[Row] =>
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val blob = r.getAs[Array[Byte]](1)
+          requirePayload(id, blob)
+          val wav = Multimodal.encodeWavPcm16(blob, nSamples, 8000)
+          val (_, _, samples) = Multimodal.parseWavPcm16(wav, s"doc $id")
+          (0 until nSamples / frameLen).map { f =>
+            var (energy, zc, peak) = (0L, 0, 0)
+            var j = f * frameLen
+            while (j < (f + 1) * frameLen) {
+              val v = samples(j).toInt
+              energy += v.toLong * v
+              if (math.abs(v) > peak) peak = math.abs(v)
+              if (j > f * frameLen && ((samples(j - 1) < 0) != (v < 0)))
+                zc += 1
+              j += 1
+            }
+            AudioFrame(id, f, energy, zc, peak)
+          }
+        }
+      }(enc)
+      .toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  // sample i = (byte(i mod len) - 128) * 256; PCM16 is lossless so the
+  // parsed stream equals the synthesis
+  private val audioFeaturesSql =
+    """WITH px AS (
+      |  SELECT doc_id, f AS frame_idx,
+      |    list_transform(range(f * 50, (f + 1) * 50),
+      |      i -> (ascii(substring(text, i % len + 1, 1)) - 128) * 256)
+      |      AS s
+      |  FROM (SELECT doc_id, text, length(text) AS len FROM documents),
+      |    (SELECT unnest(range(0, 4)) AS f))
+      |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+      |  CAST(list_aggregate(list_transform(s, v -> CAST(v AS BIGINT) * v),
+      |    'sum') AS BIGINT) AS energy,
+      |  CAST(list_aggregate(list_transform(range(2, 51),
+      |    j -> CASE WHEN (s[j-1] < 0) <> (s[j] < 0) THEN 1 ELSE 0 END),
+      |    'sum') AS INT) AS zero_crossings,
+      |  CAST(list_aggregate(list_transform(s, v -> abs(v)), 'max') AS INT)
+      |    AS peak
+      |FROM px ORDER BY doc_id, frame_idx""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("mm_audio_features", audioFeatures, Some(audioFeaturesSql)),
     QueryDef("mm_frames_real", framesReal, Some(framesRealSql)),
     QueryDef("mm_feature_real", featureReal, Some(featureRealSql)),
     QueryDef("mm_frame_energy", frameEnergy, Some(frameEnergySql)),
