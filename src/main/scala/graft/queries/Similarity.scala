@@ -1002,7 +1002,63 @@ object Similarity {
       |  (CAST(si.sx AS DOUBLE) / n_rows) *
       |  (CAST(sj.sx AS DOUBLE) / n_rows), 9)) DESC, i, j LIMIT 20""".stripMargin
 
+  /** IVF bucket-balance diagnostic — the nlist/centroid-quality table
+    * an operator reads before sizing probes: per-centroid corpus
+    * population, share, and load factor vs the uniform ideal. A
+    * centroid with load_factor ≫ 1 is a hot bucket (its probes scan
+    * disproportionately; at 100 TB the signal to re-train or split);
+    * near-zero buckets waste nlist. Assignment is ONE narrow
+    * NearestCentroids projection (constant plan width in nlist — the
+    * r7 expression), aggregation is one tiny shuffle.
+    */
+  private def bucketBalance(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val cm: Seq[Seq[Double]] = e.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id"), col("embedding")).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val corpus = e.filter(col("vec_id") >= 20)
+    val total = corpus.agg(count(lit(1)).as("n_total"))
+    corpus
+      .withColumn("cent_id",
+        graft.functions.NearestCentroids(col("embedding"), cm, 1)
+          .getItem(0).getField("cid"))
+      .groupBy(col("cent_id").cast("long").as("cent_id"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .crossJoin(broadcast(total))
+      .select(col("cent_id"), col("n_vectors"),
+        round(col("n_vectors").cast("double") / col("n_total"), 9)
+          .as("share"),
+        round(col("n_vectors").cast("double") * NumCentroids /
+          col("n_total"), 9).as("load_factor"))
+      .orderBy(col("cent_id"))
+  }
+
+  private val bucketBalanceSql =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cv
+       |  FROM embeddings WHERE vec_id < $NumCentroids),
+       |corpus AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS nv
+       |  FROM embeddings WHERE vec_id >= 20),
+       |assigned AS (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT vec_id, cent_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY list_cosine_similarity(nv, cv) DESC, cent_id)
+       |        AS arnk
+       |    FROM corpus, cents)
+       |  WHERE arnk = 1),
+       |tot AS (SELECT count(*) AS n_total FROM corpus)
+       |SELECT cent_id, count(*) AS n_vectors,
+       |  round(CAST(count(*) AS DOUBLE) / n_total, 9) AS share,
+       |  round(CAST(count(*) AS DOUBLE) * $NumCentroids / n_total, 9)
+       |    AS load_factor
+       |FROM assigned, tot
+       |GROUP BY cent_id, n_total ORDER BY cent_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sim_bucket_balance", bucketBalance, Some(bucketBalanceSql)),
     QueryDef("sim_covariance", covariance, Some(covarianceSql)),
     QueryDef("sim_gram_matrix", gramMatrix, Some(gramMatrixSql)),
     QueryDef("sim_recall_at_k", recallAtK, Some(recallAtKSql)),
