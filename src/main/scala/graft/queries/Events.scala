@@ -905,13 +905,51 @@ object Events {
     * two-pass global rank (the mig_batch_plan / cp_sequence_pack
     * idiom): chunk by a monotone bucketing of the metric, rank within
     * chunks (partitioned window), add broadcast per-chunk offsets,
-    * then tile = floor((rank−1)·5/n)+1 — which reproduces ntile(5)
-    * EXACTLY (bucket sizes differ by ≤1, earlier buckets take the
-    * extra rows), so the oracle can still say plain `ntile(5)`. The
+    * then convert rank → bucket with the exact ntile closed form
+    * (see [[tile5]]; RankSpec proves the equivalence on random tied
+    * data), so the oracle can still say plain `ntile(5)`. The
     * only partition-less window runs over the chunk-count table —
     * O(distinct metric buckets) rows, bounded by the metric domain
     * (days / purchase counts / whole currency units), not by users.
     */
+  /** Chunked two-pass global quintile — the scale-safe ntile(5): tag
+    * each row with a chunk that is monotone non-decreasing along the
+    * sort order, rank within chunks (partitioned window), add
+    * broadcast per-chunk offsets, then convert rank → bucket with the
+    * TRUE ntile closed form: with q = ⌊n/5⌋, r = n mod 5, the first r
+    * buckets hold q+1 rows — so ranks ≤ r(q+1) land in
+    * ⌊(rank−1)/(q+1)⌋, the rest in r + ⌊(rank−r(q+1)−1)/q⌋. (The
+    * tempting ⌊(rank−1)·5/n⌋ is NOT ntile when 5 ∤ n — it spreads the
+    * extras instead of front-loading them; RankSpec caught exactly
+    * that on non-divisible n, which the fixture's divisible user
+    * count had masked.) The only partition-less window runs over the
+    * per-chunk COUNT table. `totalCol` must hold the row count.
+    */
+  private[graft] def tile5(df: DataFrame,
+      ordCols: Seq[org.apache.spark.sql.Column],
+      chunk: org.apache.spark.sql.Column,
+      totalCol: String, out: String): DataFrame = {
+    val tagged = df.withColumn("chunk", chunk)
+    val offsets = tagged.groupBy(col("chunk"))
+      .agg(count(lit(1)).as("chunk_n"))
+      .withColumn("offset",
+        coalesce(sum(col("chunk_n")).over(
+          Window.orderBy(col("chunk"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("chunk"), col("offset"))
+    val q = floor(col(totalCol) / 5)
+    val r = col(totalCol) % 5
+    val cut = r * (q + 1)
+    tagged.join(broadcast(offsets), "chunk")
+      .withColumn("rnk", col("offset") + row_number().over(
+        Window.partitionBy(col("chunk")).orderBy(ordCols: _*)))
+      .withColumn(out,
+        (when(col("rnk") <= cut, floor((col("rnk") - 1) / (q + 1)))
+          .otherwise(r + floor((col("rnk") - cut - 1) / q)) + 1)
+          .cast("int"))
+      .drop("chunk", "offset", "rnk")
+  }
+
   private def rfm(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables(s, dir, "events")
     val stats = ev.agg(max(col("ts")).as("max_ts"),
@@ -928,34 +966,12 @@ object Events {
       .withColumn("recency_days",
         datediff(to_date(col("max_ts")), to_date(col("last_ts"))))
 
-    // chunked two-pass global rank → exact ntile(5) replica. `chunk`
-    // must ascend with the sort order; rows order by (metric, user_id)
-    // inside chunks.
-    def tile5(df: DataFrame, ordCols: Seq[org.apache.spark.sql.Column], chunk: org.apache.spark.sql.Column,
-        out: String): DataFrame = {
-      val tagged = df.withColumn("chunk", chunk)
-      val offsets = tagged.groupBy(col("chunk"))
-        .agg(count(lit(1)).as("chunk_n"))
-        .withColumn("offset",
-          coalesce(sum(col("chunk_n")).over(
-            Window.orderBy(col("chunk"))
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("chunk"), col("offset"))
-      tagged.join(broadcast(offsets), "chunk")
-        .withColumn("rnk", col("offset") + row_number().over(
-          Window.partitionBy(col("chunk")).orderBy(ordCols: _*)))
-        .withColumn(out,
-          (floor((col("rnk") - 1) * 5 / col("n_users_total")) + 1)
-            .cast("int"))
-        .drop("chunk", "offset", "rnk")
-    }
-
     val r = tile5(users, Seq(col("recency_days"), col("user_id")),
-      col("recency_days"), "r_tile")
+      col("recency_days"), "n_users_total", "r_tile")
     val f = tile5(r, Seq(col("freq").desc, col("user_id")),
-      -col("freq"), "f_tile")
+      -col("freq"), "n_users_total", "f_tile")
     val m = tile5(f, Seq(col("monetary").desc, col("user_id")),
-      -floor(col("monetary")), "m_tile")
+      -floor(col("monetary")), "n_users_total", "m_tile")
     m.groupBy(col("r_tile"), col("f_tile"), col("m_tile"))
       .agg(count(lit(1)).as("n_users"),
         sum(col("monetary")).cast("double").as("segment_revenue"))
