@@ -226,7 +226,28 @@ object SqlApi {
       |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
       |GROUP BY w ORDER BY word""".stripMargin
 
+  /** Spark 4 SQL pipe syntax (`|>`): the same revenue rollup written
+    * as a linear pipeline — FROM … |> WHERE … |> AGGREGATE … GROUP BY
+    * … |> ORDER BY. Catalyst plans the piped text identically to the
+    * nested form (same scan/filter/agg operators), so this is purely
+    * a SURFACE proof: the engine's SQL entry point accepts the
+    * pipeline dialect an analytics user migrating from dataframe
+    * thinking will reach for first. Oracle is the classic-SQL
+    * equivalent of the identical computation.
+    */
+  private def pipeSyntax(s: SparkSession, dir: String): DataFrame =
+    withViews(s, dir, Seq("lineitem", "part"))(
+      """FROM lineitem
+        ||> WHERE l_quantity > 10
+        ||> JOIN part ON l_partkey = p_partkey
+        ||> AGGREGATE count(*) AS n_items,
+        |     CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |       AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |   GROUP BY p_type
+        ||> ORDER BY p_type""".stripMargin)
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sqlapi_pipe_syntax", pipeSyntax, Some(revenueSql)),
     QueryDef("sqlapi_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     QueryDef("sqlapi_lateral_topk", lateralTopk, Some(lateralTopkSql)),
     QueryDef("sqlapi_recursive_spine", recursiveSpine, Some(recursiveSpineSql)),
