@@ -1076,7 +1076,71 @@ object Events {
       |  AND a.event_type = p.event_type
       |GROUP BY a.event_type ORDER BY a.event_type""".stripMargin
 
+  /** Markov next-event backtest — the pipeline evaluating its own
+    * model: transition counts learned on events before the cutoff
+    * (train), top-1 next-event prediction per from-type (argmax count,
+    * ties by type order), scored on the post-cutoff pairs (eval).
+    * Per from-type: the prediction, eval pairs, hits, accuracy. The
+    * time-based split mirrors how sequence models are actually
+    * validated — training on the past, scoring on the future —
+    * and the whole evaluation is two aggregates plus one broadcast
+    * join of a 5-row model; the event stream shuffles once (the
+    * lag window's user partitioning).
+    */
+  private def markovBacktest(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2024-01-25 00:00:00").cast("timestamp")
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables(s, dir, "events")
+      .withColumn("from_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("from_type").isNotNull)
+      .select(col("from_type"), col("event_type").as("to_type"), col("ts"))
+    val model = pairs.filter(col("ts") < cutoff)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("from_type"))
+        .orderBy(col("n").desc, col("to_type"))))
+      .filter(col("rn") === 1)
+      .select(col("from_type"), col("to_type").as("predicted"))
+    pairs.filter(col("ts") >= cutoff)
+      .join(broadcast(model), "from_type")
+      .groupBy(col("from_type"))
+      .agg(max(col("predicted")).as("predicted"),
+        count(lit(1)).as("n_eval"),
+        sum(when(col("to_type") === col("predicted"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("accuracy",
+        round(col("n_correct").cast("double") / col("n_eval"), 9))
+      .orderBy(col("from_type"))
+  }
+
+  private val markovBacktestSql =
+    """WITH pairs AS (
+      |  SELECT lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS from_type,
+      |    event_type AS to_type, ts
+      |  FROM events),
+      |model AS (
+      |  SELECT from_type, to_type AS predicted FROM (
+      |    SELECT from_type, to_type, count(*) AS n
+      |    FROM pairs
+      |    WHERE from_type IS NOT NULL
+      |      AND ts < TIMESTAMP '2024-01-25 00:00:00'
+      |    GROUP BY 1, 2)
+      |  QUALIFY row_number() OVER (PARTITION BY from_type
+      |    ORDER BY n DESC, to_type) = 1)
+      |SELECT from_type, max(predicted) AS predicted,
+      |  count(*) AS n_eval,
+      |  CAST(sum(CASE WHEN to_type = predicted THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_correct,
+      |  round(CAST(sum(CASE WHEN to_type = predicted THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / count(*), 9) AS accuracy
+      |FROM pairs JOIN model USING (from_type)
+      |WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+      |GROUP BY from_type ORDER BY from_type""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("ev_markov_backtest", markovBacktest, Some(markovBacktestSql)),
     QueryDef("ev_forecast_baseline", forecastBaseline,
       Some(forecastBaselineSql)),
     QueryDef("ev_variant_props", variantProps, Some(variantPropsSql)),
