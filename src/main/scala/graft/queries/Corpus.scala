@@ -935,7 +935,54 @@ object Corpus {
       |  ('word_count')) r(rule)
       |ORDER BY r.rule""".stripMargin
 
+  /** Curriculum phases — order the corpus easiest-first for staged
+    * training: a per-doc difficulty-inverse score (lexical diversity ×
+    * log length, the cheap proxy curriculum recipes start from),
+    * quintiled into phases 1..5 by the scale-safe chunked rank
+    * ([[Events.tile5]] — exact ntile, no partition-less corpus
+    * window), then per-phase composition stats. Phase 1 = highest
+    * score (train first); the phase boundary moving with corpus
+    * composition is WHY this is a quantile and not a fixed threshold.
+    */
+  private def curriculum(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val scored = docs
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_words", size(col("ws")))
+      .filter(col("n_words") > 0)
+      .withColumn("score",
+        round(size(array_distinct(col("ws"))).cast("double") /
+          col("n_words") * log(col("n_words").cast("double")), 9))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_words"), col("score"), col("n_total"))
+    Events.tile5(scored, Seq(col("score").desc, col("doc_id")),
+      -floor(col("score") * 10), "n_total", "phase")
+      .groupBy(col("phase"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("score")).as("min_score"),
+        max(col("score")).as("max_score"),
+        sum(col("n_words").cast("long")).as("phase_tokens"))
+      .orderBy(col("phase"))
+  }
+
+  private val curriculumSql =
+    """WITH scored AS (
+      |  SELECT doc_id, len(ws) AS n_words,
+      |    round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)
+      |      * ln(CAST(len(ws) AS DOUBLE)), 9) AS score
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |  WHERE len(ws) > 0),
+      |phased AS (
+      |  SELECT *, ntile(5) OVER (ORDER BY score DESC, doc_id) AS phase
+      |  FROM scored)
+      |SELECT phase, count(*) AS n_docs,
+      |  min(score) AS min_score, max(score) AS max_score,
+      |  CAST(sum(n_words) AS BIGINT) AS phase_tokens
+      |FROM phased GROUP BY phase ORDER BY phase""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("cp_curriculum", curriculum, Some(curriculumSql)),
     QueryDef("cp_filter_ablation", filterAblation, Some(filterAblationSql)),
     QueryDef("cp_token_mix", tokenMix, Some(tokenMixSql)),
     QueryDef("cp_stratified_sample", stratifiedSample,

@@ -183,8 +183,8 @@ class PlanSpec extends AnyFunSuite {
       "cp_reservoir_sample",
       // chunked two-pass quintile ranks: the partition-less windows run
       // over per-chunk COUNT tables (O(distinct metric buckets) rows,
-      // bounded by the metric domain), never over the user table
-      "ev_rfm"
+      // bounded by the metric domain), never over the data table
+      "ev_rfm", "cp_curriculum"
     )
     // excluded: constructing these DataFrames runs real side effects
     // (streaming micro-batches, Derby DDL, index build/persist, an
