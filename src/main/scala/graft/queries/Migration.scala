@@ -519,7 +519,125 @@ object Migration {
       |FROM merged WHERE op <> 'D'
       |GROUP BY st ORDER BY st""".stripMargin
 
+  /** Z-order (Morton-curve) clustering layout + data-skipping
+    * effectiveness report — the multi-dimensional file-skipping story
+    * for a 100 TB lake. Rows are mapped to a 16-bit × 16-bit grid over
+    * (l_orderkey, l_partkey) by proportional scaling, the two
+    * coordinates are bit-interleaved into a Morton code `z` (the
+    * classic parallel-prefix spread: <<8/<<4/<<2/<<1 with the
+    * 0x00FF00FF/0x0F0F0F0F/0x33333333/0x55555555 masks), and the file
+    * layout is 32 equal-width z-ranges (`z DIV 2^27`) — exactly what
+    * `repartitionByRange(32, $"z").sortWithinPartitions($"z")` +
+    * parquet min/max footer stats gives at scale, but with
+    * deterministic fixed-width boundaries instead of the range
+    * partitioner's sampled ones so the oracle can reproduce them.
+    *
+    * The report: for each layout (zorder vs linear-by-orderkey) and
+    * each dimension, how many of the 32 files does an equal-width
+    * 1/16-domain slab predicate touch on average (computed from
+    * per-file min/max envelopes — the same pruning a reader does from
+    * parquet footers). Z-order bounds BOTH dimensions at O(√F)-ish
+    * (here 8 of 32 for x, 4 of 32 for y) where the linear layout is
+    * perfect on its sort key and useless (32/32) on the other — the
+    * quantitative argument for Morton layout under mixed predicates.
+    *
+    * Scale notes: one wide scan computes the grid + both file ids; the
+    * per-file envelope is a 32-group partial-agg'd groupBy; everything
+    * after is 32-row arithmetic. The 2-row scalar max() sides are
+    * broadcast. Exactness: all integer bit arithmetic; the only double
+    * is pairs/16 (a power of two — exact in IEEE).
+    */
+  private def zorder(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey").cast("long").as("ok"),
+        col("l_partkey").cast("long").as("pk"))
+    val mx = li.agg((max(col("ok")) + 1L).as("mo"),
+      (max(col("pk")) + 1L).as("mp"))
+    val g = li.crossJoin(broadcast(mx))
+      .select(expr("ok * 65536 DIV mo").as("x"),
+        expr("pk * 65536 DIV mp").as("y"))
+    def spread(c: Column): Column = {
+      val a = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val b = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val d = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(lit(0x33333333L))
+      d.bitwiseOR(shiftleft(d, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    val withFiles = g
+      .withColumn("z", spread(col("x"))
+        .bitwiseOR(shiftleft(spread(col("y")), 1)))
+      .withColumn("zfile", expr("z DIV 134217728")) // 2^32 / 32 files
+      .withColumn("lfile", expr("x DIV 2048")) // linear-by-x, 32 files
+    def fileStats(fileCol: String): DataFrame = withFiles
+      .groupBy(col(fileCol).as("f"))
+      .agg(min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      .localCheckpoint() // 32 rows; stop recomputing the full scan
+    val slabs = broadcast(s.range(16).select(col("id").as("slab")))
+    def summarize(stats: DataFrame, layout: String, dim: String)
+        : DataFrame = {
+      val (mn, mxc) =
+        if (dim == "x") (col("min_x"), col("max_x"))
+        else (col("min_y"), col("max_y"))
+      val hits = stats.crossJoin(slabs)
+        .filter(mxc >= col("slab") * 4096L &&
+          mn <= col("slab") * 4096L + 4095L)
+        .agg(count(lit(1)).as("pairs"))
+      stats.agg(count(lit(1)).as("n_files")).crossJoin(hits)
+        .select(lit(layout).as("layout"), lit(dim).as("dim"),
+          col("n_files"),
+          (col("pairs").cast("double") / 16.0).as("avg_files_touched"))
+    }
+    val zs = fileStats("zfile")
+    val ls = fileStats("lfile")
+    summarize(zs, "zorder", "x")
+      .unionByName(summarize(zs, "zorder", "y"))
+      .unionByName(summarize(ls, "linear", "x"))
+      .unionByName(summarize(ls, "linear", "y"))
+      .orderBy(col("layout"), col("dim"))
+  }
+
+  private val zorderSql =
+    """WITH mx AS (SELECT max(l_orderkey)+1 AS mo, max(l_partkey)+1 AS mp
+      |  FROM lineitem),
+      |g AS (SELECT (l_orderkey*65536)//mo AS x, (l_partkey*65536)//mp AS y
+      |  FROM lineitem, mx),
+      |s1 AS (SELECT x, y, (x|(x<<8))&16711935 AS xa,
+      |  (y|(y<<8))&16711935 AS ya FROM g),
+      |s2 AS (SELECT x, y, (xa|(xa<<4))&252645135 AS xb,
+      |  (ya|(ya<<4))&252645135 AS yb FROM s1),
+      |s3 AS (SELECT x, y, (xb|(xb<<2))&858993459 AS xc,
+      |  (yb|(yb<<2))&858993459 AS yc FROM s2),
+      |s4 AS (SELECT x, y, (xc|(xc<<1))&1431655765 AS xd,
+      |  (yc|(yc<<1))&1431655765 AS yd FROM s3),
+      |f AS (SELECT x, y, (xd|(yd<<1))//134217728 AS zfile,
+      |  x//2048 AS lfile FROM s4),
+      |zs AS (SELECT zfile AS fid, min(x) AS min_x, max(x) AS max_x,
+      |  min(y) AS min_y, max(y) AS max_y FROM f GROUP BY 1),
+      |ls AS (SELECT lfile AS fid, min(x) AS min_x, max(x) AS max_x,
+      |  min(y) AS min_y, max(y) AS max_y FROM f GROUP BY 1),
+      |slabs AS (SELECT i AS slab FROM range(0,16) t(i))
+      |SELECT 'zorder' AS layout, 'x' AS dim,
+      |  (SELECT count(*) FROM zs) AS n_files,
+      |  CAST((SELECT count(*) FROM zs, slabs
+      |    WHERE max_x >= slab*4096 AND min_x <= slab*4096+4095)
+      |    AS DOUBLE)/16.0 AS avg_files_touched
+      |UNION ALL SELECT 'zorder', 'y', (SELECT count(*) FROM zs),
+      |  CAST((SELECT count(*) FROM zs, slabs
+      |    WHERE max_y >= slab*4096 AND min_y <= slab*4096+4095)
+      |    AS DOUBLE)/16.0
+      |UNION ALL SELECT 'linear', 'x', (SELECT count(*) FROM ls),
+      |  CAST((SELECT count(*) FROM ls, slabs
+      |    WHERE max_x >= slab*4096 AND min_x <= slab*4096+4095)
+      |    AS DOUBLE)/16.0
+      |UNION ALL SELECT 'linear', 'y', (SELECT count(*) FROM ls),
+      |  CAST((SELECT count(*) FROM ls, slabs
+      |    WHERE max_y >= slab*4096 AND min_y <= slab*4096+4095)
+      |    AS DOUBLE)/16.0
+      |ORDER BY layout, dim""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("mig_zorder", zorder, Some(zorderSql)),
     QueryDef("mig_cdc_merge", cdcMerge, Some(cdcMergeSql)),
     QueryDef("mig_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
     QueryDef("mig_format_roundtrip", formatRoundtrip,

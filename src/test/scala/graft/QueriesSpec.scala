@@ -265,4 +265,19 @@ class QueriesSpec extends AnyFunSuite {
     assert(out == expected, s"query=$out expected=$expected")
   }
 
+  test("mig_zorder: Morton layout bounds skipping on BOTH dims; " +
+    "linear only on its sort key") {
+    val rows = SparkEntry.queries("mig_zorder")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val (nFiles, _) = rows(("zorder", "x"))
+    // linear-by-x: near-perfect on x, touches EVERY file on y
+    assert(rows(("linear", "y"))._2 == nFiles.toDouble)
+    assert(rows(("linear", "x"))._2 <= 3.0)
+    // zorder: strictly better than full-scan on the off dimension,
+    // and both dims bounded well under half the files
+    assert(rows(("zorder", "y"))._2 < nFiles.toDouble / 2)
+    assert(rows(("zorder", "x"))._2 < nFiles.toDouble / 2)
+  }
+
 }
