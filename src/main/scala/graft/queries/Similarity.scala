@@ -1057,7 +1057,96 @@ object Similarity {
        |FROM assigned, tot
        |GROUP BY cent_id, n_total ORDER BY cent_id""".stripMargin
 
+  private val NumPlanes = 8
+
+  /** Signed-random-projection (SRP / hyperplane) LSH top-5 — the
+    * third ANN family next to IVF and IVF-PQ. Each vector gets an
+    * 8-bit signature (bit j = sign of the dot with hyperplane j; the
+    * hyperplanes are the first 8 embedding vectors, a deterministic
+    * stand-in for Gaussian draws that the oracle can see). The corpus
+    * is bucketed by signature; each query multi-probes its own bucket
+    * plus all Hamming-distance-1 neighbors (9 of 256 buckets) and
+    * ranks only those candidates by exact cosine. Approximate by
+    * design — the oracle runs the identical algorithm and
+    * hash-matches.
+    *
+    * Scale notes (100 TB): the signature pass is narrow (8 dots per
+    * vector over broadcast hyperplanes — no shuffle); the candidate
+    * join shuffles ONLY on the 8-bit signature, and the probe side
+    * (queries × 9 masks) is tiny and broadcast, so the corpus is
+    * touched once and only matching buckets are scored — SRP's
+    * collision probability 1−θ/π per bit concentrates similar pairs
+    * in probed buckets. More planes / wider multi-probe trade recall
+    * vs candidates exactly like nlist/nprobe in IVF.
+    */
+  private def srpLsh(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val e = Tables(s, dir, "embeddings")
+    val planes: Seq[Seq[Float]] = e.filter(col("vec_id") < NumPlanes)
+      .select(col("vec_id"), col("embedding")).collect()
+      .sortBy(_.getLong(0)).map(_.getSeq[Float](1).toSeq).toSeq
+    def sig(v: Column): Column = planes.zipWithIndex.map { case (h, j) =>
+      when(TextFns.dot(v, typedlit(h)) > 0d, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val corpus = e.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+        sig(col("embedding")).as("sig"))
+    val masks = (0 +: (0 until NumPlanes).map(1 << _)).toSeq
+    val probes = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        sig(col("embedding")).as("qsig"))
+      .select(col("query_id"), col("qv"), col("qsig"),
+        explode(typedlit(masks)).as("mask"))
+      .select(col("query_id"), col("qv"),
+        col("qsig").bitwiseXOR(col("mask")).as("sig"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosv").desc, col("neighbor_id"))
+    broadcast(probes).join(corpus, "sig")
+      .withColumn("cosv", TextFns.cosine(col("qv"), col("nv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cosv"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  private val srpLshSql =
+    s"""WITH planes AS (
+       |  SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pv
+       |  FROM embeddings WHERE vec_id < $NumPlanes),
+       |corpus AS (
+       |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS nv
+       |  FROM embeddings WHERE vec_id >= 20),
+       |queries AS (
+       |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id < 20),
+       |csig AS (
+       |  SELECT neighbor_id, CAST(sum(CASE WHEN list_dot_product(nv, pv) > 0
+       |    THEN 1<<pid ELSE 0 END) AS BIGINT) AS sig
+       |  FROM corpus, planes GROUP BY neighbor_id),
+       |qsig AS (
+       |  SELECT query_id, CAST(sum(CASE WHEN list_dot_product(qv, pv) > 0
+       |    THEN 1<<pid ELSE 0 END) AS BIGINT) AS qs
+       |  FROM queries, planes GROUP BY query_id),
+       |masks AS (SELECT 0 AS m UNION ALL
+       |  SELECT 1<<i FROM range(0,$NumPlanes) t(i)),
+       |probes AS (SELECT query_id, xor(qs, CAST(m AS BIGINT)) AS sig
+       |  FROM qsig, masks),
+       |cand AS (SELECT DISTINCT query_id, neighbor_id
+       |  FROM probes JOIN csig USING (sig)),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    list_cosine_similarity(qv, nv) AS cosv
+       |  FROM cand JOIN queries USING (query_id)
+       |    JOIN corpus USING (neighbor_id)),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosv DESC, neighbor_id) AS rnk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rnk, cosv FROM ranked
+       |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sim_srp_lsh", srpLsh, Some(srpLshSql)),
     QueryDef("sim_bucket_balance", bucketBalance, Some(bucketBalanceSql)),
     QueryDef("sim_covariance", covariance, Some(covarianceSql)),
     QueryDef("sim_gram_matrix", gramMatrix, Some(gramMatrixSql)),
