@@ -1646,7 +1646,90 @@ object Dedup {
       |    AS expected_missed
       |FROM curve GROUP BY j_decile ORDER BY j_decile""".stripMargin
 
+  /** Content-defined chunking (CDC) + chunk-fingerprint dedup stats.
+    * Instead of fixed-width chunks (which shift under any insertion and
+    * defeat dedup), a chunk boundary falls after word i wherever the
+    * hash of the trigram ending at i lands in a 1/16 bucket — the
+    * word-level analogue of Gear/Rabin CDC over a fixed window, so
+    * boundaries are a pure function of LOCAL content and re-align
+    * after edits. End-of-doc always closes the last chunk. Each chunk
+    * is fingerprinted (md5 of its text) and the per-source report
+    * counts docs, chunks, distinct fingerprints and mean chunk width.
+    *
+    * Scale notes (100 TB): boundary detection is embarrassingly
+    * parallel (the trigram hash needs only lag(1)/lag(2) inside the
+    * per-doc window — docs are small, so per-doc windows partition
+    * evenly); chunk assembly groups on (doc_id, chunk_id) — same key
+    * space; only the final per-source rollup (4 groups) and the
+    * distinct-fingerprint count shuffle globally, and the latter is
+    * the standard two-level partial distinct. The trigram hash is the
+    * cross-engine md5 bucket, exact on both sides.
+    */
+  private def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val pos = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("source"), size(col("ws")).as("n"),
+        posexplode(col("ws")).as(Seq("i", "w")))
+    val tri = concat_ws(" ", lag(col("w"), 2).over(byDoc),
+      lag(col("w"), 1).over(byDoc), col("w"))
+    val boundary = ((col("i") >= 2) &&
+      conv(substring(md5(tri.cast("binary")), 1, 6), 16, 10)
+        .cast("long") % 16 === 0) || (col("i") === col("n") - 1)
+    val chunks = pos
+      .withColumn("b", boundary.cast("int"))
+      .withColumn("chunk_id", coalesce(
+        sum(col("b")).over(byDoc
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .groupBy(col("doc_id"), col("source"), col("chunk_id"))
+      .agg(count(lit(1)).as("nw"),
+        md5(array_join(transform(
+            array_sort(collect_list(struct(col("i"), col("w")))),
+            p => p.getField("w")), " ").cast("binary")).as("fp"))
+    chunks.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        countDistinct(col("fp")).as("n_unique_chunks"),
+        (sum(col("nw")).cast("double") / count(lit(1)))
+          .as("avg_chunk_words"))
+      .orderBy(col("source"))
+  }
+
+  private val cdcChunksSql =
+    """WITH pos AS (
+      |  SELECT doc_id, source, len(ws) AS n,
+      |    unnest(list_transform(range(1, len(ws)+1),
+      |      i -> {'i': i - 1, 'w': ws[i],
+      |            'tri': CASE WHEN i >= 3
+      |              THEN ws[i-2] || ' ' || ws[i-1] || ' ' || ws[i] END}))
+      |      AS p
+      |  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws
+      |        FROM documents)),
+      |marked AS (
+      |  SELECT doc_id, source, p.i AS i, p.w AS w,
+      |    CASE WHEN (p.tri IS NOT NULL AND
+      |        CAST(('0x' || substring(md5(p.tri), 1, 6)) AS BIGINT)
+      |          % 16 = 0) OR p.i = n - 1
+      |      THEN 1 ELSE 0 END AS b
+      |  FROM pos),
+      |assigned AS (
+      |  SELECT doc_id, source, i, w,
+      |    coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY i
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS chunk_id
+      |  FROM marked),
+      |chunks AS (
+      |  SELECT doc_id, source, chunk_id, count(*) AS nw,
+      |    md5(string_agg(w, ' ' ORDER BY i)) AS fp
+      |  FROM assigned GROUP BY doc_id, source, chunk_id)
+      |SELECT source, count(DISTINCT doc_id) AS n_docs,
+      |  count(*) AS n_chunks,
+      |  count(DISTINCT fp) AS n_unique_chunks,
+      |  CAST(sum(nw) AS DOUBLE) / count(*) AS avg_chunk_words
+      |FROM chunks GROUP BY source ORDER BY source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("dd_cdc_chunks", cdcChunks, Some(cdcChunksSql)),
     QueryDef("dd_lsh_tuning", lshTuning, Some(lshTuningSql)),
     QueryDef("cp_leakage_safe_split", leakageSafeSplit,
       Some(leakageSafeSplitSql)),
