@@ -1139,7 +1139,82 @@ object Events {
       |WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
       |GROUP BY from_type ORDER BY from_type""".stripMargin
 
+  /** Survival / churn life table. A user's observed lifetime runs
+    * from their first event to either their last event (CHURNED — if
+    * they then stayed silent for the final 7 days of the observation
+    * window) or to the window end (CENSORED — still active when the
+    * data stops; their lifetime is a lower bound, not a churn). The
+    * life table buckets lifetimes into whole days and reports, per
+    * day t: users still at risk (lifetime >= t), churn events at t,
+    * censorings at t, and the discrete hazard d/n — the Kaplan-Meier
+    * ingredients, with censoring handled correctly instead of the
+    * naive "days between first and last event" histogram that
+    * understates the survival of active users.
+    *
+    * Scale notes (100 TB): one groupBy(user_id) shuffle produces the
+    * per-user (first, last) pair; the scalar observation end is
+    * broadcast; the at-risk reverse-cumulative window runs over the
+    * AGGREGATED day table (tens of rows), never the raw events.
+    * Exactness: integer µs arithmetic; hazard is a single IEEE
+    * division of two exact ints (correctly rounded, engine-identical)
+    * — no transcendentals, no rounding step.
+    */
+  private def survival(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 7L * 86400 * 1000000
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val obs = ev.agg(max(col("us")).as("end_us"))
+    val days = ev.groupBy(col("user_id"))
+      .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+      .crossJoin(broadcast(obs))
+      .withColumn("churned", col("end_us") - col("last_us") > gapUs)
+      .withColumn("t_day", when(col("churned"),
+          expr("(last_us - first_us) DIV 86400000000"))
+        .otherwise(expr("(end_us - first_us) DIV 86400000000")))
+      .groupBy(col("t_day"))
+      .agg(sum(col("churned").cast("long")).as("churned"),
+        sum((!col("churned")).cast("long")).as("censored"))
+    days
+      .withColumn("at_risk",
+        sum(col("churned") + col("censored")).over(Window.orderBy(col("t_day"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .select(col("t_day"), col("at_risk"), col("churned"), col("censored"),
+        (col("churned").cast("double") / col("at_risk")).as("hazard"))
+      .orderBy(col("t_day"))
+  }
+
+  private val survivalSql =
+    """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      |obs AS (SELECT max(us) AS end_us FROM ev),
+      |users AS (
+      |  SELECT user_id, min(us) AS first_us, max(us) AS last_us
+      |  FROM ev GROUP BY 1),
+      |lab AS (
+      |  SELECT (end_us - last_us) > 604800000000 AS churned,
+      |    CASE WHEN (end_us - last_us) > 604800000000
+      |      THEN (last_us - first_us) // 86400000000
+      |      ELSE (end_us - first_us) // 86400000000 END AS t_day
+      |  FROM users, obs),
+      |days AS (
+      |  SELECT t_day,
+      |    CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS churned,
+      |    CAST(sum(CASE WHEN churned THEN 0 ELSE 1 END) AS BIGINT)
+      |      AS censored
+      |  FROM lab GROUP BY 1)
+      |SELECT t_day,
+      |  CAST(sum(churned + censored) OVER (ORDER BY t_day
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+      |    AS at_risk,
+      |  churned, censored,
+      |  CAST(churned AS DOUBLE) / CAST(sum(churned + censored)
+      |    OVER (ORDER BY t_day
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS DOUBLE)
+      |    AS hazard
+      |FROM days ORDER BY t_day""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("ev_survival", survival, Some(survivalSql)),
     QueryDef("ev_markov_backtest", markovBacktest, Some(markovBacktestSql)),
     QueryDef("ev_forecast_baseline", forecastBaseline,
       Some(forecastBaselineSql)),
