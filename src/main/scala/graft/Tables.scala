@@ -17,19 +17,45 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-      // read as a timestamp ([PARQUET_TYPE_ILLEGAL]). Read the raw
-      // nanos as long and truncate to microseconds — the same value
-      // DuckDB produces for its (µs) timestamp type, so oracle
-      // comparisons line up exactly. The conf write is guarded so
-      // concurrent query launches don't hammer the session conf (the
-      // value itself never changes, so the guard is only an
-      // idempotent fast path).
+      // events.ts has shipped in two physical vintages: parquet
+      // TIMESTAMP(NANOS) (which Spark 4 refuses to read as a timestamp
+      // — [ILLEGAL_PARQUET_TYPE] — so it must come in as raw long
+      // nanos via the legacy conf) and parquet timestamp[us]
+      // (TIMESTAMP_NTZ to Spark). A loader that hard-codes either
+      // shape breaks the moment the fixture vintage flips, so dispatch
+      // on the OBSERVED column type and normalize every vintage to the
+      // same session-type `ts` (TimestampType; session tz is UTC
+      // everywhere in this repo, so NTZ→LTZ is value-preserving and
+      // matches what DuckDB's naive (µs) timestamp compares). The conf
+      // is set up front because the nanos vintage fails at footer
+      // resolution otherwise; it is a no-op for the other vintages.
       if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
           .contains("true"))
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr(
-          "timestamp_micros(ts div 1000)"))
+      normalizeEventsTs(spark.read.parquet(s"$sfDir/$name.parquet"))
     } else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Normalize any events-`ts` vintage to TimestampType (µs precision,
+    * UTC session): raw long = legacy nanos → truncate to micros;
+    * NTZ = parquet timestamp[us] → value-preserving cast; LTZ = already
+    * the session type. Anything else is a new fixture vintage — fail
+    * with a one-line diagnosis instead of 40 downstream analysis
+    * errors.
+    */
+  private[graft] def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other — expected raw long " +
+          "nanos (legacy TIMESTAMP(NANOS) fixtures), TIMESTAMP_NTZ " +
+          "(timestamp[us] fixtures), or TIMESTAMP; teach " +
+          "Tables.normalizeEventsTs this vintage")
+    }
+  }
 }

@@ -16,14 +16,30 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events.parquet schema when read with nanosAsLong (ts: raw nanos). */
+  /** events.parquet schema: the fixtures are parquet timestamp[us]
+    * (isAdjustedToUTC = false), which is TIMESTAMP_NTZ to Spark — read
+    * natively and cast to the session type (UTC, value-preserving)
+    * right after the source, so every stream sees the same `ts` the
+    * batch loader (graft.Tables) produces. Sentinel/probe batches are
+    * staged as NTZ too (LocalDateTime columns) so one schema covers
+    * fixture and staged files alike.
+    */
   private val rawSchema = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** Epoch micros (UTC) → the LocalDateTime a TIMESTAMP_NTZ parquet
+    * column stores for it — for staging sentinel/probe rows in the
+    * fixtures' physical shape.
+    */
+  private def microsToLdt(us: Long): java.time.LocalDateTime =
+    java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), (Math.floorMod(us, 1000000L) * 1000L).toInt,
+      java.time.ZoneOffset.UTC)
 
   /** A per-stream cloned session (shared SparkContext, private conf):
     * streaming state partitioning is sized separately from the batch
@@ -59,7 +75,6 @@ object EventStream {
   private def streamSession(spark: SparkSession): SparkSession = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
-    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if (sys.env.get("SPARK_GRAFT_STATE_STORE").contains("rocksdb") ||
         sys.props.get("graft.stateStore").contains("rocksdb"))
       ss.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -74,7 +89,7 @@ object EventStream {
       // file since the fixture dir holds one parquet per table
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", col("ts").cast(TimestampType))
   }
 
   /** Run a streaming aggregation to completion into a memory sink and
@@ -269,11 +284,12 @@ object EventStream {
         org.apache.commons.io.FileUtils.deleteQuietly(streamDir.toFile): Unit))
       Files.copy(Paths.get(s"$dir/events.parquet"),
         streamDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
-      val maxTsNanos = graft.Tables(ss, dir, "events")
-        .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0) * 1000L
+      val maxTsMicros = graft.Tables(ss, dir, "events")
+        .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
       import ss.implicits._
       sentinelTypes.zipWithIndex.map { case (t, i) =>
-        (-1L - i, maxTsNanos + 30L * 24 * 3600 * 1000000000L, -1L, t, 0.0, "{}")
+        (-1L - i, microsToLdt(maxTsMicros + 30L * 24 * 3600 * 1000000L),
+          -1L, t, 0.0, "{}")
       }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.mode("overwrite")
         .parquet(streamDir.resolve("sentinel").toString)
@@ -286,7 +302,7 @@ object EventStream {
       .option("pathGlobFilter", "*.parquet")
       .option("recursiveFileLookup", "true")
       .parquet(streamDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", col("ts").cast(TimestampType))
   }
 
   /** Watermark LATE-DATA DROP — the defining watermark behavior, which
@@ -316,12 +332,12 @@ object EventStream {
     // (a re-used dir would replay everything as one batch with
     // watermark -inf, and nothing would be late)
     val streamDir = Files.createTempDirectory("graft_late_stream")
-    val maxTsNanos = graft.Tables(ss, dir, "events")
-      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0) * 1000L
+    val maxTsMicros = graft.Tables(ss, dir, "events")
+      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
     import ss.implicits._
-    val hourNs = 3600L * 1000000000L
-    def writeBatch(name: String, rows: Seq[(Long, Long, Long, String,
-        Double, String)]): Unit =
+    val hourUs = 3600L * 1000000L
+    def writeBatch(name: String, rows: Seq[(Long, java.time.LocalDateTime,
+        Long, String, Double, String)]): Unit =
       rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.mode("overwrite")
         .parquet(streamDir.resolve(name).toString)
@@ -340,7 +356,7 @@ object EventStream {
       .option("pathGlobFilter", "*.parquet")
       .option("recursiveFileLookup", "true")
       .parquet(streamDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", col("ts").cast(TimestampType))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -356,12 +372,15 @@ object EventStream {
       // is admitted, the late row (T - 3 days) is below the watermark
       // and must be dropped by the stateful aggregation
       writeBatch("probe", Seq(
-        (9000001L, maxTsNanos + hourNs, 9000L, "late_probe", 0.0, "{}"),
-        (9000002L, maxTsNanos - 72 * hourNs, 9001L, "late_probe", 0.0, "{}")))
+        (9000001L, microsToLdt(maxTsMicros + hourUs), 9000L,
+          "late_probe", 0.0, "{}"),
+        (9000002L, microsToLdt(maxTsMicros - 72 * hourUs), 9001L,
+          "late_probe", 0.0, "{}")))
       q.processAllAvailable()
       // batch 3: far-future sentinel flushes the surviving window
       writeBatch("sentinel", Seq(
-        (9000003L, maxTsNanos + 720 * hourNs, -1L, "sentinel", 0.0, "{}")))
+        (9000003L, microsToLdt(maxTsMicros + 720 * hourUs), -1L,
+          "sentinel", 0.0, "{}")))
       q.processAllAvailable()
     } finally {
       q.stop()

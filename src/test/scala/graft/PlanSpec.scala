@@ -184,7 +184,11 @@ class PlanSpec extends AnyFunSuite {
       // chunked two-pass quintile ranks: the partition-less windows run
       // over per-chunk COUNT tables (O(distinct metric buckets) rows,
       // bounded by the metric domain), never over the data table
-      "ev_rfm", "cp_curriculum"
+      "ev_rfm", "cp_curriculum",
+      // at-risk reverse-cumulative sum over the AGGREGATED life table
+      // (one row per whole-day lifetime bucket — O(observation days),
+      // tens of rows at any corpus size), never the raw events
+      "ev_survival"
     )
     // excluded: constructing these DataFrames runs real side effects
     // (streaming micro-batches, Derby DDL, index build/persist, an

@@ -117,12 +117,11 @@ class QueriesSpec extends AnyFunSuite {
     // exactly-once bookkeeping
     val out = java.nio.file.Files.createTempDirectory("graft_febatch").toString
     val ss = spark.newSession()
-    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("event_id",
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("ts",
-        org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.TimestampNTZType),
       org.apache.spark.sql.types.StructField("user_id",
         org.apache.spark.sql.types.LongType)))
     val batchIds = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
