@@ -6,86 +6,84 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: image/audio/video payloads are opaque
-  * `binary` columns with typed metadata. The container has no external
-  * codec libraries, so most decode steps are a clearly-marked
-  * deterministic STUB (`fakeDecode`) — but everything around them is
-  * the real Spark shape: BinaryType columns, explicit result schema,
-  * per-partition batch iteration via `mapPartitions`, and
-  * frame/feature extraction as narrow map stages. The exceptions are
-  * `mm_decode_png` and `mm_decode_jpeg` (genuine encode+decode
-  * round-trips through javax.imageio, JDK-built-in) and
-  * `mm_decode_wav` (byte-correct RIFF/PCM16 encode + chunk-walking
-  * parse).
+  * `binary` columns with typed metadata, and every decode stage runs a
+  * GENUINE codec round-trip — PNG, JPEG, BMP and multi-frame TIFF
+  * through javax.imageio (JDK-built-in), WAV through a byte-correct
+  * RIFF/PCM16 encode + chunk-walking parse. The Spark shape is the
+  * production one throughout: BinaryType columns, explicit result
+  * schemas, per-partition batch iteration via `mapPartitions`, and
+  * frame/feature extraction as narrow map stages.
   *
   * The `documents.text` bytes stand in for media payloads (the
-  * fixtures ship no real blobs); `fakeDecode` derives metadata from
-  * the leading bytes exactly like a header parse would, and the
-  * DuckDB oracle reproduces the same arithmetic, so even the stubbed
-  * pipeline is hash-checked end-to-end.
+  * fixtures ship no real blobs): each stage rasterizes the payload
+  * bytes into genuine media content, encodes it with the real codec,
+  * decodes it back, and emits scalars from the DECODED output.
+  * Lossless codecs (PNG/BMP/TIFF gray-8, PCM16) make the decoded
+  * values predictable from the rasterization arithmetic alone, so the
+  * DuckDB oracle hash-checks the full encode→decode loop end-to-end;
+  * the lossy JPEG stage constrains its content (flat DC-only blocks)
+  * until the round-trip is provably exact and pins the error to 0.
   *
   * Scale notes: decode is embarrassingly parallel (narrow map over
   * partitions); at 100 TB the only knob that matters is input split
   * size (`spark.sql.files.maxPartitionBytes`) so a partition of blobs
   * fits executor memory.
   */
-/** Result schema of the stub decoder. Top-level (not nested/private)
-  * so the ExpressionEncoder's generated code can reach the accessors —
-  * a private nested case class makes janino reject the generated
-  * class and Spark silently falls back to the interpreted encoder.
+/** Result schema of the BMP round-trip decoder. Top-level (not
+  * nested/private) so the ExpressionEncoder's generated code can reach
+  * the accessors — a private nested case class makes janino reject the
+  * generated class and Spark silently falls back to the interpreted
+  * encoder.
   */
-case class DecodedMeta(
-    doc_id: Long, width: Int, height: Int, channels: Int, px0: Int)
-
-/** Result schema of the resize stage — top-level for the same
-  * encoder-codegen reason as [[DecodedMeta]].
-  */
-case class ResizedRow(doc_id: Long, y: Int, row_sum: Long)
+case class BmpDecoded(
+    doc_id: Long, width: Int, height: Int, px_sum: Long, px0: Int,
+    max_err: Int)
 
 /** Result schema of the real-codec round-trip — top-level for the same
-  * encoder-codegen reason as [[DecodedMeta]].
+  * encoder-codegen reason as [[BmpDecoded]].
   */
 case class PngDecoded(
     doc_id: Long, width: Int, height: Int, px_sum: Long, mid_px: Int)
 
 /** Result schema of the perceptual-hash stage — top-level for the same
-  * encoder-codegen reason as [[DecodedMeta]].
+  * encoder-codegen reason as [[BmpDecoded]].
   */
 case class PhashRow(doc_id: Long, phash: Long)
 
 /** Result schema of the real box-filter resize — top-level for the
-  * same encoder-codegen reason as [[DecodedMeta]].
+  * same encoder-codegen reason as [[BmpDecoded]].
   */
 case class ResizedRealRow(doc_id: Long, y: Int, row_sum: Long)
 
 /** Result schema of the real decoded-raster feature extraction —
-  * top-level for the same encoder-codegen reason as [[DecodedMeta]].
+  * top-level for the same encoder-codegen reason as [[BmpDecoded]].
   */
 case class PngFeatures(
     doc_id: Long, px_sum: Long, px_sum_sq: Long, px_min: Int, px_max: Int,
     grad_sum: Long)
 
 /** Result schema of the decoded-audio frame features — top-level for
-  * the same encoder-codegen reason as [[DecodedMeta]].
+  * the same encoder-codegen reason as [[BmpDecoded]].
   */
 case class AudioFrame(
     doc_id: Long, frame_idx: Int, energy: Long, zero_crossings: Int,
     peak: Int)
 
 /** Result schema of the multi-frame TIFF round-trip — top-level for
-  * the same encoder-codegen reason as [[DecodedMeta]].
+  * the same encoder-codegen reason as [[BmpDecoded]].
   */
 case class TiffFrame(
     doc_id: Long, n_frames: Int, frame_idx: Int, px_sum: Long, px_max: Int)
 
 /** Result schema of the JPEG round-trip — top-level for the same
-  * encoder-codegen reason as [[DecodedMeta]].
+  * encoder-codegen reason as [[BmpDecoded]].
   */
 case class JpegDecoded(
     doc_id: Long, width: Int, height: Int, px_sum: Long, mid_px: Int,
     max_err: Int)
 
 /** Result schema of the WAV round-trip — top-level for the same
-  * encoder-codegen reason as [[DecodedMeta]].
+  * encoder-codegen reason as [[BmpDecoded]].
   */
 case class WavDecoded(
     doc_id: Long, sample_rate: Int, n_channels: Int, n_samples: Int,
@@ -103,6 +101,18 @@ object Multimodal {
   private def requirePayload(id: Long, blob: Array[Byte]): Unit =
     require(blob.nonEmpty,
       s"doc $id: empty payload — codec stages sample bytes modulo payload length")
+
+  /** ImageIO's stream wrappers default to DISK caching: every
+    * write/read over an in-memory byte stream creates (and fsyncs,
+    * and deletes) a temp FILE — thousands of file creations per codec
+    * query per pass, pure overhead when the payloads are a few KiB and
+    * already in memory. Flip the JVM-global default to memory caching
+    * once per executor JVM; every codec stage calls this at partition
+    * start (idempotent, a plain volatile write).
+    */
+  private def imageIoMemoryCache(): Unit =
+    if (javax.imageio.ImageIO.getUseCache) // idempotent fast path
+      javax.imageio.ImageIO.setUseCache(false)
 
   /** Blob-level metadata: size + content hash + magic bytes. */
   private def blobMeta(s: SparkSession, dir: String): DataFrame = {
@@ -124,96 +134,82 @@ object Multimodal {
       |FROM documents ORDER BY doc_id""".stripMargin
 
 
-  /** STUB DECODER — stands in for an image codec (libjpeg etc., not in
-    * this container). Deterministic header-parse fake: dimensions and
-    * first-pixel are derived from the leading payload bytes. Replace
-    * the body with a real codec call; the mapPartitions plumbing,
-    * schema and partitioning stay unchanged.
+  /** REAL codec round-trip #4 — BMP via javax.imageio. BMP gray-8 is
+    * stored as an uncompressed palettized raster (BI_RGB, 8-bit
+    * indices into a grayscale palette), so unlike PNG this also pins
+    * the raw-raster container path: no filter pass, no DEFLATE — a
+    * codec bug cannot hide behind entropy coding. Each document
+    * rasterizes its payload bytes to a 16x16 grayscale image, encodes
+    * to genuine BMP bytes, decodes back, and emits scalars from the
+    * DECODED image — dimensions, pixel sum, first pixel, and the max
+    * deviation from the source raster (oracle-pinned to 0: BMP is
+    * lossless, so any error anywhere in either codec direction fails
+    * the gate). Pixels are read back as RASTER samples, not getRGB —
+    * TYPE_BYTE_GRAY's ColorModel treats its samples as LINEAR gray,
+    * so getRGB runs the nonlinear gray→sRGB conversion (probed:
+    * sample 16 → rgb 71) while the raster holds the stored bytes
+    * exactly. Same scale contract as the other codec stages: narrow
+    * CPU-bound mapPartitions, split size is the only knob.
     */
-  private def fakeDecode(docId: Long, blob: Array[Byte]): DecodedMeta = {
-    def b(i: Int): Int = if (i < blob.length) blob(i) & 0xff else 0
-    DecodedMeta(
-      doc_id = docId,
-      width = 64 + b(0) % 64,
-      height = 64 + b(1) % 64,
-      channels = 1 + blob.length % 3,
-      px0 = b(2))
-  }
-
-  /** Decode stage: typed Dataset → mapPartitions (the real batch shape
-    * a codec UDF runs in) → typed result.
-    */
-  private def decodeStub(s: SparkSession, dir: String): DataFrame = {
-    val enc = org.apache.spark.sql.Encoders.product[DecodedMeta]
-    val rows = Tables(s, dir, "documents")
+  private def decodeBmp(s: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.product[BmpDecoded]
+    val side = 16
+    Tables(s, dir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("blob"))
-    rows.mapPartitions { it: Iterator[Row] =>
-      it.map(r => fakeDecode(r.getLong(0), r.getAs[Array[Byte]](1)))
-    }(enc)
+      .mapPartitions { it: Iterator[Row] =>
+        imageIoMemoryCache()
+        it.map { r =>
+          val id = r.getLong(0)
+          val blob = r.getAs[Array[Byte]](1)
+          requirePayload(id, blob)
+          val img = new java.awt.image.BufferedImage(
+            side, side, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          var i = 0
+          while (i < side * side) {
+            img.getRaster.setSample(i % side, i / side, 0,
+              blob(i % blob.length) & 0xff)
+            i += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "bmp", bos)
+          val back = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          val ras = back.getRaster
+          var sum = 0L
+          var maxErr = 0
+          var j = 0
+          while (j < side * side) {
+            val px = ras.getSample(j % side, j / side, 0)
+            sum += px
+            val err = math.abs(px - (blob(j % blob.length) & 0xff))
+            if (err > maxErr) maxErr = err
+            j += 1
+          }
+          BmpDecoded(id, back.getWidth, back.getHeight, sum,
+            ras.getSample(0, 0, 0), maxErr)
+        }
+      }(enc)
       .toDF()
       .orderBy(col("doc_id"))
   }
 
-  // documents.text is ASCII, so byte(i) == ascii(char at i+1); the
-  // oracle mirrors fakeDecode's arithmetic directly in SQL.
-  private val decodeStubSql =
-    """SELECT doc_id,
-      |  64 + (ascii(substring(text, 1, 1)) % 64) AS width,
-      |  64 + (ascii(substring(text, 2, 1)) % 64) AS height,
-      |  1 + (octet_length(CAST(text AS BLOB)) % 3) AS channels,
-      |  ascii(substring(text, 3, 1)) AS px0
-      |FROM documents ORDER BY doc_id""".stripMargin
+  // the oracle predicts the decoded raster from the rasterization
+  // arithmetic alone — valid because BMP gray-8 is lossless — and
+  // pins the round-trip error to exactly 0
+  private val decodeBmpSql =
+    """SELECT doc_id, 16 AS width, 16 AS height,
+      |  CAST(list_aggregate(list_transform(range(0, 256), i ->
+      |    ascii(substring(text, i % len + 1, 1))), 'sum') AS BIGINT)
+      |    AS px_sum,
+      |  ascii(substring(text, 1, 1)) AS px0,
+      |  0 AS max_err
+      |FROM (SELECT doc_id, text, length(text) AS len FROM documents)
+      |ORDER BY doc_id""".stripMargin
 
-
-  /** Resize stage: nearest-neighbor downsample of the stub-decoded
-    * "image" to a fixed 8x8 grid, emitted as one checksum per output
-    * row (pinning all 64 samples without 64 columns). Source pixel
-    * (x,y) of the fake image is the payload byte at
-    * (sy*width + sx) mod len — the index arithmetic a real resize
-    * kernel runs, minus the codec. Narrow map via the same
-    * mapPartitions plumbing as the decode stage.
-    */
-  private def resizeStub(s: SparkSession, dir: String): DataFrame = {
-    val enc = org.apache.spark.sql.Encoders.product[ResizedRow]
-    Tables(s, dir, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("blob"))
-      .mapPartitions { it: Iterator[Row] =>
-        it.flatMap { r =>
-          val id = r.getLong(0)
-          val blob = r.getAs[Array[Byte]](1)
-          requirePayload(id, blob)
-          val m = fakeDecode(id, blob)
-          def b(i: Int): Int = blob(i % blob.length) & 0xff
-          (0 until 8).map { y =>
-            val sy = y * m.height / 8
-            var sum = 0L
-            var x = 0
-            while (x < 8) { sum += b(sy * m.width + x * m.width / 8); x += 1 }
-            ResizedRow(id, y, sum)
-          }
-        }
-      }(enc)
-      .toDF()
-      .orderBy(col("doc_id"), col("y"))
-  }
-
-  private val resizeStubSql =
-    """SELECT doc_id, y,
-      |  CAST(sum(ascii(substring(text,
-      |    ((y * h // 8) * w + (x * w // 8)) % len + 1, 1))) AS BIGINT)
-      |    AS row_sum
-      |FROM (SELECT doc_id, text,
-      |        64 + (ascii(substring(text, 1, 1)) % 64) AS w,
-      |        64 + (ascii(substring(text, 2, 1)) % 64) AS h,
-      |        length(text) AS len
-      |      FROM documents),
-      |  (SELECT unnest(range(0, 8)) AS y),
-      |  (SELECT unnest(range(0, 8)) AS x)
-      |GROUP BY doc_id, y ORDER BY doc_id, y""".stripMargin
 
   /** 60-bit average-hash perceptual fingerprint (the pHash family's
-    * aHash): sample the stub image on the same 8x8 grid as the resize
-    * stage, set bit i iff pixel i is above the grid mean — compared
+    * aHash): sample the synthetic payload-byte raster on the fixed 8x8
+    * grid, set bit i iff pixel i is above the grid mean — compared
     * multiplicatively (px*60 > sum) so the threshold stays in exact
     * integer arithmetic — and pack into one sign-safe BIGINT (60 bits,
     * like SimHash60). Per-document narrow map; mm_phash_pairs below
@@ -274,18 +270,19 @@ object Multimodal {
     * over 10 bands forces at least one identical band, so the
     * band-bucket join finds every pair at <= 8 with no recall loss and
     * only band collisions pay the popcount). Band width is the
-    * candidate-volume knob: the stub fingerprints are near-uniform, so
+    * candidate-volume knob: these fingerprints are near-uniform, so
     * the fixture needs a loose threshold (nearest pair at sf0.01 is
     * distance 7) and hence narrow bands; a production image corpus
     * clusters tightly and runs the 4x15 / distance-3 setting of
     * dd_simhash_hamming, same plan shape either way.
     *
-    * NOTE: the decode step is the documented stub, so cross-document
-    * distances here are synthetic (they measure payload-byte
-    * similarity, not visual similarity). What this query pins is the
-    * real part — fingerprint packing, banding, candidate join and
-    * Hamming verify — which is codec-independent; swap fakeDecode for
-    * a real codec and the pairing path is unchanged.
+    * NOTE: the fingerprinted "image" is the synthetic payload-byte
+    * raster (the fixtures ship no real blobs), so cross-document
+    * distances measure payload-byte similarity, not visual similarity.
+    * What this query pins is the part that carries to a real corpus —
+    * fingerprint packing, banding, candidate join and Hamming verify —
+    * which is content-independent; feed decoded rasters from any of
+    * the real codec stages and the pairing path is unchanged.
     */
   private def phashPairs(s: SparkSession, dir: String): DataFrame = {
     val ph = phashDf(s, dir)
@@ -347,8 +344,7 @@ object Multimodal {
     s"""$phashCtes
        |SELECT doc_id, phash FROM ph ORDER BY doc_id""".stripMargin
 
-  /** REAL codec round-trip — the one mm_ stage that is not a stub:
-    * each document's payload bytes are rasterized into a 16x16 8-bit
+  /** REAL codec round-trip #1 — PNG: each document's payload bytes are rasterized into a 16x16 8-bit
     * grayscale image (pixel (x,y) = payload byte (y*16+x) mod len),
     * ENCODED to genuine PNG bytes with javax.imageio (in the JDK, no
     * external libs) and DECODED back with the same codec, all inside
@@ -361,7 +357,7 @@ object Multimodal {
     *
     * Scale notes: encode+decode is CPU-bound narrow work, ~O(bytes)
     * per blob with no shuffle; at 100 TB the knob is input split size,
-    * same as the stub stages. The PNG container bytes themselves are
+    * same as every codec stage. The PNG container bytes themselves are
     * deliberately NOT emitted — encoder output can vary across JDK
     * PNG writer versions; the decoded pixels cannot.
     */
@@ -371,6 +367,7 @@ object Multimodal {
     Tables(s, dir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("blob"))
       .mapPartitions { it: Iterator[Row] =>
+        imageIoMemoryCache()
         it.map { r =>
           val id = r.getLong(0)
           val blob = r.getAs[Array[Byte]](1)
@@ -415,8 +412,7 @@ object Multimodal {
       |FROM (SELECT doc_id, text, length(text) AS len FROM documents)
       |ORDER BY doc_id""".stripMargin
 
-  /** REAL resize over REAL codec output — upgrades the resize tier
-    * from the stub: each document rasterizes to the same 16x16 gray
+  /** REAL resize over REAL codec output: each document rasterizes to the same 16x16 gray
     * image as `mm_decode_png`, round-trips through genuine PNG
     * encode/decode, and is then downsampled 2x with an actual
     * area-average (box) filter over the DECODED raster — each output
@@ -425,10 +421,8 @@ object Multimodal {
     * Graphics2D are float-kernel and engine-unpredictable; the box
     * filter is the deterministic member of the family, which is what
     * makes the decoded-pixel oracle possible — PNG losslessness plus
-    * integer averaging). Emitted as one checksum per output row,
-    * exactly the `mm_resize_stub` shape, so the stub and the real path
-    * stay comparable. Narrow CPU-bound mapPartitions; split size is
-    * the only knob.
+    * integer averaging). Emitted as one checksum per output row.
+    * Narrow CPU-bound mapPartitions; split size is the only knob.
     */
   private def resizeBox(s: SparkSession, dir: String): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.product[ResizedRealRow]
@@ -436,6 +430,7 @@ object Multimodal {
     Tables(s, dir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("blob"))
       .mapPartitions { it: Iterator[Row] =>
+        imageIoMemoryCache()
         it.flatMap { r =>
           val id = r.getLong(0)
           val blob = r.getAs[Array[Byte]](1)
@@ -515,6 +510,7 @@ object Multimodal {
     Tables(s, dir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("blob"))
       .mapPartitions { it: Iterator[Row] =>
+        imageIoMemoryCache()
         // writer reused across the partition's rows (dispose once)
         val writer =
           javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
@@ -721,27 +717,6 @@ object Multimodal {
       |WHERE length(text) > frame_idx * 7
       |ORDER BY doc_id, frame_idx""".stripMargin
 
-  /** Feature extraction: 8-dim normalized byte features per payload —
-    * the embedding-from-media stage, emitted long-form.
-    */
-  private def featureExtract(s: SparkSession, dir: String): DataFrame = {
-    Tables(s, dir, "documents")
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), lit(8))).as("pos"))
-      .filter(length(col("text")) >= col("pos"))
-      .select(col("doc_id"), col("pos"),
-        (ascii(col("text").substr(col("pos"), lit(1))).cast("double") / 255.0)
-          .as("feat"))
-      .orderBy(col("doc_id"), col("pos"))
-  }
-
-  private val featureExtractSql =
-    """SELECT doc_id, pos,
-      |  CAST(ascii(substring(text, pos, 1)) AS DOUBLE) / 255.0 AS feat
-      |FROM documents, (SELECT unnest(range(1, 9)) AS pos)
-      |WHERE length(text) >= pos
-      |ORDER BY doc_id, pos""".stripMargin
-
   /** Frame energy (the audio-style op): the payload byte stream cut
     * into 16-byte frames, RMS energy per frame. Integer squares sum
     * exactly; the final sqrt of a rational is deterministic on both
@@ -780,8 +755,7 @@ object Multimodal {
       |ORDER BY doc_id, frame_idx""".stripMargin
 
   /** REAL feature extraction over REAL codec output — the
-    * embedding-from-media stage upgraded from the byte-sampling stub:
-    * each document rasterizes to the same 16x16 gray image as
+    * embedding-from-media stage: each document rasterizes to the same 16x16 gray image as
     * `mm_decode_png`, round-trips through genuine PNG encode/decode,
     * and the features come off the DECODED raster: moment sums
     * (Σp, Σp² — mean/variance numerators, integer-exact), dynamic
@@ -797,6 +771,7 @@ object Multimodal {
     Tables(s, dir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("blob"))
       .mapPartitions { it: Iterator[Row] =>
+        imageIoMemoryCache()
         it.map { r =>
           val id = r.getLong(0)
           val blob = r.getAs[Array[Byte]](1)
@@ -877,6 +852,7 @@ object Multimodal {
     Tables(s, dir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("blob"))
       .mapPartitions { it: Iterator[Row] =>
+        imageIoMemoryCache()
         it.flatMap { r =>
           val id = r.getLong(0)
           val blob = r.getAs[Array[Byte]](1)
@@ -1011,14 +987,12 @@ object Multimodal {
     QueryDef("mm_feature_real", featureReal, Some(featureRealSql)),
     QueryDef("mm_frame_energy", frameEnergy, Some(frameEnergySql)),
     QueryDef("mm_blob_meta", blobMeta, Some(blobMetaSql)),
-    QueryDef("mm_decode_stub", decodeStub, Some(decodeStubSql)),
+    QueryDef("mm_decode_bmp", decodeBmp, Some(decodeBmpSql)),
     QueryDef("mm_decode_png", decodePng, Some(decodePngSql)),
     QueryDef("mm_decode_jpeg", decodeJpeg, Some(decodeJpegSql)),
     QueryDef("mm_decode_wav", decodeWav, Some(decodeWavSql)),
-    QueryDef("mm_resize_stub", resizeStub, Some(resizeStubSql)),
     QueryDef("mm_resize_box", resizeBox, Some(resizeBoxSql)),
     QueryDef("mm_frame_sample", frameSample, Some(frameSampleSql)),
-    QueryDef("mm_feature_extract", featureExtract, Some(featureExtractSql)),
     QueryDef("mm_phash", phash, Some(phashSql)),
     QueryDef("mm_phash_pairs", phashPairs, Some(phashPairsSql)))
 }

@@ -228,6 +228,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("SerializeFromObject"), p.take(800))
   }
 
+  test("real BMP codec round-trip is a narrow per-partition map") {
+    val p = plan("mm_decode_bmp")
+    assert(!p.contains("Join") && !p.contains("HashAggregate") &&
+      !p.contains("Window"), p.take(800))
+    assert(p.contains("SerializeFromObject"), p.take(800))
+  }
+
   test("SemDeDup pairs only within clusters — equi-join on cent_id, no n² product") {
     val p = plan("dd_semdedup")
     // same contract as dd_embedding_neardup: assignment is a narrow
