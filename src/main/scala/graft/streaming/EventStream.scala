@@ -16,21 +16,38 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events.parquet schema: the fixtures are parquet timestamp[us]
-    * (isAdjustedToUTC = false), which is TIMESTAMP_NTZ to Spark — read
-    * natively and cast to the session type (UTC, value-preserving)
-    * right after the source, so every stream sees the same `ts` the
-    * batch loader (graft.Tables) produces. Sentinel/probe batches are
-    * staged as NTZ too (LocalDateTime columns) so one schema covers
-    * fixture and staged files alike.
+  /** events.parquet physical vintage dispatch — the streaming mirror
+    * of `Tables.normalizeEventsTs`. The fixtures have shipped `ts` as
+    * both parquet TIMESTAMP(NANOS) (surfaced as raw long nanos via the
+    * legacy conf — Spark 4 refuses the type natively) and parquet
+    * timestamp[us] (TIMESTAMP_NTZ to Spark); a streaming source that
+    * hard-codes either shape breaks when the vintage flips, so the
+    * declared read schema and the ts-normalization expression are both
+    * chosen from the OBSERVED batch-footer type of the fixture dir.
+    * Sentinel/probe batches are staged in the SAME vintage as the
+    * fixture they share a stream with (one source, one schema).
     */
-  private val rawSchema = StructType(Seq(
+  private def eventsTsIsLegacyNanos(ss: SparkSession, dir: String): Boolean = {
+    if (!ss.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+        .contains("true"))
+      ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ss.read.parquet(s"$dir/events.parquet").schema("ts").dataType == LongType
+  }
+
+  private def rawSchema(legacyNanos: Boolean) = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", TimestampNTZType),
+    StructField("ts", if (legacyNanos) LongType else TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** Normalization to the session TimestampType (µs, UTC session):
+    * raw nanos truncate to micros; NTZ casts value-preserving.
+    */
+  private def normalizedTs(legacyNanos: Boolean) =
+    if (legacyNanos) expr("timestamp_micros(ts div 1000)")
+    else col("ts").cast(TimestampType)
 
   /** Epoch micros (UTC) → the LocalDateTime a TIMESTAMP_NTZ parquet
     * column stores for it — for staging sentinel/probe rows in the
@@ -40,6 +57,26 @@ object EventStream {
     java.time.LocalDateTime.ofEpochSecond(
       Math.floorDiv(us, 1000000L), (Math.floorMod(us, 1000000L) * 1000L).toInt,
       java.time.ZoneOffset.UTC)
+
+  /** Stage synthetic event rows (ts in epoch MICROS) as a parquet dir
+    * in the given vintage: raw long nanos for legacy fixtures, NTZ
+    * micros otherwise — so staged batches always match the fixture
+    * files read by the same stream.
+    */
+  private def stageEventRows(ss: SparkSession, legacyNanos: Boolean,
+      rows: Seq[(Long, Long, Long, String, Double, String)],
+      path: String): Unit = {
+    import ss.implicits._
+    val df =
+      if (legacyNanos)
+        rows.map { case (id, us, uid, t, v, p) => (id, us * 1000L, uid, t, v, p) }
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      else
+        rows.map { case (id, us, uid, t, v, p) =>
+          (id, microsToLdt(us), uid, t, v, p)
+        }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+  }
 
   /** A per-stream cloned session (shared SparkContext, private conf):
     * streaming state partitioning is sized separately from the batch
@@ -83,13 +120,14 @@ object EventStream {
   }
 
   private def streamingEvents(ss: SparkSession, dir: String): DataFrame = {
+    val legacy = eventsTsIsLegacyNanos(ss, dir)
     ss.readStream
-      .schema(rawSchema)
+      .schema(rawSchema(legacy))
       // streaming file source needs a directory; filter to the events
       // file since the fixture dir holds one parquet per table
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", col("ts").cast(TimestampType))
+      .withColumn("ts", normalizedTs(legacy))
   }
 
   /** Run a streaming aggregation to completion into a memory sink and
@@ -278,6 +316,7 @@ object EventStream {
   private def sentinelFlushedEvents(ss: SparkSession, dir: String,
       sentinelTypes: Seq[String]): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
+    val legacy = eventsTsIsLegacyNanos(ss, dir)
     val staged = stagedDirs.getOrElseUpdate((dir, sentinelTypes), {
       val streamDir = Files.createTempDirectory("graft_sentinel_stream")
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
@@ -286,23 +325,20 @@ object EventStream {
         streamDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
       val maxTsMicros = graft.Tables(ss, dir, "events")
         .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
-      import ss.implicits._
-      sentinelTypes.zipWithIndex.map { case (t, i) =>
-        (-1L - i, microsToLdt(maxTsMicros + 30L * 24 * 3600 * 1000000L),
-          -1L, t, 0.0, "{}")
-      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(streamDir.resolve("sentinel").toString)
+      stageEventRows(ss, legacy,
+        sentinelTypes.zipWithIndex.map { case (t, i) =>
+          (-1L - i, maxTsMicros + 30L * 24 * 3600 * 1000000L, -1L, t, 0.0, "{}")
+        }, streamDir.resolve("sentinel").toString)
       streamDir.toString
     })
 
     val streamDir = java.nio.file.Paths.get(staged)
     ss.readStream
-      .schema(rawSchema)
+      .schema(rawSchema(legacy))
       .option("pathGlobFilter", "*.parquet")
       .option("recursiveFileLookup", "true")
       .parquet(streamDir.toString)
-      .withColumn("ts", col("ts").cast(TimestampType))
+      .withColumn("ts", normalizedTs(legacy))
   }
 
   /** Watermark LATE-DATA DROP — the defining watermark behavior, which
@@ -332,15 +368,13 @@ object EventStream {
     // (a re-used dir would replay everything as one batch with
     // watermark -inf, and nothing would be late)
     val streamDir = Files.createTempDirectory("graft_late_stream")
+    val legacy = eventsTsIsLegacyNanos(ss, dir)
     val maxTsMicros = graft.Tables(ss, dir, "events")
       .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
-    import ss.implicits._
     val hourUs = 3600L * 1000000L
-    def writeBatch(name: String, rows: Seq[(Long, java.time.LocalDateTime,
-        Long, String, Double, String)]): Unit =
-      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(streamDir.resolve(name).toString)
+    def writeBatch(name: String,
+        rows: Seq[(Long, Long, Long, String, Double, String)]): Unit =
+      stageEventRows(ss, legacy, rows, streamDir.resolve(name).toString)
     Files.copy(Paths.get(s"$dir/events.parquet"),
       streamDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
 
@@ -352,11 +386,11 @@ object EventStream {
     // in the aggregation key (the watermark node sees every row) and
     // the probe windows are selected AFTER the sink.
     val agg = ss.readStream
-      .schema(rawSchema)
+      .schema(rawSchema(legacy))
       .option("pathGlobFilter", "*.parquet")
       .option("recursiveFileLookup", "true")
       .parquet(streamDir.toString)
-      .withColumn("ts", col("ts").cast(TimestampType))
+      .withColumn("ts", normalizedTs(legacy))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -372,15 +406,12 @@ object EventStream {
       // is admitted, the late row (T - 3 days) is below the watermark
       // and must be dropped by the stateful aggregation
       writeBatch("probe", Seq(
-        (9000001L, microsToLdt(maxTsMicros + hourUs), 9000L,
-          "late_probe", 0.0, "{}"),
-        (9000002L, microsToLdt(maxTsMicros - 72 * hourUs), 9001L,
-          "late_probe", 0.0, "{}")))
+        (9000001L, maxTsMicros + hourUs, 9000L, "late_probe", 0.0, "{}"),
+        (9000002L, maxTsMicros - 72 * hourUs, 9001L, "late_probe", 0.0, "{}")))
       q.processAllAvailable()
       // batch 3: far-future sentinel flushes the surviving window
       writeBatch("sentinel", Seq(
-        (9000003L, microsToLdt(maxTsMicros + 720 * hourUs), -1L,
-          "sentinel", 0.0, "{}")))
+        (9000003L, maxTsMicros + 720 * hourUs, -1L, "sentinel", 0.0, "{}")))
       q.processAllAvailable()
     } finally {
       q.stop()

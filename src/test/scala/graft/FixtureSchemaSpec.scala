@@ -65,6 +65,33 @@ class FixtureSchemaSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
   }
 
+  test("streaming tier handles both ts vintages identically") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nanos_stream")
+    try {
+      // the fixture shape is one flat FILE named events.parquet (the
+      // streaming source's pathGlobFilter matches leaf file names), so
+      // write to a scratch dir and move the single part file in place
+      Tables(spark, dir, "events")
+        .withColumn("ts", unix_micros(col("ts")) * 1000L)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$tmp/stage")
+      val part = new java.io.File(s"$tmp/stage").listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$tmp/events.parquet"))
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$tmp/stage"))
+      val legacy = SparkEntry.queries("evs_hourly_tumbling")(spark, tmp.toString)
+      val native = SparkEntry.queries("evs_hourly_tumbling")(spark, dir)
+      assert(legacy.count() == native.count() && legacy.count() > 100,
+        s"vintage mismatch: legacy ${legacy.count()} windows vs " +
+          s"native ${native.count()}")
+      assert(legacy.exceptAll(native).isEmpty,
+        "legacy-nanos streaming windows differ from native timestamp[us]")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+  }
+
   test("unknown ts vintage fails loudly in the loader") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_bad_vintage")
     try {
