@@ -1261,8 +1261,27 @@ object Events {
              |    AS sum_k
              |FROM events GROUP BY 1, 2
              |ORDER BY hour, event_type""".stripMargin)),
+    // Sliding windows: the oracle expands each event into its 4
+    // covering (2h, 30m-slide) windows — Spark's epoch-aligned window
+    // starts coincide with DuckDB's time_bucket (30 min divides a day,
+    // both anchor at midnight UTC).
+    QueryDef("evs_sliding_counts",
+      (s, d) => graft.streaming.EventStream.slidingCounts(s, d),
+      Some("""SELECT ws AS window_start, event_type, count(*) AS n
+             |FROM (
+             |  SELECT event_type,
+             |    time_bucket(INTERVAL 30 MINUTES, ts) - to_minutes(30 * k)
+             |      AS ws
+             |  FROM events, (SELECT unnest(range(0, 4)) AS k))
+             |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
     QueryDef("evs_session_windows",
       (s, d) => graft.streaming.EventStream.sessionWindows(s, d),
+      Some(sessionWindowBatchSql)),
+    // hand-built flatMapGroupsWithState sessionizer vs the SAME batch
+    // oracle as the declarative session_window — custom state
+    // machinery must earn zero semantic drift
+    QueryDef("evs_session_custom_state",
+      (s, d) => graft.streaming.EventStream.sessionCustomState(s, d),
       Some(sessionWindowBatchSql)),
     // flatMapGroupsWithState running counts: single-batch input means
     // the final state equals the batch GROUP BY, so it is oracle-able.

@@ -14,6 +14,12 @@ import org.apache.spark.sql.types._
   * partial-aggregate before the shuffle, and session windows keep one
   * state entry per active (user, session).
   */
+/** Open-session state held in GroupState by `sessionCustomState` —
+  * top-level (not nested) so the state encoder's generated code can
+  * reach the accessors (the janino nested-class pitfall).
+  */
+case class OpenSession(startUs: Long, endUs: Long, n: Long)
+
 object EventStream {
 
   /** events.parquet physical vintage dispatch — the streaming mirror
@@ -165,6 +171,26 @@ object EventStream {
       .select(col("w.start").as("hour"), col("event_type"), col("n"),
         col("total_value"))
       .orderBy(col("hour"), col("event_type"))
+  }
+
+  /** SLIDING windows (2-hour length, 30-minute slide): each event
+    * contributes to 4 overlapping windows — the moving-aggregate shape
+    * (rate monitoring, rolling SLAs) that tumbling windows can't
+    * express. Complete mode, so the emitted set equals the batch
+    * 4-windows-per-event expansion the oracle computes; at scale the
+    * state cost is windows×keys (4× a tumbling window's), bounded by
+    * the same watermark eviction in append mode.
+    */
+  def slidingCounts(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val agg = streamingEvents(ss, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "2 hours", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    runToCompletion(ss, agg, "evs_sliding_sink", "complete")
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+      .orderBy(col("window_start"), col("event_type"))
   }
 
   /** VARIANT extraction INSIDE the stream: parse_json per arriving
@@ -444,6 +470,84 @@ object EventStream {
       .filter(col("user_id") >= 0)
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** Custom-state sessionization — the SAME session semantics as the
+    * declarative `session_window` query, hand-built on
+    * flatMapGroupsWithState + EventTimeTimeout, gated against the SAME
+    * batch oracle. This is the state-machine escape hatch for session
+    * logic `session_window` can't express (per-session running
+    * aggregates, conditional splits, emission side-effects), and the
+    * gate proves the custom machinery earns no semantic drift for the
+    * expressible core: sessions closed WITHIN a batch emit immediately
+    * (all of a group's arrivals are merged in event-time order); the
+    * open tail is held in GroupState with an event-time timeout at
+    * end + gap, so it emits exactly when the watermark proves no
+    * extension can arrive — for the fixture, when the far-future
+    * sentinel advances the watermark (the sentinel's own session stays
+    * open forever and is filtered). State per group is ONE OpenSession
+    * (three longs) — the 100 TB shape: state scales with ACTIVE
+    * sessions, never with history.
+    */
+  def sessionCustomState(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val ss = streamSession(spark)
+    import ss.implicits._
+    val gapUs = 30L * 60 * 1000000
+    // the watermark-annotated ts attribute must REACH the stateful
+    // operator (selecting it away upstream makes the analyzer reject
+    // event-time timeout), so it rides along in the tuple; the µs
+    // value is carried separately because java.sql.Timestamp getters
+    // are millis-precision
+    val ev = sentinelFlushedEvents(ss, dir, Seq("sentinel"))
+      .withWatermark("ts", "30 minutes")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+    val sessions = ev.groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[(Long, Long, java.sql.Timestamp)],
+            state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed end + gap: no extension can arrive
+            val s = state.get
+            state.remove()
+            Iterator((uid, s.startUs, s.endUs, s.n))
+          } else {
+            // a batch delivers a group's arrivals UNORDERED — sort by
+            // event time before merging (bounded by the group's rows
+            // in this batch, the same per-group memory any
+            // order-sensitive state machine needs)
+            val ts = it.map(_._2).toArray
+            java.util.Arrays.sort(ts)
+            val closed =
+              scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+            var cur = state.getOption.orNull
+            var i = 0
+            while (i < ts.length) {
+              val t = ts(i)
+              if (cur == null) cur = OpenSession(t, t, 1)
+              else if (t - cur.endUs > gapUs) {
+                closed += ((uid, cur.startUs, cur.endUs, cur.n))
+                cur = OpenSession(t, t, 1)
+              } else cur = OpenSession(cur.startUs, t, cur.n + 1)
+              i += 1
+            }
+            state.update(cur)
+            state.setTimeoutTimestamp(cur.endUs / 1000 + gapUs / 1000 + 1)
+            closed.iterator
+          }
+      }
+      .toDF("user_id", "start_us", "end_us", "n_events")
+    runToCompletion(ss, sessions, "evs_session_custom_sink", "append")
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        timestamp_micros(col("start_us")).as("session_start"),
+        // the session_window convention the shared oracle encodes:
+        // session_end = last event + gap
+        timestamp_micros(col("end_us") + gapUs).as("session_end"),
+        col("n_events"))
       .orderBy(col("user_id"), col("session_start"))
   }
 

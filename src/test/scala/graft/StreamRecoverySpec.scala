@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Checkpoint recovery — the streaming property a long-lived 100 TB
+  * deployment actually relies on and run-to-completion gates never
+  * exercise: a stream stopped mid-input and RESTARTED from its
+  * checkpoint must (a) not reprocess source files it already
+  * committed, (b) restore its aggregation state so counts continue
+  * instead of resetting, and (c) end with exactly the batch-equivalent
+  * answer over everything that ever arrived. All three are asserted
+  * against a real on-disk checkpoint across two separate query
+  * incarnations of the same plan.
+  */
+class StreamRecoverySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-stream-recovery")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val schema = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("n", LongType)))
+
+  private def writeInput(dir: String, name: String,
+      rows: Seq[(Long, Long)]): Unit = {
+    import spark.implicits._
+    rows.toDF("user_id", "n").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/$name")
+  }
+
+  test("restart from checkpoint: no reprocessing, state restored, exactly-once totals") {
+    val root = java.nio.file.Files.createTempDirectory("graft_recovery")
+    val input = s"$root/in"
+    val ckpt = s"$root/ckpt"
+    try {
+      // per-incarnation record of (batchId, rows-in-batch, per-user sums)
+      val seen =
+        new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+      val latest = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+
+      def startQuery() = {
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true")
+          .parquet(input)
+          .groupBy(col("user_id")).agg(sum(col("n")).as("total"))
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .outputMode("update")
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            seen.add((id, batch.count()))
+            batch.collect().foreach(r =>
+              latest.put(r.getLong(0), r.getLong(1)))
+            ()
+          }
+          .start()
+      }
+
+      // incarnation 1: two users arrive
+      writeInput(input, "b1", Seq((1L, 10L), (2L, 5L)))
+      val q1 = startQuery()
+      try q1.processAllAvailable() finally q1.stop()
+      assert(latest.get(1L) == 10L && latest.get(2L) == 5L)
+      val batchesBeforeRestart = seen.size
+
+      // more data lands while the stream is DOWN
+      writeInput(input, "b2", Seq((1L, 7L), (3L, 2L)))
+
+      // incarnation 2: same plan, same checkpoint
+      val q2 = startQuery()
+      try q2.processAllAvailable() finally q2.stop()
+
+      // (a) the restart processed ONLY the new file: exactly one new
+      // micro-batch, sized to b2's rows (update mode emits only
+      // changed keys) — a reprocessed b1 would surface as extra
+      // batches or a 4-row update
+      val newBatches = seen.size - batchesBeforeRestart
+      assert(newBatches == 1,
+        s"restart replayed committed source files: $newBatches new batches")
+      assert(seen.toArray.last.asInstanceOf[(Long, Long)]._2 == 2L,
+        s"restart batch should hold exactly b2's 2 rows: $seen")
+
+      // (b) state restored: user 1's total CONTINUES from the
+      // pre-restart 10 (10 + 7), it does not reset to 7
+      assert(latest.get(1L) == 17L,
+        s"aggregation state lost across restart: user 1 = ${latest.get(1L)}")
+
+      // (c) exactly-once batch equivalence over everything that arrived
+      assert(latest.get(2L) == 5L && latest.get(3L) == 2L)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+  }
+
+  /** The sink side of recovery: a parquet file sink's commit log makes
+    * re-delivered micro-batches idempotent — restarting from a
+    * checkpoint whose last batch already committed to the sink must
+    * not duplicate rows in the sink directory.
+    */
+  test("file sink + checkpoint restart never duplicates committed rows") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sink_recovery")
+    val input = s"$root/in"
+    val ckpt = s"$root/ckpt"
+    val out = s"$root/out"
+    try {
+      def startQuery() = {
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true")
+          .parquet(input)
+          .select(col("user_id"), col("n"))
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .format("parquet")
+          .option("path", out)
+          .start()
+      }
+      writeInput(input, "b1", Seq((1L, 10L), (2L, 5L)))
+      val q1 = startQuery()
+      try q1.processAllAvailable() finally q1.stop()
+
+      writeInput(input, "b2", Seq((3L, 2L)))
+      val q2 = startQuery()
+      try q2.processAllAvailable() finally q2.stop()
+
+      val sunk = spark.read.parquet(out)
+      assert(sunk.count() == 3,
+        s"sink duplicated or lost rows across restart: ${sunk.count()}")
+      assert(sunk.agg(sum(col("n"))).collect()(0).getLong(0) == 17L)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+  }
+}
