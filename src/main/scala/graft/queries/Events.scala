@@ -1308,6 +1308,15 @@ object Events {
              |  ON p.user_id = c.user_id
              | AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 10 MINUTE
              |ORDER BY purchase_id, click_id""".stripMargin)),
+    QueryDef("evs_stream_semi_join",
+      (s, d) => graft.streaming.EventStream.purchaseClickSemiJoin(s, d),
+      Some("""SELECT p.event_id AS purchase_id, p.user_id
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |WHERE EXISTS (
+             |  SELECT 1 FROM events c
+             |  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+             |    AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 10 MINUTE)
+             |ORDER BY purchase_id""".stripMargin)),
     QueryDef("evs_stream_dedup",
       (s, d) => graft.streaming.EventStream.streamingDedup(s, d),
       Some("""SELECT DISTINCT user_id, event_type FROM events

@@ -247,6 +247,82 @@ object Migration {
       s"SELECT '$t' AS table_name, TRUE AS created, count(*) AS rows_migrated FROM $t")
       .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
 
+  /** INCREMENTAL migration by high-watermark bookmark — the follow-up
+    * extraction every one-shot migrator grows into: after the initial
+    * full load, only rows whose monotonically increasing key exceeds
+    * the bookmark recorded from the TARGET are pulled on the next run.
+    * Exercised over the live JDBC boundary (embedded Derby as the
+    * source): a 10% orders sample's "historical" half is seeded and
+    * fully extracted (bookmark = max key seen); the remaining half is
+    * then appended to the source as new arrivals, and the incremental
+    * pass reads only `key > bookmark` — the predicate ships INTO the
+    * source engine via JDBC filter pushdown, which is the entire point
+    * at scale: the second pass costs O(new rows), not O(table). The
+    * gate checks per-status initial/incremental/total counts, so a
+    * bookmark off by one row (missed arrival or re-extracted
+    * duplicate) fails the hash.
+    */
+  private def incrementalWatermark(s: SparkSession, dir: String): DataFrame = {
+    val nonce = java.util.UUID.randomUUID.toString.replace("-", "")
+    val srcUrl = s"jdbc:derby:memory:miginc_$nonce;create=true"
+    val props = new java.util.Properties
+    val sample = Tables(s, dir, "orders")
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val splitKey = sample.agg((max(col("o_orderkey")) / 2).cast("long"))
+      .collect()(0).getLong(0)
+    try {
+      // initial full load into the source, then the first extraction
+      sample.filter(col("o_orderkey") <= splitKey)
+        .write.jdbc(srcUrl, """"orders_inc"""", props)
+      val firstPass = s.read.jdbc(srcUrl, """"orders_inc"""", props)
+      // materialize NOW (localCheckpoint is eager): the plan is lazy,
+      // and a deferred scan would re-read the source AFTER the
+      // arrivals below land, silently counting them as "initial"
+      val initialCounts = firstPass.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_initial"))
+        .localCheckpoint()
+      // the bookmark is recorded from what the TARGET received — the
+      // only self-consistent place (a source-side clock can run ahead
+      // of what the extract actually shipped)
+      val bookmark = firstPass.agg(max(col("o_orderkey")))
+        .collect()(0).getLong(0)
+      // new rows arrive at the source while the migrator is away
+      sample.filter(col("o_orderkey") > splitKey)
+        .write.mode("append").jdbc(srcUrl, """"orders_inc"""", props)
+      // incremental pass: only key > bookmark, pushed into the source
+      val incrementalCounts = s.read.jdbc(srcUrl, """"orders_inc"""", props)
+        .filter(col("o_orderkey") > bookmark)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_incremental"))
+      initialCounts.join(incrementalCounts, Seq("o_orderstatus"), "full_outer")
+        .select(col("o_orderstatus"),
+          coalesce(col("n_initial"), lit(0L)).as("n_initial"),
+          coalesce(col("n_incremental"), lit(0L)).as("n_incremental"),
+          (coalesce(col("n_initial"), lit(0L)) +
+            coalesce(col("n_incremental"), lit(0L))).as("n_total"))
+        .orderBy(col("o_orderstatus"))
+        .localCheckpoint() // materialize before the database is dropped
+    } finally {
+      try java.sql.DriverManager.getConnection(
+        srcUrl.replace(";create=true", ";drop=true"))
+      catch { case _: java.sql.SQLException => () } // drop always "fails"
+    }
+  }
+
+  private val incrementalWatermarkSql =
+    """WITH sample AS (
+      |  SELECT o_orderkey, o_orderstatus FROM orders
+      |  WHERE o_orderkey % 10 = 0),
+      |k AS (SELECT max(o_orderkey) // 2 AS k FROM sample)
+      |SELECT o_orderstatus,
+      |  CAST(sum(CASE WHEN o_orderkey <= k THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_initial,
+      |  CAST(sum(CASE WHEN o_orderkey > k THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_incremental,
+      |  count(*) AS n_total
+      |FROM sample, k GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Source/sink format fidelity — the engine's non-parquet lake
     * formats, proven by round-trip: the documents table is WRITTEN to
     * ORC, CSV and JSON and READ back (explicit schema on read — no
@@ -648,6 +724,8 @@ object Migration {
       Some(partitionedLakeSql)),
     QueryDef("mig_pipeline", pipeline, Some(pipelineSql)),
     QueryDef("mig_pipeline_jdbc", pipelineJdbc, Some(pipelineJdbcSql)),
+    QueryDef("mig_incremental_watermark", incrementalWatermark,
+      Some(incrementalWatermarkSql)),
     QueryDef("mig_literal_render", literalRender, Some(literalRenderSql)),
     QueryDef("mig_typed_cast", typedCast, Some(typedCastSql)),
     QueryDef("mig_table_inventory", tableInventory, Some(tableInventorySql)),

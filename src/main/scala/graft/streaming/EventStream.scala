@@ -285,6 +285,35 @@ object EventStream {
       .orderBy(col("purchase_id"), col("click_id"))
   }
 
+  /** Stream-stream LEFT SEMI join: purchases that HAVE a following
+    * click within 10 minutes, emitted once regardless of how many
+    * clicks match — the streaming EXISTS. Completes the stream-stream
+    * join family (inner, left outer, semi); matched left rows emit
+    * immediately (no watermark wait — semantically each emits at its
+    * first match), while the right-side state stays watermark-bounded
+    * exactly as the inner variant.
+    */
+  def purchaseClickSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val ev = streamingEvents(ss, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("pu"),
+        col("ts").as("pts"))
+      .withWatermark("pts", "10 minutes")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+        col("ts").as("cts"))
+      .withWatermark("cts", "10 minutes")
+    val joined = purchases.join(clicks,
+      col("pu") === col("cu") &&
+        col("cts") >= col("pts") &&
+        col("cts") <= col("pts") + expr("INTERVAL 10 MINUTES"),
+      "left_semi")
+    runToCompletion(ss, joined.select(col("purchase_id"),
+        col("pu").as("user_id")), "evs_sssemi_sink", "append")
+      .orderBy(col("purchase_id"))
+  }
+
   /** Streaming deduplication: dropDuplicates on (user_id, event_type).
     * The fixture arrives as one micro-batch, so the emitted set equals
     * batch DISTINCT — which the oracle checks. NOTE: with the event

@@ -111,6 +111,21 @@ class JdbcEngineSpec extends AnyFunSuite {
     assert(df.count() == seeded("SUPPLIER"))
   }
 
+  test("incremental-watermark filter is PUSHED into the JDBC source") {
+    seeded
+    // the mig_incremental_watermark contract: the `key > bookmark`
+    // predicate must ship into the source engine, so the incremental
+    // pass scans O(new rows) server-side — a filter evaluated Spark-
+    // side after a full scan would silently cost O(table) per run
+    val scan = spark.read.jdbc(srcUrl, "NATION", new java.util.Properties)
+      .filter(col("N_NATIONKEY") > 12L)
+    val physical = scan.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters") &&
+      physical.replaceAll("\\s", "").contains("GreaterThan(N_NATIONKEY,12)"),
+      s"JDBC scan did not push the watermark predicate:\n${physical.take(600)}")
+    assert(scan.count() == 12) // nationkeys 13..24: pushdown changed no rows
+  }
+
   test("full migration over Derby source and target, with constraints") {
     seeded
     val writer = new JdbcTargetWriter(dstUrl, AnsiFlavor)
