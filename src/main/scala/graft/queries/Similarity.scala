@@ -886,6 +886,78 @@ object Similarity {
        |    GROUP BY 1) USING (query_id)
        |ORDER BY query_id""".stripMargin
 
+  /** Matryoshka prefix-dimension recall: exact top-$TopK under the
+    * full 64-dim cosine vs exact top-$TopK under only the FIRST 32
+    * dimensions — the quality/cost trade-off measure for
+    * Matryoshka-style embeddings, where a prefix of the vector is a
+    * usable lower-cost representation (half the FLOPs and half the
+    * memory bandwidth per comparison at 100 TB corpus scale; this
+    * query quantifies what that truncation costs in neighbor
+    * fidelity). Same brute-force machinery as sim_knn_brute with the
+    * arrays sliced at the source — the slice happens BEFORE the
+    * cross join, so the prefix pass genuinely moves half the bytes.
+    */
+  private def knnBruteDims(s: SparkSession, dir: String,
+      dims: Int): DataFrame = {
+    import graft.functions.{DoubleSortableBits, SortableBitsToDouble}
+    val e = Tables(s, dir, "embeddings")
+      .withColumn("v", slice(col("embedding"), 1, dims))
+      .withColumn("nrm", TextFns.norm(col("v")))
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val corpus = e.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("nv"),
+        col("nrm").as("nn"))
+    corpus.crossJoin(broadcast(queries))
+      .withColumn("cosv", TextFns.cosineFrom(
+        TextFns.dot(col("qv"), col("nv")), col("qn"), col("nn")))
+      .groupBy(col("query_id"))
+      .agg(graft.operators.TopKPairsAgg(
+        DoubleSortableBits(col("cosv")), col("neighbor_id"), TopK).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "p")))
+      .select(col("query_id"), col("p.tie").as("neighbor_id"))
+  }
+
+  private def matryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
+    val full = knnBrute(s, dir).select(col("query_id"), col("neighbor_id"))
+    val prefix = knnBruteDims(s, dir, 32)
+    val hits = full.join(prefix, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    full.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("recall_prefix",
+        round(col("n_hits").cast("double") / lit(TopK.toDouble), 6))
+      .orderBy(col("query_id"))
+  }
+
+  private val matryoshkaRecallSql =
+    s"""WITH full_nn AS ($knnBruteSql),
+       |prefix_scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    list_cosine_similarity(CAST(q.embedding[1:32] AS DOUBLE[]),
+       |                           CAST(c.embedding[1:32] AS DOUBLE[]))
+       |      AS cosv
+       |  FROM embeddings q JOIN embeddings c
+       |    ON q.vec_id < 20 AND c.vec_id >= 20),
+       |prefix_nn AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cosv DESC, neighbor_id) AS rnk
+       |    FROM prefix_scored)
+       |  WHERE rnk <= $TopK)
+       |SELECT query_id, coalesce(n_hits, 0) AS n_hits,
+       |  round(coalesce(n_hits, 0) / CAST($TopK AS DOUBLE), 6)
+       |    AS recall_prefix
+       |FROM (SELECT DISTINCT query_id FROM full_nn)
+       |  LEFT JOIN (
+       |    SELECT f.query_id, count(*) AS n_hits
+       |    FROM full_nn f JOIN prefix_nn p
+       |      ON f.query_id = p.query_id AND f.neighbor_id = p.neighbor_id
+       |    GROUP BY 1) USING (query_id)
+       |ORDER BY query_id""".stripMargin
+
   /** Gram matrix Gᵢⱼ = Σ_rows xᵢ·xⱼ of the embedding corpus (upper
     * triangle) — the d×d moment matrix behind PCA whitening, OPQ
     * rotation, and covariance-based drift monitors. Spark-first shape:
@@ -1151,6 +1223,8 @@ object Similarity {
     QueryDef("sim_covariance", covariance, Some(covarianceSql)),
     QueryDef("sim_gram_matrix", gramMatrix, Some(gramMatrixSql)),
     QueryDef("sim_recall_at_k", recallAtK, Some(recallAtKSql)),
+    QueryDef("sim_matryoshka_recall", matryoshkaRecall,
+      Some(matryoshkaRecallSql)),
     QueryDef("sim_mips_topk", mipsTopK, Some(mipsTopKSql)),
     QueryDef("sim_index_api", indexApi, Some(knnBruteSql)),
     QueryDef("sim_ivf_append", ivfAppend, Some(knnBruteSql)),
