@@ -1308,6 +1308,18 @@ object Events {
              |  ON p.user_id = c.user_id
              | AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 10 MINUTE
              |ORDER BY purchase_id, click_id""".stripMargin)),
+    QueryDef("evs_windowed_topk",
+      (s, d) => graft.streaming.EventStream.windowedTopK(s, d),
+      Some("""WITH counts AS (
+             |  SELECT date_trunc('hour', ts) AS hour, event_type,
+             |    count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |ranked AS (
+             |  SELECT *, row_number() OVER (PARTITION BY hour
+             |      ORDER BY n DESC, event_type) AS rnk
+             |  FROM counts)
+             |SELECT hour, rnk, event_type, n FROM ranked
+             |WHERE rnk <= 3 ORDER BY hour, rnk""".stripMargin)),
     QueryDef("evs_stream_semi_join",
       (s, d) => graft.streaming.EventStream.purchaseClickSemiJoin(s, d),
       Some("""SELECT p.event_id AS purchase_id, p.user_id

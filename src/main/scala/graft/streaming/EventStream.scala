@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -500,6 +500,46 @@ object EventStream {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
       .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** STACKED streaming aggregation + custom typed aggregate: per-hour
+    * event-type counts (stateful agg #1) feed the Catalyst-native
+    * bounded top-k aggregate (stateful agg #2, keyed on
+    * `window_time` re-windowing — the Spark 3.4+ multi-stateful-
+    * operator form, append mode). Proves the custom aggregate tier
+    * composes with streaming state: the same TopKPairsAgg that powers
+    * the batch ANN top-k runs INSIDE the second streaming aggregation,
+    * partial-merging its bounded buffer instead of sorting each
+    * window's full type distribution. Event types (ASCII, ≤ 8 chars)
+    * pack order-preserving into the aggregate's long tie slot;
+    * unpacking rejoins a broadcast batch-side dim after the sink.
+    * Real windows are flushed by the far-future sentinel; the
+    * sentinel's own window never finalizes and so never emits.
+    */
+  def windowedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    def packedType(c: Column): Column = (1 to 8).map(i =>
+      shiftleft(ascii(substring(c, i, 1)).cast("long"), 8 * (8 - i)))
+      .reduce(_ + _)
+    val counts = sentinelFlushedEvents(ss, dir, Seq("sentinel"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val top = counts
+      .select(col("w"), col("n"), packedType(col("event_type")).as("pt"))
+      .groupBy(window(window_time(col("w")), "1 hour").as("w2"))
+      .agg(graft.operators.TopKPairsAgg(col("n"), col("pt"), 3).as("top"))
+    val sunk = runToCompletion(ss, top, "evs_wtopk_sink", "append")
+    val dim = graft.Tables(ss, dir, "events")
+      .select(col("event_type")).distinct()
+      .select(col("event_type"), packedType(col("event_type")).as("pt"))
+    sunk.select(col("w2.start").as("hour"),
+        posexplode(col("top")).as(Seq("i", "p")))
+      .select(col("hour"), (col("i") + 1).as("rnk"),
+        col("p.value").as("n"), col("p.tie").as("pt"))
+      .join(broadcast(dim), "pt")
+      .select(col("hour"), col("rnk"), col("event_type"), col("n"))
+      .orderBy(col("hour"), col("rnk"))
   }
 
   /** Custom-state sessionization — the SAME session semantics as the

@@ -38,7 +38,8 @@ class EventStreamRocksSpec extends AnyFunSuite {
   test("stateful evs queries return identical results on RocksDB") {
     for (name <- Seq("evs_dedup_within_watermark", "evs_session_windows",
         "evs_stream_stream_join", "evs_user_running_counts",
-        "evs_sliding_counts", "evs_session_custom_state")) {
+        "evs_sliding_counts", "evs_session_custom_state",
+        "evs_stream_semi_join", "evs_windowed_topk")) {
       val heap = sortedRows(name)
       val rocks = withRocksDb { sortedRows(name) }
       assert(heap.nonEmpty, s"$name: empty fixture result")
