@@ -365,6 +365,38 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** INGEST-TIME quality filtering: the identical Gopher-style flags
+    * computed on a document STREAM — withQualityFlags is a stateless
+    * narrow projection, so it applies unchanged to `readStream` and
+    * runs per micro-batch as documents arrive, which is where a
+    * production pipeline wants the cheap rules (drop junk before it
+    * costs dedup/embedding work downstream). Shares cp_quality_filter's
+    * oracle verbatim: stream-vs-batch placement must not change one
+    * flag on one document.
+    */
+  private def qualityIngestStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val flagged = withQualityFlags(
+      ss.readStream.schema(docsSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("distinct_ratio"), col("n_stop"), col("r_word_count"),
+        col("r_mean_len"), col("r_stopwords"), col("r_diversity"),
+        col("keep"))
+    val name = "cp_qingest_sink"
+    ss.catalog.dropTempView(name)
+    val q = flagged.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    ss.table(name).orderBy(col("doc_id"))
+  }
+
   private val qualityFilterSql =
     """WITH d AS (
       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -998,6 +1030,8 @@ object Corpus {
       Some(curationPipelineSql)),
     QueryDef("cp_hash_split", hashSplit, Some(hashSplitSql)),
     QueryDef("cp_quality_filter", qualityFilter, Some(qualityFilterSql)),
+    QueryDef("cp_quality_ingest_stream", qualityIngestStream,
+      Some(qualityFilterSql)),
     QueryDef("cp_source_mix", sourceMix, Some(sourceMixSql)),
     QueryDef("cp_reservoir_sample", reservoirSample,
       Some(reservoirSampleSql)),
