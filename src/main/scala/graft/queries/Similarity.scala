@@ -87,7 +87,11 @@ object Similarity {
     * by design — the oracle runs the identical algorithm, so results
     * still hash-match.
     */
-  private def knnIvf(s: SparkSession, dir: String): DataFrame = {
+  private def knnIvf(s: SparkSession, dir: String): DataFrame =
+    knnIvfAt(s, dir, NumProbe)
+
+  private def knnIvfAt(s: SparkSession, dir: String,
+      nprobe: Int): DataFrame = {
     val e = Tables(s, dir, "embeddings")
     // centroid matrix on the driver (NumCentroids x dim floats,
     // promoted losslessly) — assignment and probing are each ONE
@@ -113,7 +117,7 @@ object Similarity {
     // k-element result)
     val probes = queries
       .select(col("query_id"), col("qv"), explode(
-        graft.functions.NearestCentroids(col("qv"), cm, NumProbe)).as("nc"))
+        graft.functions.NearestCentroids(col("qv"), cm, nprobe)).as("nc"))
       .select(col("query_id"), col("qv"), col("nc").getField("cid").as("cent_id"))
 
     val w = Window.partitionBy(col("query_id"))
@@ -126,7 +130,9 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  private val knnIvfSql =
+  private val knnIvfSql = knnIvfSqlAt(NumProbe)
+
+  private def knnIvfSqlAt(nprobe: Int): String =
     s"""WITH cents AS (
        |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cv
        |  FROM embeddings WHERE vec_id < $NumCentroids),
@@ -149,7 +155,7 @@ object Similarity {
        |      row_number() OVER (PARTITION BY query_id
        |        ORDER BY list_cosine_similarity(qv, cv) DESC, cent_id) AS prnk
        |    FROM queries, cents)
-       |  WHERE prnk <= $NumProbe),
+       |  WHERE prnk <= $nprobe),
        |scored AS (
        |  SELECT query_id, neighbor_id,
        |    list_cosine_similarity(qv, nv) AS cosv
@@ -160,6 +166,40 @@ object Similarity {
        |  FROM scored)
        |SELECT query_id, neighbor_id, rnk, cosv FROM ranked
        |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin
+
+  /** IVF recall-vs-nprobe sweep: total recall@$TopK against the
+    * brute-force ground truth at nprobe ∈ {1, 2, 4} — the
+    * operational curve behind the index's one tuning knob. At 100 TB
+    * this table is what decides the latency/recall trade per query
+    * class; computing it from the same assignment pass three times
+    * keeps the probe cost the only variable.
+    */
+  private def ivfNprobeSweep(s: SparkSession, dir: String): DataFrame = {
+    val brute = knnBrute(s, dir).select(col("query_id"), col("neighbor_id"))
+    val total = 20 * TopK
+    Seq(1, 2, 4).map { p =>
+      val ivf = knnIvfAt(s, dir, p)
+        .select(col("query_id"), col("neighbor_id"))
+      brute.join(ivf, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(p).as("nprobe"), col("n_hits"),
+          round(col("n_hits").cast("double") / lit(total.toDouble), 6)
+            .as("recall"))
+    }.reduce(_ unionAll _).orderBy(col("nprobe"))
+  }
+
+  private val ivfNprobeSweepSql = {
+    def level(p: Int): String =
+      s"""SELECT $p AS nprobe, count(*) AS n_hits,
+         |  round(count(*) / CAST(${20 * TopK} AS DOUBLE), 6) AS recall
+         |FROM brute b JOIN (${knnIvfSqlAt(p)
+          .replace("ORDER BY query_id, rnk", "")}) i
+         |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id"""
+        .stripMargin
+    s"""WITH brute AS ($knnBruteSql)
+       |${Seq(1, 2, 4).map(level).mkString("", "\nUNION ALL\n", "")}
+       |ORDER BY nprobe""".stripMargin
+  }
 
   /** Cosine range search: all corpus matches with cosine >= 0.4. */
   private def rangeSearch(s: SparkSession, dir: String): DataFrame = {
@@ -1225,6 +1265,8 @@ object Similarity {
     QueryDef("sim_recall_at_k", recallAtK, Some(recallAtKSql)),
     QueryDef("sim_matryoshka_recall", matryoshkaRecall,
       Some(matryoshkaRecallSql)),
+    QueryDef("sim_ivf_nprobe_sweep", ivfNprobeSweep,
+      Some(ivfNprobeSweepSql)),
     QueryDef("sim_mips_topk", mipsTopK, Some(mipsTopKSql)),
     QueryDef("sim_index_api", indexApi, Some(knnBruteSql)),
     QueryDef("sim_ivf_append", ivfAppend, Some(knnBruteSql)),
