@@ -672,6 +672,60 @@ object TextAnalysis {
       |FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w
       |GROUP BY 1, 2 ORDER BY n_docs DESC, w1, w2 LIMIT 25""".stripMargin
 
+  /** PMI-scored bigram associations — the phrase-mining signal data
+    * curation uses to find collocations worth preserving as units:
+    * PMI(w1,w2) = ln(P(w1,w2) / (P(w1)·P(w2))) over document-level
+    * co-occurrence, support-thresholded (≥ 5 docs) so rare
+    * coincidences don't dominate. Exactness: the PMI argument is one
+    * exact BIGINT ratio (n_pair·N / df1·df2) evaluated as a single
+    * double division, then ln — both engines' only transcendental —
+    * rounded to 9 decimals, which also makes the top-15 ORDER
+    * deterministic (ties break on the words). Scale shape: the pair
+    * aggregate partial-combines before its shuffle, dfs broadcast to
+    * the pair stream, top-15 via TakeOrdered — no global sort.
+    */
+  private def pmiBigrams(s: SparkSession, dir: String): DataFrame = {
+    val dw = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(TextFns.tokens(col("text")))).as("w"))
+    val nDocs = Tables(s, dir, "documents").count()
+    val pairs = dw.select(col("doc_id"), col("w").as("w1"))
+      .join(dw.select(col("doc_id"), col("w").as("w2")), Seq("doc_id"))
+      .filter(col("w1") < col("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= 5)
+    val dfs = dw.groupBy(col("w")).agg(count(lit(1)).as("dfc"))
+    pairs
+      .join(broadcast(dfs.select(col("w").as("w1"), col("dfc").as("df1"))),
+        Seq("w1"))
+      .join(broadcast(dfs.select(col("w").as("w2"), col("dfc").as("df2"))),
+        Seq("w2"))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        round(log((col("n_pair") * lit(nDocs)).cast("double") /
+          (col("df1") * col("df2")).cast("double")), 9).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(15)
+  }
+
+  private val pmiBigramsSql =
+    """WITH dw AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+      |  FROM documents),
+      |n AS (SELECT count(*) AS nd FROM documents),
+      |pairs AS (
+      |  SELECT a.w AS w1, b.w AS w2, count(*) AS n_pair
+      |  FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w
+      |  GROUP BY 1, 2 HAVING count(*) >= 5),
+      |dfs AS (SELECT w, count(*) AS dfc FROM dw GROUP BY 1)
+      |SELECT w1, w2, n_pair,
+      |  round(ln(CAST(n_pair * nd AS DOUBLE) /
+      |           CAST(d1.dfc * d2.dfc AS DOUBLE)), 9) AS pmi
+      |FROM pairs, n
+      |  JOIN dfs d1 ON w1 = d1.w
+      |  JOIN dfs d2 ON w2 = d2.w
+      |ORDER BY pmi DESC, w1, w2 LIMIT 15""".stripMargin
+
   /** Per-document unigram Shannon entropy — the information-density
     * quality signal (low entropy = repetitive/templated text).
     * Computed LINEARLY: one (doc, word) count aggregate, then each
@@ -1133,6 +1187,7 @@ object TextAnalysis {
     QueryDef("ta_token_entropy", tokenEntropy, Some(tokenEntropySql)),
     QueryDef("ta_tfidf", tfidf, Some(tfidfSql)),
     QueryDef("ta_cooccurrence", cooccurrence, Some(cooccurrenceSql)),
+    QueryDef("ta_pmi_bigrams", pmiBigrams, Some(pmiBigramsSql)),
     QueryDef("ta_vocab_hll", vocabHll, Some(vocabHllSql)),
     QueryDef("ta_token_stats", tokenStats, Some(tokenStatsSql)),
     QueryDef("ta_bpe_token_count", bpeTokenCount, Some(bpeTokenCountSql)),
