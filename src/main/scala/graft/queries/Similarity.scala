@@ -1000,32 +1000,34 @@ object Similarity {
 
   /** Gram matrix Gᵢⱼ = Σ_rows xᵢ·xⱼ of the embedding corpus (upper
     * triangle) — the d×d moment matrix behind PCA whitening, OPQ
-    * rotation, and covariance-based drift monitors. Spark-first shape:
-    * each row explodes to its d(d+1)/2 dimension pairs, which
-    * partial-aggregate map-side down to d² groups BEFORE the one
-    * shuffle — the shuffle carries O(partitions·d²) rows, never
-    * O(n·d²), so the plan survives any corpus size (d is the fixed
-    * model dimension; the d² explode per row is the same work any
-    * Gramian pass does).
+    * rotation, and covariance-based drift monitors. ONE
+    * `GramMomentsAgg` pass (operators/GramMomentsAgg.scala): each scan
+    * partition accumulates the full triangle in a constant ~68 KB
+    * 128-bit fixed-point buffer, partials merge by integer adds, and
+    * the single result row unpacks to the 2080 output cells. No
+    * per-row fan-out anywhere: the former shape exploded every row to
+    * d(d+1)/2 = 2080 (i, j) rows whose decimal cast went through
+    * Double.toString (~2.9 s of hidden single-task CPU at sf0.1 —
+    * "hidden" because a `.count()` over this query let Catalyst prune
+    * the unreferenced sum; the honest cost only surfaced in
+    * `sim_covariance`, whose sort key kept it alive). The one Generate
+    * left in the plan explodes the SINGLE aggregate row into 2080
+    * cells above the aggregate — output formatting, not row fan-out.
     *
-    * Exactness: float×float promoted to double is EXACT (24-bit
-    * mantissas fit), each product casts to decimal(38,18) identically
-    * on both engines, and the decimal sum is order-independent under
-    * any partitioning — no tolerance needed.
+    * Exactness: float×float promoted to double is EXACT, each product
+    * quantizes to scale 18 half-up from its exact binary value, and
+    * the 128-bit integer accumulation is order-independent under any
+    * partitioning or merge order (see GramMomentsAgg's scaladoc for
+    * the 1-ulp quantization note vs the Cast path — identical output
+    * after the final round at 9, verified cell-by-cell in r10).
     */
   private def gramMatrix(s: SparkSession, dir: String): DataFrame = {
     val d = 64
     Tables(s, dir, "embeddings")
-      .select(col("embedding").as("v"),
-        explode(sequence(lit(0), lit(d - 1))).as("i"))
-      .select(col("i"), col("v"),
-        explode(sequence(col("i"), lit(d - 1))).as("j"))
-      .select(col("i"), col("j"),
-        (element_at(col("v"), col("i") + 1).cast("double") *
-          element_at(col("v"), col("j") + 1).cast("double"))
-          .cast(DecimalType(38, 18)).as("p"))
-      .groupBy(col("i"), col("j"))
-      .agg(round(sum(col("p")).cast("double"), 9).as("gram"))
+      .agg(graft.operators.GramMomentsAgg(col("embedding"), d).as("m"))
+      .select(explode(col("m.gram")).as("g"))
+      .select(col("g.i").as("i"), col("g.j").as("j"),
+        round(col("g.v").cast("double"), 9).as("gram"))
       .orderBy(col("i"), col("j"))
   }
 
@@ -1045,47 +1047,41 @@ object Similarity {
     * Cᵢⱼ = E[xᵢxⱼ] − E[xᵢ]E[xⱼ] behind PCA whitening and drift
     * monitors; emitted as the top-20 off-diagonal entries by
     * magnitude (the correlated-dimension hotlist a whitening pass
-    * targets first). Same one-shuffle moment-pass shape as
-    * `sim_gram_matrix`: raw second moments and per-dimension sums
-    * partial-aggregate map-side to d² + d groups, the centering is
-    * O(d²) arithmetic AFTER aggregation — no second corpus pass, no
-    * d²-wide rows through the shuffle.
+    * targets first). The SAME single `GramMomentsAgg` pass as
+    * `sim_gram_matrix` now carries n, the per-dimension sums and the
+    * second moments in one buffer, so the centering is pure O(d²)
+    * arithmetic on the one result row — the former three extra
+    * broadcast subtrees (two re-aggregated sums scans plus a count
+    * scan) are gone with the explode.
     *
-    * Exactness: moments accumulate in order-independent DECIMAL; the
-    * centering arithmetic runs in double from identical decimal
-    * inputs on both engines (same ops, same order → same IEEE
-    * result), rounded at 9. Ties in |cov| order break by (i, j).
+    * r10 root cause of the "13× vs sibling" finding: this query's
+    * 3.5 s was the explode shape's REAL cost — 4.2 M
+    * double→decimal(38,18) casts, each a Double.toString, serialized
+    * into the scan's single input task — which the sibling dodged in
+    * the bench only because `.count()` pruned its unreferenced sum.
+    * One aggregate with integer fixed-point quantization removes the
+    * cost in both (bench: 3.5 s → ~0.3 s, and the sibling's number is
+    * now honest rather than pruned-away).
+    *
+    * Exactness: moments accumulate in order-independent 128-bit
+    * fixed point; the centering arithmetic runs in double from
+    * identical decimal inputs on both engines (same ops, same order →
+    * same IEEE result), rounded at 9. Ties in |cov| order break by
+    * (i, j).
     */
   private def covariance(s: SparkSession, dir: String): DataFrame = {
     val d = 64
-    val emb = Tables(s, dir, "embeddings")
-    val moments = emb
-      .select(col("embedding").as("v"),
-        explode(sequence(lit(0), lit(d - 1))).as("i"))
-      .select(col("i"), col("v"),
-        explode(sequence(col("i"), lit(d - 1))).as("j"))
-      .select(col("i"), col("j"),
-        (element_at(col("v"), col("i") + 1).cast("double") *
-          element_at(col("v"), col("j") + 1).cast("double"))
-          .cast(DecimalType(38, 18)).as("p"))
-      .groupBy(col("i"), col("j")).agg(sum(col("p")).as("sxy"))
-    val sums = emb
-      .select(explode(sequence(lit(0), lit(d - 1))).as("k"),
-        col("embedding").as("v"))
-      .select(col("k"), element_at(col("v"), col("k") + 1).cast("double")
-        .cast(DecimalType(38, 18)).as("x"))
-      .groupBy(col("k")).agg(sum(col("x")).as("sx"))
-    val n = emb.agg(count(lit(1)).as("n_rows"))
-    moments.filter(col("i") < col("j"))
-      .join(broadcast(sums.withColumnRenamed("k", "i")
-        .withColumnRenamed("sx", "si")), "i")
-      .join(broadcast(sums.withColumnRenamed("k", "j")
-        .withColumnRenamed("sx", "sj")), "j")
-      .crossJoin(broadcast(n))
-      .select(col("i"), col("j"),
-        round(col("sxy").cast("double") / col("n_rows") -
-          (col("si").cast("double") / col("n_rows")) *
-          (col("sj").cast("double") / col("n_rows")), 9).as("cov"))
+    Tables(s, dir, "embeddings")
+      .agg(graft.operators.GramMomentsAgg(col("embedding"), d).as("m"))
+      .select(col("m.n").as("n_rows"), col("m.sums").as("sums"),
+        explode(col("m.gram")).as("g"))
+      .filter(col("g.i") < col("g.j"))
+      .select(col("g.i").as("i"), col("g.j").as("j"),
+        round(col("g.v").cast("double") / col("n_rows") -
+          (element_at(col("sums"), col("g.i") + 1).cast("double") /
+            col("n_rows")) *
+          (element_at(col("sums"), col("g.j") + 1).cast("double") /
+            col("n_rows")), 9).as("cov"))
       .orderBy(abs(col("cov")).desc, col("i"), col("j"))
       .limit(20)
   }

@@ -721,9 +721,10 @@ object TextAnalysis {
       |SELECT w1, w2, n_pair,
       |  round(ln(CAST(n_pair * nd AS DOUBLE) /
       |           CAST(d1.dfc * d2.dfc AS DOUBLE)), 9) AS pmi
-      |FROM pairs, n
-      |  JOIN dfs d1 ON w1 = d1.w
-      |  JOIN dfs d2 ON w2 = d2.w
+      |FROM pairs
+      |  JOIN dfs d1 ON pairs.w1 = d1.w
+      |  JOIN dfs d2 ON pairs.w2 = d2.w
+      |  CROSS JOIN n
       |ORDER BY pmi DESC, w1, w2 LIMIT 15""".stripMargin
 
   /** Per-document unigram Shannon entropy — the information-density

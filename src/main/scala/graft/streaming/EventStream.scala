@@ -533,6 +533,22 @@ object EventStream {
     val dim = graft.Tables(ss, dir, "events")
       .select(col("event_type")).distinct()
       .select(col("event_type"), packedType(col("event_type")).as("pt"))
+      .localCheckpoint()
+    // the long pack is only injective for ASCII types ≤ 8 chars; a
+    // longer type sharing an 8-char prefix would collide in `pt` and
+    // silently fan out the join below, so fail the dim build loudly
+    // instead (the dim is bounded by type cardinality, not data size)
+    val dimRows = dim.collect()
+    val dup = dimRows.groupBy(_.getLong(1)).find(_._2.length > 1)
+    require(dup.isEmpty,
+      s"windowedTopK: event types collide in the 8-byte pack: " +
+        dup.get._2.map(_.getString(0)).mkString(", "))
+    dimRows.foreach { r =>
+      val t = r.getString(0)
+      require(t.length <= 8 && t.forall(c => c >= 0 && c < 128),
+        s"windowedTopK: event_type '$t' is not ASCII ≤ 8 chars; " +
+          "the long pack cannot represent it")
+    }
     sunk.select(col("w2.start").as("hour"),
         posexplode(col("top")).as(Seq("i", "p")))
       .select(col("hour"), (col("i") + 1).as("rnk"),
@@ -600,7 +616,16 @@ object EventStream {
               else if (t - cur.endUs > gapUs) {
                 closed += ((uid, cur.startUs, cur.endUs, cur.n))
                 cur = OpenSession(t, t, 1)
-              } else cur = OpenSession(cur.startUs, t, cur.n + 1)
+              } else {
+                // an arrival can land BEHIND the open session's range
+                // when it was late within the watermark but sorted into
+                // a later micro-batch; extend with min/max so the range
+                // only grows (a plain `endUs = t` would regress the end
+                // backwards and split sessions that session_window keeps
+                // merged)
+                cur = OpenSession(math.min(cur.startUs, t),
+                  math.max(cur.endUs, t), cur.n + 1)
+              }
               i += 1
             }
             state.update(cur)

@@ -221,6 +221,23 @@ class PlanSpec extends AnyFunSuite {
       s"unpartitioned window in: ${offenders.mkString(", ")}")
   }
 
+  test("gram/covariance moment pass is one aggregate — no per-row explode") {
+    for (q <- Seq("sim_gram_matrix", "sim_covariance")) {
+      val p = plan(q)
+      // the single Generate unpacks the ONE aggregate result row into
+      // 2080 cells; the corpus-side fan-out (explode below the
+      // aggregate, 2080× the scan row count) must stay dead
+      assert(p.contains("ObjectHashAggregate"), s"$q: ${p.take(600)}")
+      val aggIdx = p.indexOf("ObjectHashAggregate")
+      val genIdx = p.indexOf("Generate")
+      assert(genIdx >= 0 && genIdx < aggIdx,
+        s"$q: Generate must sit above the aggregate only\n${p.take(900)}")
+      assert(p.indexOf("Generate", aggIdx) < 0,
+        s"$q: explode below the moment aggregate reintroduces the " +
+          s"2080x fan-out\n${p.take(900)}")
+    }
+  }
+
   test("real WAV codec round-trip is a narrow per-partition map") {
     val p = plan("mm_decode_wav")
     assert(!p.contains("Join") && !p.contains("HashAggregate") &&
