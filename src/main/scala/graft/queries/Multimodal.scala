@@ -207,52 +207,130 @@ object Multimodal {
       |ORDER BY doc_id""".stripMargin
 
 
-  /** 60-bit average-hash perceptual fingerprint (the pHash family's
-    * aHash): sample the synthetic payload-byte raster on the fixed 8x8
-    * grid, set bit i iff pixel i is above the grid mean — compared
-    * multiplicatively (px*60 > sum) so the threshold stays in exact
-    * integer arithmetic — and pack into one sign-safe BIGINT (60 bits,
-    * like SimHash60). Per-document narrow map; mm_phash_pairs below
-    * rides the pairing on the same pigeonhole banding as
-    * dd_simhash_hamming.
+  /** DCT-II basis, row u = round(cos(π(2i+1)u/16) · 2²⁰) — INTEGER
+    * constants, embedded literally here AND in the SQL oracle so
+    * neither engine recomputes a transcendental (a 1-ulp cos() drift
+    * would silently flip threshold bits). With these, the whole hash
+    * is exact 64-bit integer arithmetic on both sides.
+    */
+  private val dctC: Array[Long] = Array(
+    1048576L, 1048576L, 1048576L, 1048576L, 1048576L, 1048576L, 1048576L, 1048576L,
+    1028428L, 871859L, 582558L, 204567L, -204567L, -582558L, -871859L, -1028428L,
+    968758L, 401273L, -401273L, -968758L, -968758L, -401273L, 401273L, 968758L,
+    871859L, -204567L, -1028428L, -582558L, 582558L, 1028428L, 204567L, -871859L,
+    741455L, -741455L, -741455L, 741455L, 741455L, -741455L, -741455L, 741455L,
+    582558L, -1028428L, 204567L, 871859L, -871859L, -204567L, 1028428L, -582558L,
+    401273L, -968758L, 968758L, -401273L, -401273L, 968758L, -968758L, 401273L,
+    204567L, -582558L, 871859L, -1028428L, 1028428L, -871859L, 582558L, -204567L)
+
+  /** JPEG zigzag positions 1..60 of the 8×8 coefficient grid — the 60
+    * lowest-frequency AC coefficients, in frequency order.
+    */
+  private val zigzag60: Array[Int] = Array(
+    1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5, 12, 19, 26,
+    33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28, 35, 42, 49, 56,
+    57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51, 58, 59, 52, 45,
+    38, 31, 39, 46, 53, 60, 61, 54, 47)
+
+  /** 60-bit DCT perceptual hash (true pHash) over the DECODED raster:
+    * each document rasterizes its payload to the same 16×16 gray-8
+    * image as `mm_decode_bmp`, round-trips it through the REAL BMP
+    * codec (javax.imageio encode + decode — since r10 the hash input
+    * is genuinely decoded pixels, not the pre-codec synthetic raster),
+    * box-filters the decoded luma to 8×8 block sums, applies an exact
+    * integer 8×8 2D DCT-II (constants above, scale 2²⁰; max
+    * magnitude 8·2²⁰·8·1020·2²⁰ < 2⁵⁶, no overflow), takes the 60
+    * zigzag-ordered AC coefficients, and sets bit i iff coefficient i
+    * exceeds the lower median (sorted[29]) — packed into one
+    * sign-safe 60-bit BIGINT like SimHash60. `mm_phash_pairs` rides
+    * the pairing on the same pigeonhole banding as dd_simhash_hamming.
+    *
+    * The SQL oracle reproduces the decode arithmetically (BMP gray-8
+    * is lossless, pinned by mm_decode_bmp's max_err = 0) and then the
+    * identical integer DCT/median/packing — every intermediate is an
+    * exact BIGINT on both engines, so the gate needs no tolerance.
     *
     * Computed in the mapPartitions batch shape (like the codec
     * stages), NOT as nested higher-order Column functions: the
-    * two-pass mean-then-threshold structure needs the grid total
-    * inside the per-bit lambda, and Catalyst's project collapsing
-    * inlines that total as a fresh aggregate() per element — an
-    * O(grid²) interpreted blow-up per document that measured 280 s
-    * at sf0.1 for the pairing query below (the HOF form) vs ~4 s for
-    * this one. Payload bytes equal ascii(char) here (the fixture text
-    * is ASCII), which is what keeps the SQL oracle expressible.
+    * median-then-threshold structure needs the coefficient list inside
+    * the per-bit lambda, and Catalyst's project collapsing would
+    * inline it as a fresh aggregate() per element — the O(grid²)
+    * interpreted blow-up that measured 280 s at sf0.1 in the r8 HOF
+    * form. 100 TB shape: narrow CPU-bound per-partition map, no
+    * shuffle; split size is the only knob.
     */
   private def phashDf(s: SparkSession, dir: String): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.product[PhashRow]
+    val side = 16
     Tables(s, dir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("blob"))
       .mapPartitions { it: Iterator[Row] =>
+        imageIoMemoryCache()
         it.map { r =>
           val id = r.getLong(0)
           val blob = r.getAs[Array[Byte]](1)
           requirePayload(id, blob)
-          def b(i: Int): Int = if (i < blob.length) blob(i) & 0xff else 0
-          val w = 64 + b(0) % 64
-          val h = 64 + b(1) % 64
-          val len = blob.length
-          val ps = new Array[Int](60)
-          var total = 0L
+          // rasterize payload → REAL BMP encode → REAL decode
+          val img = new java.awt.image.BufferedImage(
+            side, side, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
           var i = 0
-          while (i < 60) {
-            val sy = (i / 8) * h / 8
-            val sx = (i % 8) * w / 8
-            ps(i) = blob((sy * w + sx) % len) & 0xff
-            total += ps(i)
+          while (i < side * side) {
+            img.getRaster.setSample(i % side, i / side, 0,
+              blob(i % blob.length) & 0xff)
             i += 1
           }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "bmp", bos)
+          val back = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          val ras = back.getRaster
+          // decoded 16×16 luma → 8×8 block sums (2×2 boxes, exact)
+          val m = new Array[Long](64)
+          var b = 0
+          while (b < 64) {
+            val by = (b / 8) * 2
+            val bx = (b % 8) * 2
+            m(b) = ras.getSample(bx, by, 0).toLong +
+              ras.getSample(bx + 1, by, 0) +
+              ras.getSample(bx, by + 1, 0) +
+              ras.getSample(bx + 1, by + 1, 0)
+            b += 1
+          }
+          // separable integer DCT: T = M·Cᵀ then D = C·T, all exact
+          val t = new Array[Long](64)
+          var row = 0
+          while (row < 8) {
+            var v = 0
+            while (v < 8) {
+              var acc = 0L
+              var j = 0
+              while (j < 8) { acc += m(row * 8 + j) * dctC(v * 8 + j); j += 1 }
+              t(row * 8 + v) = acc
+              v += 1
+            }
+            row += 1
+          }
+          val dmat = new Array[Long](64)
+          var u = 0
+          while (u < 8) {
+            var v = 0
+            while (v < 8) {
+              var acc = 0L
+              var k = 0
+              while (k < 8) { acc += dctC(u * 8 + k) * t(k * 8 + v); k += 1 }
+              dmat(u * 8 + v) = acc
+              v += 1
+            }
+            u += 1
+          }
+          val f = zigzag60.map(dmat)
+          val sorted = f.clone()
+          java.util.Arrays.sort(sorted)
+          val thr = sorted(29) // lower median of the 60 AC coefficients
           var phash = 0L
           i = 0
           while (i < 60) {
-            if (ps(i).toLong * 60 > total) phash |= 1L << (59 - i)
+            if (f(i) > thr) phash |= 1L << (59 - i)
             i += 1
           }
           PhashRow(id, phash)
@@ -276,13 +354,13 @@ object Multimodal {
     * clusters tightly and runs the 4x15 / distance-3 setting of
     * dd_simhash_hamming, same plan shape either way.
     *
-    * NOTE: the fingerprinted "image" is the synthetic payload-byte
-    * raster (the fixtures ship no real blobs), so cross-document
-    * distances measure payload-byte similarity, not visual similarity.
-    * What this query pins is the part that carries to a real corpus —
-    * fingerprint packing, banding, candidate join and Hamming verify —
-    * which is content-independent; feed decoded rasters from any of
-    * the real codec stages and the pairing path is unchanged.
+    * Since r10 the fingerprints come from genuinely DECODED rasters
+    * (the real BMP codec round-trip inside phashDf), so the full
+    * production path — decode, downscale, DCT, band, join, verify —
+    * is exercised end to end. The rasters themselves are derived from
+    * payload bytes (the fixtures ship no real image blobs), so
+    * cross-document distances measure payload similarity; on a real
+    * image corpus only the rasterization step changes.
     */
   private def phashPairs(s: SparkSession, dir: String): DataFrame = {
     val ph = phashDf(s, dir)
@@ -307,27 +385,44 @@ object Multimodal {
   // fingerprint-derivation CTEs shared verbatim by phashSql and
   // phashPairsSql — one definition so the two oracles can never
   // disagree about what a fingerprint is
-  private val phashCtes =
-    """WITH base AS (
-      |  SELECT doc_id, text,
-      |    64 + (ascii(substring(text, 1, 1)) % 64) AS w,
-      |    64 + (ascii(substring(text, 2, 1)) % 64) AS h,
-      |    length(text) AS len
-      |  FROM documents),
-      |px AS (
-      |  SELECT doc_id,
-      |    list_transform(range(0, 60), i ->
-      |      ascii(substring(text,
-      |        ((((i // 8) * h) // 8) * w + ((i % 8) * w) // 8) % len + 1,
-      |        1))) AS ps
-      |  FROM base),
-      |ph AS (
-      |  SELECT doc_id,
-      |    CAST(list_aggregate(list_transform(range(1, 61), i ->
-      |      CASE WHEN ps[i] * 60 > list_aggregate(ps, 'sum')
-      |        THEN CAST(power(2, 60 - i) AS BIGINT) ELSE 0 END), 'sum')
-      |      AS BIGINT) AS phash
-      |  FROM px)""".stripMargin
+  // predicts the DECODED raster arithmetically (BMP gray-8 is
+  // lossless), then reruns the identical integer DCT / lower-median /
+  // bit-packing — every intermediate an exact BIGINT
+  private val phashCtes = {
+    val cList = dctC.mkString("[", ", ", "]")
+    val zzList = zigzag60.mkString("[", ", ", "]")
+    s"""WITH cst AS (SELECT $cList AS c, $zzList AS zz),
+       |base AS (SELECT doc_id, text, length(text) AS len FROM documents),
+       |px AS (
+       |  SELECT doc_id, list_transform(range(0, 256), i ->
+       |    CAST(ascii(substring(text, CAST(i % len AS INT) + 1, 1)) AS BIGINT))
+       |    AS p
+       |  FROM base),
+       |blk AS (
+       |  SELECT doc_id, list_transform(range(0, 64), b ->
+       |      p[CAST((b // 8) * 32 + (b % 8) * 2 AS INT) + 1]
+       |    + p[CAST((b // 8) * 32 + (b % 8) * 2 + 1 AS INT) + 1]
+       |    + p[CAST((b // 8) * 32 + 16 + (b % 8) * 2 AS INT) + 1]
+       |    + p[CAST((b // 8) * 32 + 16 + (b % 8) * 2 + 1 AS INT) + 1]) AS m
+       |  FROM px),
+       |dct AS (
+       |  SELECT doc_id, list_transform(range(0, 64), uv ->
+       |    list_aggregate(list_transform(range(0, 64), ij ->
+       |      c[CAST((uv // 8) * 8 + (ij // 8) AS INT) + 1]
+       |      * m[CAST(ij AS INT) + 1]
+       |      * c[CAST((uv % 8) * 8 + (ij % 8) AS INT) + 1]), 'sum')) AS dm
+       |  FROM blk, cst),
+       |fz AS (
+       |  SELECT doc_id, list_transform(zz, z -> dm[CAST(z AS INT) + 1]) AS f
+       |  FROM dct, cst),
+       |ph AS (
+       |  SELECT doc_id,
+       |    CAST(list_aggregate(list_transform(range(0, 60), i ->
+       |      CASE WHEN f[CAST(i AS INT) + 1] > list_sort(f)[30]
+       |        THEN CAST(power(2, 59 - i) AS BIGINT) ELSE 0 END), 'sum')
+       |      AS BIGINT) AS phash
+       |  FROM fz)""".stripMargin
+  }
 
   // oracle re-derives the fingerprints (shared CTEs), then verifies
   // the pairing brute-force — pinning that the banded join loses no
