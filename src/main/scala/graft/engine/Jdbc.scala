@@ -51,7 +51,9 @@ case object AnsiFlavor extends SqlFlavor {
 
   // quote lookarounds keep the rules off double-quoted identifiers: a
   // column legitimately named "text" or "datetime" is left alone
-  private val typeRules: Seq[(String, String)] = Seq(
+  // (shared with the MySQL-mode engine shim, which applies them to
+  // literal-masked text where the same invariant holds)
+  private[engine] val typeRules: Seq[(String, String)] = Seq(
     "longtext" -> "CLOB",
     "text" -> "CLOB",
     "longblob" -> "BLOB",

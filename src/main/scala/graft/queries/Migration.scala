@@ -247,6 +247,69 @@ object Migration {
       s"SELECT '$t' AS table_name, TRUE AS created, count(*) AS rows_migrated FROM $t")
       .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
 
+  /** The SAME live pipeline as `mig_pipeline_jdbc`, but with the
+    * PRODUCTION flavor: `MySqlFlavor` (pass-through — raw MySQL DDL,
+    * backtick identifiers, backslash-escaped literals,
+    * `SET FOREIGN_KEY_CHECKS`, `SELECT @@max_allowed_packet`) against
+    * a MySQL-dialect engine (engine/MySqlModeEngine.scala — a strict
+    * validating MySQL front end over embedded Derby, the sandbox's
+    * stand-in for H2 MODE=MySQL). This closes the r9 gap where the
+    * production wire path (reference: insert/inserter.rs:88-119) was
+    * only ever string-tested: here every rendered MySQL statement is
+    * parsed, validated and executed over a live JDBC connection, the
+    * FK toggle and packet probe fire for real (the query REQUIRES
+    * them to have fired — a silent fallback to defaults fails the
+    * gate), and the verification counts are read back through the
+    * same MySQL-dialect connection.
+    */
+  private def pipelineMySqlMode(s: SparkSession, dir: String): DataFrame = {
+    import graft.engine._
+    import graft.mapping.TypeRegistry
+    val nonce = java.util.UUID.randomUUID.toString.replace("-", "")
+    val srcUrl = s"jdbc:derby:memory:migmysrc_$nonce;create=true"
+    val dstRest = s"memory:migmydst_$nonce;create=true"
+    val dstUrl = MySqlModeEngine.url(dstRest)
+    val tables = Seq("region", "nation", "supplier")
+    val props = new java.util.Properties
+    tables.foreach(t => Tables(s, dir, t).write.jdbc(srcUrl, s""""$t"""", props))
+
+    MySqlModeEngine.resetCounters()
+    val migrator = new Migrator(s, new JdbcSchemaSource(srcUrl),
+      new JdbcTargetWriter(dstUrl, MySqlFlavor), TypeRegistry.withDefaults(),
+      MigrationOptions(maxConcurrentTasks = 3))
+    val verified =
+      try {
+        val results = migrator.run()
+        // the gate's point: the MySQL wire path must actually fire
+        require(MySqlModeEngine.packetProbes.get() >= 1,
+          "mysql-mode gate: no @@max_allowed_packet probe reached the engine")
+        require(MySqlModeEngine.fkOff.get() >= 1 &&
+          MySqlModeEngine.fkOn.get() >= 1,
+          "mysql-mode gate: no FOREIGN_KEY_CHECKS toggle reached the engine")
+        // verify counts against the target THROUGH the MySQL dialect
+        results.map { r =>
+          val c = java.sql.DriverManager.getConnection(dstUrl)
+          try {
+            val st = c.createStatement()
+            try {
+              val rs = st.executeQuery(
+                s"SELECT COUNT(*) FROM `${r.tableName}`")
+              try { rs.next(); (r.tableName, r.created, rs.getLong(1)) }
+              finally rs.close()
+            } finally st.close()
+          } finally c.close()
+        }
+      } finally {
+        for (u <- Seq(srcUrl, s"jdbc:derby:$dstRest"))
+          try java.sql.DriverManager.getConnection(
+            u.replace(";create=true", ";drop=true"))
+          catch { case _: java.sql.SQLException => () } // drop always "fails"
+      }
+    import s.implicits._
+    verified.toDF("table_name", "created", "rows_migrated")
+      .orderBy(col("table_name"))
+  }
+
   /** INCREMENTAL migration by high-watermark bookmark — the follow-up
     * extraction every one-shot migrator grows into: after the initial
     * full load, only rows whose monotonically increasing key exceeds
@@ -724,6 +787,7 @@ object Migration {
       Some(partitionedLakeSql)),
     QueryDef("mig_pipeline", pipeline, Some(pipelineSql)),
     QueryDef("mig_pipeline_jdbc", pipelineJdbc, Some(pipelineJdbcSql)),
+    QueryDef("mig_pipeline_mysqlmode", pipelineMySqlMode, Some(pipelineJdbcSql)),
     QueryDef("mig_incremental_watermark", incrementalWatermark,
       Some(incrementalWatermarkSql)),
     QueryDef("mig_literal_render", literalRender, Some(literalRenderSql)),
