@@ -11,6 +11,8 @@ import org.apache.spark.sql.SparkSession
   * index, as any index would.
   */
 final class SessionCache[A] {
+  SessionCache.register(this)
+
   private val bySession = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, A]]())
@@ -26,5 +28,35 @@ final class SessionCache[A] {
       }
     }
     perKey.getOrElseUpdate(key, mk)
+  }
+
+  private def drop(s: SparkSession): Unit =
+    bySession.synchronized { bySession.remove(s); () }
+}
+
+object SessionCache {
+  // every module-level SessionCache, so a measurement harness can
+  // reset them all; the instances are static vals, so a strong list
+  // is their lifetime anyway
+  private val instances =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[SessionCache[_]]())
+
+  private def register(c: SessionCache[_]): Unit = { instances.add(c); () }
+
+  /** Forget every memo held for `s` AND unpersist all cached blocks.
+    * Needed together: `clearCache()` alone leaves the memoized
+    * DataFrames registered but permanently uncached (the `.cache()`
+    * call happened at construction), so every later consumer would
+    * silently recompute its index per use. After this, the next
+    * consumer rebuilds and re-caches — a fresh session, effectively.
+    * Used by [[ScaleCurve]] between scale points so one JVM's heap
+    * doesn't accumulate four corpora of pinned index blocks.
+    */
+  def invalidate(s: SparkSession): Unit = {
+    instances.synchronized {
+      instances.forEach(_.drop(s))
+    }
+    s.catalog.clearCache()
   }
 }

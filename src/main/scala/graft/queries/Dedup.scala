@@ -320,14 +320,36 @@ object Dedup {
     * kept because production near-dup thresholds (>= 0.85) sit far
     * from the background and bucket pruning then bites; the threshold,
     * not the plan, decides the candidate volume.
+    *
+    * INDEX GEOMETRY SCALES WITH THE CORPUS. The round-10 scale curve
+    * (SCALING.md) caught the fixture geometry (nlist=16, nprobe=8 —
+    * every vector in half of all buckets) going quadratic at 10×
+    * sf0.1: 2.2 s → 104 s, slope 1.17. Candidates scale as
+    * n²·nprobe²/nlist, so a fixed nlist IS n². Above fixture scale
+    * (n > 2000) nlist follows the occupancy rule
+    * nlist = n·nprobe/B (B = 256 vectors per bucket), which makes
+    * candidate volume n·nprobe·B/2 — linear in n, the production IVF
+    * sizing (nlist ∝ n, occupancy constant). At fixture scale
+    * (n ≤ 2000, both oracle-gated SFs) the geometry is unchanged
+    * bit-for-bit: there the threshold sits in the background noise and
+    * only the full-recall configuration reproduces the exact oracle.
+    * Near-threshold recall at scaled geometry is IVF's usual
+    * probabilistic trade; true near-dup mass (cos ≥ 0.9) lands in
+    * shared top buckets and survives. Measured post-fix at sf1*:
+    * 104 s → ~7 s for 10× sf0.1's data (SCALING.md).
     */
   private def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
-    val nCentroids = 16
     val nProbe = 8
     val e = Tables(s, dir, "embeddings")
       .withColumn("nrm", TextFns.norm(col("embedding")))
-    val cm: Seq[Seq[Double]] = e.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id"), col("embedding")).collect()
+    val nVecs = e.count()
+    val nCentroids = if (nVecs <= 2000) 16
+      else (nVecs * nProbe / 256).min(4096).toInt
+    // first-nCentroids-by-id convention (vec_ids need not be dense —
+    // the derived sf1* fixture offsets replica ids by 10M)
+    val cm: Seq[Seq[Double]] = e
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(nCentroids).collect()
       .sortBy(_.getLong(0))
       .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
 
