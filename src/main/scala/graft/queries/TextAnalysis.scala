@@ -620,8 +620,12 @@ object TextAnalysis {
     val docLen = words.groupBy(col("doc_id")).agg(count(lit(1)).as("doc_len"))
     val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val total = docs.agg(count(lit(1)).as("n_docs"))
+    // no broadcast hint on df: it is VOCABULARY-sized (unbounded at
+    // 100 TB — a forced broadcast OOMs there). AQE picks the build
+    // side from runtime sizes: at fixture scale it still broadcasts,
+    // at corpus scale the word-keyed shuffle join is the right plan.
     tf.join(docLen, "doc_id")
-      .join(broadcast(df), "word")
+      .join(df, "word")
       .crossJoin(broadcast(total))
       .filter(col("doc_id") < 100)
       .select(col("doc_id"), col("word"), col("tf_count"), col("df"),
@@ -696,11 +700,15 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= 5)
     val dfs = dw.groupBy(col("w")).agg(count(lit(1)).as("dfc"))
+    // no broadcast hint on dfs: it is VOCABULARY-sized (the round-10
+    // sf1* point already shows it growing Heaps-law-shaped; at 100 TB
+    // a forced broadcast OOMs). Post-HAVING `pairs` is the small side
+    // here — AQE broadcasts IT at runtime, which beats the old hint
+    // even at fixture scale, and degrades to a word-keyed shuffle
+    // join when both sides are corpus-sized.
     pairs
-      .join(broadcast(dfs.select(col("w").as("w1"), col("dfc").as("df1"))),
-        Seq("w1"))
-      .join(broadcast(dfs.select(col("w").as("w2"), col("dfc").as("df2"))),
-        Seq("w2"))
+      .join(dfs.select(col("w").as("w1"), col("dfc").as("df1")), Seq("w1"))
+      .join(dfs.select(col("w").as("w2"), col("dfc").as("df2")), Seq("w2"))
       .select(col("w1"), col("w2"), col("n_pair"),
         round(log((col("n_pair") * lit(nDocs)).cast("double") /
           (col("df1") * col("df2")).cast("double")), 9).as("pmi"))
