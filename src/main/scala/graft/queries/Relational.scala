@@ -62,13 +62,16 @@ object Relational {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
-  /** Fact-to-dim join + top-k by revenue. `part` is a dimension →
-    * broadcast: at 100 TB the lineitem side never moves.
+  /** Fact-to-dim join + top-k by revenue. `part` is dimension-SHAPED
+    * but SF-scaling (TPC-H grows it linearly), so no forced broadcast
+    * hint — AQE broadcasts it at runtime while it fits (it does at
+    * every fixture SF, so lineitem never moves here) and falls back to
+    * a key-partitioned join when a 100 TB part side wouldn't fit.
     */
   private def q02(s: SparkSession, dir: String): DataFrame = {
     val li = Tables(s, dir, "lineitem")
     val part = Tables(s, dir, "part")
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(
         dbl(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
@@ -87,15 +90,18 @@ object Relational {
       |ORDER BY revenue DESC, p_brand
       |LIMIT 10""".stripMargin
 
-  /** 4-way star join rolled up to region. Dims broadcast; orders (the
-    * fact side) stays in place.
+  /** 4-way star join rolled up to region. nation/region are truly
+    * bounded (25/5 rows) → hinted broadcast; customer SCALES with SF
+    * in TPC-H, so its join is left to AQE (broadcast while it fits,
+    * custkey-partitioned join beyond — orders, the fact side, stays in
+    * place either way at fixture SFs).
     */
   private def q03(s: SparkSession, dir: String): DataFrame = {
     val o = Tables(s, dir, "orders")
     val c = Tables(s, dir, "customer")
     val n = Tables(s, dir, "nation")
     val r = Tables(s, dir, "region")
-    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    o.join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))
