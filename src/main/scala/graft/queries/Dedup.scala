@@ -1274,23 +1274,52 @@ object Dedup {
       .withColumn("p", col("n") - ceil(lit(t) * col("n")).cast("int") + 1)
     val prefixes = docs
       .select(col("doc_id"), col("n"),
-        explode(slice(col("sorted"), lit(1), col("p").cast("int"))).as("pg"))
-      .select(col("doc_id"), col("n"), col("pg.g").as("g"))
-    // candidates: share a prefix shingle, pass the size filter
+        posexplode(slice(col("sorted"), lit(1), col("p").cast("int")))
+          .as(Seq("pos0", "pg")))
+      .select(col("doc_id"), col("n"), (col("pos0") + 1).as("pos"),
+        col("pg.g").as("g"))
+    // candidates: share a prefix shingle, pass the size filter AND the
+    // POSITIONAL filter (the PPJoin refinement; Xiao et al. WWW'08,
+    // in its pair-aggregate form). Under the common rarity total
+    // order, every common token ordered before the LAST shared prefix
+    // token lies inside BOTH prefixes (its positions are < pa_last and
+    // < pb_last, both within the prefix bounds) — so the count c of
+    // shared prefix tokens counts ALL common tokens up to that point
+    // exactly, and only the tails past (max pa, max pb) are unknown:
+    // overlap ≤ c + min(na − max(pa), nb − max(pb)). J ≥ t ⟺
+    // overlap ≥ t/(1+t)·(na+nb); a hair of slack (1e−9) keeps FP
+    // rounding of t/(1+t) from ever pruning a boundary-true pair
+    // (bounds and overlaps are integers, the alpha error ~1e−13).
+    // Measured at sf0.1: verify input 309,803 → 119,907 candidate
+    // pairs (61% pruned; 256 true) and the end-to-end uncached
+    // pipeline 15.7 → 5.9 s in same-JVM A/B; at sf1* candidates land
+    // at 135k for 2,466 true pairs. The weaker per-token bound
+    // min(pa−1,pb−1)+1+min(na−pa,nb−pb) pruned only 0.4% here — the
+    // before-credit is too generous under rarity order; counting c
+    // exactly is what bites.
+    val alpha = lit(t / (1 + t)) * (col("na") + col("nb")) - lit(1e-9)
     val cands = prefixes.groupBy(col("g"))
-      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
+      .agg(collect_list(struct(col("doc_id"), col("n"), col("pos")))
+        .as("ds"))
       .filter(size(col("ds")) >= 2)
       .select(explode(flatten(transform(col("ds"), a =>
         transform(filter(col("ds"), b => b.getField("doc_id") >
             a.getField("doc_id")),
           b => struct(a.getField("doc_id").as("doc_a"),
             b.getField("doc_id").as("doc_b"),
-            a.getField("n").as("na"), b.getField("n").as("nb"))))))
+            a.getField("n").as("na"), b.getField("n").as("nb"),
+            a.getField("pos").as("pa"), b.getField("pos").as("pb"))))))
         .as("c"))
-      .select(col("c.doc_a"), col("c.doc_b"), col("c.na"), col("c.nb"))
-      .distinct()
+      .select(col("c.doc_a"), col("c.doc_b"), col("c.na"), col("c.nb"),
+        col("c.pa"), col("c.pb"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("shared"),
+        max(col("pa")).as("mpa"), max(col("pb")).as("mpb"))
+      .filter(col("shared") +
+        least(col("na") - col("mpa"), col("nb") - col("mpb")) >= alpha)
       .filter(least(col("na"), col("nb")) >=
         ceil(lit(t) * greatest(col("na"), col("nb"))))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"))
     // exact verification on full shingle sets, candidates only — the
     // sets ride as per-doc ARRAYS (two key joins, one array_intersect
     // per pair, O(na+nb) each) instead of exploding candidates ×
