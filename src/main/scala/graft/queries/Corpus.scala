@@ -1013,7 +1013,59 @@ object Corpus {
       |  CAST(sum(n_words) AS BIGINT) AS phase_tokens
       |FROM phased GROUP BY phase ORDER BY phase""".stripMargin
 
+  /** Temperature-scaled source mixing (the mT5/UL2 recipe): sampling
+    * share p_i ∝ n_i^α with α = 0.7 flattens the source distribution —
+    * small high-value sources get oversampled, the giant crawl gets
+    * capped — and `eff_epochs` reports how many passes over each
+    * source a token budget of 2× the corpus implies (the number that
+    * tells you when a small source starts memorizing).
+    *
+    * Exactness: the only transcendental is pow(n, 0.7); its result is
+    * immediately pinned to fixed-point (round ×10^6 → BIGINT), so the
+    * cross-source total is an ORDER-FREE integer sum and every derived
+    * ratio divides exact integers — no double-accumulation drift for
+    * any source count. The per-source roll-up shuffles one row per
+    * source; the totals row is a broadcast scalar.
+    */
+  private def temperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val alpha = 0.7
+    val base = Tables(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .withColumn("pw_fp",
+        round(pow(col("n_chars").cast("double"), alpha) * 1e6)
+          .cast("long"))
+    val totals = base.agg(sum(col("n_chars")).as("tot"),
+      sum(col("pw_fp")).as("tot_pw"))
+    base.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("n_chars"),
+        round(col("n_chars").cast("double") / col("tot"), 9)
+          .as("raw_share"),
+        round(col("pw_fp").cast("double") / col("tot_pw"), 9)
+          .as("temp_share"),
+        round(col("pw_fp").cast("double") / col("tot_pw") *
+          2.0 * col("tot") / col("n_chars"), 9).as("eff_epochs"))
+      .orderBy(col("source"))
+  }
+
+  private val temperatureMixSql =
+    """WITH b AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      |    CAST(round(pow(CAST(sum(n_chars) AS DOUBLE), 0.7) * 1e6)
+      |      AS BIGINT) AS pw_fp
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS tot,
+      |  CAST(sum(pw_fp) AS BIGINT) AS tot_pw FROM b)
+      |SELECT source, n_docs, n_chars,
+      |  round(CAST(n_chars AS DOUBLE) / tot, 9) AS raw_share,
+      |  round(CAST(pw_fp AS DOUBLE) / tot_pw, 9) AS temp_share,
+      |  round(CAST(pw_fp AS DOUBLE) / tot_pw * 2.0 * tot / n_chars, 9)
+      |    AS eff_epochs
+      |FROM b CROSS JOIN t ORDER BY source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("cp_temperature_mix", temperatureMix, Some(temperatureMixSql)),
     QueryDef("cp_curriculum", curriculum, Some(curriculumSql)),
     QueryDef("cp_filter_ablation", filterAblation, Some(filterAblationSql)),
     QueryDef("cp_token_mix", tokenMix, Some(tokenMixSql)),

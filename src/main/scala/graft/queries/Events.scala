@@ -1308,6 +1308,15 @@ object Events {
              |  ON p.user_id = c.user_id
              | AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 10 MINUTE
              |ORDER BY purchase_id, click_id""".stripMargin)),
+    QueryDef("evs_stream_full_join",
+      (s, d) => graft.streaming.EventStream.purchaseClickFullJoin(s, d),
+      Some("""SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+             |  COALESCE(p.user_id, c.user_id) AS user_id
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |  FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             |  ON p.user_id = c.user_id
+             | AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 10 MINUTE
+             |ORDER BY purchase_id, click_id""".stripMargin)),
     QueryDef("evs_windowed_topk",
       (s, d) => graft.streaming.EventStream.windowedTopK(s, d),
       Some("""WITH counts AS (

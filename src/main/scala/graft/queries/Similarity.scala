@@ -1187,6 +1187,102 @@ object Similarity {
     * in probed buckets. More planes / wider multi-probe trade recall
     * vs candidates exactly like nlist/nprobe in IVF.
     */
+  /** Two-stage retrieval: a cheap int8 first pass over the whole
+    * corpus keeps the top-20 candidates per query, then ONLY those
+    * 20 are re-scored with exact float cosine for the final top-5 —
+    * the production shape for memory-bound ANN (the int8 codes are 4×
+    * smaller than float32, so the scan stage streams a quarter of the
+    * bytes, and the expensive exact math touches R·|queries| vectors
+    * regardless of corpus size). `approx_rnk` rides along so the
+    * output exposes how much the coarse pass re-ordered.
+    *
+    * Exactness: per-vector symmetric quantization is the
+    * sim_quantize_int8 contract (scale = max|x|/127, floor(x/s + .5) —
+    * exact doubles on both engines); the int8 dot is a sum of exact
+    * small integers (≤ 64·127² < 2^20, order-free in doubles), and
+    * `ascore = dot · qs · cs` is two left-associated IEEE multiplies
+    * on both engines. The exact stage reuses knnBrute's bit-matching
+    * cosine. First-pass candidates ride the bounded TopKPairsAgg, so
+    * the shuffle carries ≤ R candidates per (query, partition).
+    */
+  private def rerankInt8(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{DoubleSortableBits, SortableBitsToDouble}
+    val rWide = 20
+    val e = Tables(s, dir, "embeddings")
+      .withColumn("dv", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("scale",
+        aggregate(col("dv"), lit(0.0),
+          (acc, x) => greatest(acc, abs(x))) / 127.0)
+      .withColumn("q8", transform(col("dv"),
+        x => floor(x / col("scale") + 0.5)))
+      .withColumn("nrm", TextFns.norm(col("embedding")))
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"), col("scale").as("qs"), col("q8").as("qq"))
+    val corpus = e.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+        col("nrm").as("nn"), col("scale").as("cs"), col("q8").as("cq"))
+
+    // stage 1: int8 scan — corpus never shuffles; per-query top-R only
+    val cand = corpus.select(col("neighbor_id"), col("cs"), col("cq"))
+      .crossJoin(broadcast(queries.select(col("query_id"), col("qs"),
+        col("qq"))))
+      .withColumn("adot", aggregate(
+        zip_with(col("qq"), col("cq"), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("ascore", col("adot") * col("qs") * col("cs"))
+      .groupBy(col("query_id"))
+      .agg(graft.operators.TopKPairsAgg(
+        DoubleSortableBits(col("ascore")), col("neighbor_id"), rWide)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "p")))
+      .select(col("query_id"), col("p.tie").as("neighbor_id"),
+        (col("i") + 1).as("approx_rnk"))
+
+    // stage 2: exact cosine on R·|queries| rows only (both joins
+    // broadcast the tiny side; the corpus side is a semi-scan)
+    val exact = corpus.select(col("neighbor_id"), col("nv"), col("nn"))
+      .join(broadcast(cand), "neighbor_id")
+      .join(broadcast(queries.select(col("query_id"), col("qv"),
+        col("qn"))), "query_id")
+      .withColumn("cosv", TextFns.cosineFrom(
+        TextFns.dot(col("qv"), col("nv")), col("qn"), col("nn")))
+    exact
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosv").desc, col("neighbor_id"))))
+      .filter(col("rnk") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        col("approx_rnk"), col("cosv"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  private val rerankInt8Sql =
+    s"""WITH z AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv,
+       |    list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> abs(x)), 'max') / 127.0 AS scale
+       |  FROM embeddings),
+       |zz AS (SELECT vec_id, dv, scale,
+       |  list_transform(dv, x -> floor(x / scale + 0.5)) AS q8 FROM z),
+       |ap AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    list_dot_product(q.q8, c.q8) * q.scale * c.scale AS ascore
+       |  FROM zz q JOIN zz c ON q.vec_id < 20 AND c.vec_id >= 20),
+       |ar AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY ascore DESC, neighbor_id) AS approx_rnk FROM ap),
+       |cand AS (SELECT query_id, neighbor_id, approx_rnk
+       |  FROM ar WHERE approx_rnk <= 20),
+       |ex AS (
+       |  SELECT cand.query_id, cand.neighbor_id, cand.approx_rnk,
+       |    list_cosine_similarity(q.dv, c.dv) AS cosv
+       |  FROM cand JOIN zz q ON q.vec_id = cand.query_id
+       |            JOIN zz c ON c.vec_id = cand.neighbor_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosv DESC, neighbor_id) AS rnk FROM ex)
+       |SELECT query_id, neighbor_id, rnk, approx_rnk, cosv
+       |FROM r WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin
+
   private def srpLsh(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.Column
     val e = Tables(s, dir, "embeddings")
@@ -1264,6 +1360,7 @@ object Similarity {
     QueryDef("sim_ivf_nprobe_sweep", ivfNprobeSweep,
       Some(ivfNprobeSweepSql)),
     QueryDef("sim_mips_topk", mipsTopK, Some(mipsTopKSql)),
+    QueryDef("sim_rerank_int8", rerankInt8, Some(rerankInt8Sql)),
     QueryDef("sim_index_api", indexApi, Some(knnBruteSql)),
     QueryDef("sim_ivf_append", ivfAppend, Some(knnBruteSql)),
     QueryDef("sim_quantize_int8", quantizeInt8, Some(quantizeInt8Sql)),

@@ -717,4 +717,37 @@ object EventStream {
       .filter(col("user_id") >= 0)
       .orderBy(col("purchase_id"), col("click_id"))
   }
+
+  /** Stream-stream FULL OUTER join — the last member of the join
+    * family: matched purchase→click pairs, purchases with no click,
+    * AND clicks preceded by no purchase. Both null-padded sides are
+    * watermark-gated (a row emits unmatched only once the other
+    * side's watermark proves no partner can still arrive), so state
+    * stays bounded exactly as in the inner/left variants; the same
+    * sentinel flush drains both unmatched tails, making the result
+    * equal the batch FULL JOIN oracle. user_id comes from whichever
+    * side exists (COALESCE on both engines).
+    */
+  def purchaseClickFullJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val ev = sentinelFlushedEvents(ss, dir, Seq("purchase", "click"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("pu"),
+        col("ts").as("pts"))
+      .withWatermark("pts", "10 minutes")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+        col("ts").as("cts"))
+      .withWatermark("cts", "10 minutes")
+    val joined = purchases.join(clicks,
+      col("pu") === col("cu") &&
+        col("cts") >= col("pts") &&
+        col("cts") <= col("pts") + expr("INTERVAL 10 MINUTES"),
+      "full_outer")
+    runToCompletion(ss, joined.select(col("purchase_id"), col("click_id"),
+        coalesce(col("pu"), col("cu")).as("user_id")),
+        "evs_ssfull_sink", "append")
+      .filter(col("user_id") >= 0)
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
 }
