@@ -918,7 +918,155 @@ object Migration {
       |  vt IS NULL AS is_current
       |FROM v ORDER BY o_custkey, version""".stripMargin
 
+  /** Post-migration reconciliation (data-diff): did the target end up
+    * with exactly the source's rows? The fixture derives a "migrated"
+    * orders table with three deterministic defect classes seeded by a
+    * salted hash — dropped rows, a price corruption, and spurious
+    * re-keyed inserts — and the diff classifies every key as
+    * identical / changed / missing_in_target / extra_in_target via
+    * per-row checksums over the SAME deterministic renderings the
+    * profiler uses.
+    *
+    * Scale shape (the part that matters at 100 TB): the row-level
+    * outer join never touches the full tables. Both sides first
+    * roll up to 256 per-bucket (count, checksum-sum) rows — one
+    * map-side-combined aggregation each — and only buckets whose
+    * summaries disagree are drilled: the row diff full-outer-joins
+    * the two sides SEMI-JOINED to the differing-bucket list (a
+    * broadcast of ≤256 ints). A clean terabyte costs two scans and a
+    * 256-row compare; the expensive join is proportional to the
+    * damage, not the data. Identical-row count comes from clean-bucket
+    * totals plus drilled matches (checksum-level reconciliation —
+    * the same contract every Merkle-tree diff tool ships).
+    */
+  private def dataDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    // defect seeding: first 6 md5 hex digits of the salted key, mod 500
+    def defectClass(key: Column): Column =
+      conv(substring(md5(concat(lit("diff:"), key.cast("string"))), 1, 6),
+        16, 10).cast("long") % 500
+    val src = o.select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+      col("o_orderpriority"))
+    val dc = defectClass(col("o_orderkey"))
+    val tgt = src.withColumn("dc", dc)
+      .filter(col("dc") =!= 0) // class 0: rows lost in migration
+      .withColumn("o_totalprice", // class 1: corrupted value
+        when(col("dc") === 1, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+      .drop("dc")
+      .unionByName( // class 2: spurious re-keyed inserts
+        src.withColumn("dc", dc).filter(col("dc") === 2).drop("dc")
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+    // deterministic row checksum: 15 md5 hex digits (60 bits) of the
+    // rendered row; bucket sums go through mod 2^40 so a 256-bucket
+    // sum can never overflow BIGINT on either engine
+    def withHash(df: DataFrame): DataFrame = df.withColumn("rh",
+      pmod(conv(substring(md5(concat_ws("|",
+        col("o_orderkey").cast("string"), col("o_custkey").cast("string"),
+        col("o_orderstatus"),
+        col("o_totalprice").cast(DecimalType(12, 2)).cast("string"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+        col("o_orderpriority"))), 1, 15), 16, 10).cast("long"),
+        lit(1099511627776L)))
+      .withColumn("bkt", pmod(col("o_orderkey"), lit(256)))
+    val sh = withHash(src)
+    val th = withHash(tgt)
+    def buckets(df: DataFrame): DataFrame = df.groupBy(col("bkt"))
+      .agg(count(lit(1)).as("n"), sum(col("rh")).as("cks"))
+    // 256-row summaries, materialized once so neither side re-scans
+    // for the clean-bucket total (at 100 TB each is one aggregation
+    // pass over its table; everything downstream reads 256 rows)
+    val sb = buckets(sh).localCheckpoint()
+    val tb = buckets(th).localCheckpoint()
+    val dirty = sb.as("sb")
+      .join(tb.as("tb"), Seq("bkt"), "full_outer")
+      .filter(coalesce(col("sb.n"), lit(-1L)) =!=
+          coalesce(col("tb.n"), lit(-2L)) ||
+        coalesce(col("sb.cks"), lit(-1L)) =!=
+          coalesce(col("tb.cks"), lit(-2L)))
+      .select(col("bkt"), coalesce(col("sb.n"), lit(0L)).as("sn"))
+    val cleanSrcRows = sb.join(broadcast(dirty), Seq("bkt"), "left_anti")
+      .agg(coalesce(sum(col("n")), lit(0L)).as("clean_n"))
+    // drill ONLY dirty buckets
+    val sd = sh.join(broadcast(dirty.select(col("bkt"))), Seq("bkt"))
+    val td = th.join(broadcast(dirty.select(col("bkt"))), Seq("bkt"))
+    val rowDiff = sd.select(col("o_orderkey"), col("rh").as("srh"))
+      .join(td.select(col("o_orderkey"), col("rh").as("trh")),
+        Seq("o_orderkey"), "full_outer")
+      .withColumn("class",
+        when(col("srh").isNull, "extra_in_target")
+          .when(col("trh").isNull, "missing_in_target")
+          .when(col("srh") =!= col("trh"), "changed")
+          .otherwise("identical_drilled"))
+    val drilled = rowDiff.filter(col("class") =!= "identical_drilled")
+      .groupBy(col("class"))
+      .agg(count(lit(1)).as("n_rows"), min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+    // ungrouped count so the identical row survives even when every
+    // drilled row is a defect (small fixtures)
+    val identical = rowDiff
+      .agg(sum(when(col("class") === "identical_drilled", 1L)
+        .otherwise(0L)).as("di"))
+      .crossJoin(broadcast(cleanSrcRows))
+      .select(lit("identical").as("class"),
+        (coalesce(col("di"), lit(0L)) + col("clean_n")).as("n_rows"),
+        lit(null).cast("long").as("min_key"),
+        lit(null).cast("long").as("max_key"))
+    drilled.unionByName(identical)
+      .orderBy(col("class"))
+  }
+
+  private val dataDiffSql =
+    """WITH src AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |    o_orderdate, o_orderpriority FROM orders),
+      |seeded AS (
+      |  SELECT *, CAST(('0x' || substring(md5('diff:' ||
+      |    CAST(o_orderkey AS VARCHAR)), 1, 6)) AS BIGINT) % 500 AS dc
+      |  FROM src),
+      |tgt AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    CASE WHEN dc = 1 THEN o_totalprice + 1.0 ELSE o_totalprice END
+      |      AS o_totalprice,
+      |    o_orderdate, o_orderpriority
+      |  FROM seeded WHERE dc <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+      |    o_totalprice, o_orderdate, o_orderpriority
+      |  FROM seeded WHERE dc = 2),
+      |sh AS (
+      |  SELECT o_orderkey, CAST(('0x' || substring(md5(
+      |    CAST(o_orderkey AS VARCHAR) || '|' ||
+      |    CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) || '|' ||
+      |    strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '|' ||
+      |    o_orderpriority), 1, 15)) AS BIGINT) % 1099511627776 AS rh
+      |  FROM src),
+      |th AS (
+      |  SELECT o_orderkey, CAST(('0x' || substring(md5(
+      |    CAST(o_orderkey AS VARCHAR) || '|' ||
+      |    CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) || '|' ||
+      |    strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '|' ||
+      |    o_orderpriority), 1, 15)) AS BIGINT) % 1099511627776 AS rh
+      |  FROM tgt),
+      |diff AS (
+      |  SELECT COALESCE(sh.o_orderkey, th.o_orderkey) AS k,
+      |    CASE WHEN sh.o_orderkey IS NULL THEN 'extra_in_target'
+      |         WHEN th.o_orderkey IS NULL THEN 'missing_in_target'
+      |         WHEN sh.rh <> th.rh THEN 'changed'
+      |         ELSE 'identical' END AS class
+      |  FROM sh FULL JOIN th ON sh.o_orderkey = th.o_orderkey)
+      |SELECT class, count(*) AS n_rows,
+      |  CASE WHEN class = 'identical' THEN NULL ELSE min(k) END
+      |    AS min_key,
+      |  CASE WHEN class = 'identical' THEN NULL ELSE max(k) END
+      |    AS max_key
+      |FROM diff GROUP BY class ORDER BY class""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("mig_data_diff", dataDiff, Some(dataDiffSql)),
     QueryDef("mig_profile", profile, Some(profileSql)),
     QueryDef("mig_scd2", scd2, Some(scd2Sql)),
     QueryDef("mig_zorder", zorder, Some(zorderSql)),
