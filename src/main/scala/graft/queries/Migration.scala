@@ -948,16 +948,21 @@ object Migration {
     val src = o.select(col("o_orderkey"), col("o_custkey"),
       col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
       col("o_orderpriority"))
+    // one narrow scan builds the whole defected target: class 0 rows
+    // emit no key (lost), class 2 rows emit their key twice (original
+    // + re-keyed spurious insert), class 1 rows keep their key with a
+    // corrupted price — explode instead of a union that re-scans
     val dc = defectClass(col("o_orderkey"))
     val tgt = src.withColumn("dc", dc)
-      .filter(col("dc") =!= 0) // class 0: rows lost in migration
       .withColumn("o_totalprice", // class 1: corrupted value
         when(col("dc") === 1, col("o_totalprice") + 1.0)
           .otherwise(col("o_totalprice")))
+      .withColumn("o_orderkey", explode(
+        when(col("dc") === 0, array().cast("array<bigint>"))
+          .when(col("dc") === 2,
+            array(col("o_orderkey"), col("o_orderkey") + 10000000L))
+          .otherwise(array(col("o_orderkey")))))
       .drop("dc")
-      .unionByName( // class 2: spurious re-keyed inserts
-        src.withColumn("dc", dc).filter(col("dc") === 2).drop("dc")
-          .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
     // deterministic row checksum: 15 md5 hex digits (60 bits) of the
     // rendered row; bucket sums go through mod 2^40 so a 256-bucket
     // sum can never overflow BIGINT on either engine
