@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1076,7 +1077,62 @@ object Multimodal {
       |    AS peak
       |FROM px ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Shot-boundary detection — the video-curation primitive that
+    * segments a stream before per-shot sampling: consecutive frame
+    * energies (the same 8×16-byte frame model as mm_frame_energy, kept
+    * as INTEGER Σb² so there is no transcendental anywhere) are
+    * diffed per document, a boundary fires where the jump exceeds a
+    * fixed threshold, and each document reports its frame count, shot
+    * count and largest jump. One explode → aggregate-after-explode →
+    * one per-doc window; the shuffle carries 8 rows per document.
+    */
+  private def shotDetect(s: SparkSession, dir: String): DataFrame = {
+    val frameLen = 16
+    val nFrames = 8
+    val thresh = 20000L
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), lit(nFrames - 1))).as("frame_idx"))
+      .filter(length(col("text")) >= (col("frame_idx") + 1) * frameLen)
+      .select(col("doc_id"), col("frame_idx"),
+        explode(sequence(lit(1), lit(frameLen))).as("p"), col("text"))
+      .select(col("doc_id"), col("frame_idx"),
+        ascii(col("text").substr(col("frame_idx") * frameLen + col("p"),
+          lit(1))).as("b"))
+      .groupBy(col("doc_id"), col("frame_idx"))
+      .agg(sum(col("b") * col("b")).as("e"))
+      .withColumn("delta", abs(col("e") - lag(col("e"), 1).over(w)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        (coalesce(sum(when(col("delta") > thresh, 1L).otherwise(0L)),
+          lit(0L)) + 1L).as("n_shots"),
+        coalesce(max(col("delta")), lit(0L)).as("max_jump"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val shotDetectSql =
+    """WITH fr AS (
+      |  SELECT doc_id, frame_idx, sum(b * b) AS e FROM (
+      |    SELECT doc_id, frame_idx,
+      |      ascii(substring(text, frame_idx * 16 + p, 1)) AS b
+      |    FROM documents,
+      |      (SELECT unnest(range(0, 8)) AS frame_idx),
+      |      (SELECT unnest(range(1, 17)) AS p)
+      |    WHERE length(text) >= (frame_idx + 1) * 16)
+      |  GROUP BY doc_id, frame_idx),
+      |d AS (
+      |  SELECT doc_id, abs(e - lag(e) OVER (PARTITION BY doc_id
+      |    ORDER BY frame_idx)) AS delta
+      |  FROM fr)
+      |SELECT doc_id, count(*) AS n_frames,
+      |  CAST(sum(CASE WHEN delta > 20000 THEN 1 ELSE 0 END) + 1
+      |    AS BIGINT) AS n_shots,
+      |  CAST(COALESCE(max(delta), 0) AS BIGINT) AS max_jump
+      |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("mm_shot_detect", shotDetect, Some(shotDetectSql)),
     QueryDef("mm_audio_features", audioFeatures, Some(audioFeaturesSql)),
     QueryDef("mm_frames_real", framesReal, Some(framesRealSql)),
     QueryDef("mm_feature_real", featureReal, Some(featureRealSql)),
