@@ -404,4 +404,40 @@ class PlanSpec extends AnyFunSuite {
     } finally queries.Migration.cleanupBucketedJoin(spark, tmp)
   }
 
+  test("profile's distinct pass hash-aggregates — no data-column sort anywhere") {
+    val p = plan("mig_profile")
+    // the measured trap: sharing one aggregate between the
+    // immutable-buffer string min/max and the multi-distinct Expand
+    // demotes the whole pass to SortAggregate over a 7-key sort of 6n
+    // rows (4.0 s vs 1.6 s at sf0.1). The split form's only Sort is
+    // the final ORDER BY col_name.
+    assert(p.contains("Expand") && p.contains("HashAggregate"), p.take(900))
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Sort [o_") || l.contains("Sort [knownfloatingpoint")),
+      "a Sort over data columns reappeared under the profile aggregate:\n" +
+        p.take(1200))
+  }
+
+  test("data-diff drills only dirty buckets — broadcast joins gate the row diff") {
+    val p = plan("mig_data_diff")
+    // the row-level FullOuter join must sit above broadcast semi-scans
+    // of the dirty-bucket list; the clean-bucket total is a broadcast
+    // anti join of the 256-row summary, never a second row-level pass
+    assert(p.contains("FullOuter"), p.take(900))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p.take(900))
+    assert(p.contains("LeftAnti"), p.take(900))
+    assert(!p.contains("CartesianProduct"), p.take(900))
+  }
+
+  test("int8 rerank: corpus scored via broadcast queries, exact stage join-bounded") {
+    val p = plan("sim_rerank_int8")
+    // stage 1: corpus never shuffles — queries broadcast into a
+    // nested-loop product, candidates bounded by the ObjectHashAggregate
+    // top-k; stage 2: candidate list and query vectors broadcast back
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(900))
+    assert(p.contains("ObjectHashAggregate"), p.take(900))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p.take(900))
+    assert(!p.contains("SortMergeJoin"), p.take(900))
+  }
+
 }
