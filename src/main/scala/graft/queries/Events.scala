@@ -1308,6 +1308,13 @@ object Events {
              |  ON p.user_id = c.user_id
              | AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 10 MINUTE
              |ORDER BY purchase_id, click_id""".stripMargin)),
+    // streaming CDC apply: the five-version change log arrives as five
+    // micro-batches, each MERGEd into key-partitioned persisted state
+    // via dynamic partition overwrite; the drained table must match
+    // the batch compaction oracle exactly (shared with mig_cdc_merge)
+    QueryDef("evs_cdc_apply",
+      (s, d) => graft.streaming.CdcApply(s, d),
+      Some(Migration.cdcMergeSql)),
     QueryDef("evs_stream_full_join",
       (s, d) => graft.streaming.EventStream.purchaseClickFullJoin(s, d),
       Some("""SELECT p.event_id AS purchase_id, c.event_id AS click_id,

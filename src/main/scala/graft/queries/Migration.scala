@@ -637,7 +637,7 @@ object Migration {
       .orderBy(col("st"))
   }
 
-  private val cdcMergeSql =
+  private[queries] val cdcMergeSql =
     """WITH log AS (
       |  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS price,
       |    1 AS version, 'U' AS op FROM orders
