@@ -1779,7 +1779,83 @@ object Dedup {
       |  CAST(sum(nw) AS DOUBLE) / count(*) AS avg_chunk_words
       |FROM chunks GROUP BY source ORDER BY source""".stripMargin
 
+  /** Edit-distance near-dup pairs — the character-level modality the
+    * token-set family (Jaccard/MinHash/SimHash) cannot see: pairs
+    * within levenshtein ≤ 5 catch single-character corruption, OCR
+    * noise, and small in-place edits that leave shingle sets almost
+    * intact but matter for exact-match dedup policy.
+    *
+    * Candidates come from two equality bands — identical first-32 or
+    * identical last-32 characters, with |length diff| ≤ 8 — so the
+    * corpus joins on band keys (hash-partitioned equi-joins, never
+    * n²), and the O(len²) DP verification runs only on candidates.
+    * Approximate by design (an edit burst touching BOTH ends of a
+    * document escapes both bands); the oracle runs the identical
+    * band+verify algorithm, so the gate still hash-matches — the
+    * knn_ivf contract. At 100 TB the band keys are the shuffle keys;
+    * a hot prefix (boilerplate headers) would skew and production
+    * would widen the band or salt it, exactly like the shingle index.
+    */
+  private def editDistance(s: SparkSession, dir: String): DataFrame = {
+    val maxEd = 5
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+    val banded = docs
+      .withColumn("band", explode(array(
+        concat(lit("p:"), substring(col("text"), 1, 32)),
+        concat(lit("s:"), expr("substring(text, length(text) - 31, 32)")))))
+      .filter(col("len") >= 32)
+      .select(col("band"), col("doc_id"), col("text"), col("len"))
+    // candidates as ID PAIRS only: the distinct shuffles 16 bytes per
+    // pair instead of two full texts, and re-joining the texts
+    // afterwards keeps the levenshtein verify ABOVE this boundary —
+    // left on one DataFrame, Catalyst pushes the (deterministic)
+    // levenshtein filter down into the band join's condition, where it
+    // runs on every raw band-equal pair instead of the deduped
+    // candidate set (measured 5.2 s vs 1.6 s at sf0.1)
+    val candIds = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.len") - col("b.len")) <= 8)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    // thresholded levenshtein: banded O(maxEd·len) DP with early exit
+    // (returns -1 past the bound) instead of the full O(len²) table —
+    // the verify stage's cost per candidate drops ~len/maxEd-fold,
+    // which is what makes a hot band (boilerplate prefix) survivable
+    broadcast(candIds)
+      .join(docs.select(col("doc_id").as("d1"), col("text").as("t1")),
+        "d1")
+      .join(docs.select(col("doc_id").as("d2"), col("text").as("t2")),
+        "d2")
+      .withColumn("ed", levenshtein(col("t1"), col("t2"), maxEd))
+      .filter(col("ed") >= 0)
+      .select(col("d1"), col("d2"), col("ed"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  private val editDistanceSql =
+    """WITH banded AS (
+      |  SELECT band, doc_id, text, length(text) AS len
+      |  FROM (
+      |    SELECT doc_id, text,
+      |      unnest(['p:' || substring(text, 1, 32),
+      |              's:' || substring(text, length(text) - 31, 32)])
+      |        AS band
+      |    FROM documents)
+      |  WHERE length(text) >= 32),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+      |    a.text AS t1, b.text AS t2
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.doc_id < b.doc_id
+      |   AND abs(a.len - b.len) <= 8)
+      |SELECT d1, d2, levenshtein(t1, t2) AS ed
+      |FROM cand WHERE levenshtein(t1, t2) <= 5
+      |ORDER BY d1, d2""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("dd_edit_distance", editDistance, Some(editDistanceSql)),
     QueryDef("dd_cdc_chunks", cdcChunks, Some(cdcChunksSql)),
     QueryDef("dd_lsh_tuning", lshTuning, Some(lshTuningSql)),
     QueryDef("cp_leakage_safe_split", leakageSafeSplit,

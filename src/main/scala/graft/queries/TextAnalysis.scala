@@ -1191,7 +1191,52 @@ object TextAnalysis {
       |FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (w), stats
       |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
+  /** Tokenizer fertility by language — the tokenizer-eval metric that
+    * decides whether a vocabulary serves a language: pre-tokenizer
+    * tokens per whitespace word (fertility; high = the language
+    * fragments into many subwords and pays more sequence length per
+    * word) and characters per token (compression). One narrow
+    * projection, one per-language rollup of integer sums; every ratio
+    * is an exact int/int double division.
+    */
+  private def tokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    val pat = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+    Tables(s, dir, "documents")
+      .select(col("lang"),
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("n_bpe"),
+        size(TextFns.tokens(col("text"))).as("n_words"),
+        length(col("text")).as("n_chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bpe")).as("total_tokens"),
+        sum(col("n_words")).as("total_words"),
+        (sum(col("n_bpe")).cast("double") / sum(col("n_words")))
+          .as("fertility"),
+        (sum(col("n_chars")).cast("double") / sum(col("n_bpe")))
+          .as("chars_per_token"))
+      .orderBy(col("lang"))
+  }
+
+  private val tokenizerFertilitySql =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_bpe) AS BIGINT) AS total_tokens,
+      |  CAST(sum(n_words) AS BIGINT) AS total_words,
+      |  CAST(sum(n_bpe) AS DOUBLE) / CAST(sum(n_words) AS BIGINT)
+      |    AS fertility,
+      |  CAST(sum(n_chars) AS DOUBLE) / CAST(sum(n_bpe) AS BIGINT)
+      |    AS chars_per_token
+      |FROM (
+      |  SELECT lang,
+      |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))
+      |      AS n_bpe,
+      |    len(string_split(text, ' ')) AS n_words,
+      |    length(text) AS n_chars
+      |  FROM documents)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("ta_tokenizer_fertility", tokenizerFertility,
+      Some(tokenizerFertilitySql)),
     QueryDef("ta_bm25", bm25, Some(bm25Sql)),
     QueryDef("ta_token_entropy", tokenEntropy, Some(tokenEntropySql)),
     QueryDef("ta_tfidf", tfidf, Some(tfidfSql)),
