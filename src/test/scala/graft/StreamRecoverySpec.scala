@@ -176,6 +176,94 @@ class StreamRecoverySpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
   }
 
+  /** CDC-apply recovery: the foreachBatch MERGE into key-partitioned
+    * state (the evs_cdc_apply shape) restarted mid-stream. Change
+    * versions v1-v2 apply in incarnation 1; v3 lands while the stream
+    * is down; incarnation 2 resumes from the checkpoint and applies
+    * only v3. The latest-version-per-key merge is idempotent, so even
+    * a re-delivered micro-batch (foreachBatch's at-least-once
+    * contract) cannot corrupt state — asserted by the final table
+    * matching the batch compaction of the full log, with deletes
+    * honored and the re-upserted key resurrected.
+    */
+  test("CDC apply restarts from checkpoint: merge is idempotent, state correct") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc_recovery")
+    val input = s"$root/in"
+    val ckpt = s"$root/ckpt"
+    val stateDir = s"$root/state"
+    val cdcSchema = StructType(Seq(
+      StructField("k", LongType), StructField("v", LongType),
+      StructField("op", StringType), StructField("payload", LongType),
+      StructField("kb", IntegerType)))
+    try {
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      ss.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      import ss.implicits._
+
+      def writeVersion(name: String, rows: Seq[(Long, Long, String, Long)])
+          : Unit =
+        rows.toDF("k", "v", "op", "payload")
+          .withColumn("kb", (col("k") % 4).cast("int"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$input/$name")
+
+      def startQuery() = {
+        ss.readStream.schema(cdcSchema)
+          .option("recursiveFileLookup", "true")
+          .parquet(input)
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            if (!batch.isEmpty) {
+              val s2 = batch.sparkSession
+              val b = batch.localCheckpoint()
+              val touched = b.select(col("kb")).distinct()
+              val cur =
+                if (new java.io.File(stateDir).exists())
+                  s2.read.schema(cdcSchema).parquet(stateDir)
+                    .join(broadcast(touched), Seq("kb")).localCheckpoint()
+                else s2.createDataFrame(
+                  new java.util.ArrayList[org.apache.spark.sql.Row](),
+                  cdcSchema)
+              cur.unionByName(b)
+                .withColumn("rn", org.apache.spark.sql.functions.row_number()
+                  .over(org.apache.spark.sql.expressions.Window
+                    .partitionBy(col("k")).orderBy(col("v").desc)))
+                .filter(col("rn") === 1).drop("rn")
+                .repartition(col("kb"))
+                .write.mode("overwrite").partitionBy("kb").parquet(stateDir)
+              ()
+            }
+          }
+          .start()
+      }
+
+      // incarnation 1: v1 upserts keys 1-4, v2 updates k=2 and deletes k=3
+      writeVersion("v1", Seq((1L, 1L, "U", 10L), (2L, 1L, "U", 20L),
+        (3L, 1L, "U", 30L), (4L, 1L, "U", 40L)))
+      val q1 = startQuery()
+      try {
+        q1.processAllAvailable()
+        writeVersion("v2", Seq((2L, 2L, "U", 25L), (3L, 2L, "D", 0L)))
+        q1.processAllAvailable()
+      } finally q1.stop()
+
+      // v3 lands while down: k=3 resurrected, k=5 inserted
+      writeVersion("v3", Seq((3L, 3L, "U", 35L), (5L, 3L, "U", 50L)))
+      val q2 = startQuery()
+      try q2.processAllAvailable() finally q2.stop()
+
+      val state = ss.read.schema(cdcSchema).parquet(stateDir)
+        .filter(col("op") =!= "D")
+        .select(col("k"), col("v"), col("payload"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(state == Set((1L, 1L, 10L), (2L, 2L, 25L), (3L, 3L, 35L),
+        (4L, 1L, 40L), (5L, 3L, 50L)),
+        s"CDC state wrong after restart: $state")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+  }
+
   /** The sink side of recovery: a parquet file sink's commit log makes
     * re-delivered micro-batches idempotent — restarting from a
     * checkpoint whose last batch already committed to the sink must
