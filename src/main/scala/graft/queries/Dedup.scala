@@ -1796,9 +1796,17 @@ object Dedup {
     * a hot prefix (boilerplate headers) would skew and production
     * would widen the band or salt it, exactly like the shingle index.
     */
-  private def editDistance(s: SparkSession, dir: String): DataFrame = {
-    val maxEd = 5
-    val docs = Tables(s, dir, "documents")
+  private def editDistance(s: SparkSession, dir: String): DataFrame =
+    editDistancePairs(
+      Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+      maxEd = 5)
+
+  /** Factored core of dd_edit_distance over any (doc_id, text) frame —
+    * driven by EditDistanceSpec against brute force on random corpora.
+    */
+  private[graft] def editDistancePairs(docsIn: DataFrame,
+      maxEd: Int): DataFrame = {
+    val docs = docsIn
       .select(col("doc_id"), col("text"), length(col("text")).as("len"))
     val banded = docs
       .withColumn("band", explode(array(
