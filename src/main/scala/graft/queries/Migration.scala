@@ -963,6 +963,15 @@ object Migration {
             array(col("o_orderkey"), col("o_orderkey") + 10000000L))
           .otherwise(array(col("o_orderkey")))))
       .drop("dc")
+    dataDiffClassify(src, tgt)
+  }
+
+  /** Factored core of mig_data_diff over any two orders-shaped frames
+    * — driven by DataDiffSpec against a naive full-join reference on
+    * corpora with randomly injected defects.
+    */
+  private[graft] def dataDiffClassify(src: DataFrame,
+      tgt: DataFrame): DataFrame = {
     // deterministic row checksum: 15 md5 hex digits (60 bits) of the
     // rendered row; bucket sums go through mod 2^40 so a 256-bucket
     // sum can never overflow BIGINT on either engine
