@@ -865,6 +865,123 @@ object Migration {
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** Per-column (n_distinct, min_repr, max_repr) of any frame, in the
+    * profile's two-fold shape: min/max in one ungrouped fold (string
+    * min/max's immutable buffer needs no sort there) and the distincts
+    * alone so their Expand stays hash-aggregated — see [[profile]]'s
+    * Scaladoc for the measured trap this avoids.
+    */
+  private def statsOf(df: DataFrame,
+      specs: Seq[(String, Column => Column)]): DataFrame = {
+    val basicAggs = specs.zipWithIndex.flatMap { case ((n, mm), i) =>
+      Seq(mm(min(col(n))).as(s"mn$i"), mm(max(col(n))).as(s"mx$i")) }
+    val basic = df.agg(basicAggs.head, basicAggs.tail: _*)
+    val distinctAggs = specs.zipWithIndex.map { case ((n, _), i) =>
+      countDistinct(col(n)).as(s"nd$i") }
+    val distincts = df.agg(distinctAggs.head, distinctAggs.tail: _*)
+    val stackExpr = s"stack(${specs.length}, " +
+      specs.zipWithIndex.map { case ((n, _), i) =>
+        s"'$n', nd$i, mn$i, mx$i" }.mkString(", ") +
+      ") AS (col_name, n_distinct, min_repr, max_repr)"
+    basic.crossJoin(broadcast(distincts)).select(expr(stackExpr))
+  }
+
+  /** Schema-drift report — what a re-run of the profiler tells you
+    * about a table that evolved since the last migration: per column,
+    * added / removed / changed (any of distinct count or rendered
+    * extrema moved) / unchanged, with both versions' stats side by
+    * side. The evolved fixture drops `o_orderpriority`, adds a
+    * deterministic `o_channel`, and nudges a fifth of the prices —
+    * one column per drift class plus untouched ones. Two statsOf
+    * passes (each two global folds) and a 6×6 full outer join of the
+    * per-column summary rows; nothing row-level crosses the join.
+    */
+  private def schemaDrift(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    def mm(c: Column): Column = c.cast("string")
+    def mmDec(c: Column): Column = c.cast(DecimalType(12, 2)).cast("string")
+    def mmTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+    def id(c: Column): Column = c
+    val v1Specs: Seq[(String, Column => Column)] = Seq(
+      "o_orderkey" -> mm _, "o_custkey" -> mm _, "o_orderstatus" -> id _,
+      "o_totalprice" -> mmDec _, "o_orderdate" -> mmTs _,
+      "o_orderpriority" -> id _)
+    val v2 = o.drop("o_orderpriority")
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 10.0)
+          .otherwise(col("o_totalprice")))
+      .withColumn("o_channel",
+        when(col("o_orderkey") % 3 === 0, "web")
+          .when(col("o_orderkey") % 3 === 1, "store")
+          .otherwise("app"))
+    val v2Specs: Seq[(String, Column => Column)] =
+      v1Specs.filterNot(_._1 == "o_orderpriority") :+
+        ("o_channel" -> (id _): (String, Column => Column))
+    val p1 = statsOf(o, v1Specs)
+    val p2 = statsOf(v2, v2Specs)
+    p1.as("a").join(p2.as("b"), Seq("col_name"), "full_outer")
+      .select(col("col_name"),
+        when(col("a.n_distinct").isNull, "added")
+          .when(col("b.n_distinct").isNull, "removed")
+          .when(col("a.n_distinct") =!= col("b.n_distinct") ||
+            col("a.min_repr") =!= col("b.min_repr") ||
+            col("a.max_repr") =!= col("b.max_repr"), "changed")
+          .otherwise("unchanged").as("status"),
+        col("a.n_distinct").as("nd_old"), col("b.n_distinct").as("nd_new"),
+        col("a.min_repr").as("min_old"), col("b.min_repr").as("min_new"),
+        col("a.max_repr").as("max_old"), col("b.max_repr").as("max_new"))
+      .orderBy(col("col_name"))
+  }
+
+  private val schemaDriftSql = {
+    def block(src: String, name: String, mn: String, mx: String) =
+      s"""SELECT '$name' AS col_name, count(DISTINCT $name) AS n_distinct,
+         |  $mn AS min_repr, $mx AS max_repr FROM $src""".stripMargin
+    def plain(src: String, name: String) =
+      block(src, name, s"min($name)", s"max($name)")
+    def num(src: String, name: String) =
+      block(src, name, s"CAST(min($name) AS VARCHAR)",
+        s"CAST(max($name) AS VARCHAR)")
+    def dec(src: String, name: String) =
+      block(src, name,
+        s"CAST(CAST(min($name) AS DECIMAL(12,2)) AS VARCHAR)",
+        s"CAST(CAST(max($name) AS DECIMAL(12,2)) AS VARCHAR)")
+    def ts(src: String, name: String) =
+      block(src, name, s"strftime(min($name), '%Y-%m-%d %H:%M:%S')",
+        s"strftime(max($name), '%Y-%m-%d %H:%M:%S')")
+    val p1 = Seq(num("orders", "o_orderkey"), num("orders", "o_custkey"),
+      plain("orders", "o_orderstatus"), dec("orders", "o_totalprice"),
+      ts("orders", "o_orderdate"), plain("orders", "o_orderpriority"))
+      .mkString("\nUNION ALL\n")
+    val p2 = Seq(num("v2", "o_orderkey"), num("v2", "o_custkey"),
+      plain("v2", "o_orderstatus"), dec("v2", "o_totalprice"),
+      ts("v2", "o_orderdate"), plain("v2", "o_channel"))
+      .mkString("\nUNION ALL\n")
+    s"""WITH v2 AS (
+       |  SELECT o_orderkey, o_custkey, o_orderstatus,
+       |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10.0
+       |         ELSE o_totalprice END AS o_totalprice,
+       |    o_orderdate,
+       |    CASE WHEN o_orderkey % 3 = 0 THEN 'web'
+       |         WHEN o_orderkey % 3 = 1 THEN 'store'
+       |         ELSE 'app' END AS o_channel
+       |  FROM orders),
+       |p1 AS ($p1),
+       |p2 AS ($p2)
+       |SELECT COALESCE(a.col_name, b.col_name) AS col_name,
+       |  CASE WHEN a.n_distinct IS NULL THEN 'added'
+       |       WHEN b.n_distinct IS NULL THEN 'removed'
+       |       WHEN a.n_distinct <> b.n_distinct
+       |         OR a.min_repr <> b.min_repr
+       |         OR a.max_repr <> b.max_repr THEN 'changed'
+       |       ELSE 'unchanged' END AS status,
+       |  a.n_distinct AS nd_old, b.n_distinct AS nd_new,
+       |  a.min_repr AS min_old, b.min_repr AS min_new,
+       |  a.max_repr AS max_old, b.max_repr AS max_new
+       |FROM p1 a FULL JOIN p2 b ON a.col_name = b.col_name
+       |ORDER BY col_name""".stripMargin
+  }
+
   /** Slowly-changing-dimension Type 2 build — the standard warehouse
     * shape a migration lands change history into: collapse each
     * customer's order-priority stream to its change points, then stamp
@@ -1082,6 +1199,7 @@ object Migration {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("mig_data_diff", dataDiff, Some(dataDiffSql)),
     QueryDef("mig_profile", profile, Some(profileSql)),
+    QueryDef("mig_schema_drift", schemaDrift, Some(schemaDriftSql)),
     QueryDef("mig_scd2", scd2, Some(scd2Sql)),
     QueryDef("mig_zorder", zorder, Some(zorderSql)),
     QueryDef("mig_cdc_merge", cdcMerge, Some(cdcMergeSql)),
