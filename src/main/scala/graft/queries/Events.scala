@@ -24,6 +24,68 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Events {
 
+  /** Point-in-time-correct training-feature assembly — the feature-
+    * store contract: for every purchase (the label row), attach
+    * features computed ONLY from that user's events strictly before
+    * the purchase instant — trailing-7-day click count and click-value
+    * sum, plus the immediately preceding event's type. Leakage-free by
+    * construction: the range frame ends at −1 µs, so nothing at or
+    * after the label instant can contribute.
+    *
+    * Scale shape: labels and features come from the SAME table keyed
+    * by user, so there is NO join at all — one shuffle on user_id,
+    * one in-partition sort per window ordering, conditional aggregates
+    * inside the µs-exact RANGE frame (the q31 idiom), and a row-frame
+    * lag for the preceding event. This is the plan a 100 TB
+    * training-set build wants: feature computation rides the label
+    * scan instead of exploding into per-feature joins.
+    */
+  private def pitFeatures(s: SparkSession, dir: String): DataFrame = {
+    val weekUs = 7L * 86400000000L
+    val wRange = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-weekUs, -1)
+    val wSeq = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .withColumn("clicks_7d",
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .over(wRange))
+      .withColumn("click_value_7d",
+        sum(when(col("event_type") === "click",
+          col("value").cast(DecimalType(18, 6)))).over(wRange))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(wSeq))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("value").as("label_value"),
+        coalesce(col("clicks_7d"), lit(0L)).as("clicks_7d"),
+        coalesce(col("click_value_7d").cast("double"), lit(0.0))
+          .as("click_value_7d"),
+        col("prev_type"))
+      .orderBy(col("purchase_id"))
+  }
+
+  private val pitFeaturesSql =
+    """SELECT purchase_id, user_id, label_value, clicks_7d,
+      |  click_value_7d, prev_type
+      |FROM (
+      |  SELECT event_id AS purchase_id, user_id, event_type,
+      |    value AS label_value,
+      |    CAST(COALESCE(sum(CASE WHEN event_type = 'click' THEN 1
+      |      ELSE 0 END) OVER wr, 0) AS BIGINT) AS clicks_7d,
+      |    COALESCE(CAST(sum(CASE WHEN event_type = 'click'
+      |        THEN CAST(value AS DECIMAL(18,6)) END) OVER wr AS DOUBLE),
+      |      0.0) AS click_value_7d,
+      |    lag(event_type) OVER ws AS prev_type
+      |  FROM (SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+      |        value FROM events)
+      |  WINDOW wr AS (PARTITION BY user_id ORDER BY us
+      |    RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING),
+      |  ws AS (PARTITION BY user_id ORDER BY us, event_id))
+      |WHERE event_type = 'purchase'
+      |ORDER BY purchase_id""".stripMargin
+
   /** Tumbling 1-hour windows by event type. */
   private def hourly(s: SparkSession, dir: String): DataFrame = {
     Tables(s, dir, "events")
@@ -1220,6 +1282,7 @@ object Events {
       Some(forecastBaselineSql)),
     QueryDef("ev_variant_props", variantProps, Some(variantPropsSql)),
     QueryDef("ev_attribution", attribution, Some(attributionSql)),
+    QueryDef("ev_pit_features", pitFeatures, Some(pitFeaturesSql)),
     QueryDef("ev_rfm", rfm, Some(rfmSql)),
     QueryDef("ev_ewma", ewma, Some(ewmaSql)),
     QueryDef("ev_path_analysis", pathAnalysis, Some(pathAnalysisSql)),
