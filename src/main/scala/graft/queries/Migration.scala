@@ -992,6 +992,72 @@ object Migration {
     * how long the history grows; no self-join against "the previous
     * version" (the O(n²) way SCD2 is often written).
     */
+  /** Point-in-time SCD2 lookup — the query the Type-2 dimension exists
+    * FOR: enrich each fact row with the dimension version valid at its
+    * timestamp. Runs through the custom [[graft.plans.AsOfJoin]]
+    * operator (per customer, latest version whose valid_from ≤ the
+    * order instant), the second production context exercising that
+    * exec; DuckDB's native ASOF JOIN is the oracle. Same-instant
+    * version changes are collapsed to the last one per (customer,
+    * instant) on BOTH engines, so the as-of has no cross-engine tie
+    * at any scale. Scale shape: the as-of is one sort-merge pass per
+    * key partition — no validity-interval range join, no valid_to
+    * needed at all.
+    */
+  private def scd2Lookup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wTie = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+      .orderBy(col("o_orderkey").desc)
+    val dim = Tables(s, dir, "orders")
+      .filter(col("o_custkey") % 100 === 0)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_orderpriority"))
+      .withColumn("prev", lag(col("o_orderpriority"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+      .withColumn("tie_rn", row_number().over(wTie))
+      .filter(col("tie_rn") === 1)
+      .select(col("o_custkey").as("d_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("valid_from_us"),
+        col("o_orderpriority").as("priority"))
+    val facts = Tables(s, dir, "orders")
+      .filter(col("o_custkey") % 100 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("order_us"),
+        col("o_totalprice"))
+    graft.plans.AsOfJoin.join(s, facts, dim,
+        "o_custkey", "d_custkey", "order_us", "valid_from_us")
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_price"))
+      .orderBy(col("priority"))
+  }
+
+  private val scd2LookupSql =
+    """WITH h AS (
+      |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+      |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS prev
+      |  FROM orders WHERE o_custkey % 100 = 0),
+      |dim AS (
+      |  SELECT o_custkey AS d_custkey, o_orderdate AS valid_from,
+      |    o_orderpriority AS priority
+      |  FROM (SELECT * FROM h
+      |        WHERE prev IS NULL OR prev <> o_orderpriority)
+      |  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+      |    ORDER BY o_orderkey DESC) = 1),
+      |facts AS (
+      |  SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+      |  FROM orders WHERE o_custkey % 100 = 0)
+      |SELECT priority, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_price
+      |FROM facts ASOF JOIN dim
+      |  ON facts.o_custkey = dim.d_custkey
+      | AND facts.o_orderdate >= dim.valid_from
+      |GROUP BY priority ORDER BY priority""".stripMargin
+
   private def scd2(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -1201,6 +1267,7 @@ object Migration {
     QueryDef("mig_profile", profile, Some(profileSql)),
     QueryDef("mig_schema_drift", schemaDrift, Some(schemaDriftSql)),
     QueryDef("mig_scd2", scd2, Some(scd2Sql)),
+    QueryDef("mig_scd2_lookup", scd2Lookup, Some(scd2LookupSql)),
     QueryDef("mig_zorder", zorder, Some(zorderSql)),
     QueryDef("mig_cdc_merge", cdcMerge, Some(cdcMergeSql)),
     QueryDef("mig_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
