@@ -46,7 +46,10 @@ object ScaleCurve {
     "sim_gram_matrix", "sim_covariance", "sim_knn_brute",
     "sim_kmeans_ivf", "ta_bm25", "ta_bpe_true_count", "ta_pmi_bigrams",
     "ev_rfm", "ev_sessionize", "ev_funnel", "q01_pricing_summary",
-    "q22_word_topk_salted", "mm_phash_pairs")
+    "q22_word_topk_salted", "mm_phash_pairs",
+    // round-10 batch additions with non-trivial plans
+    "mig_data_diff", "mig_profile", "dd_edit_distance",
+    "sim_rerank_int8", "ev_pit_features")
 
   private def js(v: Double): String =
     String.format(Locale.ROOT, "%.3f", Double.box(v))
