@@ -992,6 +992,64 @@ object Migration {
     * how long the history grows; no self-join against "the previous
     * version" (the O(n²) way SCD2 is often written).
     */
+  /** Pre-migration constraint validation — the data-quality gate a
+    * migrator runs BEFORE declaring constraints on the target (the
+    * reference's constraints pass fails loudly on violating data;
+    * this query finds the violations first): FK orphans
+    * (orders.o_custkey → customer, lineitem.l_partkey → part),
+    * PK duplicates, and NOT NULL checks, each as one row with the
+    * violation count and the smallest offending key. Every check is a
+    * broadcast-dim anti join or a single aggregation — the fact tables
+    * are scanned once per check and never joined to each other. The
+    * fixture is referentially intact, so all counts are 0 — exactly
+    * what the gate must PROVE (a "no rows means nothing ran" bug would
+    * show as a missing row, not a zero).
+    */
+  private def constraintCheck(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(s, dir, "orders")
+    val lineitem = Tables(s, dir, "lineitem")
+    def report(name: String, viol: DataFrame): DataFrame =
+      viol.agg(count(lit(1)).as("n_violations"),
+          min(col("k")).as("min_offender"))
+        .select(lit(name).as("constraint_name"), col("n_violations"),
+          col("min_offender"))
+    val fkCust = report("fk_orders_custkey",
+      orders.select(col("o_custkey").as("k"))
+        .join(broadcast(Tables(s, dir, "customer")
+          .select(col("c_custkey").as("k"))), Seq("k"), "left_anti"))
+    val fkPart = report("fk_lineitem_partkey",
+      lineitem.select(col("l_partkey").as("k"))
+        .join(broadcast(Tables(s, dir, "part")
+          .select(col("p_partkey").as("k"))), Seq("k"), "left_anti"))
+    val pkDup = report("pk_orders_orderkey",
+      orders.groupBy(col("o_orderkey").as("k"))
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1))
+    val nn = report("nn_orders_orderdate",
+      orders.filter(col("o_orderdate").isNull)
+        .select(col("o_orderkey").as("k")))
+    fkCust.unionByName(fkPart).unionByName(pkDup).unionByName(nn)
+      .orderBy(col("constraint_name"))
+  }
+
+  private val constraintCheckSql =
+    """SELECT 'fk_orders_custkey' AS constraint_name,
+      |  count(*) AS n_violations, min(k) AS min_offender
+      |FROM (SELECT o_custkey AS k FROM orders
+      |      WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+      |UNION ALL
+      |SELECT 'fk_lineitem_partkey', count(*), min(k)
+      |FROM (SELECT l_partkey AS k FROM lineitem
+      |      WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+      |UNION ALL
+      |SELECT 'pk_orders_orderkey', count(*), min(k)
+      |FROM (SELECT o_orderkey AS k FROM orders
+      |      GROUP BY o_orderkey HAVING count(*) > 1)
+      |UNION ALL
+      |SELECT 'nn_orders_orderdate', count(*), min(k)
+      |FROM (SELECT o_orderkey AS k FROM orders
+      |      WHERE o_orderdate IS NULL)
+      |ORDER BY constraint_name""".stripMargin
+
   /** Point-in-time SCD2 lookup — the query the Type-2 dimension exists
     * FOR: enrich each fact row with the dimension version valid at its
     * timestamp. Runs through the custom [[graft.plans.AsOfJoin]]
@@ -1268,6 +1326,7 @@ object Migration {
     QueryDef("mig_schema_drift", schemaDrift, Some(schemaDriftSql)),
     QueryDef("mig_scd2", scd2, Some(scd2Sql)),
     QueryDef("mig_scd2_lookup", scd2Lookup, Some(scd2LookupSql)),
+    QueryDef("mig_constraint_check", constraintCheck, Some(constraintCheckSql)),
     QueryDef("mig_zorder", zorder, Some(zorderSql)),
     QueryDef("mig_cdc_merge", cdcMerge, Some(cdcMergeSql)),
     QueryDef("mig_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),

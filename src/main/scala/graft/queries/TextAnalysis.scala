@@ -1234,7 +1234,64 @@ object TextAnalysis {
       |  FROM documents)
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Corpus novelty curve — how fast new content stops arriving as
+    * ingest progresses: per ingest-order decile, the share of each
+    * document's distinct 3-shingles that appear THERE FIRST (minimum
+    * doc_id over the corpus). A healthy crawl decays smoothly; a
+    * cliff means the tail is re-crawl. Scale shape: one
+    * aggregate-after-explode to first-occurrence per shingle, one
+    * shuffle join back on the shingle key (vocabulary-sized — never
+    * broadcast, the r9 tf-idf lesson), and deciles by integer
+    * arithmetic on the dense doc_id — no partition-less window
+    * anywhere. Ratios are exact int/int divisions.
+    */
+  private def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val grams = docs
+      .select(col("doc_id"),
+        explode(graft.functions.WordShingles(col("text"), 3)).as("gram"))
+    val firstDoc = grams.groupBy(col("gram"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val perDoc = grams.join(firstDoc, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_new"))
+    val nd = docs.agg((max(col("doc_id")) + 1L).as("nd"))
+    perDoc.crossJoin(broadcast(nd))
+      .withColumn("decile", expr("(doc_id * 10) div nd"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_grams")).as("total_grams"),
+        sum(col("n_new")).as("new_grams"),
+        (sum(col("n_new")).cast("double") / sum(col("n_grams")))
+          .as("novelty"))
+      .orderBy(col("decile"))
+  }
+
+  private val ngramNoveltySql =
+    """WITH g AS (
+      |  SELECT DISTINCT doc_id, gram FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS ws
+      |          FROM documents)
+      |    WHERE len(ws) >= 3)),
+      |f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram),
+      |d AS (
+      |  SELECT g.doc_id, count(*) AS n_grams,
+      |    sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS n_new
+      |  FROM g JOIN f ON g.gram = f.gram GROUP BY g.doc_id),
+      |n AS (SELECT max(doc_id) + 1 AS nd FROM documents)
+      |SELECT (doc_id * 10) // nd AS decile, count(*) AS n_docs,
+      |  CAST(sum(n_grams) AS BIGINT) AS total_grams,
+      |  CAST(sum(n_new) AS BIGINT) AS new_grams,
+      |  CAST(sum(n_new) AS DOUBLE) / CAST(sum(n_grams) AS BIGINT)
+      |    AS novelty
+      |FROM d CROSS JOIN n GROUP BY 1 ORDER BY decile""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("ta_ngram_novelty", ngramNovelty, Some(ngramNoveltySql)),
     QueryDef("ta_tokenizer_fertility", tokenizerFertility,
       Some(tokenizerFertilitySql)),
     QueryDef("ta_bm25", bm25, Some(bm25Sql)),
