@@ -1064,7 +1064,58 @@ object Corpus {
       |    AS eff_epochs
       |FROM b CROSS JOIN t ORDER BY source""".stripMargin
 
+  /** Length-bucketed batching efficiency — the padding-waste planner:
+    * training batches pad every sequence to the longest in the batch,
+    * so the batcher buckets documents by token length first. For each
+    * candidate bucket width (16/32/64/128 tokens) this reports how
+    * many pad tokens the bucketing still wastes (padding to the
+    * bucket's observed max), the number the trainer trades off
+    * against per-bucket batch fragmentation (n_buckets).
+    *
+    * Scale shape: one narrow token-count projection, a 4× literal
+    * explode (constant fan-out), and two aggregations with map-side
+    * combine — the first collapses to ≤ widths × buckets rows before
+    * any shuffle. No window, no join. Waste ratios are double
+    * divisions of exact longs.
+    */
+  private def padWaste(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(size(graft.functions.TextFns.tokens(col("text"))).as("n_tok"))
+    docs
+      .select(col("n_tok"),
+        explode(array(lit(16), lit(32), lit(64), lit(128))).as("w"))
+      .withColumn("bkt", expr("n_tok div w"))
+      .groupBy(col("w"), col("bkt"))
+      .agg(count(lit(1)).as("n"), sum(col("n_tok")).as("sum_tok"),
+        max(col("n_tok")).as("max_tok"))
+      .groupBy(col("w"))
+      .agg(sum(col("n")).as("n_docs"), count(lit(1)).as("n_buckets"),
+        sum(col("sum_tok")).as("total_tokens"),
+        sum(col("n") * col("max_tok")).as("padded_tokens"))
+      .select(col("w"), col("n_docs"), col("n_buckets"),
+        col("total_tokens"), col("padded_tokens"),
+        ((col("padded_tokens") - col("total_tokens")).cast("double") /
+          col("padded_tokens")).as("waste_pct"))
+      .orderBy(col("w"))
+  }
+
+  private val padWasteSql =
+    """WITH d AS (
+      |  SELECT len(string_split(text, ' ')) AS n_tok FROM documents),
+      |e AS (SELECT n_tok, unnest([16, 32, 64, 128]) AS w FROM d),
+      |b AS (
+      |  SELECT w, n_tok // w AS bkt, count(*) AS n,
+      |    sum(n_tok) AS sum_tok, max(n_tok) AS max_tok
+      |  FROM e GROUP BY w, bkt)
+      |SELECT w, CAST(sum(n) AS BIGINT) AS n_docs, count(*) AS n_buckets,
+      |  CAST(sum(sum_tok) AS BIGINT) AS total_tokens,
+      |  CAST(sum(n * max_tok) AS BIGINT) AS padded_tokens,
+      |  CAST(sum(n * max_tok) - sum(sum_tok) AS DOUBLE)
+      |    / CAST(sum(n * max_tok) AS BIGINT) AS waste_pct
+      |FROM b GROUP BY w ORDER BY w""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("cp_pad_waste", padWaste, Some(padWasteSql)),
     QueryDef("cp_temperature_mix", temperatureMix, Some(temperatureMixSql)),
     QueryDef("cp_curriculum", curriculum, Some(curriculumSql)),
     QueryDef("cp_filter_ablation", filterAblation, Some(filterAblationSql)),

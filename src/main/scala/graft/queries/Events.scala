@@ -1275,7 +1275,188 @@ object Events {
       |    AS hazard
       |FROM days ORDER BY t_day""".stripMargin
 
+  /** Time-series gap fill — the feature-store densification step:
+    * downsample each user's events to an hourly gauge (max value in
+    * the hour), build the full hourly spine between the user's first
+    * and last active hour, and forward-fill the gauge across silent
+    * hours. Every ML feature pipeline that joins event gauges to a
+    * regular training grid needs exactly this shape.
+    *
+    * Scale shape: one groupBy to the hourly gauge (map-side combine
+    * collapses to ≤ users×hours rows before the shuffle), a
+    * `sequence`-explode spine generated FROM the per-user span
+    * aggregate (never a driver-side range), a left join on
+    * (user, hr) — both sides already hash-partitioned by the same
+    * key — and one in-partition forward-fill window. No partition-less
+    * window, no driver loop; spine size is bounded by users × span
+    * hours, independent of event count.
+    *
+    * Exactness: hours are integer µs division; the fill copies the
+    * observed double verbatim (no arithmetic), so both engines carry
+    * bit-identical values.
+    */
+  private def gapFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 3600000000").as("hr"),
+        col("value"))
+    val obs = ev.groupBy(col("user_id"), col("hr"))
+      .agg(max(col("value")).as("v_obs"), count(lit(1)).as("n_obs"))
+    val spine = ev.groupBy(col("user_id"))
+      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"))).as("hr"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+    spine.join(obs, Seq("user_id", "hr"), "left")
+      .withColumn("v_fill", last(col("v_obs"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("hr"),
+        col("n_obs").isNotNull.as("is_observed"), col("v_fill"))
+      .orderBy(col("user_id"), col("hr"))
+  }
+
+  private val gapFillSql =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) // 3600000000 AS hr, value
+      |  FROM events),
+      |obs AS (
+      |  SELECT user_id, hr, max(value) AS v_obs, count(*) AS n_obs
+      |  FROM ev GROUP BY user_id, hr),
+      |spine AS (
+      |  SELECT user_id, unnest(generate_series(h0, h1)) AS hr
+      |  FROM (SELECT user_id, min(hr) AS h0, max(hr) AS h1
+      |        FROM ev GROUP BY user_id))
+      |SELECT s.user_id, s.hr, o.n_obs IS NOT NULL AS is_observed,
+      |  last_value(o.v_obs IGNORE NULLS)
+      |    OVER (PARTITION BY s.user_id ORDER BY s.hr) AS v_fill
+      |FROM spine s
+      |LEFT JOIN obs o ON s.user_id = o.user_id AND s.hr = o.hr
+      |ORDER BY s.user_id, s.hr""".stripMargin
+
+  /** Automation / bot detection by inter-arrival regularity: real
+    * humans produce bursty, high-entropy gaps; scripted traffic
+    * repeats a handful of near-constant intervals. Per user: exact
+    * integer gap moments (n·Σg² − (Σg)² — the variance numerator,
+    * computed in decimal so it is order-free), the distinct-gap
+    * ratio, and two integer-arithmetic flags (low gap diversity /
+    * low dispersion at volume).
+    *
+    * Scale shape: one shuffle on user_id for the lag window, then a
+    * per-user aggregate with map-side combine. CV² is reported as a
+    * double division of two exact decimals — deterministic on both
+    * engines.
+    */
+  private def botDetect(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        min(col("gap")).as("min_gap_us"),
+        max(col("gap")).as("max_gap_us"),
+        countDistinct(col("gap")).as("distinct_gaps"),
+        // cast BEFORE squaring: gap² can exceed Long.MaxValue
+        sum(col("gap").cast(DecimalType(38, 0))).as("sum_g"),
+        sum(col("gap").cast(DecimalType(38, 0)) * col("gap")).as("sum_g2"))
+      .select(col("user_id"), col("n_gaps"), col("min_gap_us"),
+        col("max_gap_us"), col("distinct_gaps"),
+        ((col("n_gaps") * col("sum_g2") - col("sum_g") * col("sum_g"))
+          .cast("double") / (col("sum_g") * col("sum_g")).cast("double"))
+          .as("cv2"),
+        (col("distinct_gaps") * 5 < col("n_gaps") && col("n_gaps") >= 20)
+          .as("low_diversity"))
+      .orderBy(col("user_id"))
+  }
+
+  private val botDetectSql =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    epoch_us(ts) - lag(epoch_us(ts))
+      |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |      AS gap
+      |  FROM events)
+      |SELECT user_id, count(*) AS n_gaps,
+      |  min(gap) AS min_gap_us, max(gap) AS max_gap_us,
+      |  count(DISTINCT gap) AS distinct_gaps,
+      |  CAST(count(*) * sum(CAST(gap AS HUGEINT) * gap)
+      |       - sum(CAST(gap AS HUGEINT))
+      |         * sum(CAST(gap AS HUGEINT)) AS DOUBLE)
+      |    / CAST(sum(CAST(gap AS HUGEINT))
+      |           * sum(CAST(gap AS HUGEINT)) AS DOUBLE) AS cv2,
+      |  count(DISTINCT gap) * 5 < count(*) AND count(*) >= 20
+      |    AS low_diversity
+      |FROM g WHERE gap IS NOT NULL
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Hour-of-week seasonality profile per event type: peak slot,
+    * peak share, top-8-slot concentration, weekend share. The
+    * capacity-planning / anomaly-baseline primitive: a traffic class
+    * whose top-8 of 168 slots carry most of its volume needs
+    * slot-aware thresholds, not a global one.
+    *
+    * The slot index is pure integer arithmetic on epoch µs
+    * (Monday 00:00 UTC = slot 0; epoch day 0 was a Thursday, hence
+    * the +72h shift) — immune to the engines' dayofweek numbering
+    * disagreement (Spark 1=Sunday, DuckDB 0=Sunday).
+    *
+    * Scale shape: one aggregate to ≤ types×168 rows with map-side
+    * combine, then windows over that tiny frame. Shares are double
+    * divisions of exact longs.
+    */
+  private def seasonality(s: SparkSession, dir: String): DataFrame = {
+    val slots = Tables(s, dir, "events")
+      .select(col("event_type"),
+        expr("(unix_micros(ts) div 3600000000 + 72) % 168").as("how"))
+      .groupBy(col("event_type"), col("how"))
+      .agg(count(lit(1)).as("n"))
+    val wRank = Window.partitionBy(col("event_type"))
+      .orderBy(col("n").desc, col("how"))
+    slots
+      .withColumn("rk", row_number().over(wRank))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("n")).as("n_total"),
+        max(when(col("rk") === 1, col("how"))).as("peak_slot"),
+        max(when(col("rk") === 1, col("n"))).as("peak_n"),
+        sum(when(col("rk") <= 8, col("n")).otherwise(0L)).as("top8_n"),
+        sum(when(col("how") >= 120, col("n")).otherwise(0L)).as("weekend_n"))
+      .select(col("event_type"), col("n_total"), col("peak_slot"),
+        (col("peak_n").cast("double") / col("n_total")).as("peak_share"),
+        (col("top8_n").cast("double") / col("n_total")).as("top8_share"),
+        (col("weekend_n").cast("double") / col("n_total"))
+          .as("weekend_share"))
+      .orderBy(col("event_type"))
+  }
+
+  private val seasonalitySql =
+    """WITH slots AS (
+      |  SELECT event_type,
+      |    (epoch_us(ts) // 3600000000 + 72) % 168 AS how,
+      |    count(*) AS n
+      |  FROM events GROUP BY event_type, how),
+      |ranked AS (
+      |  SELECT event_type, how, n,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY n DESC, how) AS rk
+      |  FROM slots)
+      |SELECT event_type,
+      |  CAST(sum(n) AS BIGINT) AS n_total,
+      |  max(CASE WHEN rk = 1 THEN how END) AS peak_slot,
+      |  CAST(max(CASE WHEN rk = 1 THEN n END) AS DOUBLE)
+      |    / CAST(sum(n) AS BIGINT) AS peak_share,
+      |  CAST(sum(CASE WHEN rk <= 8 THEN n ELSE 0 END) AS DOUBLE)
+      |    / CAST(sum(n) AS BIGINT) AS top8_share,
+      |  CAST(sum(CASE WHEN how >= 120 THEN n ELSE 0 END) AS DOUBLE)
+      |    / CAST(sum(n) AS BIGINT) AS weekend_share
+      |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("ev_gap_fill", gapFill, Some(gapFillSql)),
+    QueryDef("ev_bot_detect", botDetect, Some(botDetectSql)),
+    QueryDef("ev_seasonality", seasonality, Some(seasonalitySql)),
     QueryDef("ev_survival", survival, Some(survivalSql)),
     QueryDef("ev_markov_backtest", markovBacktest, Some(markovBacktestSql)),
     QueryDef("ev_forecast_baseline", forecastBaseline,

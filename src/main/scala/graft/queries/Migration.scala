@@ -1320,7 +1320,63 @@ object Migration {
       |    AS max_key
       |FROM diff GROUP BY class ORDER BY class""".stripMargin
 
+  /** Small-file compaction planner — the lake-maintenance pass that
+    * turns a fragmented partition into target-sized rewrite groups.
+    * The file inventory is modeled deterministically from lineitem
+    * (one "file" per (ship-month, returnflag+linestatus) at 64 B/row
+    * — the stand-in for a real `listFiles` catalog scan); within each
+    * month-partition, files are ordered largest-first and greedily
+    * packed by running-byte-sum into 32 KiB groups: group =
+    * (cumulative_bytes − 1) div target, the next-fit plan a
+    * compaction job hands to its rewrite tasks.
+    *
+    * Scale shape: the inventory aggregate collapses to one row per
+    * file BEFORE the window (map-side combine), and the packing
+    * window partitions by month — at 100 TB each partition holds its
+    * own file list (thousands of rows, not data rows), so the sort is
+    * tiny and fully parallel across partitions. No data movement —
+    * this plans the rewrite; it does not perform it.
+    */
+  private def compactionPlan(s: SparkSession, dir: String): DataFrame = {
+    val target = 32768L
+    val files = Tables(s, dir, "lineitem")
+      .groupBy(
+        expr("year(l_shipdate) * 12 + month(l_shipdate)").as("pmonth"),
+        concat(col("l_returnflag"), col("l_linestatus")).as("fk"))
+      .agg((count(lit(1)) * 64L).as("bytes"))
+    val w = Window.partitionBy(col("pmonth"))
+      .orderBy(col("bytes").desc, col("fk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    files
+      .withColumn("cum", sum(col("bytes")).over(w))
+      .withColumn("grp", expr(s"(cum - 1) div $target"))
+      .groupBy(col("pmonth"), col("grp"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("group_bytes"),
+        max(col("bytes")).as("largest_file"))
+      .orderBy(col("pmonth"), col("grp"))
+  }
+
+  private val compactionPlanSql =
+    """WITH files AS (
+      |  SELECT year(l_shipdate) * 12 + month(l_shipdate) AS pmonth,
+      |    l_returnflag || l_linestatus AS fk,
+      |    count(*) * 64 AS bytes
+      |  FROM lineitem GROUP BY pmonth, fk),
+      |packed AS (
+      |  SELECT pmonth, bytes,
+      |    (CAST(sum(bytes) OVER (PARTITION BY pmonth
+      |       ORDER BY bytes DESC, fk
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |       - 1) // 32768 AS grp
+      |  FROM files)
+      |SELECT pmonth, grp, count(*) AS n_files,
+      |  CAST(sum(bytes) AS BIGINT) AS group_bytes,
+      |  max(bytes) AS largest_file
+      |FROM packed GROUP BY pmonth, grp
+      |ORDER BY pmonth, grp""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("mig_compaction_plan", compactionPlan, Some(compactionPlanSql)),
     QueryDef("mig_data_diff", dataDiff, Some(dataDiffSql)),
     QueryDef("mig_profile", profile, Some(profileSql)),
     QueryDef("mig_schema_drift", schemaDrift, Some(schemaDriftSql)),

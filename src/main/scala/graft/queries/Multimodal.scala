@@ -51,6 +51,11 @@ case class PngDecoded(
   */
 case class PhashRow(doc_id: Long, phash: Long)
 
+/** One luma-histogram bin of a decoded raster — top-level for the
+  * same encoder-codegen reason as [[BmpDecoded]].
+  */
+case class LumaBin(doc_id: Long, bin: Int, n_px: Long, share: Double)
+
 /** Result schema of the real box-filter resize — top-level for the
   * same encoder-codegen reason as [[BmpDecoded]].
   */
@@ -193,6 +198,71 @@ object Multimodal {
       .toDF()
       .orderBy(col("doc_id"))
   }
+
+  /** 16-bin luma histogram over the DECODED raster — the exposure /
+    * content-screening feature an image-curation pipeline computes per
+    * frame (all-dark, all-bright, low-dynamic-range filters). Same
+    * real-codec contract as `mm_decode_bmp`: rasterize the payload to
+    * 16×16 gray-8, round-trip through the actual BMP codec, histogram
+    * the pixels javax.imageio hands BACK (raster samples, not getRGB).
+    * Only occupied bins are emitted; `share` is n/256 — a power-of-two
+    * division, exact in binary floating point on both engines.
+    *
+    * Scale shape: narrow CPU-bound mapPartitions emitting ≤ 16 rows
+    * per image, no shuffle before the output sort. The oracle
+    * predicts the decoded pixels from the rasterization arithmetic
+    * alone — valid because the BMP path is lossless, a fact
+    * `mm_decode_bmp` pins with its oracle-checked max_err = 0.
+    */
+  private def lumaHistogram(s: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.product[LumaBin]
+    val side = 16
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .mapPartitions { it: Iterator[Row] =>
+        imageIoMemoryCache()
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val blob = r.getAs[Array[Byte]](1)
+          requirePayload(id, blob)
+          val img = new java.awt.image.BufferedImage(
+            side, side, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          var i = 0
+          while (i < side * side) {
+            img.getRaster.setSample(i % side, i / side, 0,
+              blob(i % blob.length) & 0xff)
+            i += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "bmp", bos)
+          val back = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          val ras = back.getRaster
+          val counts = new Array[Long](16)
+          var j = 0
+          while (j < side * side) {
+            counts(ras.getSample(j % side, j / side, 0) / 16) += 1
+            j += 1
+          }
+          (0 until 16).iterator.filter(counts(_) > 0)
+            .map(b => LumaBin(id, b, counts(b), counts(b) / 256.0))
+        }
+      }(enc)
+      .toDF()
+      .orderBy(col("doc_id"), col("bin"))
+  }
+
+  private val lumaHistogramSql =
+    """WITH px AS (
+      |  SELECT d.doc_id,
+      |    ascii(substring(d.text, CAST(g.i % d.len AS INTEGER) + 1, 1))
+      |      // 16 AS bin
+      |  FROM (SELECT doc_id, text, length(text) AS len FROM documents) d
+      |  CROSS JOIN (SELECT unnest(range(0, 256)) AS i) g)
+      |SELECT doc_id, bin, count(*) AS n_px,
+      |  CAST(count(*) AS DOUBLE) / 256 AS share
+      |FROM px GROUP BY doc_id, bin
+      |ORDER BY doc_id, bin""".stripMargin
 
   // the oracle predicts the decoded raster from the rasterization
   // arithmetic alone — valid because BMP gray-8 is lossless — and
@@ -1139,6 +1209,7 @@ object Multimodal {
     QueryDef("mm_frame_energy", frameEnergy, Some(frameEnergySql)),
     QueryDef("mm_blob_meta", blobMeta, Some(blobMetaSql)),
     QueryDef("mm_decode_bmp", decodeBmp, Some(decodeBmpSql)),
+    QueryDef("mm_luma_histogram", lumaHistogram, Some(lumaHistogramSql)),
     QueryDef("mm_decode_png", decodePng, Some(decodePngSql)),
     QueryDef("mm_decode_jpeg", decodeJpeg, Some(decodeJpegSql)),
     QueryDef("mm_decode_wav", decodeWav, Some(decodeWavSql)),

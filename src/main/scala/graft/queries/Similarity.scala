@@ -1349,7 +1349,131 @@ object Similarity {
        |SELECT query_id, neighbor_id, rnk, cosv FROM ranked
        |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin
 
+  /** Top principal direction by power iteration — the PCA primitive a
+    * curation pipeline runs before whitening, Matryoshka truncation
+    * sizing, or drift monitoring. One distributed pass computes the
+    * exact covariance moments (the `GramMomentsAgg` one-pass
+    * aggregate from `sim_covariance`); the d×d fixed-point covariance
+    * (≤ 32 KB — dimension-bounded, never corpus-bounded) is then
+    * iterated on the driver in exact BigInt arithmetic: vₜ₊₁ =
+    * trunc(C·vₜ · S / max|C·vₜ|), twenty-four iterations from the all-ones
+    * start, max-norm instead of L2 so no square root enters the
+    * fixed-point path. Output: the eigenvector in 1e-9 units plus the
+    * dominant-eigenvalue estimate (max|w|/S, also 1e-9 units).
+    *
+    * Exactness: the covariance cell is rounded at 9 decimals — the
+    * precision at which the moment aggregate and the oracle's
+    * decimal-cast path are verified identical — then scaled to a
+    * 64-bit integer; from there both engines run the same integer
+    * recurrence (BigInt here; HUGEINT in twenty-four unrolled oracle CTEs,
+    * with a sign-split floor division that equals trunc on the
+    * nonnegative operands both sides feed it).
+    *
+    * 100 TB shape: one scan, one 68 KB-buffer aggregate, O(d²·iters)
+    * driver math, d output rows. The collect moves the moment buffer
+    * only — same bounded-collect class as the centroid loads.
+    */
+  private def pcaPower(s: SparkSession, dir: String): DataFrame = {
+    val d = 64
+    val S = 1000000000L
+    val iters = 24
+    val cells = Tables(s, dir, "embeddings")
+      .agg(graft.operators.GramMomentsAgg(col("embedding"), d).as("m"))
+      .select(col("m.n").as("n_rows"), col("m.sums").as("sums"),
+        explode(col("m.gram")).as("g"))
+      .select(col("g.i").as("i"), col("g.j").as("j"),
+        round(round(col("g.v").cast("double") / col("n_rows") -
+          (element_at(col("sums"), col("g.i") + 1).cast("double") /
+            col("n_rows")) *
+          (element_at(col("sums"), col("g.j") + 1).cast("double") /
+            col("n_rows")), 9) * S, 0).cast("long").as("c"))
+      .collect() // ≤ d(d+1)/2 rows — dimension-bounded, not corpus-bounded
+    val C = Array.ofDim[Long](d, d)
+    cells.foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getLong(2))
+      C(i)(j) = c
+      C(j)(i) = c
+    }
+    var v = Array.fill(d)(BigInt(S))
+    var m = BigInt(0)
+    var t = 0
+    while (t < iters) {
+      val w = Array.tabulate(d) { i =>
+        var acc = BigInt(0)
+        var j = 0
+        while (j < d) { acc += BigInt(C(i)(j)) * v(j); j += 1 }
+        acc
+      }
+      m = w.map(_.abs).max
+      require(m > 0, "pca_power: zero covariance matrix")
+      // BigInt / truncates toward zero — the sign-split // form in SQL
+      v = w.map(wi => wi * S / m)
+      t += 1
+    }
+    val lambdaFp = (m / S).toLong
+    import s.implicits._
+    (0 until d).map(i => (i, v(i).toLong, lambdaFp))
+      .toDF("i", "v_fp", "lambda_fp")
+      .orderBy(col("i"))
+  }
+
+  private val pcaPowerSql = {
+    val S = "1000000000"
+    val iters = 24
+    // Every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and a
+    // 24-step inlined chain (each step re-expanding the covariance
+    // subtree) blows up planning time exponentially — measured minutes
+    // at sf0.01 vs milliseconds materialized. The max enters via a
+    // whole-frame window, not a scalar subquery, so each step reads
+    // its predecessor exactly once.
+    val steps = (1 to iters).map { t =>
+      val p = s"v${t - 1}"
+      s"""w$t AS MATERIALIZED (
+         |  SELECT c.i AS i, sum(CAST(c.c AS HUGEINT) * v.v) AS w
+         |  FROM covf c JOIN $p v ON v.i = c.j GROUP BY c.i),
+         |v$t AS MATERIALIZED (
+         |  SELECT i, CASE WHEN w < 0
+         |    THEN -(((-w) * $S) // (max(abs(w)) OVER ()))
+         |    ELSE ((w * $S) // (max(abs(w)) OVER ())) END AS v,
+         |    max(abs(w)) OVER () AS m
+         |  FROM w$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH m AS MATERIALIZED (
+       |  SELECT i, j,
+       |    sum(CAST(CAST(embedding[i + 1] AS DOUBLE) *
+       |             CAST(embedding[j + 1] AS DOUBLE)
+       |        AS DECIMAL(38, 18))) AS sxy
+       |  FROM embeddings
+       |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
+       |  CROSS JOIN (SELECT unnest(range(0, 64)) AS j)
+       |  WHERE j >= i GROUP BY i, j),
+       |s AS MATERIALIZED (
+       |  SELECT k, sum(CAST(CAST(embedding[k + 1] AS DOUBLE)
+       |    AS DECIMAL(38, 18))) AS sx
+       |  FROM embeddings
+       |  CROSS JOIN (SELECT unnest(range(0, 64)) AS k) GROUP BY k),
+       |n AS MATERIALIZED (SELECT count(*) AS n_rows FROM embeddings),
+       |cov9 AS MATERIALIZED (
+       |  SELECT i, j,
+       |    CAST(round(round(CAST(sxy AS DOUBLE) / n_rows -
+       |      (CAST(si.sx AS DOUBLE) / n_rows) *
+       |      (CAST(sj.sx AS DOUBLE) / n_rows), 9) * $S, 0) AS BIGINT)
+       |      AS c
+       |  FROM m JOIN s si ON si.k = m.i JOIN s sj ON sj.k = m.j
+       |  CROSS JOIN n),
+       |covf AS MATERIALIZED (
+       |  SELECT i, j, c FROM cov9
+       |  UNION ALL SELECT j, i, c FROM cov9 WHERE i < j),
+       |v0 AS MATERIALIZED (
+       |  SELECT unnest(range(0, 64)) AS i, CAST($S AS HUGEINT) AS v),
+       |$steps
+       |SELECT i, CAST(v AS BIGINT) AS v_fp, CAST(m // $S AS BIGINT)
+       |    AS lambda_fp
+       |FROM v$iters ORDER BY i""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sim_pca_power", pcaPower, Some(pcaPowerSql)),
     QueryDef("sim_srp_lsh", srpLsh, Some(srpLshSql)),
     QueryDef("sim_bucket_balance", bucketBalance, Some(bucketBalanceSql)),
     QueryDef("sim_covariance", covariance, Some(covarianceSql)),

@@ -406,7 +406,11 @@ object TextAnalysis {
     * so accuracy is incidental — the operator's plumbing (per-language
     * scoring + deterministic argmax) is what's exercised.
     */
-  private def langId(s: SparkSession, dir: String): DataFrame = {
+  /** Shared scoring projection for `ta_lang_id` and `ta_lang_id_eval`:
+    * doc_id, the labeled lang, per-language marker scores, and the
+    * argmax prediction — one narrow pass, no join.
+    */
+  private def langScored(s: SparkSession, dir: String): DataFrame = {
     val markers = Seq(
       "en" -> Seq("the", "a", "and", "of"),
       "de" -> Seq("der", "die", "und", "das"),
@@ -427,13 +431,20 @@ object TextAnalysis {
     }
     // foldRight gives priority to the FIRST language in marker order on
     // ties (en > de > es > fr > zh), matching the oracle's CASE chain.
-    scored.select(col("doc_id"), col("s_en"), col("s_de"), col("s_es"),
-        col("s_fr"), col("s_zh"), pred.as("lang_pred"),
-        (pred === col("lang")).as("is_correct"))
+    scored.select(col("doc_id"), col("lang"), col("s_en"), col("s_de"),
+      col("s_es"), col("s_fr"), col("s_zh"), pred.as("lang_pred"))
+  }
+
+  private def langId(s: SparkSession, dir: String): DataFrame = {
+    langScored(s, dir)
+      .select(col("doc_id"), col("s_en"), col("s_de"), col("s_es"),
+        col("s_fr"), col("s_zh"), col("lang_pred"),
+        (col("lang_pred") === col("lang")).as("is_correct"))
       .orderBy(col("doc_id"))
   }
 
-  private val langIdSql = {
+  /** Oracle mirror of [[langScored]] — doc_id, lang, scores, argmax. */
+  private val langScoredSql = {
     val markers = Seq(
       "en" -> Seq("the", "a", "and", "of"),
       "de" -> Seq("der", "die", "und", "das"),
@@ -446,15 +457,60 @@ object TextAnalysis {
     val best = "greatest(s_en, s_de, s_es, s_fr, s_zh)"
     val caseChain = markers.map(_._1)
       .map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
-    s"""SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh,
-       |  CASE $caseChain ELSE 'und' END AS lang_pred,
-       |  (CASE $caseChain ELSE 'und' END) = lang AS is_correct
+    s"""SELECT doc_id, lang, s_en, s_de, s_es, s_fr, s_zh,
+       |  CASE $caseChain ELSE 'und' END AS lang_pred
        |FROM (
        |  SELECT doc_id, lang,
        |    $scoreCols
-       |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents))
-       |ORDER BY doc_id""".stripMargin
+       |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents))""".stripMargin
   }
+
+  private val langIdSql =
+    s"""SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh, lang_pred,
+       |  lang_pred = lang AS is_correct
+       |FROM ($langScoredSql)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Language-ID evaluation — the confusion matrix + per-cell recall
+    * and precision shares of the n-gram classifier against the
+    * labeled `lang` column. The model-selection companion to
+    * `ta_lang_id`: a curation pipeline promotes a classifier only
+    * after reading exactly this table (which languages bleed into
+    * which, and whether the 'und' fallback is absorbing real docs).
+    *
+    * Scale shape: rides the classifier's narrow scoring projection
+    * (no re-scan — the prediction and the label come off the same
+    * row), one aggregate to ≤ langs² cells, then windows over that
+    * tiny frame. Shares are double divisions of exact longs.
+    */
+  private def langIdEval(s: SparkSession, dir: String): DataFrame = {
+    val cells = langScored(s, dir)
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+    val wTrue = Window.partitionBy(col("lang"))
+    val wPred = Window.partitionBy(col("lang_pred"))
+    cells
+      .select(col("lang"), col("lang_pred"), col("n"),
+        (col("n").cast("double") / sum(col("n")).over(wTrue))
+          .as("recall_share"),
+        (col("n").cast("double") / sum(col("n")).over(wPred))
+          .as("precision_share"))
+      .orderBy(col("lang"), col("lang_pred"))
+  }
+
+  private val langIdEvalSql =
+    s"""WITH c AS (
+       |  SELECT lang, lang_pred, count(*) AS n
+       |  FROM ($langScoredSql)
+       |  GROUP BY lang, lang_pred)
+       |SELECT lang, lang_pred, n,
+       |  CAST(n AS DOUBLE)
+       |    / CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT)
+       |    AS recall_share,
+       |  CAST(n AS DOUBLE)
+       |    / CAST(sum(n) OVER (PARTITION BY lang_pred) AS BIGINT)
+       |    AS precision_share
+       |FROM c ORDER BY lang, lang_pred""".stripMargin
 
   /** Content-hash fingerprints: raw and whitespace-normalized md5 +
     * sha256 — the exact-dedup keys.
@@ -1308,6 +1364,7 @@ object TextAnalysis {
     QueryDef("ta_winnow_fp", winnowFp, Some(winnowFpSql)),
     QueryDef("ta_quality_score", quality, Some(qualitySql)),
     QueryDef("ta_lang_id", langId, Some(langIdSql)),
+    QueryDef("ta_lang_id_eval", langIdEval, Some(langIdEvalSql)),
     QueryDef("ta_fingerprint", fingerprint, Some(fingerprintSql)),
     QueryDef("ta_word_topk", wordTopK, Some(wordTopKSql)),
     QueryDef("ta_bigram_topk", bigramTopK, Some(bigramTopKSql)),

@@ -279,4 +279,81 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows(("zorder", "x"))._2 < nFiles.toDouble / 2)
   }
 
+  test("ev_gap_fill: complete per-user spine, fill never regresses " +
+    "to null, observed rows carry their own gauge") {
+    val rows = SparkEntry.queries("ev_gap_fill")(spark, dir).collect()
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.foreach { case (u, rs) =>
+      val hrs = rs.map(_.getLong(1)).sorted
+      // spine completeness: every hour between first and last, exactly once
+      assert(hrs.head + hrs.length - 1 == hrs.last,
+        s"user $u spine has holes")
+      assert(hrs.distinct.length == hrs.length)
+      // first spine hour is the user's first active hour → no leading null
+      rs.foreach(r => assert(!r.isNullAt(3), s"user $u null fill"))
+      assert(rs.head.getBoolean(2) || rs.exists(_.getBoolean(2)))
+    }
+    // forward fill: between observations the value is constant
+    byUser.foreach { case (_, rs) =>
+      rs.sortBy(_.getLong(1)).foldLeft(Option.empty[Double]) { (prev, r) =>
+        val v = r.getDouble(3)
+        if (!r.getBoolean(2)) assert(prev.contains(v), "fill drifted")
+        Some(v)
+      }
+    }
+  }
+
+  test("mig_compaction_plan: next-fit groups respect the target bound " +
+    "and conserve the file inventory") {
+    val target = 32768L
+    val rows = SparkEntry.queries("mig_compaction_plan")(spark, dir)
+      .collect()
+    // next-fit invariant: a group exceeds the target only by less than
+    // its own largest member (the straddling file), never more
+    rows.foreach { r =>
+      val (bytes, largest) = (r.getLong(3), r.getLong(4))
+      assert(bytes < target + largest,
+        s"group ${r.getInt(0)}/${r.getLong(1)} overflows: $bytes")
+    }
+    // conservation: group bytes sum to the modeled inventory (64 B/row)
+    val nLineitem = graft.Tables(spark, dir, "lineitem").count()
+    assert(rows.map(_.getLong(3)).sum == nLineitem * 64L)
+  }
+
+  test("cp_pad_waste: finer buckets never waste more padding") {
+    val byW = SparkEntry.queries("cp_pad_waste")(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getDouble(5)).toMap
+    assert(byW(16) <= byW(32) && byW(32) <= byW(64) && byW(64) <= byW(128),
+      s"padding waste not monotone in bucket width: $byW")
+  }
+
+  test("sim_pca_power: unit max-norm fixed-point eigenvector with high " +
+    "Rayleigh alignment against an independently computed covariance") {
+    val out = SparkEntry.queries("sim_pca_power")(spark, dir).collect()
+    assert(out.length == 64)
+    val v = out.sortBy(_.getInt(0)).map(_.getLong(1).toDouble / 1e9)
+    assert(math.abs(v.map(math.abs).max - 1.0) < 1e-9) // max-norm = 1
+    // independent covariance: plain double arithmetic over the raw rows
+    val vecs = graft.Tables(spark, dir, "embeddings")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = vecs.length.toDouble
+    val d = 64
+    val mean = Array.tabulate(d)(i => vecs.map(_(i)).sum / n)
+    val c = Array.tabulate(d, d) { (i, j) =>
+      vecs.map(x => x(i) * x(j)).sum / n - mean(i) * mean(j)
+    }
+    val cvv = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * v(j)).sum)
+    val dot = (0 until d).map(i => cvv(i) * v(i)).sum
+    val na = math.sqrt(cvv.map(x => x * x).sum)
+    val nb = math.sqrt(v.map(x => x * x).sum)
+    val cos = dot / (na * nb)
+    assert(cos > 0.999, s"power iteration not aligned: cos=$cos")
+    // eigenvalue estimate consistent with the Rayleigh quotient
+    val lambda = out.head.getLong(2).toDouble / 1e9
+    val rayleigh = dot / (nb * nb)
+    assert(math.abs(lambda - rayleigh) / rayleigh < 0.05,
+      s"lambda=$lambda vs rayleigh=$rayleigh")
+  }
+
 }
