@@ -1453,7 +1453,79 @@ object Events {
       |    / CAST(sum(n) AS BIGINT) AS weekend_share
       |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Classical trend/seasonal decomposition of the per-type hourly
+    * event series: trend = centered 25-hour moving average over the
+    * DENSE hourly spine (silent hours count as 0 — skipping them
+    * biases the trend), seasonal = hour-of-day mean of the detrended
+    * residual. The anomaly-baseline builder: alerting compares
+    * tomorrow's counts against trend + seasonal, not a global mean.
+    *
+    * Exactness: the trend is a double division of two exact longs
+    * (deterministic); each detrended residual is cast to
+    * DECIMAL(38,18) BEFORE summation so the per-(type, hod) mean is
+    * an order-free decimal sum — never raw double accumulation.
+    *
+    * Scale shape: one aggregate to ≤ types × hours rows, a
+    * sequence-explode spine from the span aggregate, one in-partition
+    * window per type (rows frame ±12), and a final ≤ types × 24
+    * aggregate. Everything after the first aggregate is
+    * series-length-, not event-count-, sized.
+    */
+  private def seasonalDecompose(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hr"))
+    val hourly = ev.groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n"))
+    val spine = ev.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      .crossJoin(ev.select(col("event_type")).distinct())
+      .select(col("event_type"), explode(sequence(col("h0"), col("h1")))
+        .as("hr"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(-12, 12)
+    spine.join(hourly, Seq("event_type", "hr"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("trend",
+        sum(col("n")).over(w).cast("double") / count(lit(1)).over(w))
+      .withColumn("detr",
+        (col("n") - col("trend")).cast(DecimalType(38, 18)))
+      .groupBy(col("event_type"), (col("hr") % 24).as("hod"))
+      .agg(count(lit(1)).as("n_hours"),
+        round(sum(col("detr")).cast("double") / count(lit(1)), 9)
+          .as("seasonal"))
+      .orderBy(col("event_type"), col("hod"))
+  }
+
+  private val seasonalDecomposeSql =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr FROM events),
+      |hourly AS (
+      |  SELECT event_type, hr, count(*) AS n
+      |  FROM ev GROUP BY event_type, hr),
+      |spine AS (
+      |  SELECT t.event_type, unnest(generate_series(s.h0, s.h1)) AS hr
+      |  FROM (SELECT min(hr) AS h0, max(hr) AS h1 FROM ev) s
+      |  CROSS JOIN (SELECT DISTINCT event_type FROM ev) t),
+      |dense AS (
+      |  SELECT s.event_type, s.hr, COALESCE(h.n, 0) AS n
+      |  FROM spine s LEFT JOIN hourly h
+      |    ON s.event_type = h.event_type AND s.hr = h.hr),
+      |detrended AS (
+      |  SELECT event_type, hr, n,
+      |    CAST(n - CAST(sum(n) OVER w AS BIGINT)
+      |               / CAST(count(*) OVER w AS BIGINT)
+      |      AS DECIMAL(38,18)) AS detr
+      |  FROM dense
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+      |               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING))
+      |SELECT event_type, hr % 24 AS hod, count(*) AS n_hours,
+      |  round(CAST(sum(detr) AS DOUBLE) / count(*), 9) AS seasonal
+      |FROM detrended GROUP BY event_type, hod
+      |ORDER BY event_type, hod""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("ev_seasonal_decompose", seasonalDecompose,
+      Some(seasonalDecomposeSql)),
     QueryDef("ev_gap_fill", gapFill, Some(gapFillSql)),
     QueryDef("ev_bot_detect", botDetect, Some(botDetectSql)),
     QueryDef("ev_seasonality", seasonality, Some(seasonalitySql)),
@@ -1527,6 +1599,11 @@ object Events {
     QueryDef("evs_session_custom_state",
       (s, d) => graft.streaming.EventStream.sessionCustomState(s, d),
       Some(sessionWindowBatchSql)),
+    // bounded-ring stateful EWMA vs the batch window query's oracle —
+    // the incremental serving shape of ev_ewma
+    QueryDef("evs_ewma_state",
+      (s, d) => graft.streaming.EventStream.ewmaState(s, d),
+      Some(ewmaSql)),
     // flatMapGroupsWithState running counts: single-batch input means
     // the final state equals the batch GROUP BY, so it is oracle-able.
     QueryDef("evs_stream_static_join",

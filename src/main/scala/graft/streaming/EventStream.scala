@@ -20,6 +20,12 @@ import org.apache.spark.sql.types._
   */
 case class OpenSession(startUs: Long, endUs: Long, n: Long)
 
+/** Per-user EWMA state: total arrivals plus the last ≤20 events in
+  * (us, event_id) ascending order — top-level for encoder codegen.
+  */
+case class EwmaWindow(total: Long, us: Array[Long], ids: Array[Long],
+    vs: Array[Double])
+
 object EventStream {
 
   /** events.parquet physical vintage dispatch — the streaming mirror
@@ -643,6 +649,98 @@ object EventStream {
         timestamp_micros(col("end_us") + gapUs).as("session_end"),
         col("n_events"))
       .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** Streaming EWMA — the stateful mirror of the batch `ev_ewma`
+    * 20-term half-life score, gated against the SAME DuckDB oracle.
+    * Each user's state is a bounded ring of the last ≤20 events in
+    * (event-time, event_id) order plus the lifetime arrival count;
+    * micro-batches merge their (unordered) arrivals into the ring, and
+    * the final score emits via event-time timeout when the far-future
+    * sentinel advances the watermark past a flush point one day before
+    * it (so NO intermediate watermark can fire a user early, however
+    * the source splits batches). The numerator is accumulated in
+    * scale-18 BigDecimal exactly like the oracle's fixed-scale decimal
+    * sum (each double product rounded at 1e-18 half-up — the same
+    * binary-expansion rounding Spark's double→decimal cast performs);
+    * the final divide + round-at-9 run as Column expressions identical
+    * to the batch query's.
+    *
+    * Scale shape: state is O(20) per user regardless of history; the
+    * stream shuffles once on user_id. This is the incremental serving
+    * shape of the feature — the batch window query recomputes, the
+    * stream carries it forward.
+    */
+  /** The stateful core of [[ewmaState]], factored out so the
+    * multi-batch / out-of-order merge path can be driven directly by a
+    * MemoryStream in tests (the fixture's single micro-batch never
+    * exercises it). Input tuples: (user_id, us, event_id, value, ts);
+    * output: (user_id, n_window, num) with num the exact scale-18
+    * decimal numerator.
+    */
+  private[graft] def ewmaTransform(
+      ev: org.apache.spark.sql.Dataset[(Long, Long, Long, Double, java.sql.Timestamp)],
+      flushUs: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import ev.sparkSession.implicits._
+    val m = 20
+    ev.groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaWindow,
+        (Long, Long, java.math.BigDecimal)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[(Long, Long, Long, Double, java.sql.Timestamp)],
+            state: GroupState[EwmaWindow]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            var num = java.math.BigDecimal.ZERO
+              .setScale(18, java.math.RoundingMode.UNNECESSARY)
+            val n = st.vs.length
+            var k = 0
+            while (k < n) {
+              // k = 0 is the most recent event; arrays are ascending
+              val term = new java.math.BigDecimal(
+                st.vs(n - 1 - k) * math.pow(0.5, k))
+                .setScale(18, java.math.RoundingMode.HALF_UP)
+              num = num.add(term)
+              k += 1
+            }
+            Iterator((uid, math.min(st.total, m.toLong), num))
+          } else {
+            val batch = it.map(t => (t._2, t._3, t._4)).toArray
+            val prev = state.getOption
+              .getOrElse(EwmaWindow(0L, Array.empty, Array.empty, Array.empty))
+            val all = (prev.us.indices.map(i =>
+              (prev.us(i), prev.ids(i), prev.vs(i))) ++ batch)
+              .sortBy(t => (t._1, t._2)).takeRight(m)
+            state.update(EwmaWindow(prev.total + batch.length,
+              all.map(_._1).toArray, all.map(_._2).toArray,
+              all.map(_._3).toArray))
+            // fires only once the sentinel (flush point + 1 day) lands
+            state.setTimeoutTimestamp(flushUs / 1000)
+            Iterator.empty
+          }
+      }
+      .toDF("user_id", "n_window", "num")
+  }
+
+  def ewmaState(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    import ss.implicits._
+    val flushUs = graft.Tables(ss, dir, "events")
+      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0) +
+      29L * 24 * 3600 * 1000000L
+    val ev = sentinelFlushedEvents(ss, dir, Seq("sentinel"))
+      .withWatermark("ts", "30 minutes")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"), col("ts"))
+      .as[(Long, Long, Long, Double, java.sql.Timestamp)]
+    runToCompletion(ss, ewmaTransform(ev, flushUs), "evs_ewma_sink", "append")
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("n_window"),
+        round(col("num").cast("double") /
+          (lit(2.0) - pow(lit(0.5), col("n_window") - 1)), 9).as("ewma"))
+      .orderBy(col("user_id"))
   }
 
   /** Streaming → WAREHOUSE sink: the event stream lands in a real JDBC

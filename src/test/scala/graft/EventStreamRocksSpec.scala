@@ -39,7 +39,7 @@ class EventStreamRocksSpec extends AnyFunSuite {
     for (name <- Seq("evs_dedup_within_watermark", "evs_session_windows",
         "evs_stream_stream_join", "evs_user_running_counts",
         "evs_sliding_counts", "evs_session_custom_state",
-        "evs_stream_semi_join", "evs_windowed_topk")) {
+        "evs_stream_semi_join", "evs_windowed_topk", "evs_ewma_state")) {
       val heap = sortedRows(name)
       val rocks = withRocksDb { sortedRows(name) }
       assert(heap.nonEmpty, s"$name: empty fixture result")
