@@ -49,7 +49,10 @@ object ScaleCurve {
     "q22_word_topk_salted", "mm_phash_pairs",
     // round-10 batch additions with non-trivial plans
     "mig_data_diff", "mig_profile", "dd_edit_distance",
-    "sim_rerank_int8", "ev_pit_features")
+    "sim_rerank_int8", "ev_pit_features",
+    // round-10 late additions: spine-explode fill (output ∝ users ×
+    // span hours), moment-collect PCA, dense-series decomposition
+    "ev_gap_fill", "sim_pca_power", "ev_seasonal_decompose")
 
   private def js(v: Double): String =
     String.format(Locale.ROOT, "%.3f", Double.box(v))

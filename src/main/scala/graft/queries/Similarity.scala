@@ -1375,6 +1375,19 @@ object Similarity {
     */
   private def pcaPower(s: SparkSession, dir: String): DataFrame = {
     val d = 64
+    val (v, lambdaFp) = pcaVector(s, dir)
+    import s.implicits._
+    (0 until d).map(i => (i, v(i), lambdaFp))
+      .toDF("i", "v_fp", "lambda_fp")
+      .orderBy(col("i"))
+  }
+
+  /** The moment pass + BigInt iteration shared by `sim_pca_power` and
+    * `sim_pca_project`: returns (eigenvector in 1e-9 fixed point,
+    * eigenvalue estimate in 1e-9 fixed point).
+    */
+  private def pcaVector(s: SparkSession, dir: String): (Array[Long], Long) = {
+    val d = 64
     val S = 1000000000L
     val iters = 24
     val cells = Tables(s, dir, "embeddings")
@@ -1410,14 +1423,54 @@ object Similarity {
       v = w.map(wi => wi * S / m)
       t += 1
     }
-    val lambdaFp = (m / S).toLong
-    import s.implicits._
-    (0 until d).map(i => (i, v(i).toLong, lambdaFp))
-      .toDF("i", "v_fp", "lambda_fp")
-      .orderBy(col("i"))
+    (v.map(_.toLong), (m / S).toLong)
   }
 
-  private val pcaPowerSql = {
+  /** Downstream consumer of the principal direction: project every
+    * embedding onto it and report the per-label projection profile
+    * (count, mean, min, max) — the 1-D "where does each class sit
+    * along the dominant axis" table a curation pipeline reads when
+    * deciding whether the top direction encodes a nuisance factor
+    * (length, language) worth projecting out before similarity work.
+    *
+    * Exactness: each per-element product is a deterministic double
+    * (float→double exact, v_fp/1e9 exact, one IEEE multiply) cast to
+    * scale-18 decimal; the per-row fold keeps the accumulator at
+    * DECIMAL(30,18) so every addition stays within precision — ZERO
+    * scale-shedding drift (unlike a (38,18) fold, where Spark's
+    * decimal promotion rounds each step at 1e-17) — making the sum
+    * bit-equal to the oracle's order-free decimal SUM over the same
+    * products, whatever the row order.
+    *
+    * Scale shape: the moment pass + driver iteration of
+    * `sim_pca_power`, then ONE narrow per-row fold (no explode — the
+    * 64-term zip_with/aggregate stays inside the row) and a
+    * label-keyed aggregate. The only data-sized shuffle carries one
+    * row per vector.
+    */
+  private def pcaProject(s: SparkSession, dir: String): DataFrame = {
+    val (v, _) = pcaVector(s, dir)
+    val vCol = array(v.map(x => lit(x.toDouble / 1e9)): _*)
+    val proj = aggregate(
+      zip_with(col("embedding"), vCol,
+        (x, w) => (x.cast("double") * w).cast(DecimalType(20, 18))),
+      lit(java.math.BigDecimal.ZERO).cast(DecimalType(30, 18)),
+      (acc, t) => (acc + t).cast(DecimalType(30, 18)))
+    Tables(s, dir, "embeddings")
+      .select(col("label"), proj.as("p"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("p")).cast("double") / count(lit(1)), 9)
+          .as("mean_proj"),
+        round(min(col("p")).cast("double"), 9).as("min_proj"),
+        round(max(col("p")).cast("double"), 9).as("max_proj"))
+      .orderBy(col("label"))
+  }
+
+  /** The shared WITH-chain (moments → cov9 → 24 iteration CTEs) plus
+    * the per-query final SELECTs.
+    */
+  private val pcaChainSql: String = {
     val S = "1000000000"
     val iters = 24
     // Every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and a
@@ -1466,14 +1519,34 @@ object Similarity {
        |  UNION ALL SELECT j, i, c FROM cov9 WHERE i < j),
        |v0 AS MATERIALIZED (
        |  SELECT unnest(range(0, 64)) AS i, CAST($S AS HUGEINT) AS v),
-       |$steps
-       |SELECT i, CAST(v AS BIGINT) AS v_fp, CAST(m // $S AS BIGINT)
-       |    AS lambda_fp
-       |FROM v$iters ORDER BY i""".stripMargin
+       |$steps""".stripMargin
   }
+
+  private val pcaPowerSql =
+    s"""$pcaChainSql
+       |SELECT i, CAST(v AS BIGINT) AS v_fp,
+       |  CAST(m // 1000000000 AS BIGINT) AS lambda_fp
+       |FROM v24 ORDER BY i""".stripMargin
+
+  private val pcaProjectSql =
+    s"""$pcaChainSql,
+       |vd AS MATERIALIZED (
+       |  SELECT i, CAST(v AS DOUBLE) / 1000000000 AS w FROM v24),
+       |proj AS MATERIALIZED (
+       |  SELECT e.vec_id, e.label,
+       |    sum(CAST(CAST(e.embedding[vd.i + 1] AS DOUBLE) * vd.w
+       |        AS DECIMAL(38, 18))) AS p
+       |  FROM embeddings e CROSS JOIN vd
+       |  GROUP BY e.vec_id, e.label)
+       |SELECT label, count(*) AS n_vecs,
+       |  round(CAST(sum(p) AS DOUBLE) / count(*), 9) AS mean_proj,
+       |  round(CAST(min(p) AS DOUBLE), 9) AS min_proj,
+       |  round(CAST(max(p) AS DOUBLE), 9) AS max_proj
+       |FROM proj GROUP BY label ORDER BY label""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("sim_pca_power", pcaPower, Some(pcaPowerSql)),
+    QueryDef("sim_pca_project", pcaProject, Some(pcaProjectSql)),
     QueryDef("sim_srp_lsh", srpLsh, Some(srpLshSql)),
     QueryDef("sim_bucket_balance", bucketBalance, Some(bucketBalanceSql)),
     QueryDef("sim_covariance", covariance, Some(covarianceSql)),

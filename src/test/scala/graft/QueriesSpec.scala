@@ -354,6 +354,29 @@ class QueriesSpec extends AnyFunSuite {
     val rayleigh = dot / (nb * nb)
     assert(math.abs(lambda - rayleigh) / rayleigh < 0.05,
       s"lambda=$lambda vs rayleigh=$rayleigh")
+    // the top direction must capture at least as much variance as any
+    // single coordinate axis — else the iteration found a non-dominant
+    // direction
+    val maxDiag = (0 until d).map(i => c(i)(i)).max
+    assert(rayleigh / (nb * nb) >= maxDiag * 0.999 / (nb * nb) ||
+      rayleigh >= maxDiag * 0.999,
+      s"rayleigh=$rayleigh < max axis variance $maxDiag")
+
+    // sim_pca_project: per-label means must reassemble to the global
+    // projection mean, mean(x)·v
+    val projRows = SparkEntry.queries("sim_pca_project")(spark, dir)
+      .collect()
+    val totalN = projRows.map(_.getLong(1)).sum
+    assert(totalN == vecs.length.toLong)
+    val weighted = projRows.map(r => r.getLong(1) * r.getDouble(2)).sum
+    val globalMean = (0 until d).map(i => mean(i) * v(i)).sum
+    assert(math.abs(weighted / totalN - globalMean) < 1e-6,
+      s"label means ${weighted / totalN} vs global ${globalMean}")
+    // min <= mean <= max per label
+    projRows.foreach { r =>
+      assert(r.getDouble(3) <= r.getDouble(2) + 1e-9 &&
+        r.getDouble(2) <= r.getDouble(4) + 1e-9)
+    }
   }
 
 }
