@@ -440,4 +440,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(900))
   }
 
+  test("gap fill: every window partitions by user — no partition-less " +
+    "window, and the gauge aggregates before the spine join") {
+    val p = plan("ev_gap_fill")
+    // the forward-fill window must carry a partition spec; a global
+    // window here would serialize the whole spine through one task
+    assert(!p.contains("Window [") ||
+      p.linesIterator.filter(_.contains("Window"))
+        .forall(l => !l.contains("windowspecdefinition()")), p.take(900))
+    assert(p.contains("partitionBy") || p.contains("user_id"), p.take(900))
+    // hourly gauge: a partial aggregate runs before the exchange, so
+    // the shuffle carries (user, hr) gauges, not raw events
+    assert(p.contains("HashAggregate"), p.take(900))
+  }
+
+  test("pca project: the projection is a per-row fold — no Generate " +
+    "node explodes vectors, and the only shuffle keys on label") {
+    val p = plan("sim_pca_project")
+    // the Gramian lesson: a d-wide explode multiplies executor row
+    // throughput by 64; the zip_with/aggregate fold must stay inside
+    // the row
+    assert(!p.contains("Generate"), p.take(900))
+    assert("Exchange hashpartitioning\\(label".r.findFirstIn(p).isDefined
+      || p.contains("label"), p.take(900))
+  }
+
+  test("seasonal decompose: series-sized after the first aggregate — " +
+    "the event scan feeds one partial-aggregated exchange") {
+    val p = plan("ev_seasonal_decompose")
+    // count-by-(type,hour) must combine map-side: partial_count before
+    // the first exchange
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      p.take(900))
+    // the ±12 trend window partitions by event_type, never globally
+    assert(p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .forall(l => l.contains("event_type")), p.take(900))
+  }
+
 }
