@@ -1375,7 +1375,53 @@ object Migration {
       |FROM packed GROUP BY pmonth, grp
       |ORDER BY pmonth, grp""".stripMargin
 
+  /** Partition-key skew report — the sizing table read BEFORE choosing
+    * a migration/lake partition column: for each candidate key over
+    * the events table (event_type, a 10-way user shard, calendar day),
+    * the partition count, the largest partition, and the max/mean skew
+    * factor. A candidate with skew ≫ 1 hands one writer task most of
+    * the table; this report is why `mig_partitioned_lake` partitions
+    * by the key it does.
+    *
+    * Scale shape: three map-side-combined aggregates (each collapses
+    * to its key cardinality before the shuffle) unioned into a
+    * candidates-sized frame. Skew = max·n_parts/total is exact integer
+    * arithmetic until one deterministic double division.
+    */
+  private def partitionSkew(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    def profile(name: String, key: Column): DataFrame =
+      ev.groupBy(key.as("k")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_partitions"), sum(col("n")).as("total"),
+          max(col("n")).as("max_rows"))
+        .select(lit(name).as("candidate"), col("n_partitions"),
+          col("max_rows"),
+          ((col("max_rows") * col("n_partitions")).cast("double") /
+            col("total")).as("skew"))
+    profile("event_type", col("event_type"))
+      .unionAll(profile("user_shard_10", expr("user_id % 10")))
+      .unionAll(profile("day", expr("unix_micros(ts) div 86400000000")))
+      .orderBy(col("candidate"))
+  }
+
+  private val partitionSkewSql = {
+    def one(name: String, key: String) =
+      s"""SELECT '$name' AS candidate, count(*) AS n_partitions,
+         |  max(n) AS max_rows,
+         |  CAST(max(n) * count(*) AS DOUBLE)
+         |    / CAST(sum(n) AS BIGINT) AS skew
+         |FROM (SELECT $key AS k, count(*) AS n
+         |      FROM events GROUP BY k)""".stripMargin
+    s"""${one("event_type", "event_type")}
+       |UNION ALL
+       |${one("user_shard_10", "user_id % 10")}
+       |UNION ALL
+       |${one("day", "epoch_us(ts) // 86400000000")}
+       |ORDER BY candidate""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("mig_partition_skew", partitionSkew, Some(partitionSkewSql)),
     QueryDef("mig_compaction_plan", compactionPlan, Some(compactionPlanSql)),
     QueryDef("mig_data_diff", dataDiff, Some(dataDiffSql)),
     QueryDef("mig_profile", profile, Some(profileSql)),
