@@ -106,7 +106,7 @@ object Dedup {
     */
   private val scoredPairsCache = new graft.SessionCache[DataFrame]
 
-  private def cachedScoredPairs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def cachedScoredPairs(s: SparkSession, dir: String): DataFrame =
     scoredPairsCache.getOrElseUpdate(s, dir) {
       // Per-doc shingle-set sizes come straight off the shingle array —
       // a narrow scan, no explode/shuffle. One (id, n) row per doc: AQE
@@ -1377,9 +1377,16 @@ object Dedup {
         "doc_b")
     val keyA = struct(col("da").as("d"), col("doc_a").as("i"))
     val keyB = struct(col("db").as("d"), col("doc_b").as("i"))
+    // The oriented edge set feeds THREE consumers (both wedge sides
+    // and the closing join); without materialization each consumer
+    // re-runs the degree aggregate + two degree joins over the cached
+    // pair index — measured 3.0 vs 1.5 s at sf0.1 (r10 drift
+    // root-cause). localCheckpoint pins the (tiny, filtered) edge set
+    // and truncates lineage, the same shape ConnectedComponents uses.
     val oriented = withDeg.select(
       when(keyA < keyB, col("doc_a")).otherwise(col("doc_b")).as("src"),
       when(keyA < keyB, keyB).otherwise(keyA).as("dst"))
+      .localCheckpoint()
     // wedges at src over (deg,id)-ordered out-neighbor pairs, closed
     // against the oriented edge (v1 -> v2)
     val o1 = oriented.select(col("src"), col("dst").as("v1"))

@@ -1451,9 +1451,20 @@ object Similarity {
   private def pcaProject(s: SparkSession, dir: String): DataFrame = {
     val (v, _) = pcaVector(s, dir)
     val vCol = array(v.map(x => lit(x.toDouble / 1e9)): _*)
+    // Contract: the per-element product must fit DECIMAL(20,18), i.e.
+    // |x*w| < 100. Under Spark's default non-ANSI mode an overflow
+    // would silently NULL the whole row's projection (the DuckDB
+    // oracle computes at (38,18) and would keep it — a silent
+    // cross-engine divergence), so out-of-range inputs FAIL LOUD
+    // instead: |w| <= 1 by power-iteration normalization, so the
+    // guard is on |x|. One codegen'd comparison per element.
     val proj = aggregate(
       zip_with(col("embedding"), vCol,
-        (x, w) => (x.cast("double") * w).cast(DecimalType(20, 18))),
+        (x, w) => when(abs(x.cast("double")) < lit(100d),
+            (x.cast("double") * w).cast(DecimalType(20, 18)))
+          .otherwise(raise_error(lit(
+            "pca_project: |embedding value| >= 100 overflows DECIMAL(20,18)"))
+            .cast(DecimalType(20, 18)))),
       lit(java.math.BigDecimal.ZERO).cast(DecimalType(30, 18)),
       (acc, t) => (acc + t).cast(DecimalType(30, 18)))
     Tables(s, dir, "embeddings")

@@ -661,10 +661,16 @@ object EventStream {
     * it (so NO intermediate watermark can fire a user early, however
     * the source splits batches). The numerator is accumulated in
     * scale-18 BigDecimal exactly like the oracle's fixed-scale decimal
-    * sum (each double product rounded at 1e-18 half-up — the same
-    * binary-expansion rounding Spark's double→decimal cast performs);
-    * the final divide + round-at-9 run as Column expressions identical
-    * to the batch query's.
+    * sum. Rounding parity detail: Spark's double→decimal cast goes
+    * through the double's SHORTEST decimal representation
+    * (Double.toString), not its exact binary expansion — so each term
+    * is built with BigDecimal.valueOf (= new BigDecimal(
+    * Double.toString(v))), then rounded at 1e-18 half-up. Using
+    * `new BigDecimal(double)` instead would expand the full binary
+    * fraction and can differ at the 18th decimal (0.1 →
+    * …1000000000000000055511151231257827); the final divide +
+    * round-at-9 run as Column expressions identical to the batch
+    * query's.
     *
     * Scale shape: state is O(20) per user regardless of history; the
     * stream shuffles once on user_id. This is the incremental serving
@@ -698,8 +704,10 @@ object EventStream {
             val n = st.vs.length
             var k = 0
             while (k < n) {
-              // k = 0 is the most recent event; arrays are ascending
-              val term = new java.math.BigDecimal(
+              // k = 0 is the most recent event; arrays are ascending.
+              // valueOf = shortest-decimal rendering, matching Spark's
+              // double→decimal cast (see the object Scaladoc).
+              val term = java.math.BigDecimal.valueOf(
                 st.vs(n - 1 - k) * math.pow(0.5, k))
                 .setScale(18, java.math.RoundingMode.HALF_UP)
               num = num.add(term)

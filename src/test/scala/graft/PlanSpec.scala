@@ -444,14 +444,16 @@ class PlanSpec extends AnyFunSuite {
     "window, and the gauge aggregates before the spine join") {
     val p = plan("ev_gap_fill")
     // the forward-fill window must carry a partition spec; a global
-    // window here would serialize the whole spine through one task
-    assert(!p.contains("Window [") ||
-      p.linesIterator.filter(_.contains("Window"))
-        .forall(l => !l.contains("windowspecdefinition()")), p.take(900))
-    assert(p.contains("partitionBy") || p.contains("user_id"), p.take(900))
+    // window here would serialize the whole spine through one task.
+    // Concrete shape (not a vacuous fallback): the plan HAS window
+    // specs, and every one of them partitions on user_id.
+    val winLines = p.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(winLines.nonEmpty, p.take(900))
+    assert(winLines.forall(_.contains("user_id")), winLines.mkString("\n"))
     // hourly gauge: a partial aggregate runs before the exchange, so
     // the shuffle carries (user, hr) gauges, not raw events
-    assert(p.contains("HashAggregate"), p.take(900))
+    assert(p.contains("partial_"), p.take(900))
   }
 
   test("pca project: the projection is a per-row fold — no Generate " +
@@ -461,8 +463,8 @@ class PlanSpec extends AnyFunSuite {
     // throughput by 64; the zip_with/aggregate fold must stay inside
     // the row
     assert(!p.contains("Generate"), p.take(900))
-    assert("Exchange hashpartitioning\\(label".r.findFirstIn(p).isDefined
-      || p.contains("label"), p.take(900))
+    assert("hashpartitioning\\(label".r.findFirstIn(p).isDefined,
+      p.take(900))
   }
 
   test("seasonal decompose: series-sized after the first aggregate — " +
@@ -470,8 +472,7 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("ev_seasonal_decompose")
     // count-by-(type,hour) must combine map-side: partial_count before
     // the first exchange
-    assert(p.contains("partial_count") || p.contains("HashAggregate"),
-      p.take(900))
+    assert(p.contains("partial_count"), p.take(900))
     // the ±12 trend window partitions by event_type, never globally
     assert(p.linesIterator.filter(_.contains("windowspecdefinition"))
       .forall(l => l.contains("event_type")), p.take(900))
