@@ -1,35 +1,34 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-
-/** Dev scratchpad: ad-hoc plan/exactness probes. Not part of the
-  * driver contract; edited freely during development.
-  *
-  * Current probe: dd_triangles after the oriented-edge
-  * localCheckpoint fix — warm-path timing, 4 reps.
-  */
+/** Dev scratchpad. Current probe: Derby SYS.SYSCHECKS shape. */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.1"
-    def t(label: String)(f: => Unit): Unit = {
-      val t0 = System.nanoTime()
-      f
-      println(f"[stage] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    val url = "jdbc:derby:memory:probechk;create=true"
+    val c = java.sql.DriverManager.getConnection(url)
+    val st = c.createStatement()
+    st.execute(
+      """CREATE TABLE WIDGETS (
+        |  W_ID BIGINT NOT NULL PRIMARY KEY,
+        |  W_SKU VARCHAR(20) NOT NULL UNIQUE,
+        |  W_GRADE INTEGER CHECK (W_GRADE BETWEEN 0 AND 5),
+        |  W_STATE VARCHAR(10) DEFAULT 'new')""".stripMargin)
+    println("schema=" + c.getSchema)
+    val rs = st.executeQuery(
+      """SELECT ck.CHECKDEFINITION, ck.REFERENCEDCOLUMNS, t.TABLENAME, s.SCHEMANAME
+        |FROM SYS.SYSCHECKS ck
+        |JOIN SYS.SYSCONSTRAINTS cons ON ck.CONSTRAINTID = cons.CONSTRAINTID
+        |JOIN SYS.SYSTABLES t ON cons.TABLEID = t.TABLEID
+        |JOIN SYS.SYSSCHEMAS s ON t.SCHEMAID = s.SCHEMAID""".stripMargin)
+    while (rs.next()) {
+      val o = rs.getObject(2)
+      println(s"def=${rs.getString(1)} tbl=${rs.getString(3)} sch=${rs.getString(4)} refcols=${o} cls=${if (o == null) "null" else o.getClass.getName}")
+      if (o != null) {
+        try {
+          val m = o.getClass.getMethod("getReferencedColumnPositions")
+          println("positions=" + m.invoke(o).asInstanceOf[Array[Int]].toSeq)
+        } catch { case e: Throwable => println("reflect fail: " + e) }
+      }
     }
-    Tables(spark, dir, "documents").count() // warm session
-    SparkEntry.queries("dd_jaccard_histogram")(spark, dir).collect() // warm cache
-    val tri = SparkEntry.queries("dd_triangles")
-    for (i <- 1 to 4) t(s"triangles_fixed_$i")(tri(spark, dir).collect())
-    spark.stop()
+    rs.close(); st.close(); c.close()
   }
 }

@@ -176,6 +176,8 @@ final class JdbcSchemaSource(url: String, numPartitions: Int = 8,
       rs.close()
       out.toMap
     }
+    val uniques = DerbyConstraintProbe.uniqueColumns(c, table, pks)
+    val checks = DerbyConstraintProbe.checkClauses(c, table)
 
     val rs = md.getColumns(null, c.getSchema, table, "%")
     val cols = ListBuffer.empty[ColumnSchema]
@@ -185,6 +187,8 @@ final class JdbcSchemaSource(url: String, numPartitions: Int = 8,
       val size = rs.getInt("COLUMN_SIZE")
       val scale = rs.getInt("DECIMAL_DIGITS")
       val nullable = rs.getInt("NULLABLE") != java.sql.DatabaseMetaData.columnNoNulls
+      val columnDefault = Option(rs.getString("COLUMN_DEF")).map(_.trim)
+        .filter(_.nonEmpty)
       val (mssql, len, prec, sc) = jdbcType match {
         case Types.BIT | Types.BOOLEAN => (MssqlType.Bit, None, None, None)
         case Types.TINYINT => (MssqlType.TinyInt, None, None, None)
@@ -223,13 +227,21 @@ final class JdbcSchemaSource(url: String, numPartitions: Int = 8,
           throw new MigrationException.UnknownSourceType(
             table, name, s"jdbc:$other")
       }
-      // single constraint slot per column, PK taking precedence over
-      // FK — the reference's extractor CASE has the identical
-      // precedence (extractor.rs:62-70), so a column that is both PK
-      // and FK loses its FK on both engines (schema-model parity)
+      // single constraint slot per column, with the reference
+      // extractor's CASE precedence (extractor.rs:62-70): PRIMARY KEY
+      // > FOREIGN KEY > UNIQUE > CHECK > DEFAULT. A column holding a
+      // higher-ranked constraint loses the lower-ranked ones on both
+      // engines (schema-model parity). UNIQUE/CHECK come from the
+      // live catalog probes (getIndexInfo / SYS.SYSCHECKS), DEFAULT
+      // from getColumns COLUMN_DEF — the full five-kind surface the
+      // reference probes via INFORMATION_SCHEMA (extractor.rs:63-77),
+      // previously reachable only through the fixture SchemaSource.
       val constraint: Option[Constraint] =
         if (pks.contains(name)) Some(Constraint.PrimaryKey)
         else fks.get(name).map { case (rt, rc) => Constraint.ForeignKey(rt, rc) }
+          .orElse(if (uniques.contains(name)) Some(Constraint.Unique) else None)
+          .orElse(checks.get(name).map(Constraint.Check(_)))
+          .orElse(columnDefault.map(Constraint.Default(_)))
       cols += ColumnSchema(name, mssql, len, prec, sc, nullable, constraint)
     }
     rs.close()
@@ -374,4 +386,153 @@ final class JdbcTargetWriter(
     transactional(sql.split(';').map(_.trim)
       .filter(s => s.nonEmpty && !s.toUpperCase.startsWith("SET FOREIGN_KEY_CHECKS"))
       .toSeq)
+}
+
+/** Live catalog probes for the constraint kinds JDBC DatabaseMetaData
+  * has no portable call for — UNIQUE, CHECK — completing the five-kind
+  * constraint surface the reference's extractor reads from
+  * INFORMATION_SCHEMA (extractor.rs:63-77: PRIMARY KEY / FOREIGN KEY /
+  * UNIQUE / CHECK(...) / DEFAULT ...). PK/FK/DEFAULT stay on the
+  * portable metadata calls in [[JdbcSchemaSource]]; these two read
+  * the standard index metadata and (for CHECK) the Derby system
+  * catalog, degrading to empty on engines without it — the reference
+  * equally reads engine-specific INFORMATION_SCHEMA views.
+  */
+private[engine] object DerbyConstraintProbe {
+
+  /** Columns under a SINGLE-column UNIQUE constraint. Primary path:
+    * SYS.SYSCONSTRAINTS TYPE='U' joined to the backing conglomerate
+    * for the column positions — getIndexInfo(unique=true) alone is
+    * NOT enough on Derby, which backs a UNIQUE on a nullable column
+    * with a "unique when not null" index reported as NON_UNIQUE.
+    * Fallback on non-Derby engines: the portable unique-index probe
+    * (minus the PK's backing index). Multi-column unique constraints
+    * have no slot in the reference's per-column model and are
+    * skipped, like its CONSTRAINT_COLUMN_USAGE scalar subquery
+    * silently collapses them.
+    */
+  def uniqueColumns(c: Connection, table: String,
+      pkCols: Set[String]): Set[String] =
+    try {
+      val schema = Option(c.getSchema).getOrElse("APP")
+      val ordered = orderedColumns(c, schema, table)
+      val st = c.prepareStatement(
+        """SELECT cg.DESCRIPTOR
+          |FROM SYS.SYSCONSTRAINTS cons
+          |JOIN SYS.SYSKEYS k ON k.CONSTRAINTID = cons.CONSTRAINTID
+          |JOIN SYS.SYSCONGLOMERATES cg
+          |  ON cg.CONGLOMERATEID = k.CONGLOMERATEID
+          |JOIN SYS.SYSTABLES t ON cons.TABLEID = t.TABLEID
+          |JOIN SYS.SYSSCHEMAS s ON t.SCHEMAID = s.SCHEMAID
+          |WHERE t.TABLENAME = ? AND s.SCHEMANAME = ?
+          |  AND cons.TYPE = 'U'""".stripMargin)
+      st.setString(1, table)
+      st.setString(2, schema)
+      val rs = st.executeQuery()
+      val out = Set.newBuilder[String]
+      while (rs.next()) {
+        val desc = rs.getObject(1)
+        val positions = desc.getClass.getMethod("baseColumnPositions")
+          .invoke(desc).asInstanceOf[Array[Int]].toSeq
+        positions match {
+          case Seq(p) if p >= 1 && p <= ordered.size => out += ordered(p - 1)
+          case _ => () // multi-column unique: no per-column slot
+        }
+      }
+      rs.close(); st.close()
+      out.result()
+    } catch {
+      case _: java.sql.SQLException | _: ReflectiveOperationException |
+          _: ClassCastException =>
+        uniqueIndexColumns(c, table, pkCols)
+    }
+
+  private def orderedColumns(c: Connection, schema: String,
+      table: String): Vector[String] = {
+    val rs = c.getMetaData.getColumns(null, schema, table, "%")
+    val out = ListBuffer.empty[String]
+    while (rs.next()) out += rs.getString("COLUMN_NAME")
+    rs.close()
+    out.toVector // ordinal order: catalog positions are 1-based
+  }
+
+  private def uniqueIndexColumns(c: Connection, table: String,
+      pkCols: Set[String]): Set[String] = {
+    val rs = c.getMetaData.getIndexInfo(null, c.getSchema, table,
+      /* unique = */ true, /* approximate = */ false)
+    val byIndex = scala.collection.mutable.Map
+      .empty[String, ListBuffer[String]]
+    while (rs.next()) {
+      val idx = rs.getString("INDEX_NAME")
+      val col = rs.getString("COLUMN_NAME")
+      if (idx != null && col != null)
+        byIndex.getOrElseUpdate(idx, ListBuffer.empty) += col
+    }
+    rs.close()
+    byIndex.values.collect {
+      case cols if cols.size == 1 && !pkCols.contains(cols.head) => cols.head
+    }.toSet
+  }
+
+  /** column -> check clause for SINGLE-column check constraints, from
+    * SYS.SYSCHECKS (Derby's catalog; empty on other engines). The
+    * referenced column comes from the catalog's ReferencedColumns
+    * descriptor (read reflectively — the descriptor class lives in the
+    * Derby jar), with a defensive fallback that matches the check text
+    * against the table's column names.
+    */
+  def checkClauses(c: Connection, table: String): Map[String, String] = {
+    val sql =
+      """SELECT ck.CHECKDEFINITION, ck.REFERENCEDCOLUMNS
+        |FROM SYS.SYSCHECKS ck
+        |JOIN SYS.SYSCONSTRAINTS cons ON ck.CONSTRAINTID = cons.CONSTRAINTID
+        |JOIN SYS.SYSTABLES t ON cons.TABLEID = t.TABLEID
+        |JOIN SYS.SYSSCHEMAS s ON t.SCHEMAID = s.SCHEMAID
+        |WHERE t.TABLENAME = ? AND s.SCHEMANAME = ?""".stripMargin
+    try {
+      val schema = Option(c.getSchema).getOrElse("APP")
+      val ordered = {
+        val rs = c.getMetaData.getColumns(null, schema, table, "%")
+        val out = ListBuffer.empty[String]
+        while (rs.next()) out += rs.getString("COLUMN_NAME")
+        rs.close()
+        out.toVector // ordinal order: positions in the descriptor are 1-based
+      }
+      val st = c.prepareStatement(sql)
+      st.setString(1, table)
+      st.setString(2, schema)
+      val rs = st.executeQuery()
+      val out = Map.newBuilder[String, String]
+      while (rs.next()) {
+        val raw = rs.getString(1).trim
+        // Derby stores the parenthesized search condition; strip ONE
+        // balanced outer layer so the clause slots into the
+        // reference's 'CHECK (...)' rendering without double parens
+        val clause =
+          if (raw.startsWith("(") && raw.endsWith(")"))
+            raw.substring(1, raw.length - 1).trim
+          else raw
+        val positions: Seq[Int] =
+          try {
+            val desc = rs.getObject(2)
+            desc.getClass.getMethod("getReferencedColumnPositions")
+              .invoke(desc).asInstanceOf[Array[Int]].toSeq
+          } catch {
+            case _: ReflectiveOperationException | _: ClassCastException =>
+              ordered.zipWithIndex.collect {
+                case (col, i) if clause.contains(col) => i + 1
+              }
+          }
+        positions match {
+          case Seq(p) if p >= 1 && p <= ordered.size =>
+            out += ordered(p - 1) -> clause
+          case _ => () // multi-column check: no per-column slot
+        }
+      }
+      rs.close(); st.close()
+      out.result()
+    } catch {
+      case _: java.sql.SQLException => Map.empty // not a Derby catalog
+    }
+  }
 }

@@ -208,17 +208,41 @@ object Migration {
     val tables = Seq("region", "nation", "supplier")
     val props = new java.util.Properties
     tables.foreach(t => Tables(s, dir, t).write.jdbc(srcUrl, s""""$t"""", props))
+    // Give the live source the FULL five-kind constraint surface the
+    // reference probes (extractor.rs:63-77): the schema probe must
+    // read these from Derby's real catalog (not a fixture), carry
+    // them through mapping, and emit ADD UNIQUE / ADD CHECK / FK DDL
+    // in the constraints pass. The oracle pins per-table constraint
+    // counts, so a probe regression (e.g. missing nullable-UNIQUE)
+    // reds this row.
+    locally {
+      val c = java.sql.DriverManager.getConnection(srcUrl)
+      try {
+        val st = c.createStatement()
+        try Seq(
+          """ALTER TABLE "nation" ALTER COLUMN "n_nationkey" NOT NULL""",
+          """ALTER TABLE "nation" ADD CONSTRAINT N_PK PRIMARY KEY ("n_nationkey")""",
+          """ALTER TABLE "nation" ADD CONSTRAINT N_NAME_UQ UNIQUE ("n_name")""",
+          """ALTER TABLE "supplier" ADD CONSTRAINT S_NK_FK FOREIGN KEY ("s_nationkey") REFERENCES "nation" ("n_nationkey")""",
+          """ALTER TABLE "supplier" ADD CONSTRAINT S_AB_CK CHECK ("s_acctbal" > -10000)""",
+          """ALTER TABLE "region" ALTER COLUMN "r_comment" DEFAULT 'none'"""
+        ).foreach(st.execute)
+        finally st.close()
+      } finally c.close()
+    }
 
     val migrator = new Migrator(s, new JdbcSchemaSource(srcUrl),
       new JdbcTargetWriter(dstUrl, AnsiFlavor), TypeRegistry.withDefaults(),
-      MigrationOptions(maxConcurrentTasks = 3))
+      MigrationOptions(maxConcurrentTasks = 3, createConstraints = true))
     // both in-memory databases are dropped in the finally: a failed
     // migration or verification must not leave them (and their data)
     // resident for the JVM's lifetime across bench/verify repetitions
     val verified =
       try {
         val results = migrator.run()
-        // verify counts against the TARGET database
+        // verify counts against the TARGET database; n_constraints is
+        // the mapped schema's populated constraint slots — i.e. what
+        // the LIVE metadata probe found (PK inline + the ADD DDL)
         results.map { r =>
           val c = java.sql.DriverManager.getConnection(dstUrl)
           try {
@@ -226,8 +250,11 @@ object Migration {
             try {
               val rs = st.executeQuery(
                 s"""SELECT COUNT(*) FROM "${r.tableName}"""")
-              try { rs.next(); (r.tableName, r.created, rs.getLong(1)) }
-              finally rs.close()
+              try {
+                rs.next()
+                (r.tableName, r.created, rs.getLong(1),
+                  r.schema.count(_.constraints.nonEmpty).toLong)
+              } finally rs.close()
             } finally st.close()
           } finally c.close()
         }
@@ -238,14 +265,18 @@ object Migration {
           catch { case _: java.sql.SQLException => () } // drop always "fails"
       }
     import s.implicits._
-    verified.toDF("table_name", "created", "rows_migrated")
+    verified.toDF("table_name", "created", "rows_migrated", "n_constraints")
       .orderBy(col("table_name"))
   }
 
+  // expected constraint slots: region DEFAULT(r_comment)=1;
+  // nation PK(n_nationkey)+UNIQUE(n_name)=2;
+  // supplier FK(s_nationkey)+CHECK(s_acctbal)=2
   private val pipelineJdbcSql =
-    Seq("region", "nation", "supplier").map(t =>
-      s"SELECT '$t' AS table_name, TRUE AS created, count(*) AS rows_migrated FROM $t")
-      .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+    Seq("region" -> 1, "nation" -> 2, "supplier" -> 2).map { case (t, n) =>
+      s"SELECT '$t' AS table_name, TRUE AS created, " +
+        s"count(*) AS rows_migrated, CAST($n AS BIGINT) AS n_constraints FROM $t"
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
 
   /** The SAME live pipeline as `mig_pipeline_jdbc`, but with the
     * PRODUCTION flavor: `MySqlFlavor` (pass-through — raw MySQL DDL,

@@ -103,6 +103,45 @@ class JdbcEngineSpec extends AnyFunSuite {
       MssqlType.Float)
   }
 
+  test("schema probe reads UNIQUE/CHECK/DEFAULT live, with the " +
+    "extractor's single-slot precedence") {
+    val url = "jdbc:derby:memory:graft_jdbc_cons;create=true"
+    val c = DriverManager.getConnection(url)
+    val st = c.createStatement()
+    try st.execute("DROP TABLE WIDGETS") catch { case _: java.sql.SQLException => () }
+    st.execute(
+      """CREATE TABLE WIDGETS (
+        |  W_ID BIGINT NOT NULL PRIMARY KEY,
+        |  W_SKU VARCHAR(20) NOT NULL UNIQUE,
+        |  W_GRADE INTEGER CHECK (W_GRADE BETWEEN 0 AND 5),
+        |  W_STATE VARCHAR(10) DEFAULT 'new',
+        |  W_NOTES VARCHAR(50))""".stripMargin)
+    st.close(); c.close()
+
+    val schema = new JdbcSchemaSource(url).getTableSchema("WIDGETS")
+    val byName = schema.map(s => s.columnName -> s.constraints).toMap
+    assert(byName("W_ID") == Some(Constraint.PrimaryKey))
+    assert(byName("W_SKU") == Some(Constraint.Unique))
+    assert(byName("W_GRADE") == Some(Constraint.Check("W_GRADE BETWEEN 0 AND 5")))
+    assert(byName("W_STATE") == Some(Constraint.Default("'new'")))
+    assert(byName("W_NOTES").isEmpty)
+
+    // precedence: a PK column that also carries a DEFAULT keeps only
+    // the PK slot (extractor.rs:62-70 CASE order)
+    val c2 = DriverManager.getConnection(url)
+    val st2 = c2.createStatement()
+    try st2.execute("DROP TABLE PRECED") catch { case _: java.sql.SQLException => () }
+    st2.execute(
+      """CREATE TABLE PRECED (
+        |  P_ID BIGINT NOT NULL DEFAULT 0 PRIMARY KEY,
+        |  P_ALT VARCHAR(5) DEFAULT 'x' UNIQUE)""".stripMargin)
+    st2.close(); c2.close()
+    val preced = new JdbcSchemaSource(url).getTableSchema("PRECED")
+      .map(s => s.columnName -> s.constraints).toMap
+    assert(preced("P_ID") == Some(Constraint.PrimaryKey))
+    assert(preced("P_ALT") == Some(Constraint.Unique))
+  }
+
   test("source scan is range-partitioned on the numeric primary key") {
     seeded
     val df = new JdbcSchemaSource(srcUrl, numPartitions = 4)
