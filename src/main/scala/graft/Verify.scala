@@ -27,6 +27,18 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a crashed query must surface as a RED row in the driver's
+        // oracle compare, not silently shrink the denominator: write
+        // an error-marker parquet whose schema can never match any
+        // oracle, so the row reds out instead of disappearing
+        try {
+          import spark.implicits._
+          Seq(s"${e.getClass.getName}: ${e.getMessage}")
+            .toDF("__verify_error").coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case m: Throwable =>
+          System.err.println(s"[verify] $name marker write failed: ${m.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

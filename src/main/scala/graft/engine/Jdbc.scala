@@ -88,16 +88,34 @@ case object AnsiFlavor extends SqlFlavor {
         sql.substring(at).replace("\\\\", "\\")
     } else if (upper.startsWith("CREATE TABLE") ||
         upper.startsWith("ALTER TABLE")) {
-      // type-defining DDL carries no string literals — a contract the
-      // DDL RENDERER upholds (SqlDdl emits only identifiers, types and
-      // key clauses; no CHECK/DEFAULT literals), not a property of
-      // arbitrary ALTER statements: requote + retype.
+      // type-defining DDL: requote + retype — with single-quoted
+      // literal spans MASKED first, because constraint ALTERs
+      // legitimately carry them (CHECK clause text, DEFAULT values;
+      // SqlDdl.createConstraints) and a DEFAULT like 'new text' must
+      // not become 'new CLOB' under the type rules.
       // Identifiers are backtick-quoted in the rendered SQL and become
       // double-quoted before the type rules run, so a column named
       // "text" or "datetime" is not a bare \b-word and never matches.
-      typeRules.foldLeft(quoteIdents(sql)) { case (acc, (re, to)) =>
-        acc.replaceAll(re, to)
+      val lits = Vector.newBuilder[String]
+      val masked = new StringBuilder
+      var i = 0
+      while (i < sql.length) sql.charAt(i) match {
+        case '\'' =>
+          var j = i + 1
+          while (j < sql.length && !(sql.charAt(j) == '\'' &&
+            (j + 1 >= sql.length || sql.charAt(j + 1) != '\'')))
+            j += (if (sql.charAt(j) == '\'') 2 else 1)
+          val end = math.min(j + 1, sql.length)
+          lits += sql.substring(i, end)
+          masked.append('\u0001') // sentinel: never in our DDL
+          i = end
+        case c => masked.append(c); i += 1
       }
+      val typed = typeRules.foldLeft(quoteIdents(masked.toString)) {
+        case (acc, (re, to)) => acc.replaceAll(re, to)
+      }
+      lits.result().foldLeft(typed)((acc, l) =>
+        acc.replaceFirst("\u0001", java.util.regex.Matcher.quoteReplacement(l)))
     } else {
       // everything else (SELECT COUNT(*), DROP, TRUNCATE, resets):
       // identifier quoting only — type keywords must stay untouched

@@ -46,24 +46,67 @@ object SqlDdl {
   def resetQuery(tables: Seq[String], action: ResetAction): String =
     tables.map(t => s"${action.verb} TABLE ${mysqlIdentifier(t)};").mkString("\n")
 
-  /** Post-load constraint DDL (query.rs:34-98): one ALTER TABLE with
-    * ADD FOREIGN KEY(...) REFERENCES ... ON DELETE CASCADE /
-    * ADD UNIQUE / ADD CHECK / ADD DEFAULT clauses. FKs whose target
-    * table was not migrated are skipped (returned in `_2` for the
-    * caller's warning log); PRIMARY KEY is inline in CREATE, so it
-    * never appears here. Returns None when nothing remains.
+  /** A probed CHECK clause arrives in the SOURCE catalog's ANSI text
+    * (double-quoted identifiers, e.g. Derby's SYSCHECKS); the rendered
+    * DDL is MySQL dialect, so requote identifiers to backticks —
+    * masking single-quoted literals first so data is never touched.
+    */
+  private[engine] def mysqlizeClause(clause: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    val n = clause.length
+    while (i < n) clause.charAt(i) match {
+      case '\'' => // literal: copy verbatim through the closing quote
+        val end = {
+          var j = i + 1
+          while (j < n && !(clause.charAt(j) == '\'' &&
+            (j + 1 >= n || clause.charAt(j + 1) != '\''))) {
+            j += (if (clause.charAt(j) == '\'') 2 else 1)
+          }
+          math.min(j + 1, n)
+        }
+        sb.append(clause.substring(i, end)); i = end
+      case '"' => // ANSI identifier -> backtick identifier
+        val close = clause.indexOf('"', i + 1)
+        if (close < 0) { sb.append(clause.substring(i)); i = n }
+        else {
+          sb.append('`').append(clause.substring(i + 1, close)).append('`')
+          i = close + 1
+        }
+      case c => sb.append(c); i += 1
+    }
+    sb.toString
+  }
+
+  /** Post-load constraint DDL (query.rs:34-98): ADD FOREIGN KEY(...)
+    * REFERENCES ... ON DELETE CASCADE / ADD UNIQUE / ADD CHECK /
+    * column DEFAULT clauses. FKs whose target table was not migrated
+    * are skipped (returned in `_2` for the caller's warning log);
+    * PRIMARY KEY is inline in CREATE, so it never appears here.
+    * Returns None when nothing remains.
+    *
+    * Deviation from the reference (like the composite-PK one in
+    * [[createTable]]): the reference folds every clause into ONE
+    * multi-action ALTER and renders DEFAULT as a bare `ADD DEFAULT v`
+    * (query.rs:84-96) — neither executes on an ANSI target (and the
+    * column-less DEFAULT on none). We emit one `;`-separated statement
+    * per clause, with DEFAULT as standard
+    * `ALTER COLUMN c SET DEFAULT v`, so the SAME rendered DDL runs on
+    * both MySQL and ANSI targets.
     */
   def createConstraints(
       table: String,
       schema: Seq[TargetColumn],
       migratedTables: Seq[String]): (Option[String], Seq[String]) = {
 
+    val t = mysqlIdentifier(table)
     val skipped = Vector.newBuilder[String]
     val clauses = schema.flatMap { c =>
       c.constraints.flatMap {
         case Constraint.ForeignKey(refTable, refCol) =>
           if (migratedTables.contains(refTable))
-            Some("ADD FOREIGN KEY(" + mysqlIdentifier(c.columnName) +
+            Some(s"ALTER TABLE $t ADD FOREIGN KEY(" +
+              mysqlIdentifier(c.columnName) +
               s") REFERENCES ${mysqlIdentifier(refTable)}(${mysqlIdentifier(refCol)})" +
               " ON DELETE CASCADE")
           else {
@@ -71,16 +114,18 @@ object SqlDdl {
             None
           }
         case Constraint.Unique =>
-          Some(s"ADD UNIQUE(${mysqlIdentifier(c.columnName)})")
-        case Constraint.Check(clause) => Some(s"ADD CHECK ($clause)")
-        case Constraint.Default(v) => Some(s"ADD DEFAULT $v")
+          Some(s"ALTER TABLE $t ADD UNIQUE(${mysqlIdentifier(c.columnName)})")
+        case Constraint.Check(clause) =>
+          Some(s"ALTER TABLE $t ADD CHECK (${mysqlizeClause(clause)})")
+        case Constraint.Default(v) =>
+          Some(s"ALTER TABLE $t ALTER COLUMN " +
+            s"${mysqlIdentifier(c.columnName)} SET DEFAULT $v")
         case Constraint.PrimaryKey => None
       }
     }
     val sql =
       if (clauses.isEmpty) None
-      else Some("SET FOREIGN_KEY_CHECKS=0; ALTER TABLE " +
-        s"${mysqlIdentifier(table)} ${clauses.mkString(", ")}")
+      else Some(("SET FOREIGN_KEY_CHECKS=0" +: clauses).mkString("; "))
     (sql, skipped.result())
   }
 }

@@ -199,37 +199,98 @@ object Migration {
     * embedded single-JVM database stays cheap at bench scale; the
     * fact-table path is exercised by `mig_pipeline` (script target).
     */
+  /** Seed the dimension tables into a live Derby source with explicit
+    * VARCHAR column types (Spark's Derby dialect would otherwise
+    * create StringType as CLOB, which Derby cannot index — so the
+    * UNIQUE/DEFAULT DDL below would be illegal), then give the source
+    * the FULL five-kind constraint surface the reference probes
+    * (extractor.rs:63-77): the schema probe must read these from
+    * Derby's real catalog (not a fixture), carry them through mapping,
+    * and emit ADD UNIQUE / ADD CHECK / FK / DEFAULT DDL in the
+    * constraints pass.
+    */
+  private def seedConstraintSource(s: SparkSession, dir: String,
+      srcUrl: String): Unit = {
+    import org.apache.spark.sql.types._
+    val props = new java.util.Properties
+    def derbyType(dt: DataType): String = dt match {
+      case StringType => "VARCHAR(256)" // NOT Spark's CLOB default —
+      // Derby cannot index a CLOB, so the UNIQUE/DEFAULT DDL below
+      // would be illegal on the source (and, migrated as longtext,
+      // on the target)
+      case LongType => "BIGINT"
+      case IntegerType => "INTEGER"
+      case DoubleType => "DOUBLE"
+      case FloatType => "REAL"
+      case DateType => "DATE"
+      case TimestampType => "TIMESTAMP"
+      case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      case other => sys.error(s"seedConstraintSource: unmapped $other")
+    }
+    val c = java.sql.DriverManager.getConnection(srcUrl)
+    try {
+      val st = c.createStatement()
+      try Seq("region", "nation", "supplier").foreach { t =>
+        val cols = Tables(s, dir, t).schema.fields
+          .map(f => s""""${f.name}" ${derbyType(f.dataType)}""")
+          .mkString(", ")
+        st.execute(s"""CREATE TABLE "$t" ($cols)""")
+      } finally st.close()
+    } finally c.close()
+    Seq("region", "nation", "supplier").foreach { t =>
+      Tables(s, dir, t).write.mode("append").jdbc(srcUrl, s""""$t"""", props)
+    }
+    val c2 = java.sql.DriverManager.getConnection(srcUrl)
+    try {
+      val st = c2.createStatement()
+      try Seq(
+        """ALTER TABLE "nation" ALTER COLUMN "n_nationkey" NOT NULL""",
+        """ALTER TABLE "nation" ADD CONSTRAINT N_PK PRIMARY KEY ("n_nationkey")""",
+        """ALTER TABLE "nation" ADD CONSTRAINT N_NAME_UQ UNIQUE ("n_name")""",
+        """ALTER TABLE "supplier" ADD CONSTRAINT S_NK_FK FOREIGN KEY ("s_nationkey") REFERENCES "nation" ("n_nationkey")""",
+        """ALTER TABLE "supplier" ADD CONSTRAINT S_AB_CK CHECK ("s_acctbal" > -10000)""",
+        """ALTER TABLE "region" ALTER COLUMN "r_name" DEFAULT 'none'"""
+      ).foreach(st.execute)
+      finally st.close()
+    } finally c2.close()
+  }
+
+  /** TARGET-side constraint count over a live connection whose
+    * underlying store is Derby: SYS.SYSCONSTRAINTS rows (P/U/F/C) plus
+    * columns carrying a DEFAULT (not a SYSCONSTRAINTS kind — read via
+    * the portable COLUMN_DEF metadata). Counting the target catalog —
+    * not the mapped schema's slots — is what makes the gate real: a
+    * constraints pass whose DDL fails (and is downgraded to a warning
+    * by Migrator) reds the row here.
+    */
+  private def targetConstraintCount(c: java.sql.Connection,
+      table: String): Long = {
+    val st = c.prepareStatement(
+      "SELECT COUNT(*) FROM SYS.SYSCONSTRAINTS cons " +
+        "JOIN SYS.SYSTABLES t ON cons.TABLEID = t.TABLEID " +
+        "WHERE t.TABLENAME = ?")
+    val cons =
+      try {
+        st.setString(1, table)
+        val rs = st.executeQuery()
+        try { rs.next(); rs.getLong(1) } finally rs.close()
+      } finally st.close()
+    val rs = c.getMetaData.getColumns(null, null, table, "%")
+    var defaults = 0L
+    try while (rs.next()) {
+      if (Option(rs.getString("COLUMN_DEF")).exists(_.trim.nonEmpty))
+        defaults += 1
+    } finally rs.close()
+    cons + defaults
+  }
+
   private def pipelineJdbc(s: SparkSession, dir: String): DataFrame = {
     import graft.engine._
     import graft.mapping.TypeRegistry
     val nonce = java.util.UUID.randomUUID.toString.replace("-", "")
     val srcUrl = s"jdbc:derby:memory:migsrc_$nonce;create=true"
     val dstUrl = s"jdbc:derby:memory:migdst_$nonce;create=true"
-    val tables = Seq("region", "nation", "supplier")
-    val props = new java.util.Properties
-    tables.foreach(t => Tables(s, dir, t).write.jdbc(srcUrl, s""""$t"""", props))
-    // Give the live source the FULL five-kind constraint surface the
-    // reference probes (extractor.rs:63-77): the schema probe must
-    // read these from Derby's real catalog (not a fixture), carry
-    // them through mapping, and emit ADD UNIQUE / ADD CHECK / FK DDL
-    // in the constraints pass. The oracle pins per-table constraint
-    // counts, so a probe regression (e.g. missing nullable-UNIQUE)
-    // reds this row.
-    locally {
-      val c = java.sql.DriverManager.getConnection(srcUrl)
-      try {
-        val st = c.createStatement()
-        try Seq(
-          """ALTER TABLE "nation" ALTER COLUMN "n_nationkey" NOT NULL""",
-          """ALTER TABLE "nation" ADD CONSTRAINT N_PK PRIMARY KEY ("n_nationkey")""",
-          """ALTER TABLE "nation" ADD CONSTRAINT N_NAME_UQ UNIQUE ("n_name")""",
-          """ALTER TABLE "supplier" ADD CONSTRAINT S_NK_FK FOREIGN KEY ("s_nationkey") REFERENCES "nation" ("n_nationkey")""",
-          """ALTER TABLE "supplier" ADD CONSTRAINT S_AB_CK CHECK ("s_acctbal" > -10000)""",
-          """ALTER TABLE "region" ALTER COLUMN "r_comment" DEFAULT 'none'"""
-        ).foreach(st.execute)
-        finally st.close()
-      } finally c.close()
-    }
+    seedConstraintSource(s, dir, srcUrl)
 
     val migrator = new Migrator(s, new JdbcSchemaSource(srcUrl),
       new JdbcTargetWriter(dstUrl, AnsiFlavor), TypeRegistry.withDefaults(),
@@ -240,9 +301,10 @@ object Migration {
     val verified =
       try {
         val results = migrator.run()
-        // verify counts against the TARGET database; n_constraints is
-        // the mapped schema's populated constraint slots — i.e. what
-        // the LIVE metadata probe found (PK inline + the ADD DDL)
+        // verify row AND constraint counts against the TARGET catalog:
+        // the live probe → mapping → constraint-DDL emission chain must
+        // have LANDED (nation PK+UNIQUE, supplier FK+CHECK, region
+        // DEFAULT), not merely been attempted
         results.map { r =>
           val c = java.sql.DriverManager.getConnection(dstUrl)
           try {
@@ -253,7 +315,7 @@ object Migration {
               try {
                 rs.next()
                 (r.tableName, r.created, rs.getLong(1),
-                  r.schema.count(_.constraints.nonEmpty).toLong)
+                  targetConstraintCount(c, r.tableName))
               } finally rs.close()
             } finally st.close()
           } finally c.close()
@@ -269,7 +331,7 @@ object Migration {
       .orderBy(col("table_name"))
   }
 
-  // expected constraint slots: region DEFAULT(r_comment)=1;
+  // expected constraint slots: region DEFAULT(r_name)=1;
   // nation PK(n_nationkey)+UNIQUE(n_name)=2;
   // supplier FK(s_nationkey)+CHECK(s_acctbal)=2
   private val pipelineJdbcSql =
@@ -300,14 +362,12 @@ object Migration {
     val srcUrl = s"jdbc:derby:memory:migmysrc_$nonce;create=true"
     val dstRest = s"memory:migmydst_$nonce;create=true"
     val dstUrl = MySqlModeEngine.url(dstRest)
-    val tables = Seq("region", "nation", "supplier")
-    val props = new java.util.Properties
-    tables.foreach(t => Tables(s, dir, t).write.jdbc(srcUrl, s""""$t"""", props))
+    seedConstraintSource(s, dir, srcUrl)
 
     MySqlModeEngine.resetCounters()
     val migrator = new Migrator(s, new JdbcSchemaSource(srcUrl),
       new JdbcTargetWriter(dstUrl, MySqlFlavor), TypeRegistry.withDefaults(),
-      MigrationOptions(maxConcurrentTasks = 3))
+      MigrationOptions(maxConcurrentTasks = 3, createConstraints = true))
     val verified =
       try {
         val results = migrator.run()
@@ -317,7 +377,11 @@ object Migration {
         require(MySqlModeEngine.fkOff.get() >= 1 &&
           MySqlModeEngine.fkOn.get() >= 1,
           "mysql-mode gate: no FOREIGN_KEY_CHECKS toggle reached the engine")
-        // verify counts against the target THROUGH the MySQL dialect
+        // verify counts against the target THROUGH the MySQL dialect —
+        // including the TARGET-side constraint count, so the MySQL
+        // flavor of the constraint DDL (inserter.rs:88-119 parity) is
+        // live-gated too: every ALTER must have parsed as well-formed
+        // MySQL in the strict engine AND landed in the backing catalog
         results.map { r =>
           val c = java.sql.DriverManager.getConnection(dstUrl)
           try {
@@ -325,8 +389,11 @@ object Migration {
             try {
               val rs = st.executeQuery(
                 s"SELECT COUNT(*) FROM `${r.tableName}`")
-              try { rs.next(); (r.tableName, r.created, rs.getLong(1)) }
-              finally rs.close()
+              try {
+                rs.next()
+                (r.tableName, r.created, rs.getLong(1),
+                  targetConstraintCount(c, r.tableName))
+              } finally rs.close()
             } finally st.close()
           } finally c.close()
         }
@@ -337,7 +404,7 @@ object Migration {
           catch { case _: java.sql.SQLException => () } // drop always "fails"
       }
     import s.implicits._
-    verified.toDF("table_name", "created", "rows_migrated")
+    verified.toDF("table_name", "created", "rows_migrated", "n_constraints")
       .orderBy(col("table_name"))
   }
 

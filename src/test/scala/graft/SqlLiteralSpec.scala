@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.engine.{SqlDdl, SqlLiteral}
+import graft.engine.{AnsiFlavor, SqlDdl, SqlLiteral}
 import graft.types._
 
 /** Literal rendering parity (/root/reference/src/extract/format.rs:220-446)
@@ -106,8 +106,29 @@ class SqlLiteralSpec extends AnyFunSuite {
     val (sql, skipped) = SqlDdl.createConstraints("T", cols, Seq("Orgs", "T"))
     assert(sql.contains(
       "SET FOREIGN_KEY_CHECKS=0; ALTER TABLE `T` " +
-        "ADD FOREIGN KEY(`org_id`) REFERENCES `Orgs`(`id`) ON DELETE CASCADE, " +
-        "ADD UNIQUE(`code`)"))
+        "ADD FOREIGN KEY(`org_id`) REFERENCES `Orgs`(`id`) ON DELETE CASCADE; " +
+        "ALTER TABLE `T` ADD UNIQUE(`code`)"))
     assert(skipped == Seq("ghost_id -> Ghost.id"))
+  }
+
+  test("constraint DDL: one statement per clause, executable CHECK/DEFAULT") {
+    val cols = Seq(
+      TargetColumn("grade", MySqlType(MySqlBaseType.Int), isNullable = true,
+        Some(Constraint.Check("\"grade\" BETWEEN 0 AND 5"))),
+      TargetColumn("state", MySqlType(MySqlBaseType.Varchar, Some(10)),
+        isNullable = true, Some(Constraint.Default("'new text'"))))
+    val (sql, _) = SqlDdl.createConstraints("T", cols, Seq("T"))
+    val stmts = sql.get.split("; ").toSeq
+    // CHECK clause identifiers requoted to the MySQL dialect; DEFAULT
+    // rendered as a column alteration, not the reference's bare
+    // (inexecutable) ADD DEFAULT
+    assert(stmts.contains("ALTER TABLE `T` ADD CHECK (`grade` BETWEEN 0 AND 5)"))
+    assert(stmts.contains(
+      "ALTER TABLE `T` ALTER COLUMN `state` SET DEFAULT 'new text'"))
+    // ANSI translation must not corrupt the literal ('text' is a MySQL
+    // type token, but only OUTSIDE literal spans)
+    val ansi = stmts.map(AnsiFlavor.translate)
+    assert(ansi.contains(
+      "ALTER TABLE \"T\" ALTER COLUMN \"state\" SET DEFAULT 'new text'"))
   }
 }
