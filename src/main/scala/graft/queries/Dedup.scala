@@ -1360,33 +1360,46 @@ object Dedup {
     * wedge-at-every-node join explodes on hub nodes. Each triangle is
     * found exactly once (at its unique (deg, id)-minimal corner).
     */
+  /** The (deg,id)-oriented candidate edge set feeds THREE consumers
+    * inside `triangles` (both wedge sides and the closing join);
+    * without materialization each consumer re-runs the degree
+    * aggregate + two degree joins over the cached pair index —
+    * measured 3.0 vs 1.5 s at sf0.1 (r10 drift root-cause). A
+    * SessionCache'd `.cache()` gives ONE evictable copy per session,
+    * reused across bench repetitions — the r11 eager
+    * `localCheckpoint()` here pinned a fresh, never-unpersisted block
+    * set per invocation (3 reps = 3 copies), pressuring the storage
+    * pool until the shared dd indexes were evicted mid-suite
+    * (fam_dd 54→79 s driver-side).
+    */
+  private val orientedEdgesCache = new graft.SessionCache[DataFrame]
+
+  private def cachedOrientedEdges(s: SparkSession, dir: String): DataFrame =
+    orientedEdgesCache.getOrElseUpdate(s, dir) {
+      val e = cachedScoredPairs(s, dir)
+        .filter(col("n_inter") >= 2)
+        .select(col("doc_a"), col("doc_b"))
+      val deg = e.select(col("doc_a").as("n"))
+        .unionByName(e.select(col("doc_b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      // orient by (degree, id): src = smaller endpoint under that
+      // order; dst keeps its (deg, id) key so wedge pairs order
+      // without another degree join
+      val withDeg = e
+        .join(deg.withColumnRenamed("n", "doc_a").withColumnRenamed("d", "da"),
+          "doc_a")
+        .join(deg.withColumnRenamed("n", "doc_b").withColumnRenamed("d", "db"),
+          "doc_b")
+      val keyA = struct(col("da").as("d"), col("doc_a").as("i"))
+      val keyB = struct(col("db").as("d"), col("doc_b").as("i"))
+      withDeg.select(
+        when(keyA < keyB, col("doc_a")).otherwise(col("doc_b")).as("src"),
+        when(keyA < keyB, keyB).otherwise(keyA).as("dst"))
+        .cache()
+    }
+
   private def triangles(s: SparkSession, dir: String): DataFrame = {
-    val e = cachedScoredPairs(s, dir)
-      .filter(col("n_inter") >= 2)
-      .select(col("doc_a"), col("doc_b"))
-    val deg = e.select(col("doc_a").as("n"))
-      .unionByName(e.select(col("doc_b").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("d"))
-    // orient by (degree, id): src = smaller endpoint under that order;
-    // dst keeps its (deg, id) key so wedge pairs order without another
-    // degree join
-    val withDeg = e
-      .join(deg.withColumnRenamed("n", "doc_a").withColumnRenamed("d", "da"),
-        "doc_a")
-      .join(deg.withColumnRenamed("n", "doc_b").withColumnRenamed("d", "db"),
-        "doc_b")
-    val keyA = struct(col("da").as("d"), col("doc_a").as("i"))
-    val keyB = struct(col("db").as("d"), col("doc_b").as("i"))
-    // The oriented edge set feeds THREE consumers (both wedge sides
-    // and the closing join); without materialization each consumer
-    // re-runs the degree aggregate + two degree joins over the cached
-    // pair index — measured 3.0 vs 1.5 s at sf0.1 (r10 drift
-    // root-cause). localCheckpoint pins the (tiny, filtered) edge set
-    // and truncates lineage, the same shape ConnectedComponents uses.
-    val oriented = withDeg.select(
-      when(keyA < keyB, col("doc_a")).otherwise(col("doc_b")).as("src"),
-      when(keyA < keyB, keyB).otherwise(keyA).as("dst"))
-      .localCheckpoint()
+    val oriented = cachedOrientedEdges(s, dir)
     // wedges at src over (deg,id)-ordered out-neighbor pairs, closed
     // against the oriented edge (v1 -> v2)
     val o1 = oriented.select(col("src"), col("dst").as("v1"))
