@@ -35,9 +35,12 @@ object ScaleCurve {
     * embedding), iterative graph (components, PageRank), dense linear
     * algebra (Gramian, covariance), ANN (brute & IVF), text (BM25,
     * BPE, PMI), events (RFM, sessionize, funnel), relational
-    * (pricing summary, salted top-k), multimodal (pHash pairs).
-    * Streaming queries are excluded: their cost is micro-batch
-    * machinery, not data volume, at these SFs.
+    * (pricing summary, salted top-k), multimodal (pHash pairs), and —
+    * since round 12 — the streaming tier's five heaviest (CDC merge
+    * state, incremental-dedup ingest, session windows, stream-stream
+    * join, windowed top-k): their small-SF cost is mostly micro-batch
+    * machinery, so the slope readout is what separates "fixed cost
+    * amortizes away" from "state machinery grows super-linearly".
     */
   val defaultQueries: Seq[String] = Seq(
     "dd_exact", "dd_minhash_lsh", "dd_minhash_clusters",
@@ -52,7 +55,11 @@ object ScaleCurve {
     "sim_rerank_int8", "ev_pit_features",
     // round-10 late additions: spine-explode fill (output ∝ users ×
     // span hours), moment-collect PCA, dense-series decomposition
-    "ev_gap_fill", "sim_pca_power", "ev_seasonal_decompose")
+    "ev_gap_fill", "sim_pca_power", "ev_seasonal_decompose",
+    // round-12: the streaming tier's cost drivers (r10/r11 verdict
+    // item — the tier previously had no measured curve)
+    "evs_cdc_apply", "evs_incremental_ingest", "evs_session_windows",
+    "evs_stream_stream_join", "evs_windowed_topk")
 
   private def js(v: Double): String =
     String.format(Locale.ROOT, "%.3f", Double.box(v))

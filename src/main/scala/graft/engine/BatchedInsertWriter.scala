@@ -39,7 +39,8 @@ object BatchedInsertWriter {
       df: DataFrame,
       insertStatement: String,
       maxPacketBytes: Int,
-      sink: BatchSink): Long = {
+      sink: BatchSink,
+      quotedDecimals: Boolean = true): Long = {
 
     val rows: LongAccumulator =
       df.sparkSession.sparkContext.longAccumulator("rows_migrated")
@@ -63,7 +64,7 @@ object BatchedInsertWriter {
 
         while (it.hasNext) {
           val row = it.next()
-          val tuple = SqlLiteral.valueTuple(row.toSeq)
+          val tuple = SqlLiteral.valueTuple(row.toSeq, quotedDecimals)
           val tupleBytes = tuple.getBytes("UTF-8").length
 
           if (ReservedBytes + totalBytes + tupleBytes > maxPacketBytes)

@@ -52,6 +52,13 @@ trait TargetWriter extends Serializable {
     * logged, not fatal.
     */
   def createConstraints(sql: String): Unit
+
+  /** Whether this target accepts the reference's quoted decimal
+    * literals (format.rs:42-55) in INSERT values — MySQL-dialect
+    * targets do; ANSI engines need bare numeric text
+    * ([[SqlFlavor.quotedDecimalLiterals]]).
+    */
+  def quotedDecimalLiterals: Boolean = true
 }
 
 /** Per-table outcome (migrate/migration_result.rs:3-9). */

@@ -30,6 +30,14 @@ sealed trait SqlFlavor extends Serializable {
     * concept (inserter.rs:113-119).
     */
   def maxPacketSql: Option[String]
+
+  /** Whether the target accepts the reference's QUOTED decimal
+    * literals (format.rs:42-55 renders numerics as `'12.3456'`; the
+    * MySQL wire coerces them). ANSI engines reject CHAR→DECIMAL in
+    * VALUES, so the renderer emits bare numeric text instead — a
+    * per-target literal capability, not a renderer-parity change.
+    */
+  def quotedDecimalLiterals: Boolean
 }
 
 /** Pass-through: the rendered SQL is already MySQL. */
@@ -38,6 +46,7 @@ case object MySqlFlavor extends SqlFlavor {
   override val fkToggle: Option[(String, String)] =
     Some(("SET FOREIGN_KEY_CHECKS=0", "SET FOREIGN_KEY_CHECKS=1"))
   override val maxPacketSql: Option[String] = Some("SELECT @@max_allowed_packet")
+  override val quotedDecimalLiterals: Boolean = true
 }
 
 /** ANSI targets (embedded Derby in tests): double-quoted identifiers,
@@ -69,7 +78,11 @@ case object AnsiFlavor extends SqlFlavor {
     "float\\(\\d+, \\d+\\)" -> "DOUBLE",
     "float" -> "DOUBLE",
     "real\\(\\d+, \\d+\\)" -> "REAL")
-    .map { case (re, to) => s"""(?i)(?<!")\\b$re\\b(?!")""" -> to } :+
+    // NOT \b delimiters: the parenthesized patterns end in ')' where
+    // \b fails (no word boundary between ')' and ' '/','), silently
+    // skipping the sized rule and leaving e.g. varbinary(16) — or
+    // double-applying a bare rule after it
+    .map { case (re, to) => s"""(?i)(?<!["\\w])$re(?![\\w"])""" -> to } :+
     // ANSI has no explicit NULL nullability keyword (NOT NULL stays)
     ("(?i)(?<!NOT) NULL\\b" -> "")
 
@@ -125,6 +138,7 @@ case object AnsiFlavor extends SqlFlavor {
 
   override val fkToggle: Option[(String, String)] = None
   override val maxPacketSql: Option[String] = None
+  override val quotedDecimalLiterals: Boolean = false
 }
 
 /** Live JDBC implementation of [[SchemaSource]] — the production
@@ -404,6 +418,8 @@ final class JdbcTargetWriter(
     transactional(sql.split(';').map(_.trim)
       .filter(s => s.nonEmpty && !s.toUpperCase.startsWith("SET FOREIGN_KEY_CHECKS"))
       .toSeq)
+
+  override def quotedDecimalLiterals: Boolean = flavor.quotedDecimalLiterals
 }
 
 /** Live catalog probes for the constraint kinds JDBC DatabaseMetaData

@@ -162,7 +162,8 @@ final class Migrator(
       df,
       SqlDdl.insertStatement(out, mapped),
       options.maxPacketBytes,
-      new TargetBatchSink(writer))
+      new TargetBatchSink(writer),
+      writer.quotedDecimalLiterals)
 
     MigrationResult(out, mapped, created = !exists, rowsMigrated = rows)
   }

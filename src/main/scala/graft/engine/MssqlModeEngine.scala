@@ -1,0 +1,672 @@
+package graft.engine
+
+import java.lang.reflect.{InvocationHandler, InvocationTargetException, Method, Proxy}
+import java.sql.{Connection, Driver, DriverManager, DriverPropertyInfo, Statement}
+import java.util.Properties
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.collection.mutable.ListBuffer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, to_timestamp}
+
+import graft.naming.SqlEscape.mssqlIdentifier
+import graft.types.{ColumnSchema, Constraint, MssqlType}
+
+/** An in-JVM MSSQL-DIALECT database engine: the SOURCE-side twin of
+  * [[MySqlModeEngine]] — a strict T-SQL front end (lexer + validator +
+  * translator + INFORMATION_SCHEMA emulation) over embedded Derby,
+  * reachable through plain JDBC at `jdbc:graftmssql:…`.
+  *
+  * Why it exists: the reference EXTRACTS from MSSQL
+  * (/root/reference/src/extract/extractor.rs) — `[bracket]`
+  * identifiers, INFORMATION_SCHEMA.TABLES/COLUMNS probe shapes, and
+  * the type surface ANSI engines don't have: `tinyint` (unsigned
+  * 0..255, format.rs:34 decodes it as U8), `rowversion` (metadata
+  * still reports it as "timestamp", mssql_type.rs:32-35) and
+  * `datetimeoffset` (decoded to UTC, format.rs:140-161). With no
+  * MSSQL server in the sandbox those read-side quirks were only ever
+  * fixture-tested; this shim drives them through a live JDBC wire.
+  * Like its MySQL twin it is STRICT: ANSI double-quoted or MySQL
+  * backtick identifiers, MySQL `SET FOREIGN_KEY_CHECKS`, `@@session`
+  * variables and unknown escape idioms are rejected loudly, so a
+  * renderer that leaks the wrong dialect at the source boundary fails
+  * the oracle gate instead of being silently accepted.
+  *
+  * Dialect handling per statement:
+  *  - `CREATE TABLE [t] (…)` — T-SQL column definitions are parsed
+  *    (declared MSSQL type, nullability, inline PRIMARY KEY / UNIQUE /
+  *    REFERENCES / CHECK / DEFAULT), recorded in the emulated
+  *    INFORMATION_SCHEMA catalog, and the DDL is re-emitted for Derby
+  *    with the MSSQL→Derby storage type rules below.
+  *  - everything else — lexed into literals (`''`-escaped only:
+  *    T-SQL treats backslash as a plain character) / `[bracket]`
+  *    identifiers (`]]`-escaped) / bare text with `N'…'` national
+  *    prefixes dropped, re-emitted as ANSI.
+  *
+  * INFORMATION_SCHEMA emulation: on first connect the engine creates
+  * a real Derby schema `INFORMATION_SCHEMA` holding a `TABLES` view
+  * over `SYS.SYSTABLES` and a `COLUMNS` view over the recorded
+  * per-column catalog — so the extractor-shaped probes
+  * (extractor.rs:29-31, 54-83) execute as real SQL over a live
+  * catalog. Deviation: the reference's CONSTRAINTS column is a
+  * correlated CASE over five INFORMATION_SCHEMA views glued with
+  * T-SQL `+` concatenation (extractor.rs:60-80); the shim's catalog
+  * precomputes the same constraint string (same format, same
+  * PK > FK > UNIQUE > CHECK > DEFAULT precedence, extractor CASE
+  * order) at DDL time instead of re-deriving it per probe.
+  *
+  * MSSQL → Derby storage types: tinyint→SMALLINT (holds 0..255),
+  * rowversion/timestamp→BIGINT (a counter, not a time),
+  * datetimeoffset→VARCHAR (the offset-bearing text; the READ path
+  * converts to UTC — [[MssqlSchemaSource.read]]), money/smallmoney→
+  * DECIMAL(19,4)/(10,4), n(var)char→(VAR)CHAR, (n)text/xml→CLOB,
+  * image/varbinary→BLOB, datetime/datetime2/smalldatetime→TIMESTAMP,
+  * bit→SMALLINT, uniqueidentifier→CHAR(36), float→DOUBLE.
+  */
+object MssqlModeEngine {
+  val fetchedTables = new AtomicLong
+  val infoSchemaProbes = new AtomicLong
+  val translatedStatements = new AtomicLong
+
+  def resetCounters(): Unit = {
+    fetchedTables.set(0); infoSchemaProbes.set(0)
+    translatedStatements.set(0)
+  }
+
+  private lazy val registered: Unit = {
+    DriverManager.registerDriver(new MssqlModeDriver)
+    org.apache.spark.sql.jdbc.JdbcDialects.registerDialect(MssqlSparkDialect)
+  }
+
+  /** Build a shim URL; `rest` is the Derby tail, e.g.
+    * `memory:msdb_x;create=true`.
+    */
+  def url(rest: String): String = { registered; s"jdbc:graftmssql:$rest" }
+
+  val UrlPrefix = "jdbc:graftmssql:"
+}
+
+/** Spark-side dialect for the shim URL: identifiers quote as
+  * `[brackets]` (the strict engine rejects ANSI double quotes), so
+  * `spark.read`/`write.jdbc` against the shim emit T-SQL-shaped
+  * statements — the same quoting the reference's generated queries
+  * use (sql.rs:3-10).
+  */
+private object MssqlSparkDialect extends org.apache.spark.sql.jdbc.JdbcDialect {
+  override def canHandle(url: String): Boolean =
+    url.startsWith(MssqlModeEngine.UrlPrefix)
+  override def quoteIdentifier(colName: String): String =
+    mssqlIdentifier(colName)
+}
+
+/** Strict T-SQL statement classifier + translator. */
+object MssqlDialect {
+
+  private def fail(msg: String, sql: String): Nothing =
+    throw new IllegalArgumentException(
+      s"mssql-mode: $msg in statement: ${sql.take(160)}")
+
+  private sealed trait Tok
+  private final case class Lit(value: String) extends Tok
+  private final case class Ident(name: String) extends Tok
+  private final case class Other(text: String) extends Tok
+
+  private def lex(sql: String): Vector[Tok] = {
+    if (sql.contains('`'))
+      fail("backtick identifier is not MSSQL dialect", sql)
+    val out = Vector.newBuilder[Tok]
+    val sb = new StringBuilder
+    def flush(): Unit =
+      if (sb.nonEmpty) { out += Other(sb.toString); sb.clear() }
+    val n = sql.length
+    var i = 0
+    while (i < n) {
+      sql.charAt(i) match {
+        case 'N' | 'n' if i + 1 < n && sql.charAt(i + 1) == '\'' &&
+            (i == 0 || !sql.charAt(i - 1).isLetterOrDigit) =>
+          // national-string prefix: N'…' — drop the N, keep the literal
+          i += 1
+        case '\'' =>
+          flush()
+          val v = new StringBuilder
+          i += 1
+          var done = false
+          while (!done) {
+            if (i >= n) fail("unterminated string literal", sql)
+            sql.charAt(i) match {
+              case '\'' if i + 1 < n && sql.charAt(i + 1) == '\'' =>
+                v.append('\''); i += 2
+              case '\'' => done = true; i += 1
+              // T-SQL backslash is a PLAIN character — copied, never
+              // an escape (unlike the MySQL twin's unescape table)
+              case c => v.append(c); i += 1
+            }
+          }
+          out += Lit(v.toString)
+        case '[' =>
+          flush()
+          val v = new StringBuilder
+          i += 1
+          var done = false
+          while (!done) {
+            if (i >= n) fail("unterminated bracket identifier", sql)
+            sql.charAt(i) match {
+              case ']' if i + 1 < n && sql.charAt(i + 1) == ']' =>
+                v.append(']'); i += 2
+              case ']' => done = true; i += 1
+              case c => v.append(c); i += 1
+            }
+          }
+          if (v.isEmpty) fail("empty bracket identifier", sql)
+          out += Ident(v.toString)
+        case '"' =>
+          fail("double-quoted identifier is not MSSQL dialect (use [brackets])", sql)
+        case c => sb.append(c); i += 1
+      }
+    }
+    flush()
+    out.result()
+  }
+
+  private def ansiLiteral(v: String): String =
+    "'" + v.replace("'", "''") + "'"
+
+  private def ansiIdent(name: String): String =
+    "\"" + name.replace("\"", "\"\"") + "\""
+
+  /** MSSQL declared type → Derby storage type, applied (like the ANSI
+    * flavor's rules) only to type-defining DDL and only on
+    * literal-masked, identifier-quoted text. Order matters: longest /
+    * most-specific names first (datetimeoffset before datetime,
+    * smallmoney before money, nvarchar(max) before nvarchar).
+    */
+  private[engine] val typeRules: Seq[(String, String)] = Seq(
+    "nvarchar\\s*\\(\\s*max\\s*\\)" -> "CLOB",
+    "varchar\\s*\\(\\s*max\\s*\\)" -> "CLOB",
+    "varbinary\\s*\\(\\s*max\\s*\\)" -> "BLOB",
+    "varbinary\\s*\\(\\d+\\)" -> "BLOB",
+    "binary\\s*\\(\\d+\\)" -> "BLOB",
+    "nvarchar" -> "VARCHAR",
+    "nchar" -> "CHAR",
+    "ntext" -> "CLOB",
+    "text" -> "CLOB",
+    "image" -> "BLOB",
+    "xml" -> "CLOB",
+    "rowversion" -> "BIGINT",
+    "timestamp" -> "BIGINT", // T-SQL timestamp IS rowversion
+    "datetimeoffset\\s*\\(\\s*\\d+\\s*\\)" -> "VARCHAR(48)",
+    "datetimeoffset" -> "VARCHAR(48)",
+    "datetime2\\s*\\(\\s*\\d+\\s*\\)" -> "TIMESTAMP",
+    "datetime2" -> "TIMESTAMP",
+    "smalldatetime" -> "TIMESTAMP",
+    "datetime" -> "TIMESTAMP",
+    "smallmoney" -> "DECIMAL(10,4)",
+    "money" -> "DECIMAL(19,4)",
+    "tinyint" -> "SMALLINT",
+    "bit" -> "SMALLINT",
+    "uniqueidentifier" -> "CHAR(36)",
+    "float\\s*\\(\\s*\\d+\\s*\\)" -> "DOUBLE",
+    "float" -> "DOUBLE")
+    // NOT \b delimiters: several patterns end in ')' where \b fails
+    // (')' then ' ' has no word boundary), silently skipping the
+    // parenthesized rule and double-applying the bare one
+    // ("DATETIMEOFFSET(7)" → "VARCHAR(48)(7)")
+    .map { case (re, to) => s"""(?i)(?<!["\\w])$re(?![\\w"])""" -> to }
+
+  /** One recorded catalog row for the emulated
+    * INFORMATION_SCHEMA.COLUMNS (extractor.rs:54-83 output shape).
+    */
+  final case class MetaColumn(
+      table: String,
+      column: String,
+      ordinal: Int,
+      dataType: String,
+      charMaxLen: Option[Int],
+      numPrecision: Option[Int],
+      numScale: Option[Int],
+      isNullable: Boolean,
+      constraints: String)
+
+  sealed trait Routed
+  /** Translated ANSI text, ready for Derby. */
+  final case class Translated(sql: String) extends Routed
+  /** Translated CREATE TABLE + the catalog rows to record. */
+  final case class CreateTable(sql: String, meta: Seq[MetaColumn])
+      extends Routed
+
+  def route(sql: String): Routed = {
+    require(!sql.contains("@@"),
+      s"mssql-mode: session variables are not MSSQL dialect: ${sql.take(120)}")
+    require(!sql.trim.toUpperCase.startsWith("SET FOREIGN_KEY_CHECKS"),
+      s"mssql-mode: SET FOREIGN_KEY_CHECKS is MySQL dialect: ${sql.take(120)}")
+    val translated = translate(sql)
+    if (sql.trim.toUpperCase.startsWith("CREATE TABLE"))
+      CreateTable(translated, parseCreateMeta(sql))
+    else Translated(translated)
+  }
+
+  /** Full translation: lex → re-emit ANSI, with the storage type rules
+    * applied only to type-defining DDL and only on non-literal text.
+    */
+  def translate(sql: String): String = {
+    val toks = lex(sql)
+    val upper = sql.trim.toUpperCase
+    val isTypeDdl = upper.startsWith("CREATE TABLE") ||
+      upper.startsWith("ALTER TABLE")
+    val masked = new StringBuilder
+    val lits = Vector.newBuilder[String]
+    var litIdx = 0
+    toks.foreach {
+      case Other(t) => masked.append(t)
+      case Ident(nm) => masked.append(ansiIdent(nm))
+      case Lit(v) =>
+        lits += ansiLiteral(v)
+        masked.append('\u0001').append(litIdx).append('\u0001')
+        litIdx += 1
+    }
+    var text = masked.toString
+    if (isTypeDdl)
+      text = typeRules.foldLeft(text) { case (acc, (re, to)) =>
+        acc.replaceAll(re, to)
+      }
+    val litArr = lits.result()
+    litArr.indices.foldLeft(text) { (acc, k) =>
+      acc.replace("\u0001" + k + "\u0001", litArr(k))
+    }
+  }
+
+  // ---- CREATE TABLE meta parsing --------------------------------------
+
+  private val createRe =
+    "(?is)^\\s*CREATE\\s+TABLE\\s+\\[([^\\]]+)\\]\\s*\\((.*)\\)\\s*$".r
+
+  /** Split a column-definition list on top-level commas (parens and
+    * literals nest).
+    */
+  private def splitDefs(body: String): Seq[String] = {
+    val out = ListBuffer.empty[String]
+    val sb = new StringBuilder
+    var depth = 0
+    var inLit = false
+    var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (inLit) {
+        sb.append(c)
+        if (c == '\'') inLit = false
+      } else c match {
+        case '\'' => inLit = true; sb.append(c)
+        case '(' => depth += 1; sb.append(c)
+        case ')' => depth -= 1; sb.append(c)
+        case ',' if depth == 0 => out += sb.toString.trim; sb.clear()
+        case _ => sb.append(c)
+      }
+      i += 1
+    }
+    if (sb.toString.trim.nonEmpty) out += sb.toString.trim
+    out.toSeq
+  }
+
+  /** Read one balanced `( … )` group starting at `from` (which must
+    * point at the opening paren); returns the inner text.
+    */
+  private def balancedParen(s: String, from: Int): String = {
+    var depth = 0
+    var i = from
+    val sb = new StringBuilder
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '(') { depth += 1; if (depth > 1) sb.append(c) }
+      else if (c == ')') {
+        depth -= 1
+        if (depth == 0) return sb.toString
+        sb.append(c)
+      } else if (depth >= 1) sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
+  private val colDefRe =
+    "(?is)^\\[([^\\]]+)\\]\\s+([a-z0-9]+)\\s*(\\(\\s*([a-z0-9]+)\\s*(?:,\\s*(\\d+)\\s*)?\\))?(.*)$".r
+
+  private val refRe =
+    "(?is)REFERENCES\\s+\\[([^\\]]+)\\]\\s*\\(\\s*\\[([^\\]]+)\\]\\s*\\)".r
+
+  private val defaultRe =
+    "(?is)DEFAULT\\s+('(?:[^']|'')*'|[^\\s,]+)".r
+
+  private def parseCreateMeta(sql: String): Seq[MetaColumn] = sql match {
+    case createRe(table, body) =>
+      splitDefs(body).zipWithIndex.flatMap { case (defText, idx) =>
+        defText match {
+          case colDefRe(name, rawType, _, arg1, arg2, rest) =>
+            val tpe = rawType.toLowerCase match {
+              case "rowversion" => "timestamp" // metadata parity
+              case other => other
+            }
+            val upperRest = rest.toUpperCase
+            val charMax = tpe match {
+              case "char" | "nchar" | "varchar" | "nvarchar" | "binary" |
+                  "varbinary" =>
+                Option(arg1).map(a =>
+                  if (a.equalsIgnoreCase("max")) -1 else a.toInt)
+              case "text" | "ntext" | "image" | "xml" => Some(-1)
+              case _ => None
+            }
+            val (p, s) = tpe match {
+              case "decimal" | "numeric" =>
+                (Option(arg1).map(_.toInt), Option(arg2).map(_.toInt))
+              case "money" => (Some(19), Some(4))
+              case "smallmoney" => (Some(10), Some(4))
+              case _ => (None, None)
+            }
+            val pk = upperRest.contains("PRIMARY KEY")
+            val notNull = pk || upperRest.contains("NOT NULL")
+            // reference CASE precedence (extractor.rs:62-70):
+            // PK > FK > UNIQUE > CHECK > DEFAULT — one slot per column
+            val constraint: String =
+              if (pk) "PRIMARY KEY"
+              else refRe.findFirstMatchIn(defText) match {
+                case Some(m) => s"FOREIGN KEY,${m.group(1)},${m.group(2)}"
+                case None =>
+                  if (upperRest.contains("UNIQUE")) "UNIQUE"
+                  else {
+                    val checkAt = defText.toUpperCase.lastIndexOf("CHECK")
+                    if (checkAt >= 0 && defText.indexOf('(', checkAt) >= 0)
+                      s"CHECK (${balancedParen(defText, defText.indexOf('(', checkAt))})"
+                    else defaultRe.findFirstMatchIn(defText) match {
+                      case Some(m) => s"DEFAULT ${m.group(1)}"
+                      case None => ""
+                    }
+                  }
+              }
+            Some(MetaColumn(table, name, idx + 1, tpe, charMax, p, s,
+              isNullable = !notNull, constraints = constraint))
+          case _ => None // table-level clause (e.g. composite PK)
+        }
+      }
+    case _ =>
+      throw new IllegalArgumentException(
+        s"mssql-mode: unsupported CREATE TABLE shape: ${sql.take(160)}")
+  }
+}
+
+/** JDBC driver for `jdbc:graftmssql:…` — wraps the embedded Derby
+  * driver with the T-SQL front end and bootstraps the emulated
+  * INFORMATION_SCHEMA on connect.
+  */
+final class MssqlModeDriver extends Driver {
+  override def acceptsURL(url: String): Boolean =
+    url != null && url.startsWith(MssqlModeEngine.UrlPrefix)
+
+  override def connect(url: String, info: Properties): Connection =
+    if (!acceptsURL(url)) null
+    else {
+      val derbyUrl = "jdbc:derby:" + url.stripPrefix(MssqlModeEngine.UrlPrefix)
+      val underlying = DriverManager.getConnection(derbyUrl, info)
+      MssqlModeBootstrap.ensure(underlying)
+      Proxy.newProxyInstance(getClass.getClassLoader,
+        Array(classOf[Connection]),
+        new MssqlModeConnHandler(underlying)).asInstanceOf[Connection]
+    }
+
+  override def getPropertyInfo(url: String, info: Properties): Array[DriverPropertyInfo] =
+    Array.empty
+  override def getMajorVersion: Int = 1
+  override def getMinorVersion: Int = 0
+  override def jdbcCompliant(): Boolean = false
+  override def getParentLogger: java.util.logging.Logger =
+    java.util.logging.Logger.getLogger("graft.mssqlmode")
+}
+
+/** Creates the INFORMATION_SCHEMA views once per backing database
+  * (idempotent: Derby's already-exists errors are the happy path on
+  * reconnect).
+  */
+private object MssqlModeBootstrap {
+  def ensure(c: Connection): Unit = {
+    val st = c.createStatement()
+    try Seq(
+      "CREATE SCHEMA INFORMATION_SCHEMA",
+      """CREATE TABLE INFORMATION_SCHEMA.COLUMNS_META (
+        |  TABLE_NAME VARCHAR(128) NOT NULL,
+        |  COLUMN_NAME VARCHAR(128) NOT NULL,
+        |  ORDINAL_POSITION INT NOT NULL,
+        |  DATA_TYPE VARCHAR(32) NOT NULL,
+        |  CHARACTER_MAXIMUM_LENGTH INT,
+        |  NUMERIC_PRECISION INT,
+        |  NUMERIC_SCALE INT,
+        |  IS_NULLABLE VARCHAR(3) NOT NULL,
+        |  "CONSTRAINTS" VARCHAR(512) NOT NULL)""".stripMargin,
+      "CREATE VIEW INFORMATION_SCHEMA.COLUMNS AS " +
+        "SELECT * FROM INFORMATION_SCHEMA.COLUMNS_META",
+      // user base tables only: Derby system catalogs are TABLETYPE 'S',
+      // and the emulation's own catalog table lives in the
+      // INFORMATION_SCHEMA schema it must not report
+      "CREATE VIEW INFORMATION_SCHEMA.TABLES (TABLE_NAME, TABLE_TYPE) AS " +
+        "SELECT t.TABLENAME, 'BASE TABLE' FROM SYS.SYSTABLES t " +
+        "JOIN SYS.SYSSCHEMAS s ON t.SCHEMAID = s.SCHEMAID " +
+        "WHERE t.TABLETYPE = 'T' AND s.SCHEMANAME <> 'INFORMATION_SCHEMA'"
+    ).foreach { ddl =>
+      try { st.execute(ddl); () }
+      catch {
+        case e: java.sql.SQLException
+            if Seq("X0Y32", "X0Y68").contains(e.getSQLState) => ()
+      }
+    } finally st.close()
+  }
+
+  def recordMeta(c: Connection,
+      meta: Seq[MssqlDialect.MetaColumn]): Unit = {
+    val ps = c.prepareStatement(
+      "INSERT INTO INFORMATION_SCHEMA.COLUMNS_META VALUES (?,?,?,?,?,?,?,?,?)")
+    try meta.foreach { m =>
+      ps.setString(1, m.table)
+      ps.setString(2, m.column)
+      ps.setInt(3, m.ordinal)
+      ps.setString(4, m.dataType)
+      m.charMaxLen match {
+        case Some(v) => ps.setInt(5, v)
+        case None => ps.setNull(5, java.sql.Types.INTEGER)
+      }
+      m.numPrecision match {
+        case Some(v) => ps.setInt(6, v)
+        case None => ps.setNull(6, java.sql.Types.INTEGER)
+      }
+      m.numScale match {
+        case Some(v) => ps.setInt(7, v)
+        case None => ps.setNull(7, java.sql.Types.INTEGER)
+      }
+      ps.setString(8, if (m.isNullable) "YES" else "NO")
+      ps.setString(9, m.constraints)
+      ps.executeUpdate()
+    } finally ps.close()
+  }
+}
+
+private final class MssqlModeConnHandler(underlying: Connection)
+    extends InvocationHandler {
+  override def invoke(proxy: AnyRef, method: Method, args: Array[AnyRef]): AnyRef =
+    try method.getName match {
+      case "createStatement" =>
+        val st = method.invoke(underlying, args: _*).asInstanceOf[Statement]
+        Proxy.newProxyInstance(getClass.getClassLoader,
+          Array(classOf[Statement]),
+          new MssqlModeStmtHandler(st, underlying))
+      case "prepareStatement" | "prepareCall" | "nativeSQL"
+          if args != null && args.nonEmpty && args(0).isInstanceOf[String] =>
+        val raw = args(0).asInstanceOf[String]
+        if (raw.toUpperCase.contains("INFORMATION_SCHEMA."))
+          MssqlModeEngine.infoSchemaProbes.incrementAndGet()
+        val sql = MssqlDialect.route(raw) match {
+          case MssqlDialect.Translated(s) => s
+          case _: MssqlDialect.CreateTable =>
+            throw new IllegalArgumentException(
+              "mssql-mode: CREATE TABLE must go through Statement.execute " +
+                "(the catalog recording is not preparable)")
+        }
+        method.invoke(underlying, (sql +: args.drop(1)): _*)
+      case _ => method.invoke(underlying, args: _*)
+    } catch { case e: InvocationTargetException => throw e.getCause }
+}
+
+private final class MssqlModeStmtHandler(underlying: Statement,
+    conn: Connection) extends InvocationHandler {
+  override def invoke(proxy: AnyRef, method: Method, args: Array[AnyRef]): AnyRef =
+    try method.getName match {
+      case "execute" | "executeQuery" | "executeUpdate" | "executeLargeUpdate" |
+          "addBatch"
+          if args != null && args.nonEmpty && args(0).isInstanceOf[String] =>
+        val raw = args(0).asInstanceOf[String]
+        if (raw.toUpperCase.contains("INFORMATION_SCHEMA."))
+          MssqlModeEngine.infoSchemaProbes.incrementAndGet()
+        MssqlDialect.route(raw) match {
+          case MssqlDialect.CreateTable(sql, meta) =>
+            if (method.getName == "addBatch")
+              throw new IllegalArgumentException(
+                "mssql-mode: CREATE TABLE not valid via addBatch")
+            MssqlModeEngine.translatedStatements.incrementAndGet()
+            val out = method.invoke(underlying, (sql +: args.drop(1)): _*)
+            MssqlModeBootstrap.recordMeta(conn, meta)
+            out
+          case MssqlDialect.Translated(sql) =>
+            MssqlModeEngine.translatedStatements.incrementAndGet()
+            method.invoke(underlying, (sql +: args.drop(1)): _*)
+        }
+      case _ => method.invoke(underlying, args: _*)
+    } catch { case e: InvocationTargetException => throw e.getCause }
+}
+
+/** Live [[SchemaSource]] over the MSSQL-mode wire — the shim-backed
+  * rendering of the reference's DatabaseExtractor
+  * (extractor.rs:25-128): the table list and per-column schema come
+  * from INFORMATION_SCHEMA queries in the extractor's own shape
+  * (SELECTed over the live wire, NOT JDBC DatabaseMetaData — that is
+  * [[JdbcSchemaSource]]'s portable path), the constraint strings
+  * decode through [[Constraint.fromString]] (constraints.rs:16-55),
+  * and the scan applies the extractor's decode quirks: rowversion
+  * arrives as the counter it is, and datetimeoffset text converts to
+  * UTC exactly like format.rs:140-161.
+  */
+final class MssqlSchemaSource(url: String, numPartitions: Int = 8)
+    extends SchemaSource {
+
+  private def withConn[T](f: Connection => T): T = {
+    val c = DriverManager.getConnection(url)
+    try f(c) finally c.close()
+  }
+
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[ColumnSchema]]
+
+  /** extractor.rs:29-31 — the reference's exact probe text. */
+  override def fetchTables(): Seq[String] = withConn { c =>
+    MssqlModeEngine.fetchedTables.incrementAndGet()
+    val st = c.createStatement()
+    try {
+      val rs = st.executeQuery(
+        "SELECT TABLE_NAME FROM INFORMATION_SCHEMA.TABLES " +
+          "WHERE TABLE_TYPE = 'BASE TABLE'")
+      val out = ListBuffer.empty[String]
+      try while (rs.next()) out += rs.getString(1)
+      finally rs.close()
+      out.toSeq.sorted
+    } finally st.close()
+  }
+
+  override def getTableSchema(table: String): Seq[ColumnSchema] =
+    schemaCache.getOrElseUpdate(table, probeSchema(table))
+
+  /** extractor.rs:54-94 — INFORMATION_SCHEMA.COLUMNS with the
+    * CONSTRAINTS string column, decoded through the same
+    * [[MssqlType]] / [[Constraint.fromString]] path the fixture
+    * source uses (schema.rs/constraints.rs parity).
+    */
+  private def probeSchema(table: String): Seq[ColumnSchema] = withConn { c =>
+    // [CONSTRAINTS] is bracket-quoted: the word is reserved in the
+    // backing store's grammar (MSSQL itself would accept it bare, as
+    // the reference's alias does)
+    val ps = c.prepareStatement(
+      "SELECT c.COLUMN_NAME, c.DATA_TYPE, c.CHARACTER_MAXIMUM_LENGTH, " +
+        "c.NUMERIC_PRECISION, c.NUMERIC_SCALE, c.IS_NULLABLE, " +
+        "c.[CONSTRAINTS] FROM INFORMATION_SCHEMA.COLUMNS c " +
+        "WHERE c.TABLE_NAME = ? ORDER BY c.ORDINAL_POSITION")
+    try {
+      ps.setString(1, table)
+      val rs = ps.executeQuery()
+      val out = ListBuffer.empty[ColumnSchema]
+      try while (rs.next()) {
+        val name = rs.getString(1)
+        val typeName = rs.getString(2)
+        val mssql = MssqlType.fromString(typeName).getOrElse(
+          throw new MigrationException.UnknownSourceType(table, name, typeName))
+        def optInt(i: Int): Option[Int] = {
+          val v = rs.getInt(i); if (rs.wasNull()) None else Some(v)
+        }
+        val constraint = Constraint.fromString(rs.getString(7)) match {
+          case Right(cOpt) => cOpt
+          case Left(err) => throw new IllegalArgumentException(
+            s"mssql-mode probe: $table.$name: $err")
+        }
+        out += ColumnSchema(name, mssql,
+          characterMaximumLength = optInt(3),
+          numericPrecision = optInt(4),
+          numericScale = optInt(5),
+          isNullable = rs.getString(6).equalsIgnoreCase("YES"),
+          constraints = constraint)
+      } finally rs.close()
+      out.toSeq
+    } finally ps.close()
+  }
+
+  /** Distributed scan over the T-SQL wire ([bracket]-quoted via the
+    * registered Spark dialect), range-partitioned on a numeric PK
+    * like the portable source. Decode quirks applied on the way out:
+    * datetimeoffset columns (stored as their offset-bearing text)
+    * convert to UTC instants — format.rs:140-161's offset-subtraction
+    * — so downstream sees one timeline, which is exactly what the
+    * reference's literal renderer emits.
+    */
+  override def read(spark: SparkSession, table: String): DataFrame = {
+    val schema = getTableSchema(table)
+    val props = new java.util.Properties
+    val dbtable = mssqlIdentifier(table)
+    val numericPk = schema.filter(
+      _.constraints.contains(Constraint.PrimaryKey)) match {
+      case Seq(only) if Seq(MssqlType.TinyInt, MssqlType.SmallInt,
+        MssqlType.Int, MssqlType.BigInt).contains(only.dataType) =>
+        Some(only.columnName)
+      case _ => None
+    }
+    val bounds = numericPk.flatMap { pk =>
+      withConn { c =>
+        val st = c.createStatement()
+        try {
+          val rs = st.executeQuery(
+            s"SELECT MIN(${mssqlIdentifier(pk)}), MAX(${mssqlIdentifier(pk)}) " +
+              s"FROM $dbtable")
+          try {
+            if (rs.next() && rs.getObject(1) != null)
+              Some((rs.getLong(1), rs.getLong(2))) else None
+          } finally rs.close()
+        } finally st.close()
+      }.filter { case (lo, hi) => hi > lo }
+    }
+    val raw = (numericPk, bounds) match {
+      case (Some(pk), Some((lo, hi))) =>
+        spark.read.jdbc(url, dbtable, mssqlIdentifier(pk),
+          lo, hi, numPartitions, props)
+      case _ => spark.read.jdbc(url, dbtable, props)
+    }
+    schema.filter(_.dataType == MssqlType.DateTimeOffset)
+      .foldLeft(raw) { (df, c) =>
+        // '2021-03-04 05:06:07.1230000 +02:00' → UTC timestamp; the
+        // session zone is UTC repo-wide, so the parsed instant IS the
+        // reference's naive-UTC rendering
+        df.withColumn(c.columnName, to_timestamp(col(c.columnName),
+          "yyyy-MM-dd HH:mm:ss.SSSSSSS XXX"))
+      }
+  }
+}

@@ -46,8 +46,9 @@ object SqlDdl {
   def resetQuery(tables: Seq[String], action: ResetAction): String =
     tables.map(t => s"${action.verb} TABLE ${mysqlIdentifier(t)};").mkString("\n")
 
-  /** A probed CHECK clause arrives in the SOURCE catalog's ANSI text
-    * (double-quoted identifiers, e.g. Derby's SYSCHECKS); the rendered
+  /** A probed CHECK clause arrives in the SOURCE catalog's own
+    * identifier quoting — ANSI double quotes (Derby's SYSCHECKS) or
+    * MSSQL `[brackets]` (the INFORMATION_SCHEMA shim); the rendered
     * DDL is MySQL dialect, so requote identifiers to backticks —
     * masking single-quoted literals first so data is never touched.
     */
@@ -68,6 +69,13 @@ object SqlDdl {
         sb.append(clause.substring(i, end)); i = end
       case '"' => // ANSI identifier -> backtick identifier
         val close = clause.indexOf('"', i + 1)
+        if (close < 0) { sb.append(clause.substring(i)); i = n }
+        else {
+          sb.append('`').append(clause.substring(i + 1, close)).append('`')
+          i = close + 1
+        }
+      case '[' => // MSSQL identifier -> backtick identifier
+        val close = clause.indexOf(']', i + 1)
         if (close < 0) { sb.append(clause.substring(i)); i = n }
         else {
           sb.append('`').append(clause.substring(i + 1, close)).append('`')

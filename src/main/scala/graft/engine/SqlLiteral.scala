@@ -23,10 +23,16 @@ object SqlLiteral {
   private val dtNoFrac = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
   private val dateFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd")
 
-  def render(value: Any): String = value match {
+  def render(value: Any): String = render(value, quotedDecimals = true)
+
+  /** `quotedDecimals = false` renders BigDecimal bare (ANSI targets
+    * reject CHAR→DECIMAL in VALUES); true is reference parity
+    * (format_numeric_value quotes, the MySQL wire coerces).
+    */
+  def render(value: Any, quotedDecimals: Boolean): String = value match {
     case null => "NULL"
     case None => "NULL"
-    case Some(v) => render(v)
+    case Some(v) => render(v, quotedDecimals)
     case b: Boolean => if (b) "1" else "0"
     case b: Byte => b.toString
     case s: Short => s.toString
@@ -34,8 +40,10 @@ object SqlLiteral {
     case l: Long => l.toString
     case f: Float => f.toString
     case d: Double => d.toString
-    case d: java.math.BigDecimal => s"'${d.toPlainString}'"
-    case d: BigDecimal => s"'${d.underlying.toPlainString}'"
+    case d: java.math.BigDecimal =>
+      if (quotedDecimals) s"'${d.toPlainString}'" else d.toPlainString
+    case d: BigDecimal =>
+      render(d.underlying, quotedDecimals)
     case s: String => s"'${SqlEscape.sqlString(s)}'"
     case b: Array[Byte] =>
       "0x" + b.map(x => f"${x & 0xff}%02x").mkString
@@ -80,6 +88,7 @@ object SqlLiteral {
   /** One multi-row VALUES tuple: `(v1, v2, v3) ` — including the
     * reference's trailing space (table_migrator.rs:136).
     */
-  def valueTuple(values: Seq[Any]): String =
-    values.map(render).mkString("(", ", ", ") ")
+  def valueTuple(values: Seq[Any],
+      quotedDecimals: Boolean = true): String =
+    values.map(render(_, quotedDecimals)).mkString("(", ", ", ") ")
 }

@@ -408,6 +408,218 @@ object Migration {
       .orderBy(col("table_name"))
   }
 
+  /** Seed a live MSSQL-dialect source (engine/MssqlModeEngine.scala)
+    * with T-SQL DDL through the shim wire: the three dimension tables
+    * (inline five-kind constraints, so the INFORMATION_SCHEMA
+    * emulation carries the surface extractor.rs:63-77 probes) plus a
+    * `[quirks]` table holding the MSSQL-only type surface — tinyint
+    * (format.rs:34), rowversion (mssql_type.rs:32-35), datetimeoffset
+    * (format.rs:140-161), money, uniqueidentifier, nvarchar.
+    * Dimension rows append via `spark.write.jdbc` over the shim (the
+    * registered `[bracket]` Spark dialect); quirk rows are literal
+    * T-SQL INSERTs (N'…' prefixes, ''-escaped quotes, backslash as a
+    * plain character — the lexer's strictness surface).
+    */
+  private def seedMssqlSource(s: SparkSession, dir: String,
+      srcUrl: String): Unit = {
+    import org.apache.spark.sql.types._
+    def tsqlType(dt: DataType): String = dt match {
+      // VARCHAR, not NVARCHAR: the registry (reference parity,
+      // type_registry.rs) maps nvarchar to longtext, which no engine
+      // can put a UNIQUE on — the quirks table carries the NVARCHAR
+      // surface instead (unconstrained, as the reference requires)
+      case StringType => "VARCHAR(256)"
+      case LongType => "BIGINT"
+      case IntegerType => "INT"
+      case DoubleType => "FLOAT" // T-SQL float = float(53) = double
+      case FloatType => "REAL"
+      case DateType => "DATE"
+      case TimestampType => "DATETIME2(6)"
+      case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      case other => sys.error(s"seedMssqlSource: unmapped $other")
+    }
+    val inline = Map(
+      ("region", "r_regionkey") -> " NOT NULL PRIMARY KEY",
+      ("region", "r_name") -> " DEFAULT 'none'",
+      ("nation", "n_nationkey") -> " NOT NULL PRIMARY KEY",
+      ("nation", "n_name") -> " UNIQUE",
+      ("supplier", "s_suppkey") -> " NOT NULL PRIMARY KEY",
+      ("supplier", "s_nationkey") -> " REFERENCES [nation]([n_nationkey])",
+      ("supplier", "s_acctbal") -> " CHECK ([s_acctbal] > -10000)")
+    val c = java.sql.DriverManager.getConnection(srcUrl)
+    try {
+      val st = c.createStatement()
+      try {
+        Seq("region", "nation", "supplier").foreach { t =>
+          val cols = Tables(s, dir, t).schema.fields.map { f =>
+            s"[${f.name}] ${tsqlType(f.dataType)}" +
+              inline.getOrElse((t, f.name), "")
+          }.mkString(", ")
+          st.execute(s"CREATE TABLE [$t] ($cols)")
+        }
+        st.execute(
+          "CREATE TABLE [quirks] (" +
+            "[q_id] INT NOT NULL PRIMARY KEY, " +
+            "[q_tiny] TINYINT, " +
+            "[q_rv] ROWVERSION, " +
+            "[q_dto] DATETIMEOFFSET(7), " +
+            "[q_money] MONEY, " +
+            "[q_guid] UNIQUEIDENTIFIER, " +
+            "[q_note] NVARCHAR(80))")
+        // deterministic, sf-independent quirk rows (the oracle pins
+        // them as literals); rowversion counters are explicit — the
+        // shim does not emulate MSSQL's auto-assignment
+        st.execute(
+          "INSERT INTO [quirks] ([q_id],[q_tiny],[q_rv],[q_dto]," +
+            "[q_money],[q_guid],[q_note]) VALUES " +
+            "(1, 0, 1001, '2021-03-04 05:06:07.1230000 +02:00', 12.3456, " +
+            "'a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11', N'O''Brien'), " +
+            "(2, 127, 1002, '2020-12-31 23:30:00.0000000 -01:30', -0.0001, " +
+            "'00000000-0000-0000-0000-000000000000', N'back\\slash'), " +
+            "(3, 42, 1003, '2022-01-15 12:00:00.2500000 +05:45', 99999.9999, " +
+            "'ffffffff-ffff-ffff-ffff-ffffffffffff', 'café'), " +
+            "(4, 16, 1004, '2019-06-01 00:00:00.5000000 +00:00', 0.5, " +
+            "'12345678-1234-1234-1234-123456789abc', N'plain'), " +
+            "(5, NULL, 1005, NULL, NULL, NULL, NULL)")
+      } finally st.close()
+    } finally c.close()
+    Seq("region", "nation", "supplier").foreach { t =>
+      Tables(s, dir, t).write.mode("append")
+        .jdbc(srcUrl, s"[$t]", new java.util.Properties)
+    }
+  }
+
+  /** The live pipeline with the MSSQL-DIALECT SOURCE half: schema and
+    * rows come through [[graft.engine.MssqlSchemaSource]] — the
+    * extractor-shaped INFORMATION_SCHEMA probes, `[bracket]`-quoted
+    * scans and constraint-string decode over the strict T-SQL shim —
+    * into the ANSI Derby target. The r10/r11 gap this closes: the
+    * source side of the wire was ANSI/Derby-only, so the reference's
+    * read-side surface (extractor.rs:29-31, 54-83) was never
+    * live-gated. The oracle pins per-table rows AND target-side
+    * constraint counts, and the query REQUIRES the
+    * INFORMATION_SCHEMA probes to have fired over the wire.
+    */
+  private def pipelineMssqlMode(s: SparkSession, dir: String): DataFrame = {
+    import graft.engine._
+    import graft.mapping.TypeRegistry
+    val nonce = java.util.UUID.randomUUID.toString.replace("-", "")
+    val srcRest = s"memory:migmssrc_$nonce;create=true"
+    val srcUrl = MssqlModeEngine.url(srcRest)
+    val dstUrl = s"jdbc:derby:memory:migmsdst_$nonce;create=true"
+    MssqlModeEngine.resetCounters()
+    seedMssqlSource(s, dir, srcUrl)
+    val migrator = new Migrator(s, new MssqlSchemaSource(srcUrl),
+      new JdbcTargetWriter(dstUrl, AnsiFlavor), TypeRegistry.withDefaults(),
+      MigrationOptions(maxConcurrentTasks = 3, createConstraints = true))
+    val verified =
+      try {
+        val results = migrator.run()
+        require(MssqlModeEngine.fetchedTables.get() >= 1,
+          "mssql-mode gate: no INFORMATION_SCHEMA.TABLES probe fired")
+        require(MssqlModeEngine.infoSchemaProbes.get() >= 5,
+          "mssql-mode gate: INFORMATION_SCHEMA probes did not reach the engine")
+        results.map { r =>
+          val c = java.sql.DriverManager.getConnection(dstUrl)
+          try {
+            val st = c.createStatement()
+            try {
+              val rs = st.executeQuery(
+                s"""SELECT COUNT(*) FROM "${r.tableName}"""")
+              try {
+                rs.next()
+                (r.tableName, r.created, rs.getLong(1),
+                  targetConstraintCount(c, r.tableName))
+              } finally rs.close()
+            } finally st.close()
+          } finally c.close()
+        }
+      } finally {
+        for (u <- Seq(s"jdbc:derby:$srcRest", dstUrl))
+          try java.sql.DriverManager.getConnection(
+            u.replace(";create=true", ";drop=true"))
+          catch { case _: java.sql.SQLException => () } // drop always "fails"
+      }
+    import s.implicits._
+    verified.toDF("table_name", "created", "rows_migrated", "n_constraints")
+      .orderBy(col("table_name"))
+  }
+
+  // target-side expectations: region PK + DEFAULT(r_name) = 2;
+  // nation PK + UNIQUE = 2; supplier PK + FK + CHECK = 3; quirks PK = 1
+  private val pipelineMssqlSql =
+    Seq("nation" -> 2, "region" -> 2, "supplier" -> 3).map { case (t, n) =>
+      s"SELECT '$t' AS table_name, TRUE AS created, " +
+        s"count(*) AS rows_migrated, CAST($n AS BIGINT) AS n_constraints FROM $t"
+    }.mkString("", "\nUNION ALL\n",
+      "\nUNION ALL\nSELECT 'quirks', TRUE, CAST(5 AS BIGINT), " +
+        "CAST(1 AS BIGINT)\nORDER BY table_name")
+
+  /** End-to-end decode parity for the MSSQL-only types: migrate the
+    * `[quirks]` table alone over the T-SQL wire and read the TARGET
+    * values back — tinyint passthrough (format.rs:34), rowversion as
+    * the modification counter it is (type_registry.rs:83-89 →
+    * unsigned bigint), datetimeoffset converted to the UTC instant
+    * (format.rs:140-161: time minus offset), money at DECIMAL(19,4),
+    * uniqueidentifier as CHAR(36). The oracle is the literal expected
+    * table — any drift in the decode/convert/render chain reds the
+    * hash.
+    */
+  private def mssqlQuirks(s: SparkSession, dir: String): DataFrame = {
+    import graft.engine._
+    import graft.mapping.TypeRegistry
+    val nonce = java.util.UUID.randomUUID.toString.replace("-", "")
+    val srcRest = s"memory:migmqsrc_$nonce;create=true"
+    val srcUrl = MssqlModeEngine.url(srcRest)
+    val dstUrl = s"jdbc:derby:memory:migmqdst_$nonce;create=true"
+    seedMssqlSource(s, dir, srcUrl)
+    val migrator = new Migrator(s, new MssqlSchemaSource(srcUrl),
+      new JdbcTargetWriter(dstUrl, AnsiFlavor), TypeRegistry.withDefaults(),
+      MigrationOptions(maxConcurrentTasks = 1,
+        whitelistedTables = Seq("quirks")))
+    try {
+      migrator.run()
+      val out = s.read.jdbc(dstUrl, """"quirks"""", new java.util.Properties)
+        .select(col("q_id"), col("q_tiny"), col("q_rv"), col("q_dto"),
+          col("q_money"), col("q_guid"), col("q_note"))
+        .orderBy(col("q_id"))
+      // materialize to local rows BEFORE the finally drops the
+      // database: the returned plan must not re-scan the dropped
+      // target when the harness writes it (5 rows — driver-safe)
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*),
+        out.schema)
+    } finally {
+      for (u <- Seq(s"jdbc:derby:$srcRest", dstUrl))
+        try java.sql.DriverManager.getConnection(
+          u.replace(";create=true", ";drop=true"))
+        catch { case _: java.sql.SQLException => () } // drop always "fails"
+    }
+  }
+
+  private val mssqlQuirksSql =
+    """SELECT * FROM (VALUES
+      |  (1, CAST(0 AS SMALLINT), CAST(1001 AS BIGINT),
+      |   TIMESTAMP '2021-03-04 03:06:07.123',
+      |   CAST('12.3456' AS DECIMAL(19,4)),
+      |   'a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11', 'O''Brien'),
+      |  (2, CAST(127 AS SMALLINT), CAST(1002 AS BIGINT),
+      |   TIMESTAMP '2021-01-01 01:00:00',
+      |   CAST('-0.0001' AS DECIMAL(19,4)),
+      |   '00000000-0000-0000-0000-000000000000', 'back\slash'),
+      |  (3, CAST(42 AS SMALLINT), CAST(1003 AS BIGINT),
+      |   TIMESTAMP '2022-01-15 06:15:00.25',
+      |   CAST('99999.9999' AS DECIMAL(19,4)),
+      |   'ffffffff-ffff-ffff-ffff-ffffffffffff', 'café'),
+      |  (4, CAST(16 AS SMALLINT), CAST(1004 AS BIGINT),
+      |   TIMESTAMP '2019-06-01 00:00:00.5',
+      |   CAST('0.5' AS DECIMAL(19,4)),
+      |   '12345678-1234-1234-1234-123456789abc', 'plain'),
+      |  (5, CAST(NULL AS SMALLINT), CAST(1005 AS BIGINT),
+      |   CAST(NULL AS TIMESTAMP), CAST(NULL AS DECIMAL(19,4)),
+      |   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR))
+      |) AS t(q_id, q_tiny, q_rv, q_dto, q_money, q_guid, q_note)
+      |ORDER BY q_id""".stripMargin
+
   /** INCREMENTAL migration by high-watermark bookmark — the follow-up
     * extraction every one-shot migrator grows into: after the initial
     * full load, only rows whose monotonically increasing key exceeds
@@ -1539,6 +1751,9 @@ object Migration {
     QueryDef("mig_pipeline", pipeline, Some(pipelineSql)),
     QueryDef("mig_pipeline_jdbc", pipelineJdbc, Some(pipelineJdbcSql)),
     QueryDef("mig_pipeline_mysqlmode", pipelineMySqlMode, Some(pipelineJdbcSql)),
+    QueryDef("mig_pipeline_mssqlmode", pipelineMssqlMode,
+      Some(pipelineMssqlSql)),
+    QueryDef("mig_mssql_quirks", mssqlQuirks, Some(mssqlQuirksSql)),
     QueryDef("mig_incremental_watermark", incrementalWatermark,
       Some(incrementalWatermarkSql)),
     QueryDef("mig_literal_render", literalRender, Some(literalRenderSql)),

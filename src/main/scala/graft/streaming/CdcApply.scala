@@ -22,7 +22,7 @@ import org.apache.spark.sql.types._
   * arrival order and checkpointing.
   *
   * Scale shape — the part that matters at 100 TB: state is
-  * hash-partitioned on the key (`kb = k % 16`) and each batch
+  * hash-partitioned on the key (`kb = k % buckets`) and each batch
   * rewrites ONLY the partitions its keys touch, via dynamic partition
   * overwrite. The merge reads current state partition-pruned to the
   * batch's buckets, unions the batch, keeps the latest version per
@@ -34,6 +34,19 @@ import org.apache.spark.sql.types._
   * table format with transactional MERGE (or the IncrementalIngest
   * delta-publish pattern) is the deployment-grade equivalent; the
   * merge arithmetic is identical.
+  *
+  * SIZING the bucket count (the IVF-nlist pattern: a measured rule,
+  * not a constant): per-batch merge cost is
+  * `(touchedBuckets/buckets) × stateBytes + batchBytes`, and each
+  * merge writes one parquet file per touched bucket. Pick
+  * `buckets ≈ stateBytes / targetFileBytes` with targetFileBytes
+  * ~0.5-1 GiB — large enough that bucket files stay scan-efficient,
+  * small enough that a batch touching few keys prunes most of the
+  * state. At 100 TB of state and 1 GiB files that is ~10^5 buckets;
+  * at the fixture's ~10^4-row state the 16 default keeps every bucket
+  * file above parquet's overhead floor. The merge logic is
+  * bucket-agnostic — `buckets` only trades prune granularity against
+  * file count.
   */
 object CdcApply {
 
@@ -42,7 +55,9 @@ object CdcApply {
     StructField("price", DoubleType), StructField("version", LongType),
     StructField("op", StringType), StructField("kb", IntegerType)))
 
-  def apply(spark: SparkSession, dir: String): DataFrame = {
+  def apply(spark: SparkSession, dir: String,
+      buckets: Int = 16): DataFrame = {
+    require(buckets >= 1, s"cdc apply: buckets must be >= 1, got $buckets")
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
     ss.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -54,7 +69,7 @@ object CdcApply {
         .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
           col("o_totalprice").as("price"),
           lit(v).as("version"), lit(op).as("op"),
-          pmod(col("o_orderkey"), lit(16)).cast("int").as("kb"))
+          pmod(col("o_orderkey"), lit(buckets)).cast("int").as("kb"))
     val versions = Seq(
       snap(1L, "U"),
       snap(2L, "U").filter(col("k") % 10 === 0)
@@ -115,7 +130,8 @@ object CdcApply {
             .filter(col("rn") === 1).drop("rn")
             // co-locate rows with their output partition: one file per
             // bucket per merge instead of (tasks × buckets) shards —
-            // the next batch's pruned read lists 16 files, not 128
+            // the next batch's pruned read lists `buckets` files, not
+            // tasks × buckets
             .repartition(col("kb"))
             .write.mode("overwrite").partitionBy("kb")
             .parquet(stateDir) // dynamic: replaces ONLY touched buckets

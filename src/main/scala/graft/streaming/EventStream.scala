@@ -133,13 +133,37 @@ object EventStream {
 
   private def streamingEvents(ss: SparkSession, dir: String): DataFrame = {
     val legacy = eventsTsIsLegacyNanos(ss, dir)
-    ss.readStream
-      .schema(rawSchema(legacy))
-      // streaming file source needs a directory; filter to the events
-      // file since the fixture dir holds one parquet per table
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", normalizedTs(legacy))
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val reader = ss.readStream.schema(rawSchema(legacy))
+    // the driver fixtures store events as ONE file inside the table
+    // dir (filter the shared dir down to it); the derived sf1* fixture
+    // stores it as a parquet DIRECTORY of parts (read it directly)
+    val raw =
+      if (java.nio.file.Files.isDirectory(src))
+        reader.option("pathGlobFilter", "*.parquet").parquet(src.toString)
+      else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
+    raw.withColumn("ts", normalizedTs(legacy))
+  }
+
+  /** Copy the fixture's events table into `streamDir`: the driver
+    * fixtures are a single `events.parquet` FILE, the derived sf1*
+    * fixture a parquet DIRECTORY of part files — stage either shape.
+    */
+  private def copyEventsInto(dir: String,
+      streamDir: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(s"$dir/events.parquet")
+    if (Files.isDirectory(src)) {
+      val it = Files.list(src)
+      try it.forEach { p =>
+        val nm = p.getFileName.toString
+        if (nm.endsWith(".parquet"))
+          Files.copy(p, streamDir.resolve("events_" + nm),
+            StandardCopyOption.REPLACE_EXISTING)
+      } finally it.close()
+    } else
+      Files.copy(src, streamDir.resolve("events.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Run a streaming aggregation to completion into a memory sink and
@@ -382,8 +406,7 @@ object EventStream {
       val streamDir = Files.createTempDirectory("graft_sentinel_stream")
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         org.apache.commons.io.FileUtils.deleteQuietly(streamDir.toFile): Unit))
-      Files.copy(Paths.get(s"$dir/events.parquet"),
-        streamDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      copyEventsInto(dir, streamDir)
       val maxTsMicros = graft.Tables(ss, dir, "events")
         .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
       stageEventRows(ss, legacy,
@@ -436,8 +459,7 @@ object EventStream {
     def writeBatch(name: String,
         rows: Seq[(Long, Long, Long, String, Double, String)]): Unit =
       stageEventRows(ss, legacy, rows, streamDir.resolve(name).toString)
-    Files.copy(Paths.get(s"$dir/events.parquet"),
-      streamDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    copyEventsInto(dir, streamDir)
 
     // PUSHDOWN TRAP (found the hard way): a pre-aggregation
     // `filter(event_type = 'late_probe')` gets pushed below the

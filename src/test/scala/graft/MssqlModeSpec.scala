@@ -1,0 +1,182 @@
+package graft
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine._
+import graft.types.{Constraint, MssqlType}
+
+/** The strict MSSQL-dialect source shim (engine/MssqlModeEngine.scala):
+  * T-SQL lexing/translation, the emulated INFORMATION_SCHEMA catalog,
+  * and the extractor-parity decode quirks (tinyint as unsigned small
+  * value, rowversion reported as "timestamp", datetimeoffset → UTC)
+  * — the reference's read-side surface (extractor.rs:25-128,
+  * format.rs:34,140-161, mssql_type.rs:32-35) over a live JDBC wire.
+  */
+class MssqlModeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // ---- dialect unit surface --------------------------------------------
+
+  test("brackets translate to ANSI quotes; N'…' prefix drops") {
+    assert(MssqlDialect.translate("SELECT [a], [b]]c] FROM [t]") ==
+      """SELECT "a", "b]c" FROM "t"""")
+    assert(MssqlDialect.translate("SELECT N'café' FROM [t]") ==
+      """SELECT 'café' FROM "t"""")
+    // a column fittingly named n is NOT a national prefix
+    assert(MssqlDialect.translate("SELECT n FROM [t]") ==
+      """SELECT n FROM "t"""")
+  }
+
+  test("T-SQL literals: '' unescapes, backslash stays a plain character") {
+    assert(MssqlDialect.translate("SELECT 'O''Brien'") == "SELECT 'O''Brien'")
+    assert(MssqlDialect.translate("SELECT 'a\\nb'") == "SELECT 'a\\nb'")
+  }
+
+  test("strictness: wrong-dialect statements are rejected loudly") {
+    intercept[IllegalArgumentException](
+      MssqlDialect.translate("""SELECT "a" FROM t"""))
+    intercept[IllegalArgumentException](
+      MssqlDialect.translate("SELECT `a` FROM t"))
+    intercept[IllegalArgumentException](
+      MssqlDialect.route("SET FOREIGN_KEY_CHECKS=0"))
+    intercept[IllegalArgumentException](
+      MssqlDialect.route("SELECT @@max_allowed_packet"))
+  }
+
+  test("CREATE TABLE maps the MSSQL-only types to Derby storage") {
+    val t = MssqlDialect.translate(
+      "CREATE TABLE [q] ([a] TINYINT, [b] ROWVERSION, " +
+        "[c] DATETIMEOFFSET(7), [d] MONEY, [e] UNIQUEIDENTIFIER, " +
+        "[f] NVARCHAR(80), [g] NVARCHAR(max), [h] DATETIME2(6))")
+    assert(t.contains(""""a" SMALLINT"""))
+    assert(t.contains(""""b" BIGINT"""))
+    assert(t.contains(""""c" VARCHAR(48)"""))
+    assert(t.contains(""""d" DECIMAL(19,4)"""))
+    assert(t.contains(""""e" CHAR(36)"""))
+    assert(t.contains(""""f" VARCHAR(80)"""))
+    assert(t.contains(""""g" CLOB"""))
+    assert(t.contains(""""h" TIMESTAMP"""))
+    // type tokens inside literals stay data: a DEFAULT 'money' is not
+    // a type slot (the same invariant the ANSI flavor upholds)
+    val lit = MssqlDialect.translate(
+      "CREATE TABLE [p] ([x] NVARCHAR(20) DEFAULT 'money text')")
+    assert(lit.contains("'money text'"))
+  }
+
+  // ---- live wire -------------------------------------------------------
+
+  private def withDb[T](name: String)(f: String => T): T = {
+    val rest = s"memory:mssqlspec_$name;create=true"
+    val url = MssqlModeEngine.url(rest)
+    try f(url)
+    finally {
+      try DriverManager.getConnection(
+        s"jdbc:derby:$rest".replace(";create=true", ";drop=true"))
+      catch { case _: java.sql.SQLException => () }
+    }
+  }
+
+  test("INFORMATION_SCHEMA emulation answers the extractor's probes") {
+    withDb("isch") { url =>
+      val c = DriverManager.getConnection(url)
+      try {
+        val st = c.createStatement()
+        st.execute(
+          "CREATE TABLE [w] ([id] INT NOT NULL PRIMARY KEY, " +
+            "[sku] NVARCHAR(20) UNIQUE, " +
+            "[grade] INT CHECK ([grade] > 0), " +
+            "[owner] INT REFERENCES [w]([id]), " +
+            "[state] VARCHAR(10) DEFAULT 'new', " +
+            "[rv] ROWVERSION NOT NULL)")
+        // extractor.rs:29-31 shape
+        val rs = st.executeQuery(
+          "SELECT TABLE_NAME FROM INFORMATION_SCHEMA.TABLES " +
+            "WHERE TABLE_TYPE = 'BASE TABLE'")
+        assert(rs.next() && rs.getString(1) == "w")
+        assert(!rs.next())
+        rs.close(); st.close()
+      } finally c.close()
+
+      val src = new MssqlSchemaSource(url)
+      assert(src.fetchTables() == Seq("w"))
+      val schema = src.getTableSchema("w")
+      val byName = schema.map(s => s.columnName -> s).toMap
+      assert(byName("id").constraints == Some(Constraint.PrimaryKey))
+      assert(!byName("id").isNullable)
+      assert(byName("sku").constraints == Some(Constraint.Unique))
+      assert(byName("sku").dataType == MssqlType.NVarchar)
+      assert(byName("sku").characterMaximumLength == Some(20))
+      assert(byName("grade").constraints ==
+        Some(Constraint.Check("[grade] > 0")))
+      assert(byName("owner").constraints ==
+        Some(Constraint.ForeignKey("w", "id")))
+      assert(byName("state").constraints ==
+        Some(Constraint.Default("'new'")))
+      // rowversion reports as "timestamp" (mssql_type.rs:32-35 parity)
+      assert(byName("rv").dataType == MssqlType.RowVersion)
+    }
+  }
+
+  test("scan decodes datetimeoffset to UTC and round-trips quirk types") {
+    withDb("scan") { url =>
+      val c = DriverManager.getConnection(url)
+      try {
+        val st = c.createStatement()
+        st.execute(
+          "CREATE TABLE [q] ([id] INT NOT NULL PRIMARY KEY, " +
+            "[tiny] TINYINT, [rv] ROWVERSION, [dto] DATETIMEOFFSET(7), " +
+            "[m] MONEY)")
+        st.execute(
+          "INSERT INTO [q] ([id],[tiny],[rv],[dto],[m]) VALUES " +
+            "(1, 127, 900, '2021-03-04 05:06:07.1230000 +02:00', 1.5), " +
+            "(2, 0, 901, '2020-12-31 23:30:00.0000000 -01:30', -2.25), " +
+            "(3, NULL, 902, NULL, NULL)")
+        st.close()
+      } finally c.close()
+
+      val src = new MssqlSchemaSource(url, numPartitions = 2)
+      val df = src.read(spark, "q").orderBy(col("id"))
+      val rows = df.collect()
+      assert(rows.length == 3)
+      // format.rs:140-161: local wall time minus offset = UTC instant
+      assert(rows(0).getAs[java.sql.Timestamp]("dto").toInstant ==
+        java.time.Instant.parse("2021-03-04T03:06:07.123Z"))
+      assert(rows(1).getAs[java.sql.Timestamp]("dto").toInstant ==
+        java.time.Instant.parse("2021-01-01T01:00:00Z"))
+      assert(rows(2).isNullAt(rows(2).fieldIndex("dto")))
+      // Spark's JDBC read widens the stored SMALLINT to IntegerType
+      assert(rows(0).getAs[Int]("tiny") == 127)
+      assert(rows(0).getAs[Long]("rv") == 900L)
+      // the scan range-partitioned on the numeric PK over the T-SQL wire
+      assert(df.rdd.getNumPartitions >= 1)
+    }
+  }
+
+  test("spark write.jdbc appends through the bracket-quoting dialect") {
+    withDb("append") { url =>
+      val c = DriverManager.getConnection(url)
+      try {
+        val st = c.createStatement()
+        st.execute("CREATE TABLE [r] ([k] BIGINT NOT NULL PRIMARY KEY, " +
+          "[v] NVARCHAR(30))")
+        st.close()
+      } finally c.close()
+      import spark.implicits._
+      Seq((1L, "a'b"), (2L, "c\\d")).toDF("k", "v")
+        .write.mode("append").jdbc(url, "[r]", new java.util.Properties)
+      val back = spark.read.jdbc(url, "[r]", new java.util.Properties)
+        .orderBy(col("k")).collect()
+      assert(back.map(_.getString(1)).toSeq == Seq("a'b", "c\\d"))
+    }
+  }
+}

@@ -301,4 +301,19 @@ class StreamRecoverySpec extends AnyFunSuite {
       assert(sunk.agg(sum(col("n"))).collect()(0).getLong(0) == 17L)
     } finally org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
   }
+
+  /** The CDC-apply bucket count is a sizing parameter, not baked-in
+    * semantics: the merged state summary must be identical at any
+    * bucket granularity (buckets only trade partition-prune width
+    * against file count — CdcApply's sizing rule).
+    */
+  test("CDC apply is bucket-count invariant (non-default granularity)") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(buckets: Int): Seq[String] =
+      graft.streaming.CdcApply(spark, dir, buckets)
+        .collect().map(_.mkString("|")).toSeq
+    val default = rows(16)
+    assert(default.nonEmpty)
+    assert(rows(5) == default)
+  }
 }
