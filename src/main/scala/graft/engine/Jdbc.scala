@@ -553,8 +553,13 @@ private[engine] object DerbyConstraintProbe {
               .invoke(desc).asInstanceOf[Array[Int]].toSeq
           } catch {
             case _: ReflectiveOperationException | _: ClassCastException =>
+              // fallback: match QUOTED identifier tokens only — a raw
+              // substring mis-binds when one column name is a prefix
+              // of another (ID vs WIDTH) or appears inside a string
+              // literal; Derby's stored clause quotes identifiers, so
+              // an unquoted hit is data, not a reference
               ordered.zipWithIndex.collect {
-                case (col, i) if clause.contains(col) => i + 1
+                case (col, i) if clause.contains("\"" + col + "\"") => i + 1
               }
           }
         positions match {
