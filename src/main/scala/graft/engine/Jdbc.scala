@@ -415,9 +415,8 @@ final class JdbcTargetWriter(
     * through the flavor (dropped on targets without it).
     */
   override def createConstraints(sql: String): Unit =
-    transactional(sql.split(';').map(_.trim)
-      .filter(s => s.nonEmpty && !s.toUpperCase.startsWith("SET FOREIGN_KEY_CHECKS"))
-      .toSeq)
+    transactional(SqlDdl.splitStatements(sql)
+      .filterNot(_.toUpperCase.startsWith("SET FOREIGN_KEY_CHECKS")))
 
   override def quotedDecimalLiterals: Boolean = flavor.quotedDecimalLiterals
 }

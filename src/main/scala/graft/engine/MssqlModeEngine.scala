@@ -85,6 +85,57 @@ object MssqlModeEngine {
   def url(rest: String): String = { registered; s"jdbc:graftmssql:$rest" }
 
   val UrlPrefix = "jdbc:graftmssql:"
+
+  /** Per-column decode from the shim's Derby storage back to the
+    * CANONICAL Spark type for the declared MSSQL type (SURVEY §1.2) —
+    * Spark's JDBC reader maps Derby SMALLINT to `IntegerType`, so
+    * without this fold `tinyint`/`smallint` silently widen to INT32
+    * and `bit` loses its 0/1 domain:
+    *  - tinyint → ShortType (U8 range 0..255, format.rs:34 — no
+    *    signed byte fits it), smallint → ShortType;
+    *  - bit → BooleanType (format.rs:22-24 renders 0/1; SqlLiteral
+    *    does the same on the write side);
+    *  - datetimeoffset (stored as offset-bearing text) → the UTC
+    *    instant, format.rs:140-161's offset-subtraction. The parse is
+    *    LENIENT in fraction width — DATETIMEOFFSET(0..7) renderings
+    *    all carry 0-7 fraction digits — but FAIL-LOUD on text that
+    *    still doesn't parse: `to_timestamp` alone returns NULL on
+    *    mismatch, which would silently corrupt data instead of
+    *    failing the strict-shim way.
+    */
+  private[engine] def canonicalDecode(
+      c: ColumnSchema): Option[org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions._
+    c.dataType match {
+      case MssqlType.TinyInt | MssqlType.SmallInt =>
+        Some(_.cast(org.apache.spark.sql.types.ShortType))
+      case MssqlType.Bit =>
+        Some(_.cast(org.apache.spark.sql.types.BooleanType))
+      case MssqlType.DateTimeOffset => Some { in =>
+        // normalize '… HH:mm:ss[.f{1,7}] ±hh:mm' to exactly 7
+        // fraction digits, then parse with the fixed pattern
+        val base = regexp_extract(in,
+          "^(\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2})", 1)
+        val frac = regexp_extract(in, "\\.(\\d{1,7})\\s", 1)
+        val off = regexp_extract(in, "([+-]\\d{2}:\\d{2})$", 1)
+        val norm = concat(base, lit("."), rpad(
+          when(frac === "", "0").otherwise(frac), 7, "0"),
+          lit(" "), off)
+        // try_to_timestamp, not to_timestamp: under ANSI mode the
+        // plain form throws its own (wrong-message) error before the
+        // raise_error below can name the column and value
+        val parsed = try_to_timestamp(norm,
+          lit("yyyy-MM-dd HH:mm:ss.SSSSSSS XXX"))
+        when(in.isNull, lit(null).cast("timestamp"))
+          .when(parsed.isNotNull, parsed)
+          .otherwise(raise_error(concat(
+            lit(s"mssql-mode: unparseable datetimeoffset in " +
+              s"${c.columnName}: '"), in, lit("'"))).cast("timestamp"))
+      }
+      case _ => None
+    }
+  }
 }
 
 /** Spark-side dialect for the shim URL: identifiers quote as
@@ -384,7 +435,18 @@ object MssqlDialect {
               }
             Some(MetaColumn(table, name, idx + 1, tpe, charMax, p, s,
               isNullable = !notNull, constraints = constraint))
-          case _ => None // table-level clause (e.g. composite PK)
+          case _ =>
+            // table-level clause (e.g. composite PK / named CONSTRAINT).
+            // The reference's constraint surface is strictly PER-COLUMN
+            // (extractor.rs:63-70 reads one slot per COLUMNS row), so
+            // the emulated catalog has nowhere to record these —
+            // REJECT LOUDLY rather than silently dropping a constraint
+            // a future fixture might rely on.
+            throw new IllegalArgumentException(
+              "mssql-mode: table-level constraint clauses are not " +
+                "supported by the emulated INFORMATION_SCHEMA (the " +
+                "reference's surface is per-column, extractor.rs:63-70)" +
+                s" — rewrite as an inline column constraint: $defText")
         }
       }
     case _ =>
@@ -660,13 +722,9 @@ final class MssqlSchemaSource(url: String, numPartitions: Int = 8)
           lo, hi, numPartitions, props)
       case _ => spark.read.jdbc(url, dbtable, props)
     }
-    schema.filter(_.dataType == MssqlType.DateTimeOffset)
-      .foldLeft(raw) { (df, c) =>
-        // '2021-03-04 05:06:07.1230000 +02:00' → UTC timestamp; the
-        // session zone is UTC repo-wide, so the parsed instant IS the
-        // reference's naive-UTC rendering
-        df.withColumn(c.columnName, to_timestamp(col(c.columnName),
-          "yyyy-MM-dd HH:mm:ss.SSSSSSS XXX"))
-      }
+    schema.foldLeft(raw) { (df, c) =>
+      MssqlModeEngine.canonicalDecode(c).fold(df)(
+        e => df.withColumn(c.columnName, e(col(c.columnName))))
+    }
   }
 }

@@ -8,6 +8,40 @@ import graft.types.{Constraint, TargetColumn}
   */
 object SqlDdl {
 
+  /** Split a `;`-joined DDL script into statements, honoring the
+    * literal/identifier quoting of BOTH dialects this writer renders
+    * (`'…''…'` strings, `"…"""…"` / `` `…``…` `` / `[…]]…]`
+    * identifiers) — a probed CHECK clause or DEFAULT literal is free
+    * to contain `;`, and a raw `split(';')` would cut it mid-statement
+    * and execute corrupted SQL.
+    */
+  def splitStatements(sql: String): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    val sb = new StringBuilder
+    var i = 0
+    var quote: Char = 0 // 0 = outside; else the CLOSING char we await
+    while (i < sql.length) {
+      val ch = sql.charAt(i)
+      if (quote != 0) {
+        sb += ch
+        if (ch == quote) {
+          // doubled closer = escaped (''  ""  ``  ]]) — stay inside
+          if (i + 1 < sql.length && sql.charAt(i + 1) == quote) {
+            sb += quote; i += 1
+          } else quote = 0
+        }
+      } else ch match {
+        case ';' => out += sb.toString; sb.clear()
+        case '\'' | '"' | '`' => quote = ch; sb += ch
+        case '[' => quote = ']'; sb += ch
+        case c => sb += c
+      }
+      i += 1
+    }
+    out += sb.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
   /** `INSERT INTO t (c1, c2) VALUES` prefix (query.rs:6-18). */
   def insertStatement(table: String, schema: Seq[TargetColumn]): String = {
     val cols = schema.map(c => mysqlIdentifier(c.columnName)).mkString(", ")

@@ -579,7 +579,14 @@ object Migration {
         whitelistedTables = Seq("quirks")))
     try {
       migrator.run()
-      val out = s.read.jdbc(dstUrl, """"quirks"""", new java.util.Properties)
+      // the target column is SMALLINT (tinyint → registry tinyint →
+      // Derby SMALLINT) but Spark's JDBC reader widens SMALLINT to
+      // IntegerType by default — declare the canonical width
+      // (SURVEY §1.2: tinyint → ShortType) so the read-back carries
+      // the type the whole decode chain preserved
+      val out = s.read
+        .option("customSchema", "q_tiny SMALLINT")
+        .jdbc(dstUrl, """"quirks"""", new java.util.Properties)
         .select(col("q_id"), col("q_tiny"), col("q_rv"), col("q_dto"),
           col("q_money"), col("q_guid"), col("q_note"))
         .orderBy(col("q_id"))

@@ -501,7 +501,7 @@ object Multimodal {
   private val phashPairsSql =
     s"""$phashCtes
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  bit_count(xor(a.phash, b.phash)) AS hamming
+       |  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
        |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.phash, b.phash)) <= 8
        |ORDER BY doc_a, doc_b""".stripMargin

@@ -154,11 +154,101 @@ class MssqlModeSpec extends AnyFunSuite {
       assert(rows(1).getAs[java.sql.Timestamp]("dto").toInstant ==
         java.time.Instant.parse("2021-01-01T01:00:00Z"))
       assert(rows(2).isNullAt(rows(2).fieldIndex("dto")))
-      // Spark's JDBC read widens the stored SMALLINT to IntegerType
-      assert(rows(0).getAs[Int]("tiny") == 127)
+      // Spark's JDBC read widens the stored SMALLINT to IntegerType;
+      // the source folds it back to the canonical ShortType
+      // (SURVEY §1.2: tinyint is U8, format.rs:34)
+      assert(df.schema("tiny").dataType ==
+        org.apache.spark.sql.types.ShortType)
+      assert(rows(0).getAs[Short]("tiny") == 127)
       assert(rows(0).getAs[Long]("rv") == 900L)
       // the scan range-partitioned on the numeric PK over the T-SQL wire
       assert(df.rdd.getNumPartitions >= 1)
+    }
+  }
+
+  test("scan folds bit to BooleanType and smallint keeps its width") {
+    withDb("canon") { url =>
+      val c = DriverManager.getConnection(url)
+      try {
+        val st = c.createStatement()
+        st.execute("CREATE TABLE [b] ([id] INT NOT NULL PRIMARY KEY, " +
+          "[flag] BIT, [sm] SMALLINT)")
+        st.execute("INSERT INTO [b] ([id],[flag],[sm]) VALUES " +
+          "(1, 1, -32768), (2, 0, 32767), (3, NULL, NULL)")
+        st.close()
+      } finally c.close()
+      val df = new MssqlSchemaSource(url).read(spark, "b").orderBy(col("id"))
+      assert(df.schema("flag").dataType ==
+        org.apache.spark.sql.types.BooleanType)
+      assert(df.schema("sm").dataType ==
+        org.apache.spark.sql.types.ShortType)
+      val rows = df.collect()
+      assert(rows(0).getAs[Boolean]("flag"))
+      assert(!rows(1).getAs[Boolean]("flag"))
+      assert(rows(2).isNullAt(rows(2).fieldIndex("flag")))
+      assert(rows(0).getAs[Short]("sm") == Short.MinValue)
+      assert(rows(1).getAs[Short]("sm") == Short.MaxValue)
+    }
+  }
+
+  test("datetimeoffset parse is fraction-lenient but fail-loud on junk") {
+    withDb("dtolen") { url =>
+      val c = DriverManager.getConnection(url)
+      try {
+        val st = c.createStatement()
+        st.execute("CREATE TABLE [d] ([id] INT NOT NULL PRIMARY KEY, " +
+          "[dto] DATETIMEOFFSET(3))")
+        // DATETIMEOFFSET(0)/(3) renderings carry 0/3 fraction digits —
+        // the exact-7-digit pattern alone would NULL these silently
+        st.execute("INSERT INTO [d] ([id],[dto]) VALUES " +
+          "(1, '2021-03-04 05:06:07 +02:00'), " +
+          "(2, '2021-03-04 05:06:07.123 +00:00'), " +
+          "(3, '2021-03-04 05:06:07.1234560 -05:30')")
+        st.close()
+      } finally c.close()
+      val src = new MssqlSchemaSource(url)
+      val rows = src.read(spark, "d").orderBy(col("id")).collect()
+      assert(rows(0).getAs[java.sql.Timestamp]("dto").toInstant ==
+        java.time.Instant.parse("2021-03-04T03:06:07Z"))
+      assert(rows(1).getAs[java.sql.Timestamp]("dto").toInstant ==
+        java.time.Instant.parse("2021-03-04T05:06:07.123Z"))
+      assert(rows(2).getAs[java.sql.Timestamp]("dto").toInstant ==
+        java.time.Instant.parse("2021-03-04T10:36:07.123456Z"))
+
+      // junk text must RAISE, not silently corrupt to NULL — write the
+      // bad row through raw Derby (the strict front end would reject
+      // nothing here: it's just a VARCHAR column underneath)
+      val raw = DriverManager.getConnection(url)
+      try {
+        val st = raw.createStatement()
+        st.execute("INSERT INTO [d] ([id],[dto]) VALUES (4, 'not a date')")
+        st.close()
+      } finally raw.close()
+      val e = intercept[Exception] {
+        src.read(spark, "d").collect()
+      }
+      def chain(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(x => Option(x.getMessage).getOrElse("")).toSeq
+      assert(chain(e).exists(_.contains("unparseable datetimeoffset")))
+    }
+  }
+
+  test("table-level constraint clauses are rejected loudly") {
+    withDb("tlc") { url =>
+      val c = DriverManager.getConnection(url)
+      try {
+        val st = c.createStatement()
+        val e = intercept[Exception] {
+          st.execute("CREATE TABLE [cp] ([a] INT NOT NULL, " +
+            "[b] INT NOT NULL, PRIMARY KEY ([a], [b]))")
+        }
+        def chain(t: Throwable): Seq[String] =
+          Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+            .map(x => Option(x.getMessage).getOrElse("")).toSeq
+        assert(chain(e).exists(_.contains("table-level constraint")))
+        st.close()
+      } finally c.close()
     }
   }
 

@@ -131,4 +131,21 @@ class SqlLiteralSpec extends AnyFunSuite {
     assert(ansi.contains(
       "ALTER TABLE \"T\" ALTER COLUMN \"state\" SET DEFAULT 'new text'"))
   }
+
+  test("statement split honors quoting: `;` inside literals stays data") {
+    // a probed CHECK / DEFAULT literal may legitimately carry ';' —
+    // a raw split(';') would cut the statement and execute garbage
+    assert(SqlDdl.splitStatements(
+      "ALTER TABLE `T` ALTER COLUMN `s` SET DEFAULT 'a;b''c;d'; " +
+        "ALTER TABLE `T` ADD CHECK (`s` <> ';')") == Seq(
+      "ALTER TABLE `T` ALTER COLUMN `s` SET DEFAULT 'a;b''c;d'",
+      "ALTER TABLE `T` ADD CHECK (`s` <> ';')"))
+    // quoted identifiers of every dialect shield ';' too
+    assert(SqlDdl.splitStatements(
+      """ALTER TABLE "a;b" ADD CHECK (1=1); DROP TABLE [c;]]d]; SELECT 1""")
+      == Seq("""ALTER TABLE "a;b" ADD CHECK (1=1)""",
+        "DROP TABLE [c;]]d]", "SELECT 1"))
+    // trailing / empty segments vanish
+    assert(SqlDdl.splitStatements("; SELECT 1 ; ;") == Seq("SELECT 1"))
+  }
 }

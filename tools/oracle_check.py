@@ -38,15 +38,19 @@ def norm(v):
 def norm_type(t):
     """Normalize a declared type name the way the driver's hash does.
 
-    Empirically (round 1): integer widths render identically (Python
-    int either way) so INT vs BIGINT never reds; but HUGEINT and
-    DECIMAL go through float-style rendering on the DuckDB side while
-    Spark-side parquet decimals keep their scale text — those MUST be
-    flagged. Timestamps normalize alike.
+    Round 12 FALSIFIED the round-1 theory that int widths never red:
+    `mig_mssql_quirks` hash-redded in the driver on exactly SMALLINT
+    (oracle) vs INTEGER (spark) with every cell value equal. But the
+    SAME driver run greened 50 rows with INTEGER (spark) vs BIGINT
+    (oracle) AND 2 rows with TINYINT (oracle bit_count) vs INTEGER —
+    so the driver's normalization collapses TINYINT/INTEGER/BIGINT
+    and leaves SMALLINT (and HUGEINT) distinct. Mirror exactly that
+    observed behavior. Timestamps still normalize alike
+    (driver-confirmed green TIMESTAMP/TIMESTAMP_NS).
     """
     s = str(t).upper()
-    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT"):
-        return "INT_FAMILY"  # NOT hugeint — that one reds out
+    if s in ("TINYINT", "INTEGER", "BIGINT"):
+        return "INT_FAM"  # NOT smallint/hugeint — those red (r12)
     if s.startswith("TIMESTAMP"):
         return "TIMESTAMP"
     return s
