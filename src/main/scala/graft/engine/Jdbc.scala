@@ -58,6 +58,44 @@ case object MySqlFlavor extends SqlFlavor {
 case object AnsiFlavor extends SqlFlavor {
   private def quoteIdents(s: String): String = s.replace('`', '"')
 
+  /** `0xHEX` binary literals (SqlLiteral's format.rs:17-parity
+    * rendering, fine for MySQL wires) → Derby's typed hex form.
+    * Literal-aware: a '0x…' INSIDE a single-quoted string value is
+    * data and must not be touched, so scan quote state by hand
+    * ('' stays an escape — one quoted span, not two).
+    */
+  private[engine] def hexToTypedBlob(text: String): String = {
+    val out = new StringBuilder(text.length)
+    var i = 0
+    val n = text.length
+    var inStr = false
+    while (i < n) {
+      val c = text.charAt(i)
+      if (inStr) {
+        out.append(c)
+        if (c == '\'') {
+          if (i + 1 < n && text.charAt(i + 1) == '\'') {
+            out.append('\''); i += 1
+          } else inStr = false
+        }
+        i += 1
+      } else if (c == '\'') {
+        out.append(c); inStr = true; i += 1
+      } else if ((c == '0') && i + 1 < n &&
+          (text.charAt(i + 1) == 'x' || text.charAt(i + 1) == 'X') &&
+          (i == 0 || !Character.isLetterOrDigit(text.charAt(i - 1)))) {
+        var j = i + 2
+        while (j < n && Character.digit(text.charAt(j), 16) >= 0) j += 1
+        out.append("CAST(X'").append(text.substring(i + 2, j))
+          .append("' AS BLOB)")
+        i = j
+      } else {
+        out.append(c); i += 1
+      }
+    }
+    out.toString
+  }
+
   // quote lookarounds keep the rules off double-quoted identifiers: a
   // column legitimately named "text" or "datetime" is left alone
   // (shared with the MySQL-mode engine shim, which applies them to
@@ -98,7 +136,7 @@ case object AnsiFlavor extends SqlFlavor {
       val at = upper.indexOf(" VALUES")
       if (at < 0) quoteIdents(sql)
       else quoteIdents(sql.substring(0, at)) +
-        sql.substring(at).replace("\\\\", "\\")
+        hexToTypedBlob(sql.substring(at).replace("\\\\", "\\"))
     } else if (upper.startsWith("CREATE TABLE") ||
         upper.startsWith("ALTER TABLE")) {
       // type-defining DDL: requote + retype — with single-quoted

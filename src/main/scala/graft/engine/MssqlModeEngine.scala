@@ -112,6 +112,18 @@ object MssqlModeEngine {
         Some(_.cast(org.apache.spark.sql.types.ShortType))
       case MssqlType.Bit =>
         Some(_.cast(org.apache.spark.sql.types.BooleanType))
+      case MssqlType.SmallDateTime => Some { in =>
+        // MSSQL smalldatetime is MINUTE-precision on the wire — the
+        // reference reconstructs it from whole days + minutes
+        // (format.rs:177-189 from_minutes, no seconds slot). The
+        // server rounds at INSERT: seconds ≥ 29.999 go up, else
+        // truncate. The shim stores full TIMESTAMPs, so emulate the
+        // storage rounding at decode (exact long arithmetic in µs).
+        val micros = unix_micros(in)
+        val rem = pmod(micros, lit(60000000L)) // negative-safe
+        timestamp_micros(micros - rem +
+          when(rem >= 29999000L, 60000000L).otherwise(0L))
+      }
       case MssqlType.DateTimeOffset => Some { in =>
         // normalize '… HH:mm:ss[.f{1,7}] ±hh:mm' to exactly 7
         // fraction digits, then parse with the fixed pattern
@@ -321,6 +333,14 @@ object MssqlDialect {
       text = typeRules.foldLeft(text) { case (acc, (re, to)) =>
         acc.replaceAll(re, to)
       }
+    else
+      // T-SQL binary literals (format.rs:17's 0xHEX wire form) →
+      // Derby's typed hex: string literals are masked out and
+      // identifiers already double-quoted, so a '0x…' inside data or
+      // a name can't match (lookbehind rejects word/quote prefixes)
+      text = text.replaceAll(
+        "(?i)(?<![\\w'\"])0x([0-9a-fA-F]*)(?![\\w])",
+        "CAST(X'$1' AS BLOB)")
     val litArr = lits.result()
     litArr.indices.foldLeft(text) { (acc, k) =>
       acc.replace("\u0001" + k + "\u0001", litArr(k))

@@ -461,26 +461,46 @@ object Migration {
           "CREATE TABLE [quirks] (" +
             "[q_id] INT NOT NULL PRIMARY KEY, " +
             "[q_tiny] TINYINT, " +
+            "[q_bit] BIT, " +
             "[q_rv] ROWVERSION, " +
             "[q_dto] DATETIMEOFFSET(7), " +
+            "[q_sdt] SMALLDATETIME, " +
             "[q_money] MONEY, " +
+            "[q_smoney] SMALLMONEY, " +
             "[q_guid] UNIQUEIDENTIFIER, " +
-            "[q_note] NVARCHAR(80))")
+            "[q_bin] BINARY(4), " +
+            "[q_vbin] VARBINARY(8), " +
+            "[q_note] NVARCHAR(80), " +
+            "[q_text] VARCHAR(max))")
         // deterministic, sf-independent quirk rows (the oracle pins
         // them as literals); rowversion counters are explicit — the
-        // shim does not emulate MSSQL's auto-assignment
+        // shim does not emulate MSSQL's auto-assignment. The smalldatetime
+        // values pin the ≥29.999 s round-up on both sides of the
+        // boundary (incl. a year rollover); the 0x literals pin the
+        // binary wire form (format.rs:17); q_note/q_text carry '0x00'
+        // INSIDE string data to prove the hex rule is literal-masked.
         st.execute(
-          "INSERT INTO [quirks] ([q_id],[q_tiny],[q_rv],[q_dto]," +
-            "[q_money],[q_guid],[q_note]) VALUES " +
-            "(1, 0, 1001, '2021-03-04 05:06:07.1230000 +02:00', 12.3456, " +
-            "'a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11', N'O''Brien'), " +
-            "(2, 127, 1002, '2020-12-31 23:30:00.0000000 -01:30', -0.0001, " +
-            "'00000000-0000-0000-0000-000000000000', N'back\\slash'), " +
-            "(3, 42, 1003, '2022-01-15 12:00:00.2500000 +05:45', 99999.9999, " +
-            "'ffffffff-ffff-ffff-ffff-ffffffffffff', 'café'), " +
-            "(4, 16, 1004, '2019-06-01 00:00:00.5000000 +00:00', 0.5, " +
-            "'12345678-1234-1234-1234-123456789abc', N'plain'), " +
-            "(5, NULL, 1005, NULL, NULL, NULL, NULL)")
+          "INSERT INTO [quirks] ([q_id],[q_tiny],[q_bit],[q_rv],[q_dto]," +
+            "[q_sdt],[q_money],[q_smoney],[q_guid],[q_bin],[q_vbin]," +
+            "[q_note],[q_text]) VALUES " +
+            "(1, 0, 1, 1001, '2021-03-04 05:06:07.1230000 +02:00', " +
+            "'2021-03-04 05:06:29', 12.3456, 0.5678, " +
+            "'a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11', 0xDEADBEEF, 0x00ff, " +
+            "N'O''Brien', N'not a literal: 0x00 and ''quotes'' survive'), " +
+            "(2, 127, 0, 1002, '2020-12-31 23:30:00.0000000 -01:30', " +
+            "'2021-03-04 05:06:30', -0.0001, -1.0001, " +
+            "'00000000-0000-0000-0000-000000000000', 0x00000000, " +
+            "0x0123456789abcdef, N'back\\slash', N'plain body'), " +
+            "(3, 42, 1, 1003, '2022-01-15 12:00:00.2500000 +05:45', " +
+            "'2020-12-31 23:59:45', 99999.9999, 214748.3647, " +
+            "'ffffffff-ffff-ffff-ffff-ffffffffffff', 0xCAFEBABE, 0x80, " +
+            "'café', 'year rolls over at 23:59:45'), " +
+            "(4, 16, 0, 1004, '2019-06-01 00:00:00.5000000 +00:00', " +
+            "'2019-06-01 00:00:00', 0.5, 0.0001, " +
+            "'12345678-1234-1234-1234-123456789abc', 0x0102030a, 0xff, " +
+            "N'plain', N'x'), " +
+            "(5, NULL, NULL, 1005, NULL, NULL, NULL, NULL, NULL, NULL, " +
+            "NULL, NULL, NULL)")
       } finally st.close()
     } finally c.close()
     Seq("region", "nation", "supplier").foreach { t =>
@@ -579,16 +599,18 @@ object Migration {
         whitelistedTables = Seq("quirks")))
     try {
       migrator.run()
-      // the target column is SMALLINT (tinyint → registry tinyint →
-      // Derby SMALLINT) but Spark's JDBC reader widens SMALLINT to
+      // the tinyint/bit target columns are SMALLINT (registry tinyint
+      // → Derby SMALLINT) but Spark's JDBC reader widens SMALLINT to
       // IntegerType by default — declare the canonical width
       // (SURVEY §1.2: tinyint → ShortType) so the read-back carries
       // the type the whole decode chain preserved
       val out = s.read
-        .option("customSchema", "q_tiny SMALLINT")
+        .option("customSchema", "q_tiny SMALLINT, q_bit SMALLINT")
         .jdbc(dstUrl, """"quirks"""", new java.util.Properties)
-        .select(col("q_id"), col("q_tiny"), col("q_rv"), col("q_dto"),
-          col("q_money"), col("q_guid"), col("q_note"))
+        .select(col("q_id"), col("q_tiny"), col("q_bit"), col("q_rv"),
+          col("q_dto"), col("q_sdt"), col("q_money"), col("q_smoney"),
+          col("q_guid"), col("q_bin"), col("q_vbin"), col("q_note"),
+          col("q_text"))
         .orderBy(col("q_id"))
       // materialize to local rows BEFORE the finally drops the
       // database: the returned plan must not re-scan the dropped
@@ -605,26 +627,41 @@ object Migration {
 
   private val mssqlQuirksSql =
     """SELECT * FROM (VALUES
-      |  (1, CAST(0 AS SMALLINT), CAST(1001 AS BIGINT),
+      |  (1, CAST(0 AS SMALLINT), CAST(1 AS SMALLINT), CAST(1001 AS BIGINT),
       |   TIMESTAMP '2021-03-04 03:06:07.123',
-      |   CAST('12.3456' AS DECIMAL(19,4)),
-      |   'a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11', 'O''Brien'),
-      |  (2, CAST(127 AS SMALLINT), CAST(1002 AS BIGINT),
+      |   TIMESTAMP '2021-03-04 05:06:00',
+      |   CAST('12.3456' AS DECIMAL(19,4)), CAST('0.5678' AS DECIMAL(10,4)),
+      |   'a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11',
+      |   unhex('deadbeef'), unhex('00ff'),
+      |   'O''Brien', 'not a literal: 0x00 and ''quotes'' survive'),
+      |  (2, CAST(127 AS SMALLINT), CAST(0 AS SMALLINT), CAST(1002 AS BIGINT),
       |   TIMESTAMP '2021-01-01 01:00:00',
-      |   CAST('-0.0001' AS DECIMAL(19,4)),
-      |   '00000000-0000-0000-0000-000000000000', 'back\slash'),
-      |  (3, CAST(42 AS SMALLINT), CAST(1003 AS BIGINT),
+      |   TIMESTAMP '2021-03-04 05:07:00',
+      |   CAST('-0.0001' AS DECIMAL(19,4)), CAST('-1.0001' AS DECIMAL(10,4)),
+      |   '00000000-0000-0000-0000-000000000000',
+      |   unhex('00000000'), unhex('0123456789abcdef'),
+      |   'back\slash', 'plain body'),
+      |  (3, CAST(42 AS SMALLINT), CAST(1 AS SMALLINT), CAST(1003 AS BIGINT),
       |   TIMESTAMP '2022-01-15 06:15:00.25',
-      |   CAST('99999.9999' AS DECIMAL(19,4)),
-      |   'ffffffff-ffff-ffff-ffff-ffffffffffff', 'café'),
-      |  (4, CAST(16 AS SMALLINT), CAST(1004 AS BIGINT),
+      |   TIMESTAMP '2021-01-01 00:00:00',
+      |   CAST('99999.9999' AS DECIMAL(19,4)), CAST('214748.3647' AS DECIMAL(10,4)),
+      |   'ffffffff-ffff-ffff-ffff-ffffffffffff',
+      |   unhex('cafebabe'), unhex('80'),
+      |   'café', 'year rolls over at 23:59:45'),
+      |  (4, CAST(16 AS SMALLINT), CAST(0 AS SMALLINT), CAST(1004 AS BIGINT),
       |   TIMESTAMP '2019-06-01 00:00:00.5',
-      |   CAST('0.5' AS DECIMAL(19,4)),
-      |   '12345678-1234-1234-1234-123456789abc', 'plain'),
-      |  (5, CAST(NULL AS SMALLINT), CAST(1005 AS BIGINT),
-      |   CAST(NULL AS TIMESTAMP), CAST(NULL AS DECIMAL(19,4)),
+      |   TIMESTAMP '2019-06-01 00:00:00',
+      |   CAST('0.5' AS DECIMAL(19,4)), CAST('0.0001' AS DECIMAL(10,4)),
+      |   '12345678-1234-1234-1234-123456789abc',
+      |   unhex('0102030a'), unhex('ff'),
+      |   'plain', 'x'),
+      |  (5, CAST(NULL AS SMALLINT), CAST(NULL AS SMALLINT), CAST(1005 AS BIGINT),
+      |   CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+      |   CAST(NULL AS DECIMAL(19,4)), CAST(NULL AS DECIMAL(10,4)),
+      |   CAST(NULL AS VARCHAR), CAST(NULL AS BLOB), CAST(NULL AS BLOB),
       |   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR))
-      |) AS t(q_id, q_tiny, q_rv, q_dto, q_money, q_guid, q_note)
+      |) AS t(q_id, q_tiny, q_bit, q_rv, q_dto, q_sdt, q_money, q_smoney,
+      |       q_guid, q_bin, q_vbin, q_note, q_text)
       |ORDER BY q_id""".stripMargin
 
   /** INCREMENTAL migration by high-watermark bookmark — the follow-up

@@ -234,6 +234,44 @@ class MssqlModeSpec extends AnyFunSuite {
     }
   }
 
+  test("0x literals translate to typed hex; literal-masked on both wires") {
+    // shim wire (T-SQL → Derby)
+    assert(MssqlDialect.translate("INSERT INTO [b] VALUES (1, 0xDEADbeef)")
+      == """INSERT INTO "b" VALUES (1, CAST(X'DEADbeef' AS BLOB))""")
+    // '0x…' inside string data must survive untouched
+    assert(MssqlDialect.translate("INSERT INTO [b] VALUES ('see 0x00 ok')")
+      == """INSERT INTO "b" VALUES ('see 0x00 ok')""")
+    // ANSI target wire (MySQL-rendered inserts → Derby)
+    assert(AnsiFlavor.translate(
+      "INSERT INTO `b` (`k`,`v`,`t`) VALUES (1, 0xcafe, 'not 0xff data')")
+      == "INSERT INTO \"b\" (\"k\",\"v\",\"t\") VALUES " +
+        "(1, CAST(X'cafe' AS BLOB), 'not 0xff data')")
+  }
+
+  test("smalldatetime decode rounds to the minute at 29.999 s") {
+    withDb("sdt") { url =>
+      val c = DriverManager.getConnection(url)
+      try {
+        val st = c.createStatement()
+        st.execute("CREATE TABLE [s] ([id] INT NOT NULL PRIMARY KEY, " +
+          "[sdt] SMALLDATETIME)")
+        st.execute("INSERT INTO [s] ([id],[sdt]) VALUES " +
+          "(1, '2021-03-04 05:06:29'), " + // < 29.999 → truncate
+          "(2, '2021-03-04 05:06:30'), " + // ≥ 29.999 → round up
+          "(3, '2020-12-31 23:59:45'), " + // year rollover
+          "(4, NULL)")
+        st.close()
+      } finally c.close()
+      val rows = new MssqlSchemaSource(url).read(spark, "s")
+        .orderBy(col("id")).collect()
+      def i(r: Int) = rows(r).getAs[java.sql.Timestamp]("sdt").toInstant
+      assert(i(0) == java.time.Instant.parse("2021-03-04T05:06:00Z"))
+      assert(i(1) == java.time.Instant.parse("2021-03-04T05:07:00Z"))
+      assert(i(2) == java.time.Instant.parse("2021-01-01T00:00:00Z"))
+      assert(rows(3).isNullAt(rows(3).fieldIndex("sdt")))
+    }
+  }
+
   test("table-level constraint clauses are rejected loudly") {
     withDb("tlc") { url =>
       val c = DriverManager.getConnection(url)
