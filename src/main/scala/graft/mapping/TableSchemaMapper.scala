@@ -69,6 +69,14 @@ object TableSchemaMapper {
           val constraints = column.constraints.map {
             case Constraint.ForeignKey(t, c) if format =>
               Constraint.ForeignKey(SnakeCase(t), SnakeCase(c))
+            case Constraint.Check(text) if format =>
+              // the clause text references SOURCE column names; under
+              // snake_case renaming the emitted ALTER would name a
+              // column that no longer exists (and, per-table constraint
+              // DDL being one transaction, roll back the table's other
+              // constraints with it) — rename quoted identifiers inside
+              // the clause like the FK refs above
+              Constraint.Check(renameClauseIdents(text))
             case other => other
           }
 
@@ -81,6 +89,50 @@ object TableSchemaMapper {
       }
     }
     Right(out.result())
+  }
+
+  /** snake_case every quoted identifier inside a constraint clause —
+    * `[Name]` (MSSQL probe text) and `"Name"` (ANSI catalog text)
+    * spans, with their `]]` / `""` escapes — leaving single-quoted
+    * string literals untouched. Bare words are NOT renamed: they may
+    * be SQL keywords/functions, and both catalogs quote identifiers
+    * in the constraint text they store.
+    */
+  private[graft] def renameClauseIdents(clause: String): String = {
+    val sb = new StringBuilder(clause.length)
+    var i = 0
+    val n = clause.length
+    def spanTo(open: Char, close: Char): Unit = {
+      val inner = new StringBuilder
+      i += 1
+      var done = false
+      while (!done && i < n) clause.charAt(i) match {
+        case c if c == close && i + 1 < n && clause.charAt(i + 1) == close =>
+          inner.append(close); i += 2
+        case c if c == close => done = true; i += 1
+        case c => inner.append(c); i += 1
+      }
+      val renamed = SnakeCase(inner.toString)
+      sb.append(open)
+        .append(renamed.replace(close.toString, close.toString * 2))
+        .append(close)
+    }
+    while (i < n) clause.charAt(i) match {
+      case '\'' => // literal: copy verbatim through the closing quote
+        sb.append('\'')
+        i += 1
+        var done = false
+        while (!done && i < n) clause.charAt(i) match {
+          case '\'' if i + 1 < n && clause.charAt(i + 1) == '\'' =>
+            sb.append("''"); i += 2
+          case '\'' => sb.append('\''); done = true; i += 1
+          case c => sb.append(c); i += 1
+        }
+      case '[' => spanTo('[', ']')
+      case '"' => spanTo('"', '"')
+      case c => sb.append(c); i += 1
+    }
+    sb.toString
   }
 
   /** Spark read/write schema for a mapped table. */

@@ -575,6 +575,130 @@ object Migration {
       "\nUNION ALL\nSELECT 'quirks', TRUE, CAST(5 AS BIGINT), " +
         "CAST(1 AS BIGINT)\nORDER BY table_name")
 
+  /** The reference's ACTUAL topology in one gate (main.rs:49-51:
+    * tiberius MSSQL source → MySQL target): MSSQL-dialect shim source
+    * AND MySQL-dialect shim target in the same pipeline, with
+    * snake_case formatting ON. One oracle row covers, live on both
+    * strict wires at once: the INFORMATION_SCHEMA probe shapes
+    * (extractor.rs:29-31,54-83), CamelCase → snake_case table and
+    * column renames WITH the FK-reference rename
+    * (table_schema_mapper.rs:99-107), byte-bounded batched inserts,
+    * the FK toggle + packet probe (inserter.rs:88-119), and the
+    * constraint-DDL pass verified against the target catalog. The
+    * query REQUIRES every probe/toggle counter to have fired and the
+    * renamed FK to point at region_dim(region_key) — a silent
+    * fallback or an unrenamed reference fails before any row compare.
+    */
+  private def pipelineFullWire(s: SparkSession, dir: String): DataFrame = {
+    import graft.engine._
+    import graft.mapping.TypeRegistry
+    val nonce = java.util.UUID.randomUUID.toString.replace("-", "")
+    val srcRest = s"memory:migfwsrc_$nonce;create=true"
+    val srcUrl = MssqlModeEngine.url(srcRest)
+    val dstRest = s"memory:migfwdst_$nonce;create=true"
+    val dstUrl = MySqlModeEngine.url(dstRest)
+    MssqlModeEngine.resetCounters()
+    MySqlModeEngine.resetCounters()
+
+    // CamelCase T-SQL source: the rename surface must have something
+    // to rename (the lowercase fixture tables would make snake_case a
+    // no-op and the FK rename unobservable)
+    val c0 = java.sql.DriverManager.getConnection(srcUrl)
+    try {
+      val st = c0.createStatement()
+      try {
+        st.execute("CREATE TABLE [RegionDim] (" +
+          "[RegionKey] BIGINT NOT NULL PRIMARY KEY, " +
+          "[RegionName] VARCHAR(64) DEFAULT 'none')")
+        st.execute("CREATE TABLE [NationDim] (" +
+          "[NationKey] BIGINT NOT NULL PRIMARY KEY, " +
+          "[NationName] VARCHAR(64) UNIQUE, " +
+          "[RegionKey] BIGINT REFERENCES [RegionDim]([RegionKey]))")
+        st.execute("CREATE TABLE [SupplierFacts] (" +
+          "[SuppKey] BIGINT NOT NULL PRIMARY KEY, " +
+          "[SupplierName] NVARCHAR(64), " +
+          "[NationKey] BIGINT REFERENCES [NationDim]([NationKey]), " +
+          "[AcctBal] FLOAT CHECK ([AcctBal] > -10000))")
+      } finally st.close()
+    } finally c0.close()
+    val props = new java.util.Properties
+    Tables(s, dir, "region")
+      .select(col("r_regionkey").as("RegionKey"),
+        col("r_name").as("RegionName"))
+      .write.mode("append").jdbc(srcUrl, "[RegionDim]", props)
+    Tables(s, dir, "nation")
+      .select(col("n_nationkey").as("NationKey"),
+        col("n_name").as("NationName"), col("n_regionkey").as("RegionKey"))
+      .write.mode("append").jdbc(srcUrl, "[NationDim]", props)
+    Tables(s, dir, "supplier")
+      .select(col("s_suppkey").as("SuppKey"),
+        col("s_name").as("SupplierName"), col("s_nationkey").as("NationKey"),
+        col("s_acctbal").as("AcctBal"))
+      .write.mode("append").jdbc(srcUrl, "[SupplierFacts]", props)
+
+    val migrator = new Migrator(s, new MssqlSchemaSource(srcUrl),
+      new JdbcTargetWriter(dstUrl, MySqlFlavor), TypeRegistry.withDefaults(),
+      MigrationOptions(maxConcurrentTasks = 3, formatSnakeCase = true,
+        createConstraints = true))
+    val verified =
+      try {
+        val results = migrator.run()
+        require(MssqlModeEngine.fetchedTables.get() >= 1,
+          "fullwire gate: no INFORMATION_SCHEMA.TABLES probe fired")
+        require(MssqlModeEngine.infoSchemaProbes.get() >= 3,
+          "fullwire gate: INFORMATION_SCHEMA probes did not reach the source")
+        require(MySqlModeEngine.packetProbes.get() >= 1,
+          "fullwire gate: no @@max_allowed_packet probe reached the target")
+        require(MySqlModeEngine.fkOff.get() >= 1 &&
+          MySqlModeEngine.fkOn.get() >= 1,
+          "fullwire gate: no FOREIGN_KEY_CHECKS toggle reached the target")
+        results.map { r =>
+          val c = java.sql.DriverManager.getConnection(dstUrl)
+          try {
+            if (r.tableName == "nation_dim") {
+              // the M4 FK rename must have LANDED: nation_dim's FK
+              // references region_dim(region_key), both snake_cased
+              val rs = c.getMetaData.getImportedKeys(null, null, "nation_dim")
+              var ok = false
+              try while (rs.next())
+                ok ||= rs.getString("PKTABLE_NAME") == "region_dim" &&
+                  rs.getString("PKCOLUMN_NAME") == "region_key"
+              finally rs.close()
+              require(ok, "fullwire gate: FK on nation_dim does not " +
+                "reference region_dim(region_key) — rename not applied")
+            }
+            val st = c.createStatement()
+            try {
+              val rs = st.executeQuery(
+                s"SELECT COUNT(*) FROM `${r.tableName}`")
+              try {
+                rs.next()
+                (r.tableName, r.created, rs.getLong(1),
+                  targetConstraintCount(c, r.tableName))
+              } finally rs.close()
+            } finally st.close()
+          } finally c.close()
+        }
+      } finally {
+        for (u <- Seq(s"jdbc:derby:$srcRest", s"jdbc:derby:$dstRest"))
+          try java.sql.DriverManager.getConnection(
+            u.replace(";create=true", ";drop=true"))
+          catch { case _: java.sql.SQLException => () } // drop always "fails"
+      }
+    import s.implicits._
+    verified.toDF("table_name", "created", "rows_migrated", "n_constraints")
+      .orderBy(col("table_name"))
+  }
+
+  // target-side expectations after snake_case: region_dim PK+DEFAULT=2;
+  // nation_dim PK+UNIQUE+FK=3; supplier_facts PK+FK+CHECK=3
+  private val pipelineFullWireSql =
+    Seq(("nation_dim", "nation", 3), ("region_dim", "region", 2),
+      ("supplier_facts", "supplier", 3)).map { case (t, src, n) =>
+      s"SELECT '$t' AS table_name, TRUE AS created, " +
+        s"count(*) AS rows_migrated, CAST($n AS BIGINT) AS n_constraints FROM $src"
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+
   /** End-to-end decode parity for the MSSQL-only types: migrate the
     * `[quirks]` table alone over the T-SQL wire and read the TARGET
     * values back — tinyint passthrough (format.rs:34), rowversion as
@@ -1797,6 +1921,8 @@ object Migration {
     QueryDef("mig_pipeline_mysqlmode", pipelineMySqlMode, Some(pipelineJdbcSql)),
     QueryDef("mig_pipeline_mssqlmode", pipelineMssqlMode,
       Some(pipelineMssqlSql)),
+    QueryDef("mig_pipeline_fullwire", pipelineFullWire,
+      Some(pipelineFullWireSql)),
     QueryDef("mig_mssql_quirks", mssqlQuirks, Some(mssqlQuirksSql)),
     QueryDef("mig_incremental_watermark", incrementalWatermark,
       Some(incrementalWatermarkSql)),

@@ -207,6 +207,19 @@ class MappingSpec extends AnyFunSuite {
       Constraint.ForeignKey("user_accounts", "account_id")))
   }
 
+  test("snake_case renames quoted identifiers inside CHECK clauses") {
+    val Right(out) = TableSchemaMapper.mapSchema(reg, "SupplierFacts", Seq(
+      col("AcctBal", MssqlType.Int,
+        cons = Some(Constraint.Check("[AcctBal] > -10000")))),
+      format = true)
+    assert(out.head.constraints.contains(
+      Constraint.Check("[acct_bal] > -10000")))
+    // ANSI-quoted catalogs rename too; literals and bare words do not
+    assert(TableSchemaMapper.renameClauseIdents(
+      """"GradeLevel" BETWEEN 0 AND 5 OR "Tag" = 'Keep [MixedCase]'""")
+      == """"grade_level" BETWEEN 0 AND 5 OR "tag" = 'Keep [MixedCase]'""")
+  }
+
   test("spark schema emission") {
     val Right(out) = TableSchemaMapper.mapSchema(reg, "T", Seq(
       col("id", MssqlType.Int, nullable = false),
