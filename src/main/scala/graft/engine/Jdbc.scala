@@ -108,6 +108,11 @@ case object AnsiFlavor extends SqlFlavor {
     "binary\\(\\d+\\)" -> "BLOB",
     "datetime\\(\\d+\\)" -> "TIMESTAMP",
     "datetime" -> "TIMESTAMP",
+    // time values arrive as the reference's rendered '%H:%M:%S%.f'
+    // strings (format.rs:72-86); Derby TIME drops fractions, so ANSI
+    // targets carry the text (MySQL targets keep real `time`)
+    "time\\(\\d+\\)" -> "VARCHAR(18)",
+    "time" -> "VARCHAR(18)",
     "tinyint unsigned" -> "SMALLINT",
     "smallint unsigned" -> "INTEGER",
     "int unsigned" -> "BIGINT",

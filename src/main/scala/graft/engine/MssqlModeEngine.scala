@@ -112,6 +112,22 @@ object MssqlModeEngine {
         Some(_.cast(org.apache.spark.sql.types.ShortType))
       case MssqlType.Bit =>
         Some(_.cast(org.apache.spark.sql.types.BooleanType))
+      case MssqlType.DateTime => Some { in =>
+        // MSSQL datetime is 1/300-second ticks. The server quantizes
+        // at INSERT (round to nearest tick, halves up: .125 → tick 38)
+        // and the reference decodes ticks with INTEGER millisecond
+        // division (format.rs:191-218 from_sec_fragments:
+        // ms = ticks*1000/300, so tick 38 is .126, not MSSQL's
+        // displayed .127). Emulate the composition exactly, in long
+        // arithmetic: .999 rolls into the next second.
+        val micros = unix_micros(in)
+        val usInSec = pmod(micros, lit(1000000L))
+        val ticks = (usInSec * 300L + 500000L).divide(1000000L)
+          .cast(org.apache.spark.sql.types.LongType)
+        val usOut = (ticks * 1000L).divide(300L)
+          .cast(org.apache.spark.sql.types.LongType) * 1000L
+        timestamp_micros(micros - usInSec + usOut)
+      }
       case MssqlType.SmallDateTime => Some { in =>
         // MSSQL smalldatetime is MINUTE-precision on the wire — the
         // reference reconstructs it from whole days + minutes
@@ -258,6 +274,12 @@ object MssqlDialect {
     "xml" -> "CLOB",
     "rowversion" -> "BIGINT",
     "timestamp" -> "BIGINT", // T-SQL timestamp IS rowversion
+    // time carries as its rendered string (SURVEY: MySQL TIME
+    // round-trips poorly through JDBC; the reference renders
+    // '%H:%M:%S%.f' text, format.rs:72-86) — Derby TIME would
+    // truncate the 100 ns fraction
+    "time\\s*\\(\\s*\\d+\\s*\\)" -> "VARCHAR(18)",
+    "time" -> "VARCHAR(18)",
     "datetimeoffset\\s*\\(\\s*\\d+\\s*\\)" -> "VARCHAR(48)",
     "datetimeoffset" -> "VARCHAR(48)",
     "datetime2\\s*\\(\\s*\\d+\\s*\\)" -> "TIMESTAMP",

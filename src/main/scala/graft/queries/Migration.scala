@@ -464,6 +464,7 @@ object Migration {
             "[q_bit] BIT, " +
             "[q_rv] ROWVERSION, " +
             "[q_dto] DATETIMEOFFSET(7), " +
+            "[q_dt] DATETIME, " +
             "[q_sdt] SMALLDATETIME, " +
             "[q_money] MONEY, " +
             "[q_smoney] SMALLMONEY, " +
@@ -471,7 +472,17 @@ object Migration {
             "[q_bin] BINARY(4), " +
             "[q_vbin] VARBINARY(8), " +
             "[q_note] NVARCHAR(80), " +
-            "[q_text] VARCHAR(max))")
+            "[q_text] VARCHAR(max), " +
+            "[q_char] CHAR(3), " +
+            "[q_nchar] NCHAR(2), " +
+            "[q_ntext] NTEXT, " +
+            "[q_xml] XML, " +
+            "[q_img] IMAGE, " +
+            "[q_date] DATE, " +
+            "[q_dt2] DATETIME2(6), " +
+            "[q_real] REAL, " +
+            "[q_dec] DECIMAL(8,3), " +
+            "[q_time] TIME(7))")
         // deterministic, sf-independent quirk rows (the oracle pins
         // them as literals); rowversion counters are explicit — the
         // shim does not emulate MSSQL's auto-assignment. The smalldatetime
@@ -481,25 +492,37 @@ object Migration {
         // INSIDE string data to prove the hex rule is literal-masked.
         st.execute(
           "INSERT INTO [quirks] ([q_id],[q_tiny],[q_bit],[q_rv],[q_dto]," +
-            "[q_sdt],[q_money],[q_smoney],[q_guid],[q_bin],[q_vbin]," +
-            "[q_note],[q_text]) VALUES " +
+            "[q_dt],[q_sdt],[q_money],[q_smoney],[q_guid],[q_bin],[q_vbin]," +
+            "[q_note],[q_text],[q_char],[q_nchar],[q_ntext],[q_xml]," +
+            "[q_img],[q_date],[q_dt2],[q_real],[q_dec],[q_time]) VALUES " +
             "(1, 0, 1, 1001, '2021-03-04 05:06:07.1230000 +02:00', " +
-            "'2021-03-04 05:06:29', 12.3456, 0.5678, " +
+            "'2021-03-04 05:06:07.123', '2021-03-04 05:06:29', 12.3456, 0.5678, " +
             "'a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11', 0xDEADBEEF, 0x00ff, " +
-            "N'O''Brien', N'not a literal: 0x00 and ''quotes'' survive'), " +
+            "N'O''Brien', N'not a literal: 0x00 and ''quotes'' survive', " +
+            "'ab', N'\u00e9', N'long ntext body', '<a b=\"c\">x</a>', " +
+            "0x89504e47, '2021-01-02', '2021-03-04 05:06:07.123456', " +
+            "1.5, 12345.678, '12:34:56.1234567'), " +
             "(2, 127, 0, 1002, '2020-12-31 23:30:00.0000000 -01:30', " +
-            "'2021-03-04 05:06:30', -0.0001, -1.0001, " +
+            "'2021-03-04 05:06:07.125', '2021-03-04 05:06:30', -0.0001, -1.0001, " +
             "'00000000-0000-0000-0000-000000000000', 0x00000000, " +
-            "0x0123456789abcdef, N'back\\slash', N'plain body'), " +
+            "0x0123456789abcdef, N'back\\slash', N'plain body', " +
+            "'xyz', N'ok', N'two', '<r/>', 0x00, '1999-12-31', " +
+            "'2000-01-01 00:00:00', -2.25, -0.001, '00:00:00'), " +
             "(3, 42, 1, 1003, '2022-01-15 12:00:00.2500000 +05:45', " +
-            "'2020-12-31 23:59:45', 99999.9999, 214748.3647, " +
+            "'2021-03-04 05:06:07.999', '2020-12-31 23:59:45', 99999.9999, 214748.3647, " +
             "'ffffffff-ffff-ffff-ffff-ffffffffffff', 0xCAFEBABE, 0x80, " +
-            "'café', 'year rolls over at 23:59:45'), " +
+            "'café', 'year rolls over at 23:59:45', " +
+            "'a', 'b', N'three', '<x y=\"2\"/>', 0xffffffff, " +
+            "'2038-01-19', '2021-12-31 23:59:59.999999', 3.75, " +
+            "99999.999, '23:59:59.9999999'), " +
             "(4, 16, 0, 1004, '2019-06-01 00:00:00.5000000 +00:00', " +
-            "'2019-06-01 00:00:00', 0.5, 0.0001, " +
+            "'2019-06-01 00:00:00', '2019-06-01 00:00:00', 0.5, 0.0001, " +
             "'12345678-1234-1234-1234-123456789abc', 0x0102030a, 0xff, " +
-            "N'plain', N'x'), " +
-            "(5, NULL, NULL, 1005, NULL, NULL, NULL, NULL, NULL, NULL, " +
+            "N'plain', N'x', " +
+            "'zz', 'cd', N'four', '<z/>', 0x1f8b, '1970-01-01', " +
+            "'1970-01-01 00:00:00.000001', 0.125, 0.001, '12:00:00'), " +
+            "(5, NULL, NULL, 1005, NULL, NULL, NULL, NULL, NULL, NULL, NULL, " +
+            "NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, " +
             "NULL, NULL, NULL)")
       } finally st.close()
     } finally c.close()
@@ -732,9 +755,11 @@ object Migration {
         .option("customSchema", "q_tiny SMALLINT, q_bit SMALLINT")
         .jdbc(dstUrl, """"quirks"""", new java.util.Properties)
         .select(col("q_id"), col("q_tiny"), col("q_bit"), col("q_rv"),
-          col("q_dto"), col("q_sdt"), col("q_money"), col("q_smoney"),
-          col("q_guid"), col("q_bin"), col("q_vbin"), col("q_note"),
-          col("q_text"))
+          col("q_dto"), col("q_dt"), col("q_sdt"), col("q_money"),
+          col("q_smoney"), col("q_guid"), col("q_bin"), col("q_vbin"),
+          col("q_note"), col("q_text"), col("q_char"), col("q_nchar"),
+          col("q_ntext"), col("q_xml"), col("q_img"), col("q_date"),
+          col("q_dt2"), col("q_real"), col("q_dec"), col("q_time"))
         .orderBy(col("q_id"))
       // materialize to local rows BEFORE the finally drops the
       // database: the returned plan must not re-scan the dropped
@@ -753,39 +778,65 @@ object Migration {
     """SELECT * FROM (VALUES
       |  (1, CAST(0 AS SMALLINT), CAST(1 AS SMALLINT), CAST(1001 AS BIGINT),
       |   TIMESTAMP '2021-03-04 03:06:07.123',
+      |   TIMESTAMP '2021-03-04 05:06:07.123',
       |   TIMESTAMP '2021-03-04 05:06:00',
       |   CAST('12.3456' AS DECIMAL(19,4)), CAST('0.5678' AS DECIMAL(10,4)),
       |   'a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11',
       |   unhex('deadbeef'), unhex('00ff'),
-      |   'O''Brien', 'not a literal: 0x00 and ''quotes'' survive'),
+      |   'O''Brien', 'not a literal: 0x00 and ''quotes'' survive',
+      |   'ab ', 'é ', 'long ntext body', '<a b="c">x</a>',
+      |   unhex('89504e47'), DATE '2021-01-02',
+      |   TIMESTAMP '2021-03-04 05:06:07.123456', CAST(1.5 AS REAL),
+      |   CAST('12345.678' AS DECIMAL(8,3)), '12:34:56.1234567'),
       |  (2, CAST(127 AS SMALLINT), CAST(0 AS SMALLINT), CAST(1002 AS BIGINT),
       |   TIMESTAMP '2021-01-01 01:00:00',
+      |   TIMESTAMP '2021-03-04 05:06:07.126',
       |   TIMESTAMP '2021-03-04 05:07:00',
       |   CAST('-0.0001' AS DECIMAL(19,4)), CAST('-1.0001' AS DECIMAL(10,4)),
       |   '00000000-0000-0000-0000-000000000000',
       |   unhex('00000000'), unhex('0123456789abcdef'),
-      |   'back\slash', 'plain body'),
+      |   'back\slash', 'plain body',
+      |   'xyz', 'ok', 'two', '<r/>', unhex('00'), DATE '1999-12-31',
+      |   TIMESTAMP '2000-01-01 00:00:00', CAST(-2.25 AS REAL),
+      |   CAST('-0.001' AS DECIMAL(8,3)), '00:00:00'),
       |  (3, CAST(42 AS SMALLINT), CAST(1 AS SMALLINT), CAST(1003 AS BIGINT),
       |   TIMESTAMP '2022-01-15 06:15:00.25',
+      |   TIMESTAMP '2021-03-04 05:06:08',
       |   TIMESTAMP '2021-01-01 00:00:00',
       |   CAST('99999.9999' AS DECIMAL(19,4)), CAST('214748.3647' AS DECIMAL(10,4)),
       |   'ffffffff-ffff-ffff-ffff-ffffffffffff',
       |   unhex('cafebabe'), unhex('80'),
-      |   'café', 'year rolls over at 23:59:45'),
+      |   'café', 'year rolls over at 23:59:45',
+      |   'a  ', 'b ', 'three', '<x y="2"/>', unhex('ffffffff'),
+      |   DATE '2038-01-19', TIMESTAMP '2021-12-31 23:59:59.999999',
+      |   CAST(3.75 AS REAL), CAST('99999.999' AS DECIMAL(8,3)),
+      |   '23:59:59.9999999'),
       |  (4, CAST(16 AS SMALLINT), CAST(0 AS SMALLINT), CAST(1004 AS BIGINT),
       |   TIMESTAMP '2019-06-01 00:00:00.5',
+      |   TIMESTAMP '2019-06-01 00:00:00',
       |   TIMESTAMP '2019-06-01 00:00:00',
       |   CAST('0.5' AS DECIMAL(19,4)), CAST('0.0001' AS DECIMAL(10,4)),
       |   '12345678-1234-1234-1234-123456789abc',
       |   unhex('0102030a'), unhex('ff'),
-      |   'plain', 'x'),
+      |   'plain', 'x',
+      |   'zz ', 'cd', 'four', '<z/>', unhex('1f8b'), DATE '1970-01-01',
+      |   TIMESTAMP '1970-01-01 00:00:00.000001', CAST(0.125 AS REAL),
+      |   CAST('0.001' AS DECIMAL(8,3)), '12:00:00'),
       |  (5, CAST(NULL AS SMALLINT), CAST(NULL AS SMALLINT), CAST(1005 AS BIGINT),
       |   CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+      |   CAST(NULL AS TIMESTAMP),
       |   CAST(NULL AS DECIMAL(19,4)), CAST(NULL AS DECIMAL(10,4)),
       |   CAST(NULL AS VARCHAR), CAST(NULL AS BLOB), CAST(NULL AS BLOB),
-      |   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR))
-      |) AS t(q_id, q_tiny, q_bit, q_rv, q_dto, q_sdt, q_money, q_smoney,
-      |       q_guid, q_bin, q_vbin, q_note, q_text)
+      |   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+      |   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+      |   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+      |   CAST(NULL AS BLOB), CAST(NULL AS DATE), CAST(NULL AS TIMESTAMP),
+      |   CAST(NULL AS REAL), CAST(NULL AS DECIMAL(8,3)),
+      |   CAST(NULL AS VARCHAR))
+      |) AS t(q_id, q_tiny, q_bit, q_rv, q_dto, q_dt, q_sdt, q_money,
+      |       q_smoney, q_guid, q_bin, q_vbin, q_note, q_text,
+      |       q_char, q_nchar, q_ntext, q_xml, q_img, q_date, q_dt2,
+      |       q_real, q_dec, q_time)
       |ORDER BY q_id""".stripMargin
 
   /** INCREMENTAL migration by high-watermark bookmark — the follow-up
