@@ -552,7 +552,11 @@ private object MssqlModeBootstrap {
       "CREATE VIEW INFORMATION_SCHEMA.TABLES (TABLE_NAME, TABLE_TYPE) AS " +
         "SELECT t.TABLENAME, 'BASE TABLE' FROM SYS.SYSTABLES t " +
         "JOIN SYS.SYSSCHEMAS s ON t.SCHEMAID = s.SCHEMAID " +
-        "WHERE t.TABLETYPE = 'T' AND s.SCHEMANAME <> 'INFORMATION_SCHEMA'"
+        "WHERE t.TABLETYPE = 'T' AND s.SCHEMANAME <> 'INFORMATION_SCHEMA'",
+      // the database-wide rowversion counter (MSSQL @@DBTS): one
+      // monotonic sequence per database, auto-assigned on INSERT
+      "CREATE SEQUENCE INFORMATION_SCHEMA.ROWVERSION_SEQ AS BIGINT " +
+        "START WITH 1 INCREMENT BY 1 NO CYCLE"
     ).foreach { ddl =>
       try { st.execute(ddl); () }
       catch {
@@ -590,6 +594,144 @@ private object MssqlModeBootstrap {
   }
 }
 
+/** MSSQL rowversion emulation (mssql_type.rs:32-35's column kind):
+  * the value is a database-wide modification counter the SERVER
+  * assigns — `INSERT` statements must not name the column (real MSSQL
+  * rejects "Cannot insert an explicit value into a timestamp
+  * column"), and every inserted row draws the next counter value.
+  * Implemented with a per-database Derby sequence; the INSERT rewrite
+  * appends the column and a `NEXT VALUE FOR` expression per row
+  * tuple, quote- and paren-aware.
+  */
+private object MssqlRowversion {
+
+  private val insertRe =
+    "(?is)^\\s*INSERT\\s+INTO\\s+\\[([^\\]]+)\\]\\s*\\(([^)]*)\\)".r
+      .unanchored
+
+  private val SeqExpr = "NEXT VALUE FOR INFORMATION_SCHEMA.ROWVERSION_SEQ"
+
+  /** The table's rowversion column, if any (catalog DATA_TYPE is
+    * "timestamp" — mssql_type.rs:32-35 metadata parity).
+    */
+  private def rowversionColumn(conn: Connection, table: String): Option[String] = {
+    val ps = conn.prepareStatement(
+      "SELECT COLUMN_NAME FROM INFORMATION_SCHEMA.COLUMNS_META " +
+        "WHERE TABLE_NAME = ? AND DATA_TYPE = 'timestamp'")
+    try {
+      ps.setString(1, table)
+      val rs = ps.executeQuery()
+      try if (rs.next()) Some(rs.getString(1)) else None
+      finally rs.close()
+    } finally ps.close()
+  }
+
+  /** Rewrite a TRANSLATED insert (ANSI text) for the raw T-SQL it came
+    * from: reject explicit rowversion values; append the auto column
+    * otherwise. Non-INSERT statements pass through untouched. Returns
+    * one statement per VALUES tuple — Derby allows only ONE sequence
+    * reference per statement, so a multi-row insert becomes N
+    * single-row inserts, each drawing its own counter value in tuple
+    * order (matching MSSQL, where every inserted row gets a distinct
+    * rowversion).
+    */
+  def apply(conn: Connection, raw: String, translated: String): Seq[String] =
+    raw match {
+      case insertRe(table, colList) =>
+        rowversionColumn(conn, table) match {
+          case None => Seq(translated)
+          case Some(rv) =>
+            val listed = "\\[([^\\]]+)\\]".r
+              .findAllMatchIn(colList).map(_.group(1)).toSeq
+            if (listed.exists(_.equalsIgnoreCase(rv)))
+              throw new IllegalArgumentException(
+                s"mssql-mode: cannot insert an explicit value into the " +
+                  s"rowversion column [$rv] of [$table] — the server " +
+                  "assigns it (MSSQL timestamp-column semantics)")
+            appendAutoColumn(translated, rv)
+        }
+      case _ => Seq(translated)
+    }
+
+  /** `INSERT INTO "t" ("a","b") VALUES (x,y), (z,w)` →
+    * `INSERT INTO "t" ("a","b","rv") VALUES (x, y, NEXT VALUE …)` and
+    * `… VALUES (z, w, NEXT VALUE …)` — one STATEMENT per tuple,
+    * because Derby allows a sequence reference only once per
+    * statement (and types untyped NULLs only in a direct INSERT
+    * VALUES, ruling out the derived-table form). Scans quote-aware
+    * (''-escaped literals, ""-escaped identifiers) and depth-aware
+    * (CAST(...) nests) to find the column-list close, the VALUES
+    * keyword, and the depth-0 tuple boundaries; works for literal
+    * multi-row inserts and `?`-parameter prepared inserts alike.
+    */
+  private[engine] def appendAutoColumn(sql: String, rv: String): Seq[String] = {
+    var quote: Char = 0
+    var depth = 0
+    var colClose = -1
+    var valuesAt = -1
+    var i = 0
+    val n = sql.length
+    // pass 1: locate the column-list close and the VALUES keyword
+    while (i < n && valuesAt < 0) {
+      val c = sql.charAt(i)
+      if (quote != 0) {
+        if (c == quote) {
+          if (i + 1 < n && sql.charAt(i + 1) == quote) i += 1
+          else quote = 0
+        }
+      } else c match {
+        case '\'' | '"' => quote = c
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0 && colClose < 0) colClose = i
+        case _ if depth == 0 && colClose >= 0 &&
+            sql.regionMatches(true, i, "VALUES", 0, 6) =>
+          valuesAt = i
+        case _ => ()
+      }
+      i += 1
+    }
+    if (colClose < 0 || valuesAt < 0)
+      throw new IllegalArgumentException(
+        "mssql-mode: cannot auto-assign rowversion for INSERT without " +
+          s"an explicit column list and VALUES: ${sql.take(120)}")
+    val head = sql.substring(0, colClose) + s", \"$rv\")" +
+      sql.substring(colClose + 1, valuesAt) + "VALUES "
+    // pass 2: split the tuple list on depth-0 commas
+    val tuples = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    quote = 0; depth = 0
+    i = valuesAt + 6
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (quote != 0) {
+        cur.append(c)
+        if (c == quote) {
+          if (i + 1 < n && sql.charAt(i + 1) == quote) {
+            cur.append(quote); i += 1
+          } else quote = 0
+        }
+      } else c match {
+        case '\'' | '"' => quote = c; cur.append(c)
+        case '(' => depth += 1; cur.append(c)
+        case ')' => depth -= 1; cur.append(c)
+        case ',' if depth == 0 => tuples += cur.toString; cur.clear()
+        case other => cur.append(other)
+      }
+      i += 1
+    }
+    tuples += cur.toString
+    tuples.result().map { t =>
+      val tt = t.trim
+      if (!(tt.startsWith("(") && tt.endsWith(")")))
+        throw new IllegalArgumentException(
+          s"mssql-mode: malformed VALUES tuple for rowversion insert: $tt")
+      head + tt.dropRight(1) + s", $SeqExpr)"
+    }
+  }
+}
+
 private final class MssqlModeConnHandler(underlying: Connection)
     extends InvocationHandler {
   override def invoke(proxy: AnyRef, method: Method, args: Array[AnyRef]): AnyRef =
@@ -605,7 +747,14 @@ private final class MssqlModeConnHandler(underlying: Connection)
         if (raw.toUpperCase.contains("INFORMATION_SCHEMA."))
           MssqlModeEngine.infoSchemaProbes.incrementAndGet()
         val sql = MssqlDialect.route(raw) match {
-          case MssqlDialect.Translated(s) => s
+          case MssqlDialect.Translated(s) =>
+            MssqlRowversion(underlying, raw, s) match {
+              case Seq(one) => one
+              case _ => throw new IllegalArgumentException(
+                "mssql-mode: multi-row INSERT into a rowversion table " +
+                  "is not preparable (one counter draw per statement); " +
+                  "use Statement.execute or single-row tuples")
+            }
           case _: MssqlDialect.CreateTable =>
             throw new IllegalArgumentException(
               "mssql-mode: CREATE TABLE must go through Statement.execute " +
@@ -637,7 +786,24 @@ private final class MssqlModeStmtHandler(underlying: Statement,
             out
           case MssqlDialect.Translated(sql) =>
             MssqlModeEngine.translatedStatements.incrementAndGet()
-            method.invoke(underlying, (sql +: args.drop(1)): _*)
+            MssqlRowversion(conn, raw, sql) match {
+              case Seq(one) =>
+                method.invoke(underlying, (one +: args.drop(1)): _*)
+              case many =>
+                // a rowversion multi-row insert became one statement
+                // per tuple (sequence-draw rule); fold the results
+                // back into the caller's expected shape
+                val rets = many.map(s2 =>
+                  method.invoke(underlying, (s2 +: args.drop(1)): _*))
+                method.getName match {
+                  case "executeUpdate" =>
+                    Integer.valueOf(rets.map(_.asInstanceOf[Integer].intValue).sum)
+                  case "executeLargeUpdate" =>
+                    java.lang.Long.valueOf(
+                      rets.map(_.asInstanceOf[java.lang.Long].longValue).sum)
+                  case _ => rets.last // execute: Boolean; addBatch: null
+                }
+            }
         }
       case _ => method.invoke(underlying, args: _*)
     } catch { case e: InvocationTargetException => throw e.getCause }

@@ -484,44 +484,46 @@ object Migration {
             "[q_dec] DECIMAL(8,3), " +
             "[q_time] TIME(7))")
         // deterministic, sf-independent quirk rows (the oracle pins
-        // them as literals); rowversion counters are explicit — the
-        // shim does not emulate MSSQL's auto-assignment. The smalldatetime
+        // them as literals); rowversion is NOT in the column list —
+        // the shim auto-assigns the database-wide counter (1..5 in
+        // insert order), and naming the column would be rejected like
+        // real MSSQL rejects it. The smalldatetime
         // values pin the ≥29.999 s round-up on both sides of the
         // boundary (incl. a year rollover); the 0x literals pin the
         // binary wire form (format.rs:17); q_note/q_text carry '0x00'
         // INSIDE string data to prove the hex rule is literal-masked.
         st.execute(
-          "INSERT INTO [quirks] ([q_id],[q_tiny],[q_bit],[q_rv],[q_dto]," +
+          "INSERT INTO [quirks] ([q_id],[q_tiny],[q_bit],[q_dto]," +
             "[q_dt],[q_sdt],[q_money],[q_smoney],[q_guid],[q_bin],[q_vbin]," +
             "[q_note],[q_text],[q_char],[q_nchar],[q_ntext],[q_xml]," +
             "[q_img],[q_date],[q_dt2],[q_real],[q_dec],[q_time]) VALUES " +
-            "(1, 0, 1, 1001, '2021-03-04 05:06:07.1230000 +02:00', " +
+            "(1, 0, 1, '2021-03-04 05:06:07.1230000 +02:00', " +
             "'2021-03-04 05:06:07.123', '2021-03-04 05:06:29', 12.3456, 0.5678, " +
             "'a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11', 0xDEADBEEF, 0x00ff, " +
             "N'O''Brien', N'not a literal: 0x00 and ''quotes'' survive', " +
             "'ab', N'\u00e9', N'long ntext body', '<a b=\"c\">x</a>', " +
             "0x89504e47, '2021-01-02', '2021-03-04 05:06:07.123456', " +
             "1.5, 12345.678, '12:34:56.1234567'), " +
-            "(2, 127, 0, 1002, '2020-12-31 23:30:00.0000000 -01:30', " +
+            "(2, 127, 0, '2020-12-31 23:30:00.0000000 -01:30', " +
             "'2021-03-04 05:06:07.125', '2021-03-04 05:06:30', -0.0001, -1.0001, " +
             "'00000000-0000-0000-0000-000000000000', 0x00000000, " +
             "0x0123456789abcdef, N'back\\slash', N'plain body', " +
             "'xyz', N'ok', N'two', '<r/>', 0x00, '1999-12-31', " +
             "'2000-01-01 00:00:00', -2.25, -0.001, '00:00:00'), " +
-            "(3, 42, 1, 1003, '2022-01-15 12:00:00.2500000 +05:45', " +
+            "(3, 42, 1, '2022-01-15 12:00:00.2500000 +05:45', " +
             "'2021-03-04 05:06:07.999', '2020-12-31 23:59:45', 99999.9999, 214748.3647, " +
             "'ffffffff-ffff-ffff-ffff-ffffffffffff', 0xCAFEBABE, 0x80, " +
             "'café', 'year rolls over at 23:59:45', " +
             "'a', 'b', N'three', '<x y=\"2\"/>', 0xffffffff, " +
             "'2038-01-19', '2021-12-31 23:59:59.999999', 3.75, " +
             "99999.999, '23:59:59.9999999'), " +
-            "(4, 16, 0, 1004, '2019-06-01 00:00:00.5000000 +00:00', " +
+            "(4, 16, 0, '2019-06-01 00:00:00.5000000 +00:00', " +
             "'2019-06-01 00:00:00', '2019-06-01 00:00:00', 0.5, 0.0001, " +
             "'12345678-1234-1234-1234-123456789abc', 0x0102030a, 0xff, " +
             "N'plain', N'x', " +
             "'zz', 'cd', N'four', '<z/>', 0x1f8b, '1970-01-01', " +
             "'1970-01-01 00:00:00.000001', 0.125, 0.001, '12:00:00'), " +
-            "(5, NULL, NULL, 1005, NULL, NULL, NULL, NULL, NULL, NULL, NULL, " +
+            "(5, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, " +
             "NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, " +
             "NULL, NULL, NULL)")
       } finally st.close()
@@ -776,7 +778,7 @@ object Migration {
 
   private val mssqlQuirksSql =
     """SELECT * FROM (VALUES
-      |  (1, CAST(0 AS SMALLINT), CAST(1 AS SMALLINT), CAST(1001 AS BIGINT),
+      |  (1, CAST(0 AS SMALLINT), CAST(1 AS SMALLINT), CAST(1 AS BIGINT),
       |   TIMESTAMP '2021-03-04 03:06:07.123',
       |   TIMESTAMP '2021-03-04 05:06:07.123',
       |   TIMESTAMP '2021-03-04 05:06:00',
@@ -788,7 +790,7 @@ object Migration {
       |   unhex('89504e47'), DATE '2021-01-02',
       |   TIMESTAMP '2021-03-04 05:06:07.123456', CAST(1.5 AS REAL),
       |   CAST('12345.678' AS DECIMAL(8,3)), '12:34:56.1234567'),
-      |  (2, CAST(127 AS SMALLINT), CAST(0 AS SMALLINT), CAST(1002 AS BIGINT),
+      |  (2, CAST(127 AS SMALLINT), CAST(0 AS SMALLINT), CAST(2 AS BIGINT),
       |   TIMESTAMP '2021-01-01 01:00:00',
       |   TIMESTAMP '2021-03-04 05:06:07.126',
       |   TIMESTAMP '2021-03-04 05:07:00',
@@ -799,7 +801,7 @@ object Migration {
       |   'xyz', 'ok', 'two', '<r/>', unhex('00'), DATE '1999-12-31',
       |   TIMESTAMP '2000-01-01 00:00:00', CAST(-2.25 AS REAL),
       |   CAST('-0.001' AS DECIMAL(8,3)), '00:00:00'),
-      |  (3, CAST(42 AS SMALLINT), CAST(1 AS SMALLINT), CAST(1003 AS BIGINT),
+      |  (3, CAST(42 AS SMALLINT), CAST(1 AS SMALLINT), CAST(3 AS BIGINT),
       |   TIMESTAMP '2022-01-15 06:15:00.25',
       |   TIMESTAMP '2021-03-04 05:06:08',
       |   TIMESTAMP '2021-01-01 00:00:00',
@@ -811,7 +813,7 @@ object Migration {
       |   DATE '2038-01-19', TIMESTAMP '2021-12-31 23:59:59.999999',
       |   CAST(3.75 AS REAL), CAST('99999.999' AS DECIMAL(8,3)),
       |   '23:59:59.9999999'),
-      |  (4, CAST(16 AS SMALLINT), CAST(0 AS SMALLINT), CAST(1004 AS BIGINT),
+      |  (4, CAST(16 AS SMALLINT), CAST(0 AS SMALLINT), CAST(4 AS BIGINT),
       |   TIMESTAMP '2019-06-01 00:00:00.5',
       |   TIMESTAMP '2019-06-01 00:00:00',
       |   TIMESTAMP '2019-06-01 00:00:00',
@@ -822,7 +824,7 @@ object Migration {
       |   'zz ', 'cd', 'four', '<z/>', unhex('1f8b'), DATE '1970-01-01',
       |   TIMESTAMP '1970-01-01 00:00:00.000001', CAST(0.125 AS REAL),
       |   CAST('0.001' AS DECIMAL(8,3)), '12:00:00'),
-      |  (5, CAST(NULL AS SMALLINT), CAST(NULL AS SMALLINT), CAST(1005 AS BIGINT),
+      |  (5, CAST(NULL AS SMALLINT), CAST(NULL AS SMALLINT), CAST(5 AS BIGINT),
       |   CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
       |   CAST(NULL AS TIMESTAMP),
       |   CAST(NULL AS DECIMAL(19,4)), CAST(NULL AS DECIMAL(10,4)),

@@ -137,10 +137,10 @@ class MssqlModeSpec extends AnyFunSuite {
             "[tiny] TINYINT, [rv] ROWVERSION, [dto] DATETIMEOFFSET(7), " +
             "[m] MONEY)")
         st.execute(
-          "INSERT INTO [q] ([id],[tiny],[rv],[dto],[m]) VALUES " +
-            "(1, 127, 900, '2021-03-04 05:06:07.1230000 +02:00', 1.5), " +
-            "(2, 0, 901, '2020-12-31 23:30:00.0000000 -01:30', -2.25), " +
-            "(3, NULL, 902, NULL, NULL)")
+          "INSERT INTO [q] ([id],[tiny],[dto],[m]) VALUES " +
+            "(1, 127, '2021-03-04 05:06:07.1230000 +02:00', 1.5), " +
+            "(2, 0, '2020-12-31 23:30:00.0000000 -01:30', -2.25), " +
+            "(3, NULL, NULL, NULL)")
         st.close()
       } finally c.close()
 
@@ -160,7 +160,9 @@ class MssqlModeSpec extends AnyFunSuite {
       assert(df.schema("tiny").dataType ==
         org.apache.spark.sql.types.ShortType)
       assert(rows(0).getAs[Short]("tiny") == 127)
-      assert(rows(0).getAs[Long]("rv") == 900L)
+      // the shim auto-assigned the database-wide counter in insert order
+      assert(rows(0).getAs[Long]("rv") == 1L)
+      assert(rows(2).getAs[Long]("rv") == 3L)
       // the scan range-partitioned on the numeric PK over the T-SQL wire
       assert(df.rdd.getNumPartitions >= 1)
     }
@@ -269,6 +271,39 @@ class MssqlModeSpec extends AnyFunSuite {
       assert(i(1) == java.time.Instant.parse("2021-03-04T05:07:00Z"))
       assert(i(2) == java.time.Instant.parse("2021-01-01T00:00:00Z"))
       assert(rows(3).isNullAt(rows(3).fieldIndex("sdt")))
+    }
+  }
+
+  test("rowversion auto-assigns across tables; explicit insert rejected") {
+    withDb("rvauto") { url =>
+      val c = DriverManager.getConnection(url)
+      try {
+        val st = c.createStatement()
+        st.execute("CREATE TABLE [a] ([id] INT NOT NULL PRIMARY KEY, " +
+          "[rv] ROWVERSION)")
+        st.execute("CREATE TABLE [b] ([id] INT NOT NULL PRIMARY KEY, " +
+          "[rv] ROWVERSION)")
+        // counter is DATABASE-wide, like @@DBTS: interleaved inserts
+        // across tables draw from one sequence
+        st.execute("INSERT INTO [a] ([id]) VALUES (10), (11)")
+        st.execute("INSERT INTO [b] ([id]) VALUES (20)")
+        st.execute("INSERT INTO [a] ([id]) VALUES (12)")
+        val rs = st.executeQuery("SELECT [id], [rv] FROM [a] ORDER BY [id]")
+        val got = Iterator.continually(rs)
+          .takeWhile(_.next()).map(r => (r.getInt(1), r.getLong(2))).toList
+        rs.close()
+        assert(got == List((10, 1L), (11, 2L), (12, 4L)))
+
+        // naming the column is the MSSQL error, not a silent accept
+        val e = intercept[Exception] {
+          st.execute("INSERT INTO [a] ([id],[rv]) VALUES (13, 99)")
+        }
+        def chain(t: Throwable): Seq[String] =
+          Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+            .map(x => Option(x.getMessage).getOrElse("")).toSeq
+        assert(chain(e).exists(_.contains("rowversion")))
+        st.close()
+      } finally c.close()
     }
   }
 
