@@ -274,6 +274,56 @@ class MssqlModeSpec extends AnyFunSuite {
     }
   }
 
+  test("datetime/smalldatetime decode matches the reference formulas " +
+      "on randomized timestamps") {
+    // seeded PRNG: deterministic corpus, fresh coverage of the middle
+    // mass between the hand-picked boundary cases
+    val rnd = new scala.util.Random(0xd7133L)
+    val base = java.time.Instant.parse("2015-01-01T00:00:00Z").toEpochMilli
+    val samples = Seq.tabulate(60) { i =>
+      val ms = base + math.abs(rnd.nextLong() % (300L * 24 * 3600 * 1000))
+      (i + 1, ms)
+    }
+    def dtExpected(ms: Long): Long = {
+      // server tick quantization (round half up) composed with the
+      // reference's integer tick->ms division (format.rs:191-218)
+      val msInSec = ms % 1000
+      val ticks = (msInSec * 1000 * 300 + 500000) / 1000000
+      ms - msInSec + ticks * 1000 / 300
+    }
+    def sdtExpected(ms: Long): Long = {
+      val rem = ms % 60000
+      ms - rem + (if (rem >= 29999) 60000L else 0L)
+    }
+    withDb("dtprop") { url =>
+      val c = DriverManager.getConnection(url)
+      try {
+        val st = c.createStatement()
+        st.execute("CREATE TABLE [p] ([id] INT NOT NULL PRIMARY KEY, " +
+          "[dt] DATETIME, [sdt] SMALLDATETIME)")
+        val fmt = java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+          .withZone(java.time.ZoneOffset.UTC)
+        val rows = samples.map { case (id, ms) =>
+          val t = fmt.format(java.time.Instant.ofEpochMilli(ms))
+          s"($id, '$t', '$t')"
+        }
+        st.execute("INSERT INTO [p] ([id],[dt],[sdt]) VALUES " +
+          rows.mkString(", "))
+        st.close()
+      } finally c.close()
+      val got = new MssqlSchemaSource(url).read(spark, "p")
+        .orderBy(col("id")).collect()
+      samples.foreach { case (id, ms) =>
+        val r = got(id - 1)
+        assert(r.getAs[java.sql.Timestamp]("dt").getTime == dtExpected(ms),
+          s"datetime id=$id ms=$ms")
+        assert(r.getAs[java.sql.Timestamp]("sdt").getTime == sdtExpected(ms),
+          s"smalldatetime id=$id ms=$ms")
+      }
+    }
+  }
+
   test("rowversion auto-assigns across tables; explicit insert rejected") {
     withDb("rvauto") { url =>
       val c = DriverManager.getConnection(url)
