@@ -177,6 +177,14 @@ private object MssqlSparkDialect extends org.apache.spark.sql.jdbc.JdbcDialect {
     url.startsWith(MssqlModeEngine.UrlPrefix)
   override def quoteIdentifier(colName: String): String =
     mssqlIdentifier(colName)
+  override def getCatalystType(sqlType: Int, typeName: String, size: Int,
+      md: org.apache.spark.sql.types.MetadataBuilder)
+      : Option[org.apache.spark.sql.types.DataType] =
+    // MSSQL real is a 4-byte float (SURVEY §1.2: real → FloatType);
+    // Spark's URL-agnostic default widens REAL to DoubleType
+    if (sqlType == java.sql.Types.REAL)
+      Some(org.apache.spark.sql.types.FloatType)
+    else None
 }
 
 /** Strict T-SQL statement classifier + translator. */

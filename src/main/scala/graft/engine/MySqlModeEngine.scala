@@ -60,8 +60,10 @@ object MySqlModeEngine {
     translatedStatements.set(0)
   }
 
-  private lazy val registered: Unit =
+  private lazy val registered: Unit = {
     DriverManager.registerDriver(new MySqlModeDriver)
+    org.apache.spark.sql.jdbc.JdbcDialects.registerDialect(MySqlSparkDialect)
+  }
 
   /** Build a shim URL; `rest` is the Derby tail, e.g.
     * `memory:mydb_x;create=true`.
@@ -69,6 +71,27 @@ object MySqlModeEngine {
   def url(rest: String): String = { registered; s"jdbc:graftmysql:$rest" }
 
   val UrlPrefix = "jdbc:graftmysql:"
+}
+
+/** Spark-side dialect for the shim URL: identifiers quote as
+  * `` `backticks` `` (the strict engine rejects ANSI double quotes),
+  * so `spark.read`/`write.jdbc` against the shim emit MySQL-shaped
+  * statements — the same quoting the reference's generated queries
+  * use (insert/query.rs).
+  */
+private object MySqlSparkDialect extends org.apache.spark.sql.jdbc.JdbcDialect {
+  override def canHandle(url: String): Boolean =
+    url.startsWith(MySqlModeEngine.UrlPrefix)
+  override def quoteIdentifier(colName: String): String =
+    graft.naming.SqlEscape.mysqlIdentifier(colName)
+  override def getCatalystType(sqlType: Int, typeName: String, size: Int,
+      md: org.apache.spark.sql.types.MetadataBuilder)
+      : Option[org.apache.spark.sql.types.DataType] =
+    // the backing store is Derby: REAL is a 4-byte float (Spark's
+    // URL-agnostic default widens it to DoubleType)
+    if (sqlType == java.sql.Types.REAL)
+      Some(org.apache.spark.sql.types.FloatType)
+    else None
 }
 
 /** Strict MySQL-dialect statement classifier + translator. */
@@ -209,10 +232,140 @@ object MySqlDialect {
       text = AnsiFlavor.typeRules.foldLeft(text) { case (acc, (re, to)) =>
         acc.replaceAll(re, to)
       }
+    else
+      // MySQL accepts 0xHEX binary literals natively (the reference's
+      // binary render, format.rs:17); the backing store wants typed
+      // hex. Literals are masked and identifiers double-quoted here,
+      // so data and names can't match.
+      text = text.replaceAll(
+        "(?i)(?<![\\w'\"])0x([0-9a-fA-F]*)(?![\\w])",
+        "CAST(X'$1' AS BLOB)")
     val litArr = lits.result()
     litArr.indices.foldLeft(text) { (acc, k) =>
       acc.replace("\u0001" + k + "\u0001", litArr(k))
     }
+  }
+}
+
+/** MySQL coerces quoted numeric literals into DECIMAL columns — the
+  * reference RELIES on that: format_numeric_value renders every
+  * decimal QUOTED ('123.45', format.rs:42-55) and the MySQL wire
+  * narrows it on assignment. Derby has no implicit CHAR→DECIMAL
+  * conversion in a VALUES list, so the strict shim must emulate the
+  * coercion: for INSERTs into tables with DECIMAL/NUMERIC columns,
+  * quoted literals at those positions become explicit
+  * `CAST('…' AS DECIMAL(p,s))`. Positions come from the live Derby
+  * catalog (the translated CREATE already landed), so a quoted
+  * NUMERIC-LOOKING string bound for a VARCHAR column stays text.
+  */
+private object MySqlDecimalCoerce {
+
+  private val insertRe =
+    "(?is)^\\s*INSERT\\s+INTO\\s+`([^`]+)`\\s*\\(([^)]*)\\)".r.unanchored
+
+  private def decimalPositions(conn: Connection, table: String,
+      cols: Vector[String]): Map[Int, (Int, Int)] = {
+    val byName = scala.collection.mutable.Map.empty[String, (Int, Int)]
+    val rs = conn.getMetaData.getColumns(null, null, table, null)
+    try while (rs.next()) {
+      val t = rs.getInt("DATA_TYPE")
+      if (t == java.sql.Types.DECIMAL || t == java.sql.Types.NUMERIC)
+        byName(rs.getString("COLUMN_NAME").toLowerCase) =
+          (rs.getInt("COLUMN_SIZE"), rs.getInt("DECIMAL_DIGITS"))
+    } finally rs.close()
+    cols.zipWithIndex.flatMap { case (c, i) =>
+      byName.get(c.toLowerCase).map(ps => i -> ps)
+    }.toMap
+  }
+
+  def apply(conn: Connection, raw: String, translated: String): String =
+    raw match {
+      case insertRe(table, colList) =>
+        val cols = "`([^`]+)`".r
+          .findAllMatchIn(colList).map(_.group(1)).toVector
+        val decPos = decimalPositions(conn, table, cols)
+        if (decPos.isEmpty) translated
+        else rewrite(translated, decPos)
+      case _ => translated
+    }
+
+  /** Quote- and depth-aware walk over the translated text: inside each
+    * depth-1 VALUES tuple, track the value ordinal at depth-1 commas;
+    * a single-quoted literal that BEGINS a value at a decimal ordinal
+    * is wrapped in the explicit cast.
+    */
+  private def rewrite(sql: String, decPos: Map[Int, (Int, Int)]): String = {
+    val valuesAt = findValuesKeyword(sql)
+    if (valuesAt < 0) return sql
+    val out = new StringBuilder(sql.substring(0, valuesAt + 6))
+    var i = valuesAt + 6
+    val n = sql.length
+    var depth = 0
+    var ordinal = 0
+    var atValueStart = false
+    while (i < n) {
+      val c = sql.charAt(i)
+      c match {
+        case '\'' =>
+          // literal span: [i, end)
+          var j = i + 1
+          var closed = false
+          while (j < n && !closed) {
+            if (sql.charAt(j) == '\'') {
+              if (j + 1 < n && sql.charAt(j + 1) == '\'') j += 2
+              else { closed = true; j += 1 }
+            } else j += 1
+          }
+          val lit = sql.substring(i, j)
+          if (depth == 1 && atValueStart) decPos.get(ordinal) match {
+            case Some((p, s)) =>
+              out.append(s"CAST($lit AS DECIMAL($p,$s))")
+            case None => out.append(lit)
+          } else out.append(lit)
+          atValueStart = false
+          i = j
+        case '(' =>
+          depth += 1
+          if (depth == 1) { ordinal = 0; atValueStart = true }
+          out.append(c); i += 1
+        case ')' =>
+          depth -= 1; atValueStart = false
+          out.append(c); i += 1
+        case ',' =>
+          if (depth == 1) { ordinal += 1; atValueStart = true }
+          out.append(c); i += 1
+        case w if w.isWhitespace =>
+          out.append(c); i += 1 // whitespace does not start a value
+        case other =>
+          if (depth == 1 && other != ' ') atValueStart = false
+          out.append(other); i += 1
+      }
+    }
+    out.toString
+  }
+
+  /** First depth-0 VALUES keyword outside quotes (after the column
+    * list; the INSERT head contains no literals).
+    */
+  private def findValuesKeyword(sql: String): Int = {
+    var i = 0
+    val n = sql.length
+    var quote = false
+    var depth = 0
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (quote) { if (c == '\'') quote = false }
+      else c match {
+        case '\'' => quote = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ if depth == 0 &&
+            sql.regionMatches(true, i, "VALUES", 0, 6) => return i
+        case _ => ()
+      }
+      i += 1
+    }
+    -1
   }
 }
 
@@ -250,14 +403,17 @@ private final class MySqlModeConnHandler(underlying: Connection)
         val st = method.invoke(underlying,
           args: _*).asInstanceOf[Statement]
         Proxy.newProxyInstance(getClass.getClassLoader,
-          Array(classOf[Statement]), new MySqlModeStmtHandler(st))
+          Array(classOf[Statement]),
+          new MySqlModeStmtHandler(st, underlying))
       case "prepareStatement" | "prepareCall" | "nativeSQL"
           if args != null && args.nonEmpty && args(0).isInstanceOf[String] =>
         // prepared text translates eagerly; emulated statements have
         // no prepared form in this engine
-        val routed = MySqlDialect.route(args(0).asInstanceOf[String])
+        val raw0 = args(0).asInstanceOf[String]
+        val routed = MySqlDialect.route(raw0)
         val sql = routed match {
-          case MySqlDialect.Translated(s) => s
+          case MySqlDialect.Translated(s) =>
+            MySqlDecimalCoerce(underlying, raw0, s)
           case MySqlDialect.PacketProbe =>
             s"VALUES CAST(${MySqlModeEngine.MaxPacket} AS BIGINT)"
           case _: MySqlDialect.FkToggle =>
@@ -269,8 +425,8 @@ private final class MySqlModeConnHandler(underlying: Connection)
     } catch { case e: InvocationTargetException => throw e.getCause }
 }
 
-private final class MySqlModeStmtHandler(underlying: Statement)
-    extends InvocationHandler {
+private final class MySqlModeStmtHandler(underlying: Statement,
+    conn: Connection) extends InvocationHandler {
   override def invoke(proxy: AnyRef, method: Method, args: Array[AnyRef]): AnyRef =
     try method.getName match {
       case "execute" | "executeQuery" | "executeUpdate" | "executeLargeUpdate" |
@@ -295,7 +451,9 @@ private final class MySqlModeStmtHandler(underlying: Statement)
                 args.drop(1)): _*)
           case MySqlDialect.Translated(sql) =>
             MySqlModeEngine.translatedStatements.incrementAndGet()
-            method.invoke(underlying, (sql +: args.drop(1)): _*)
+            val coerced = MySqlDecimalCoerce(
+              conn, args(0).asInstanceOf[String], sql)
+            method.invoke(underlying, (coerced +: args.drop(1)): _*)
         }
       case _ => method.invoke(underlying, args: _*)
     } catch { case e: InvocationTargetException => throw e.getCause }

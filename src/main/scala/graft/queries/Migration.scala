@@ -734,16 +734,39 @@ object Migration {
     * table — any drift in the decode/convert/render chain reds the
     * hash.
     */
-  private def mssqlQuirks(s: SparkSession, dir: String): DataFrame = {
+  private def mssqlQuirks(s: SparkSession, dir: String): DataFrame =
+    quirksThroughTarget(s, dir,
+      nonce => s"jdbc:derby:memory:migmqdst_$nonce;create=true",
+      graft.engine.AnsiFlavor, """"quirks"""")
+
+  /** The SAME decode-parity gate with the PRODUCTION target dialect:
+    * [quirks] migrates mssql-shim → MYSQL-shim, so the MySQL
+    * renderings of the full type surface execute on a live strict
+    * wire — 0xHEX binary literals (format.rs:17), QUOTED decimal
+    * literals narrowing into DECIMAL columns (format_numeric_value,
+    * format.rs:42-55 — MySQL's coercion, which the shim emulates with
+    * catalog-typed casts), backslash-escaped strings, backtick
+    * identifiers. Same oracle: values must be byte-identical to the
+    * ANSI-target run.
+    */
+  private def mssqlQuirksMysql(s: SparkSession, dir: String): DataFrame =
+    quirksThroughTarget(s, dir,
+      nonce => graft.engine.MySqlModeEngine.url(
+        s"memory:migmqmy_$nonce;create=true"),
+      graft.engine.MySqlFlavor, "`quirks`")
+
+  private def quirksThroughTarget(s: SparkSession, dir: String,
+      mkDstUrl: String => String, flavor: graft.engine.SqlFlavor,
+      dbtable: String): DataFrame = {
     import graft.engine._
     import graft.mapping.TypeRegistry
     val nonce = java.util.UUID.randomUUID.toString.replace("-", "")
     val srcRest = s"memory:migmqsrc_$nonce;create=true"
     val srcUrl = MssqlModeEngine.url(srcRest)
-    val dstUrl = s"jdbc:derby:memory:migmqdst_$nonce;create=true"
+    val dstUrl = mkDstUrl(nonce)
     seedMssqlSource(s, dir, srcUrl)
     val migrator = new Migrator(s, new MssqlSchemaSource(srcUrl),
-      new JdbcTargetWriter(dstUrl, AnsiFlavor), TypeRegistry.withDefaults(),
+      new JdbcTargetWriter(dstUrl, flavor), TypeRegistry.withDefaults(),
       MigrationOptions(maxConcurrentTasks = 1,
         whitelistedTables = Seq("quirks")))
     try {
@@ -755,7 +778,7 @@ object Migration {
       // the type the whole decode chain preserved
       val out = s.read
         .option("customSchema", "q_tiny SMALLINT, q_bit SMALLINT")
-        .jdbc(dstUrl, """"quirks"""", new java.util.Properties)
+        .jdbc(dstUrl, dbtable, new java.util.Properties)
         .select(col("q_id"), col("q_tiny"), col("q_bit"), col("q_rv"),
           col("q_dto"), col("q_dt"), col("q_sdt"), col("q_money"),
           col("q_smoney"), col("q_guid"), col("q_bin"), col("q_vbin"),
@@ -769,7 +792,12 @@ object Migration {
       s.createDataFrame(java.util.Arrays.asList(out.collect(): _*),
         out.schema)
     } finally {
-      for (u <- Seq(s"jdbc:derby:$srcRest", dstUrl))
+      val dstDerby =
+        if (dstUrl.startsWith(graft.engine.MySqlModeEngine.UrlPrefix))
+          "jdbc:derby:" + dstUrl.stripPrefix(
+            graft.engine.MySqlModeEngine.UrlPrefix)
+        else dstUrl
+      for (u <- Seq(s"jdbc:derby:$srcRest", dstDerby))
         try java.sql.DriverManager.getConnection(
           u.replace(";create=true", ";drop=true"))
         catch { case _: java.sql.SQLException => () } // drop always "fails"
@@ -1977,6 +2005,8 @@ object Migration {
     QueryDef("mig_pipeline_fullwire", pipelineFullWire,
       Some(pipelineFullWireSql)),
     QueryDef("mig_mssql_quirks", mssqlQuirks, Some(mssqlQuirksSql)),
+    QueryDef("mig_mssql_quirks_mysql", mssqlQuirksMysql,
+      Some(mssqlQuirksSql)),
     QueryDef("mig_incremental_watermark", incrementalWatermark,
       Some(incrementalWatermarkSql)),
     QueryDef("mig_literal_render", literalRender, Some(literalRenderSql)),

@@ -105,6 +105,46 @@ class MySqlModeSpec extends AnyFunSuite {
     }
   }
 
+  test("quoted decimals coerce into DECIMAL columns; 0x literals land as binary") {
+    val url = MySqlModeEngine.url(
+      s"memory:mycoerce_${System.nanoTime()};create=true")
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      st.execute("CREATE TABLE `m` (`id` bigint NOT NULL, " +
+        "`amt` decimal(19, 4) NULL, `tag` text NULL, " +
+        "`blob` longblob NULL, PRIMARY KEY (`id`))")
+      // the reference renders decimals QUOTED (format.rs:42-55) and
+      // binary as 0xHEX (format.rs:17) — MySQL coerces both; the
+      // strict shim must too. The numeric-looking STRING bound for
+      // the text column must stay text (no blanket unquoting).
+      st.execute("INSERT INTO `m` (`id`, `amt`, `tag`, `blob`) VALUES " +
+        "(1, '12.3456', '99.9900', 0xdeadbeef), " +
+        "(2, '-0.0001', 'keep 0xff text', NULL), " +
+        "(3, NULL, NULL, 0x00)")
+      val rs = st.executeQuery("SELECT `id`, `amt`, `tag`, `blob` FROM `m` " +
+        "WHERE `id` = 1")
+      assert(rs.next())
+      assert(rs.getBigDecimal(2) == new java.math.BigDecimal("12.3456"))
+      assert(rs.getString(3) == "99.9900") // text stayed text
+      assert(rs.getBytes(4).toSeq ==
+        Seq(0xde, 0xad, 0xbe, 0xef).map(_.toByte))
+      rs.close()
+      val rs2 = st.executeQuery("SELECT `amt`, `tag` FROM `m` WHERE `id` = 2")
+      assert(rs2.next())
+      assert(rs2.getBigDecimal(1) == new java.math.BigDecimal("-0.0001"))
+      assert(rs2.getString(2) == "keep 0xff text")
+      rs2.close()
+      st.close()
+    } finally {
+      c.close()
+      try java.sql.DriverManager.getConnection(
+        url.replace("jdbc:graftmysql:", "jdbc:derby:")
+          .replace(";create=true", ";drop=true"))
+      catch { case _: java.sql.SQLException => () }
+    }
+  }
+
   test("live engine rejects malformed MySQL at execution time") {
     val url = MySqlModeEngine.url(
       s"memory:mymodebad_${System.nanoTime()};create=true")
