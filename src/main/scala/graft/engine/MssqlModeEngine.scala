@@ -617,6 +617,9 @@ private object MssqlRowversion {
     "(?is)^\\s*INSERT\\s+INTO\\s+\\[([^\\]]+)\\]\\s*\\(([^)]*)\\)".r
       .unanchored
 
+  private val updateRe =
+    "(?is)^\\s*UPDATE\\s+\\[([^\\]]+)\\]\\s+SET\\s".r.unanchored
+
   private val SeqExpr = "NEXT VALUE FOR INFORMATION_SCHEMA.ROWVERSION_SEQ"
 
   /** The table's rowversion column, if any (catalog DATA_TYPE is
@@ -658,8 +661,61 @@ private object MssqlRowversion {
                   "assigns it (MSSQL timestamp-column semantics)")
             appendAutoColumn(translated, rv)
         }
+      case updateRe(table) =>
+        rowversionColumn(conn, table) match {
+          case None => Seq(translated)
+          case Some(rv) =>
+            // MSSQL bumps rowversion on every UPDATE, one distinct
+            // value per modified row (Derby's NEXT VALUE in a SET
+            // clause draws per row too — verified), and rejects
+            // explicit assignment ("Cannot update a timestamp column")
+            val setSpan = {
+              val up = raw.toUpperCase
+              val from = up.indexOf(" SET ") + 5
+              val to = up.indexOf(" WHERE ") match {
+                case -1 => raw.length
+                case w => w
+              }
+              raw.substring(from, to)
+            }
+            if (s"(?i)\\[${java.util.regex.Pattern.quote(rv)}\\]\\s*=".r
+                .findFirstIn(setSpan).isDefined)
+              throw new IllegalArgumentException(
+                s"mssql-mode: cannot update the rowversion column [$rv] " +
+                  s"of [$table] — the server assigns it " +
+                  "(MSSQL timestamp-column semantics)")
+            val setEnd = firstKeywordEnd(translated, "SET")
+            if (setEnd < 0) throw new IllegalArgumentException(
+              s"mssql-mode: malformed UPDATE: ${translated.take(120)}")
+            Seq(translated.substring(0, setEnd) +
+              s""" "$rv" = $SeqExpr,""" + translated.substring(setEnd))
+        }
       case _ => Seq(translated)
     }
+
+  /** End index of the first unquoted occurrence of `kw` as a word in
+    * translated ANSI text (''-literals and ""-identifiers skipped),
+    * or -1.
+    */
+  private def firstKeywordEnd(sql: String, kw: String): Int = {
+    var i = 0
+    val n = sql.length
+    var quote: Char = 0
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (quote != 0) {
+        if (c == quote) {
+          if (i + 1 < n && sql.charAt(i + 1) == quote) i += 1 else quote = 0
+        }
+      } else if (c == '\'' || c == '"') quote = c
+      else if (sql.regionMatches(true, i, kw, 0, kw.length) &&
+          (i == 0 || !sql.charAt(i - 1).isLetterOrDigit) &&
+          (i + kw.length >= n || !sql.charAt(i + kw.length).isLetterOrDigit))
+        return i + kw.length
+      i += 1
+    }
+    -1
+  }
 
   /** `INSERT INTO "t" ("a","b") VALUES (x,y), (z,w)` →
     * `INSERT INTO "t" ("a","b","rv") VALUES (x, y, NEXT VALUE …)` and

@@ -932,6 +932,80 @@ object Migration {
     }
   }
 
+  /** Incremental extraction by ROWVERSION bookmark — the MSSQL-native
+    * change-tracking pattern (the reference's rowversion column,
+    * mssql_type.rs:32-35, exists exactly for this): after the initial
+    * full extraction, record the high-water counter; the next pass
+    * pulls only `[rv] > bookmark`, which captures NEW rows AND
+    * IN-PLACE UPDATES (the server bumps rowversion on every write —
+    * emulated by the shim with per-row sequence draws). The predicate
+    * ships into the source over JDBC pushdown, so the incremental
+    * pass costs O(changed rows), not O(table) — at 100 TB that IS the
+    * feature. The oracle pins the exact captured change set including
+    * the updated rows' new values and their post-update counters.
+    */
+  private def incrementalRowversion(s: SparkSession, dir: String): DataFrame = {
+    import graft.engine._
+    val nonce = java.util.UUID.randomUUID.toString.replace("-", "")
+    val srcRest = s"memory:migrvinc_$nonce;create=true"
+    val srcUrl = MssqlModeEngine.url(srcRest)
+    try {
+      val c = java.sql.DriverManager.getConnection(srcUrl)
+      try {
+        val st = c.createStatement()
+        st.execute("CREATE TABLE [account] (" +
+          "[account_id] INT NOT NULL PRIMARY KEY, " +
+          "[owner] VARCHAR(40), [balance] DECIMAL(12,2), " +
+          "[rv] ROWVERSION)")
+        st.execute("INSERT INTO [account] " +
+          "([account_id],[owner],[balance]) VALUES " +
+          "(1,'alice',100.00), (2,'bob',150.00), (3,'carol',0.00), " +
+          "(4,'dan',-25.50), (5,'eve',900.00)")
+        st.close()
+      } finally c.close()
+      val src = new MssqlSchemaSource(srcUrl)
+      // initial full extraction; the bookmark is the max counter SEEN
+      // (a driver-side scalar — the one collect a bookmark needs)
+      val bookmark = src.read(s, "account")
+        .agg(max(col("rv"))).collect()(0).getLong(0)
+      // source keeps moving: two arrivals, two in-place updates
+      val c2 = java.sql.DriverManager.getConnection(srcUrl)
+      try {
+        val st = c2.createStatement()
+        st.execute("INSERT INTO [account] " +
+          "([account_id],[owner],[balance]) VALUES " +
+          "(6,'frank',10.00), (7,'grace',20.00)")
+        st.execute("UPDATE [account] SET [balance] = [balance] + 100.00 " +
+          "WHERE [account_id] = 2")
+        st.execute("UPDATE [account] SET [owner] = 'eve-2' " +
+          "WHERE [account_id] = 5")
+        st.close()
+      } finally c2.close()
+      val incremental = src.read(s, "account")
+        .filter(col("rv") > bookmark)
+        .select(col("account_id"), col("owner"), col("balance"), col("rv"))
+        .orderBy(col("rv"))
+      s.createDataFrame(
+        java.util.Arrays.asList(incremental.collect(): _*),
+        incremental.schema)
+    } finally {
+      try java.sql.DriverManager.getConnection(
+        s"jdbc:derby:$srcRest".replace(";create=true", ";drop=true"))
+      catch { case _: java.sql.SQLException => () } // drop always "fails"
+    }
+  }
+
+  // rv 1-5 are the seed rows; 6,7 the arrivals; 8,9 the two updates'
+  // per-row bumps — the change set is exactly rv > 5
+  private val incrementalRowversionSql =
+    """SELECT * FROM (VALUES
+      |  (6, 'frank', CAST('10.00' AS DECIMAL(12,2)), CAST(6 AS BIGINT)),
+      |  (7, 'grace', CAST('20.00' AS DECIMAL(12,2)), CAST(7 AS BIGINT)),
+      |  (2, 'bob', CAST('250.00' AS DECIMAL(12,2)), CAST(8 AS BIGINT)),
+      |  (5, 'eve-2', CAST('900.00' AS DECIMAL(12,2)), CAST(9 AS BIGINT))
+      |) AS t(account_id, owner, balance, rv)
+      |ORDER BY rv""".stripMargin
+
   private val incrementalWatermarkSql =
     """WITH sample AS (
       |  SELECT o_orderkey, o_orderstatus FROM orders
@@ -2007,6 +2081,8 @@ object Migration {
     QueryDef("mig_mssql_quirks", mssqlQuirks, Some(mssqlQuirksSql)),
     QueryDef("mig_mssql_quirks_mysql", mssqlQuirksMysql,
       Some(mssqlQuirksSql)),
+    QueryDef("mig_incremental_rowversion", incrementalRowversion,
+      Some(incrementalRowversionSql)),
     QueryDef("mig_incremental_watermark", incrementalWatermark,
       Some(incrementalWatermarkSql)),
     QueryDef("mig_literal_render", literalRender, Some(literalRenderSql)),

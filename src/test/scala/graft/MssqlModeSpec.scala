@@ -352,8 +352,55 @@ class MssqlModeSpec extends AnyFunSuite {
           Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
             .map(x => Option(x.getMessage).getOrElse("")).toSeq
         assert(chain(e).exists(_.contains("rowversion")))
+
+        // UPDATE bumps the counter, one distinct value per touched row
+        st.execute("CREATE TABLE [u] ([id] INT NOT NULL PRIMARY KEY, " +
+          "[v] INT, [rv] ROWVERSION)")
+        st.execute("INSERT INTO [u] ([id],[v]) VALUES (1, 10), (2, 20)")
+        st.execute("UPDATE [u] SET [v] = [v] + 1 WHERE [id] >= 1")
+        val rs2 = st.executeQuery("SELECT [id],[v],[rv] FROM [u] ORDER BY [id]")
+        val got2 = Iterator.continually(rs2).takeWhile(_.next())
+          .map(r => (r.getInt(1), r.getInt(2), r.getLong(3))).toList
+        rs2.close()
+        // seq was at 4 after the [a]/[b] inserts above (+reject draws
+        // nothing); [u]'s two inserts took 5,6; the update drew 7,8
+        assert(got2.map(_._2) == List(11, 21))
+        assert(got2.map(_._3) == List(7L, 8L))
+        // explicit assignment to rowversion in SET is the MSSQL error
+        val e2 = intercept[Exception] {
+          st.execute("UPDATE [u] SET [rv] = 99 WHERE [id] = 1")
+        }
+        assert(chain(e2).exists(_.contains("rowversion")))
+        // ...but rowversion in the WHERE clause is fine (that is the
+        // whole point of the type: bookmark predicates)
+        val rs3 = st.executeQuery(
+          "SELECT COUNT(*) FROM [u] WHERE [rv] > 7")
+        assert(rs3.next() && rs3.getLong(1) == 1L)
+        rs3.close()
         st.close()
       } finally c.close()
+    }
+  }
+
+  test("bookmark predicates push down into the shim scan") {
+    withDb("push") { url =>
+      val c = DriverManager.getConnection(url)
+      try {
+        val st = c.createStatement()
+        st.execute("CREATE TABLE [bk] ([id] INT NOT NULL PRIMARY KEY, " +
+          "[rv] ROWVERSION)")
+        st.execute("INSERT INTO [bk] ([id]) VALUES (1), (2), (3)")
+        st.close()
+      } finally c.close()
+      val df = new MssqlSchemaSource(url).read(spark, "bk")
+        .filter(col("rv") > 2L)
+      // the incremental pass must cost O(changed rows): the rowversion
+      // predicate has to reach the JDBC source, not run post-scan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") &&
+        plan.replaceAll("\\s+", " ").matches("(?s).*PushedFilters:.*rv.*"),
+        s"rv predicate not pushed:\n$plan")
+      assert(df.collect().map(_.getAs[Int]("id")).toSeq == Seq(3))
     }
   }
 
