@@ -64,44 +64,9 @@ object MigrateMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
 
-    val (source, writer, packetBytes, whitelist) = mode match {
-      case FixtureMode(srcDir, dstDir, tables) =>
-        (new ParquetFixtureSource(srcDir, spark): SchemaSource,
-          new ScriptTargetWriter(dstDir): TargetWriter,
-          parsed.maxPacketBytes.getOrElse(AppConfig.DefaultMaxPacketBytes),
-          tables)
-      case JdbcMode(cfg) =>
-        cfg.warnings.foreach(w => log.warn(w))
-        log.info("Using resolved database endpoints")
-        (new JdbcSchemaSource(
-            ConfigResolver.mssqlJdbcUrl(cfg.mssqlDatabase),
-            user = Option(cfg.mssqlDatabase.username).filter(_.nonEmpty),
-            password = Option(cfg.mssqlDatabase.password).filter(_.nonEmpty))
-            : SchemaSource,
-          new JdbcTargetWriter(
-            ConfigResolver.mysqlJdbcUrl(cfg.mysqlDatabase),
-            user = Option(cfg.mysqlDatabase.username).filter(_.nonEmpty),
-            password = Option(cfg.mysqlDatabase.password).filter(_.nonEmpty))
-            : TargetWriter,
-          cfg.settings.maxPacketBytes,
-          cfg.settings.whitelistedTables)
-    }
-
-    val migrator = new Migrator(
-      spark, source, writer,
-      TypeRegistry.withDefaults().withUserOverrides(overrides),
-      MigrationOptions(
-        maxPacketBytes = packetBytes,
-        maxConcurrentTasks = parsed.parallelism,
-        formatSnakeCase = parsed.format,
-        createConstraints = parsed.constraints,
-        dropTables = parsed.drop,
-        truncateTables = parsed.truncate,
-        whitelistedTables = whitelist))
-
     val t0 = System.nanoTime()
     try {
-      val results = migrator.run()
+      val (results, migrator) = execute(spark, parsed, mode, overrides, log)
       val secs = (System.nanoTime() - t0) / 1e9
       val total = results.map(_.rowsMigrated).sum
       results.sortBy(_.tableName).foreach { r =>
@@ -123,5 +88,62 @@ object MigrateMain {
         sys.exit(1)
     }
     spark.stop()
+  }
+
+  /** The resolved run, separated from `main`'s session lifecycle and
+    * exit codes so a live spec can drive the full CLI wiring against
+    * the dialect shims inside a shared test session.
+    *
+    * The two system properties `graft.source.jdbcUrl` /
+    * `graft.target.jdbcUrl` override the endpoint URLs rendered from
+    * the config (logged loudly when used) — the seam for pointing the
+    * CLI at any JDBC-compatible engine the standard sqlserver/mysql
+    * URL shapes don't reach, the in-JVM strict shims included.
+    */
+  private[graft] def execute(
+      spark: SparkSession,
+      parsed: CliArgs,
+      mode: ResolvedMode,
+      overrides: UserOverrides,
+      log: org.apache.logging.log4j.Logger)
+      : (Seq[MigrationResult], Migrator) = {
+    val (source, writer, packetBytes, whitelist) = mode match {
+      case FixtureMode(srcDir, dstDir, tables) =>
+        (new ParquetFixtureSource(srcDir, spark): SchemaSource,
+          new ScriptTargetWriter(dstDir): TargetWriter,
+          parsed.maxPacketBytes.getOrElse(AppConfig.DefaultMaxPacketBytes),
+          tables)
+      case JdbcMode(cfg) =>
+        cfg.warnings.foreach(w => log.warn(w))
+        log.info("Using resolved database endpoints")
+        val srcUrl = sys.props.get("graft.source.jdbcUrl").map { u =>
+          log.warn(s"source endpoint overridden by graft.source.jdbcUrl"); u
+        }.getOrElse(ConfigResolver.mssqlJdbcUrl(cfg.mssqlDatabase))
+        val dstUrl = sys.props.get("graft.target.jdbcUrl").map { u =>
+          log.warn(s"target endpoint overridden by graft.target.jdbcUrl"); u
+        }.getOrElse(ConfigResolver.mysqlJdbcUrl(cfg.mysqlDatabase))
+        (new JdbcSchemaSource(srcUrl,
+            user = Option(cfg.mssqlDatabase.username).filter(_.nonEmpty),
+            password = Option(cfg.mssqlDatabase.password).filter(_.nonEmpty))
+            : SchemaSource,
+          new JdbcTargetWriter(dstUrl,
+            user = Option(cfg.mysqlDatabase.username).filter(_.nonEmpty),
+            password = Option(cfg.mysqlDatabase.password).filter(_.nonEmpty))
+            : TargetWriter,
+          cfg.settings.maxPacketBytes,
+          cfg.settings.whitelistedTables)
+    }
+    val migrator = new Migrator(
+      spark, source, writer,
+      TypeRegistry.withDefaults().withUserOverrides(overrides),
+      MigrationOptions(
+        maxPacketBytes = packetBytes,
+        maxConcurrentTasks = parsed.parallelism,
+        formatSnakeCase = parsed.format,
+        createConstraints = parsed.constraints,
+        dropTables = parsed.drop,
+        truncateTables = parsed.truncate,
+        whitelistedTables = whitelist))
+    (migrator.run(), migrator)
   }
 }
