@@ -344,19 +344,23 @@ private object MySqlDecimalCoerce {
     out.toString
   }
 
-  /** First depth-0 VALUES keyword outside quotes (after the column
-    * list; the INSERT head contains no literals).
+  /** First depth-0 VALUES keyword outside quoted spans — BOTH literal
+    * ('') and identifier ("") quoting skip, so a table or column name
+    * containing " VALUES " cannot mis-anchor the rewrite.
     */
   private def findValuesKeyword(sql: String): Int = {
     var i = 0
     val n = sql.length
-    var quote = false
+    var quote: Char = 0
     var depth = 0
     while (i < n) {
       val c = sql.charAt(i)
-      if (quote) { if (c == '\'') quote = false }
-      else c match {
-        case '\'' => quote = true
+      if (quote != 0) {
+        if (c == quote) {
+          if (i + 1 < n && sql.charAt(i + 1) == quote) i += 1 else quote = 0
+        }
+      } else c match {
+        case '\'' | '"' => quote = c
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ if depth == 0 &&
