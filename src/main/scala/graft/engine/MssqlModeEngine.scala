@@ -200,8 +200,6 @@ object MssqlDialect {
   private final case class Other(text: String) extends Tok
 
   private def lex(sql: String): Vector[Tok] = {
-    if (sql.contains('`'))
-      fail("backtick identifier is not MSSQL dialect", sql)
     val out = Vector.newBuilder[Tok]
     val sb = new StringBuilder
     def flush(): Unit =
@@ -249,6 +247,10 @@ object MssqlDialect {
           out += Ident(v.toString)
         case '"' =>
           fail("double-quoted identifier is not MSSQL dialect (use [brackets])", sql)
+        case '`' =>
+          // only OUTSIDE literal spans: a backtick inside N'…' is data
+          // (the old whole-text pre-check wrongly rejected it)
+          fail("backtick identifier is not MSSQL dialect", sql)
         case c => sb.append(c); i += 1
       }
     }

@@ -40,6 +40,9 @@ class MssqlModeSpec extends AnyFunSuite {
   test("T-SQL literals: '' unescapes, backslash stays a plain character") {
     assert(MssqlDialect.translate("SELECT 'O''Brien'") == "SELECT 'O''Brien'")
     assert(MssqlDialect.translate("SELECT 'a\\nb'") == "SELECT 'a\\nb'")
+    // backticks and double quotes INSIDE a literal are data (the
+    // strictness rejections apply only outside literal spans)
+    assert(MssqlDialect.translate("SELECT 'a`b\"c'") == "SELECT 'a`b\"c'")
   }
 
   test("strictness: wrong-dialect statements are rejected loudly") {

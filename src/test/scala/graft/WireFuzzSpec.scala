@@ -116,6 +116,52 @@ class WireFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzz round-trip through the strict MSSQL-dialect SOURCE wire") {
+    // the symmetric leg: random values rendered as T-SQL literals
+    // (N'…' with '' doubling, backslash a PLAIN character, 0xHEX
+    // binaries) are INSERTed through the shim's lexer/translator and
+    // read back through MssqlSchemaSource's partitioned scan +
+    // canonical decode
+    val input = mkRows(0xf00d3L, 60)
+    def tsql(v: Any): String = v match {
+      case null => "NULL"
+      case s: String => "N'" + s.replace("'", "''") + "'"
+      case d: java.math.BigDecimal => d.toPlainString
+      case b: Array[Byte] =>
+        "0x" + b.map(x => f"${x & 0xff}%02x").mkString
+      case t: Timestamp =>
+        val f = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+        f.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+        "'" + f.format(t) + "'"
+      case other => other.toString
+    }
+    val nonce = System.nanoTime()
+    val srcRest = s"memory:fuzzsrc_$nonce;create=true"
+    val srcUrl = MssqlModeEngine.url(srcRest)
+    try {
+      val c = DriverManager.getConnection(srcUrl)
+      try {
+        val st = c.createStatement()
+        st.execute("CREATE TABLE [fz] ([id] INT NOT NULL PRIMARY KEY, " +
+          "[s] NVARCHAR(200), [d] DECIMAL(12,4), [b] VARBINARY(16), " +
+          "[t] DATETIME2(6))")
+        st.execute("INSERT INTO [fz] ([id],[s],[d],[b],[t]) VALUES " +
+          input.map(r => "(" + r.toSeq.map(tsql).mkString(", ") + ")")
+            .mkString(", "))
+        st.close()
+      } finally c.close()
+      val got = canon(new MssqlSchemaSource(srcUrl, numPartitions = 4)
+        .read(spark, "fz").collect().toSeq)
+      got.zip(canon(input)).foreach { case (g, w) =>
+        assert(g == w, s"\n got=$g\nwant=$w")
+      }
+    } finally {
+      try DriverManager.getConnection(
+        s"jdbc:derby:$srcRest".replace(";create=true", ";drop=true"))
+      catch { case _: java.sql.SQLException => () }
+    }
+  }
+
   test("fuzz round-trip into the strict MySQL-dialect shim target") {
     val nonce = System.nanoTime()
     val dstRest = s"memory:fuzzmy_$nonce;create=true"
