@@ -331,8 +331,6 @@ object MssqlDialect {
       extends Routed
 
   def route(sql: String): Routed = {
-    require(!sql.contains("@@"),
-      s"mssql-mode: session variables are not MSSQL dialect: ${sql.take(120)}")
     require(!sql.trim.toUpperCase.startsWith("SET FOREIGN_KEY_CHECKS"),
       s"mssql-mode: SET FOREIGN_KEY_CHECKS is MySQL dialect: ${sql.take(120)}")
     val translated = translate(sql)
@@ -361,6 +359,10 @@ object MssqlDialect {
         litIdx += 1
     }
     var text = masked.toString
+    // session variables are checked on the MASKED text: '@@' inside a
+    // string literal is data, not a variable reference
+    if (text.contains("@@"))
+      fail("session variables are not MSSQL dialect", sql)
     if (isTypeDdl)
       text = typeRules.foldLeft(text) { case (acc, (re, to)) =>
         acc.replaceAll(re, to)

@@ -113,8 +113,6 @@ object MySqlDialect {
     case fkRe(v) => FkToggle(v == "1")
     case packetRe() => PacketProbe
     case _ =>
-      require(!sql.contains("@@"),
-        s"mysql-mode: unsupported session variable in: ${sql.take(120)}")
       require(!sql.trim.toUpperCase.startsWith("SET "),
         s"mysql-mode: malformed or unsupported SET statement: ${sql.take(120)}")
       Translated(translate(sql))
@@ -228,6 +226,11 @@ object MySqlDialect {
         litIdx += 1
     }
     var text = masked.toString
+    // unknown session variables are checked on the MASKED text:
+    // '@@' inside a string literal is data, not a variable reference
+    // (SELECT @@max_allowed_packet was already routed to emulation)
+    if (text.contains("@@"))
+      fail("unsupported session variable", sql)
     if (isTypeDdl)
       text = AnsiFlavor.typeRules.foldLeft(text) { case (acc, (re, to)) =>
         acc.replaceAll(re, to)

@@ -33,6 +33,7 @@ class WireFuzzSpec extends AnyFunSuite {
   private val nastyBits = Vector(
     "'", "''", "\"", "`", "\\", "\\\\", ";", ",", "(", ")", "[", "]",
     "0x00", "0xdead", "VALUES", "SET", "DEFAULT 'money'", "café",
+    "a@@b", "@@max_allowed_packet",
     "中文", "O'Brien", "a;b'c\\d", " NULL ", "x" * 40, "")
 
   private def randString(r: scala.util.Random): String =
