@@ -138,7 +138,22 @@ case object AnsiFlavor extends SqlFlavor {
       // come back down to one — sound precisely because every
       // backslash in OUR generated literals was doubled by
       // SqlEscape.sqlString (quotes are ''-escaped, ANSI-compatible)
-      val at = upper.indexOf(" VALUES")
+      // locate " VALUES" OUTSIDE backtick-quoted identifiers — a
+      // column legitimately named with the word would otherwise split
+      // the statement mid-identifier (the raw-text bug class the
+      // strict shims were cured of)
+      val at = {
+        var i = 0
+        var found = -1
+        var inTick = false
+        while (found < 0 && i < sql.length) {
+          val c = sql.charAt(i)
+          if (c == '`') inTick = !inTick
+          else if (!inTick && upper.startsWith(" VALUES", i)) found = i
+          i += 1
+        }
+        found
+      }
       if (at < 0) quoteIdents(sql)
       else quoteIdents(sql.substring(0, at)) +
         hexToTypedBlob(sql.substring(at).replace("\\\\", "\\"))
