@@ -29,5 +29,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the suite grew to 236 queries whose localCheckpoint
+  // blocks + shared dd/sim index caches live in ONE local-mode heap;
+  // at 8g the storage region evicted the shared indexes mid-suite
+  // (r11/r13 bench spread signature on dd_components and friends)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -71,9 +71,22 @@ object Bench {
       .filter { case (n, _) => only.isEmpty || only(n) }
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
+    def family(name: String): String = name.takeWhile(_ != '_')
     for (rep <- 0 until reps) {
       val order = if (rep % 2 == 0) byName else byName.reverse
+      var prevFam = ""
       for ((name, fn) <- order) {
+        // Family boundary: let the ContextCleaner actually release the
+        // finished queries' localCheckpoint/shuffle blocks. Spark frees
+        // them only after the DRIVER JVM collects the RDD references —
+        // without this nudge, dead checkpoint blocks from 200+ queries
+        // pile up in the shared storage region and evict the dd/sim
+        // SessionCache indexes mid-suite (the r11/r13 wide-spread
+        // signature on dd_components / dd_cluster_representatives).
+        // ~10 families × reps GC calls, bounded and off the clock of
+        // any single query (runs before the timer starts).
+        if (prevFam.nonEmpty && family(name) != prevFam) System.gc()
+        prevFam = family(name)
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>

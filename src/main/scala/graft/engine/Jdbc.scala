@@ -64,6 +64,13 @@ case object AnsiFlavor extends SqlFlavor {
     * data and must not be touched, so scan quote state by hand
     * ('' stays an escape — one quoted span, not two).
     */
+  // boundary classes mirroring the regex form: \w plus the quote
+  // chars that guard the left edge ((?<![\w'"]))
+  private def isWordChar(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '_'
+  private def isHexGuard(c: Char): Boolean =
+    isWordChar(c) || c == '\'' || c == '"'
+
   private[engine] def hexToTypedBlob(text: String): String = {
     val out = new StringBuilder(text.length)
     var i = 0
@@ -83,12 +90,19 @@ case object AnsiFlavor extends SqlFlavor {
         out.append(c); inStr = true; i += 1
       } else if ((c == '0') && i + 1 < n &&
           (text.charAt(i + 1) == 'x' || text.charAt(i + 1) == 'X') &&
-          (i == 0 || !Character.isLetterOrDigit(text.charAt(i - 1)))) {
+          (i == 0 || !isHexGuard(text.charAt(i - 1)))) {
         var j = i + 2
         while (j < n && Character.digit(text.charAt(j), 16) >= 0) j += 1
-        out.append("CAST(X'").append(text.substring(i + 2, j))
-          .append("' AS BLOB)")
-        i = j
+        // mirror the regex form's boundaries ((?<![\w'"])0x[0-9a-f]+
+        // (?![\w])): at least one hex digit and no word char following
+        // — '0x' alone or '0xg…' is not a hex literal, copy through
+        if (j > i + 2 && (j >= n || !isWordChar(text.charAt(j)))) {
+          out.append("CAST(X'").append(text.substring(i + 2, j))
+            .append("' AS BLOB)")
+          i = j
+        } else {
+          out.append(c); i += 1
+        }
       } else {
         out.append(c); i += 1
       }
@@ -149,7 +163,11 @@ case object AnsiFlavor extends SqlFlavor {
         while (found < 0 && i < sql.length) {
           val c = sql.charAt(i)
           if (c == '`') inTick = !inTick
-          else if (!inTick && upper.startsWith(" VALUES", i)) found = i
+          // regionMatches on the ORIGINAL string: indexing a
+          // toUpperCase copy would misalign after any char whose
+          // full case mapping changes length ('ß' → "SS")
+          else if (!inTick && sql.regionMatches(true, i, " VALUES", 0, 7))
+            found = i
           i += 1
         }
         found

@@ -381,6 +381,18 @@ object MssqlDialect {
     }
   }
 
+  /** Re-emit raw T-SQL with every string literal's CONTENT removed
+    * (each becomes `''`) and bracket identifiers kept in bracket form
+    * — for keyword/anchor scans that must never see literal data
+    * (a ' WHERE ' or '[rv] =' INSIDE a string is data, not syntax).
+    */
+  private[engine] def maskLiterals(sql: String): String =
+    lex(sql).map {
+      case Other(t) => t
+      case Ident(nm) => "[" + nm.replace("]", "]]") + "]"
+      case Lit(_) => "''"
+    }.mkString
+
   // ---- CREATE TABLE meta parsing --------------------------------------
 
   private val createRe =
@@ -673,14 +685,27 @@ private object MssqlRowversion {
             // value per modified row (Derby's NEXT VALUE in a SET
             // clause draws per row too — verified), and rejects
             // explicit assignment ("Cannot update a timestamp column")
+            // scan on literal-MASKED text: a string value containing
+            // ' WHERE ' must not truncate the SET span, and one
+            // containing '[rv] =' must not trip the rejection.
+            // regionMatches on the original (not a toUpperCase copy
+            // whose length can drift under full case mapping).
             val setSpan = {
-              val up = raw.toUpperCase
-              val from = up.indexOf(" SET ") + 5
-              val to = up.indexOf(" WHERE ") match {
-                case -1 => raw.length
+              val m = MssqlDialect.maskLiterals(raw)
+              def find(kw: String, from: Int): Int = {
+                var i = from
+                while (i <= m.length - kw.length) {
+                  if (m.regionMatches(true, i, kw, 0, kw.length)) return i
+                  i += 1
+                }
+                -1
+              }
+              val from = find(" SET ", 0) + 5
+              val to = find(" WHERE ", from) match {
+                case -1 => m.length
                 case w => w
               }
-              raw.substring(from, to)
+              m.substring(from, to)
             }
             if (s"(?i)\\[${java.util.regex.Pattern.quote(rv)}\\]\\s*=".r
                 .findFirstIn(setSpan).isDefined)
@@ -860,9 +885,30 @@ private final class MssqlModeStmtHandler(underlying: Statement,
               case many =>
                 // a rowversion multi-row insert became one statement
                 // per tuple (sequence-draw rule); fold the results
-                // back into the caller's expected shape
-                val rets = many.map(s2 =>
+                // back into the caller's expected shape. MSSQL executes
+                // the original as ONE atomic statement, so under
+                // autocommit the N tuples must commit or roll back
+                // together — a mid-list failure must not keep earlier
+                // tuples (addBatch only queues; its executeBatch-time
+                // semantics are the caller's transaction as usual)
+                def runAll(): Seq[AnyRef] = many.map(s2 =>
                   method.invoke(underlying, (s2 +: args.drop(1)): _*))
+                val rets =
+                  if (method.getName == "addBatch" || !conn.getAutoCommit)
+                    runAll()
+                  else {
+                    conn.setAutoCommit(false)
+                    try {
+                      val r = runAll()
+                      conn.commit()
+                      r
+                    } catch {
+                      case e: Throwable =>
+                        try conn.rollback()
+                        catch { case _: java.sql.SQLException => () }
+                        throw e
+                    } finally conn.setAutoCommit(true)
+                  }
                 method.getName match {
                   case "executeUpdate" =>
                     Integer.valueOf(rets.map(_.asInstanceOf[Integer].intValue).sum)

@@ -261,7 +261,7 @@ object MySqlDialect {
   * catalog (the translated CREATE already landed), so a quoted
   * NUMERIC-LOOKING string bound for a VARCHAR column stays text.
   */
-private object MySqlDecimalCoerce {
+private[engine] object MySqlDecimalCoerce {
 
   private val insertRe =
     "(?is)^\\s*INSERT\\s+INTO\\s+`([^`]+)`\\s*\\(([^)]*)\\)".r.unanchored
@@ -297,7 +297,7 @@ private object MySqlDecimalCoerce {
     * a single-quoted literal that BEGINS a value at a decimal ordinal
     * is wrapped in the explicit cast.
     */
-  private def rewrite(sql: String, decPos: Map[Int, (Int, Int)]): String = {
+  private[engine] def rewrite(sql: String, decPos: Map[Int, (Int, Int)]): String = {
     val valuesAt = findValuesKeyword(sql)
     if (valuesAt < 0) return sql
     val out = new StringBuilder(sql.substring(0, valuesAt + 6))
@@ -326,6 +326,22 @@ private object MySqlDecimalCoerce {
             case None => out.append(lit)
           } else out.append(lit)
           atValueStart = false
+          i = j
+        case '"' =>
+          // double-quoted identifier span ("" escape): copied through
+          // whole, so a name containing a comma, paren, or apostrophe
+          // can't corrupt the ordinal/depth walk (same rule as
+          // findValuesKeyword)
+          var j = i + 1
+          var closed = false
+          while (j < n && !closed) {
+            if (sql.charAt(j) == '"') {
+              if (j + 1 < n && sql.charAt(j + 1) == '"') j += 2
+              else { closed = true; j += 1 }
+            } else j += 1
+          }
+          out.append(sql.substring(i, j))
+          if (depth == 1) atValueStart = false
           i = j
         case '(' =>
           depth += 1

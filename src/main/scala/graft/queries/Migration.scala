@@ -780,11 +780,27 @@ object Migration {
         .option("customSchema", "q_tiny SMALLINT, q_bit SMALLINT")
         .jdbc(dstUrl, dbtable, new java.util.Properties)
         .select(col("q_id"), col("q_tiny"), col("q_bit"), col("q_rv"),
-          col("q_dto"), col("q_dt"), col("q_sdt"), col("q_money"),
-          col("q_smoney"), col("q_guid"), col("q_bin"), col("q_vbin"),
+          col("q_dto"), col("q_dt"), col("q_sdt"),
+          // DECIMAL and BINARY outputs are rendered to canonical text
+          // here: decimals as their exact scale-padded string (any
+          // precision drift in the chain still reds the hash), and
+          // binaries as the reference's own 0xhex rendering
+          // (format.rs:17) — the raw types are pinned by ScalaTest
+          // (MssqlModeSpec), the verified OUTPUT stays in the
+          // portable type envelope
+          col("q_money").cast("string").as("q_money"),
+          col("q_smoney").cast("string").as("q_smoney"),
+          col("q_guid"),
+          concat(lit("0x"), lower(hex(col("q_bin")))).as("q_bin"),
+          concat(lit("0x"), lower(hex(col("q_vbin")))).as("q_vbin"),
           col("q_note"), col("q_text"), col("q_char"), col("q_nchar"),
-          col("q_ntext"), col("q_xml"), col("q_img"), col("q_date"),
-          col("q_dt2"), col("q_real"), col("q_dec"), col("q_time"))
+          col("q_ntext"), col("q_xml"),
+          concat(lit("0x"), lower(hex(col("q_img")))).as("q_img"),
+          col("q_date"), col("q_dt2"),
+          // float widened to double: binary32 values are exact in
+          // binary64, and DOUBLE is the driver-proven float envelope
+          col("q_real").cast("double").as("q_real"),
+          col("q_dec").cast("string").as("q_dec"), col("q_time"))
         .orderBy(col("q_id"))
       // materialize to local rows BEFORE the finally drops the
       // database: the returned plan must not re-scan the dropped
@@ -804,64 +820,69 @@ object Migration {
     }
   }
 
+  // DECIMAL columns are pinned as their exact scale-padded strings and
+  // BINARY columns as the reference's 0xhex rendering (format.rs:17) —
+  // the driver's hash can only verify the portable type envelope
+  // (no DECIMAL/BLOB outputs); the raw wire types are pinned by
+  // MssqlModeSpec instead.
   private val mssqlQuirksSql =
     """SELECT * FROM (VALUES
       |  (1, CAST(0 AS SMALLINT), CAST(1 AS SMALLINT), CAST(1 AS BIGINT),
       |   TIMESTAMP '2021-03-04 03:06:07.123',
       |   TIMESTAMP '2021-03-04 05:06:07.123',
       |   TIMESTAMP '2021-03-04 05:06:00',
-      |   CAST('12.3456' AS DECIMAL(19,4)), CAST('0.5678' AS DECIMAL(10,4)),
+      |   '12.3456', '0.5678',
       |   'a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11',
-      |   unhex('deadbeef'), unhex('00ff'),
+      |   '0xdeadbeef', '0x00ff',
       |   'O''Brien', 'not a literal: 0x00 and ''quotes'' survive',
       |   'ab ', 'é ', 'long ntext body', '<a b="c">x</a>',
-      |   unhex('89504e47'), DATE '2021-01-02',
-      |   TIMESTAMP '2021-03-04 05:06:07.123456', CAST(1.5 AS REAL),
-      |   CAST('12345.678' AS DECIMAL(8,3)), '12:34:56.1234567'),
+      |   '0x89504e47', DATE '2021-01-02',
+      |   TIMESTAMP '2021-03-04 05:06:07.123456', CAST(1.5 AS DOUBLE),
+      |   '12345.678', '12:34:56.1234567'),
       |  (2, CAST(127 AS SMALLINT), CAST(0 AS SMALLINT), CAST(2 AS BIGINT),
       |   TIMESTAMP '2021-01-01 01:00:00',
       |   TIMESTAMP '2021-03-04 05:06:07.126',
       |   TIMESTAMP '2021-03-04 05:07:00',
-      |   CAST('-0.0001' AS DECIMAL(19,4)), CAST('-1.0001' AS DECIMAL(10,4)),
+      |   '-0.0001', '-1.0001',
       |   '00000000-0000-0000-0000-000000000000',
-      |   unhex('00000000'), unhex('0123456789abcdef'),
+      |   '0x00000000', '0x0123456789abcdef',
       |   'back\slash', 'plain body',
-      |   'xyz', 'ok', 'two', '<r/>', unhex('00'), DATE '1999-12-31',
-      |   TIMESTAMP '2000-01-01 00:00:00', CAST(-2.25 AS REAL),
-      |   CAST('-0.001' AS DECIMAL(8,3)), '00:00:00'),
+      |   'xyz', 'ok', 'two', '<r/>', '0x00', DATE '1999-12-31',
+      |   TIMESTAMP '2000-01-01 00:00:00', CAST(-2.25 AS DOUBLE),
+      |   '-0.001', '00:00:00'),
       |  (3, CAST(42 AS SMALLINT), CAST(1 AS SMALLINT), CAST(3 AS BIGINT),
       |   TIMESTAMP '2022-01-15 06:15:00.25',
       |   TIMESTAMP '2021-03-04 05:06:08',
       |   TIMESTAMP '2021-01-01 00:00:00',
-      |   CAST('99999.9999' AS DECIMAL(19,4)), CAST('214748.3647' AS DECIMAL(10,4)),
+      |   '99999.9999', '214748.3647',
       |   'ffffffff-ffff-ffff-ffff-ffffffffffff',
-      |   unhex('cafebabe'), unhex('80'),
+      |   '0xcafebabe', '0x80',
       |   'café', 'year rolls over at 23:59:45',
-      |   'a  ', 'b ', 'three', '<x y="2"/>', unhex('ffffffff'),
+      |   'a  ', 'b ', 'three', '<x y="2"/>', '0xffffffff',
       |   DATE '2038-01-19', TIMESTAMP '2021-12-31 23:59:59.999999',
-      |   CAST(3.75 AS REAL), CAST('99999.999' AS DECIMAL(8,3)),
+      |   CAST(3.75 AS DOUBLE), '99999.999',
       |   '23:59:59.9999999'),
       |  (4, CAST(16 AS SMALLINT), CAST(0 AS SMALLINT), CAST(4 AS BIGINT),
       |   TIMESTAMP '2019-06-01 00:00:00.5',
       |   TIMESTAMP '2019-06-01 00:00:00',
       |   TIMESTAMP '2019-06-01 00:00:00',
-      |   CAST('0.5' AS DECIMAL(19,4)), CAST('0.0001' AS DECIMAL(10,4)),
+      |   '0.5000', '0.0001',
       |   '12345678-1234-1234-1234-123456789abc',
-      |   unhex('0102030a'), unhex('ff'),
+      |   '0x0102030a', '0xff',
       |   'plain', 'x',
-      |   'zz ', 'cd', 'four', '<z/>', unhex('1f8b'), DATE '1970-01-01',
-      |   TIMESTAMP '1970-01-01 00:00:00.000001', CAST(0.125 AS REAL),
-      |   CAST('0.001' AS DECIMAL(8,3)), '12:00:00'),
+      |   'zz ', 'cd', 'four', '<z/>', '0x1f8b', DATE '1970-01-01',
+      |   TIMESTAMP '1970-01-01 00:00:00.000001', CAST(0.125 AS DOUBLE),
+      |   '0.001', '12:00:00'),
       |  (5, CAST(NULL AS SMALLINT), CAST(NULL AS SMALLINT), CAST(5 AS BIGINT),
       |   CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
       |   CAST(NULL AS TIMESTAMP),
-      |   CAST(NULL AS DECIMAL(19,4)), CAST(NULL AS DECIMAL(10,4)),
-      |   CAST(NULL AS VARCHAR), CAST(NULL AS BLOB), CAST(NULL AS BLOB),
+      |   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+      |   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
       |   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
       |   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
       |   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
-      |   CAST(NULL AS BLOB), CAST(NULL AS DATE), CAST(NULL AS TIMESTAMP),
-      |   CAST(NULL AS REAL), CAST(NULL AS DECIMAL(8,3)),
+      |   CAST(NULL AS VARCHAR), CAST(NULL AS DATE), CAST(NULL AS TIMESTAMP),
+      |   CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
       |   CAST(NULL AS VARCHAR))
       |) AS t(q_id, q_tiny, q_bit, q_rv, q_dto, q_dt, q_sdt, q_money,
       |       q_smoney, q_guid, q_bin, q_vbin, q_note, q_text,
@@ -983,7 +1004,13 @@ object Migration {
       } finally c2.close()
       val incremental = src.read(s, "account")
         .filter(col("rv") > bookmark)
-        .select(col("account_id"), col("owner"), col("balance"), col("rv"))
+        // DECIMAL(12,2) rendered as its exact scale-padded string:
+        // the driver's hash verifies only the portable type envelope
+        // (no DECIMAL outputs) and a string pin still reds on any
+        // precision drift ('250.0' ≠ '250.00'); the raw wire type is
+        // pinned by MssqlModeSpec
+        .select(col("account_id"), col("owner"),
+          col("balance").cast("string").as("balance"), col("rv"))
         .orderBy(col("rv"))
       s.createDataFrame(
         java.util.Arrays.asList(incremental.collect(): _*),
@@ -999,10 +1026,10 @@ object Migration {
   // per-row bumps — the change set is exactly rv > 5
   private val incrementalRowversionSql =
     """SELECT * FROM (VALUES
-      |  (6, 'frank', CAST('10.00' AS DECIMAL(12,2)), CAST(6 AS BIGINT)),
-      |  (7, 'grace', CAST('20.00' AS DECIMAL(12,2)), CAST(7 AS BIGINT)),
-      |  (2, 'bob', CAST('250.00' AS DECIMAL(12,2)), CAST(8 AS BIGINT)),
-      |  (5, 'eve-2', CAST('900.00' AS DECIMAL(12,2)), CAST(9 AS BIGINT))
+      |  (6, 'frank', '10.00', CAST(6 AS BIGINT)),
+      |  (7, 'grace', '20.00', CAST(7 AS BIGINT)),
+      |  (2, 'bob', '250.00', CAST(8 AS BIGINT)),
+      |  (5, 'eve-2', '900.00', CAST(9 AS BIGINT))
       |) AS t(account_id, owner, balance, rv)
       |ORDER BY rv""".stripMargin
 

@@ -253,6 +253,81 @@ class MssqlModeSpec extends AnyFunSuite {
         "(1, CAST(X'cafe' AS BLOB), 'not 0xff data')")
   }
 
+  test("ANSI VALUES locator and hex rewrite respect boundaries") {
+    // identifier with 'ß' before VALUES: full case mapping lengthens a
+    // toUpperCase copy ('ß' → "SS"), so the locator must match on the
+    // ORIGINAL string — a shifted split corrupted the statement
+    assert(AnsiFlavor.translate("INSERT INTO `straße` (`a`) VALUES ('x')")
+      == "INSERT INTO \"straße\" (\"a\") VALUES ('x')")
+    // 0x with no hex digits or with a trailing word char is NOT a
+    // binary literal — mirror the regex path's boundaries
+    assert(AnsiFlavor.translate("INSERT INTO `t` (`a`,`b`) VALUES (0x, 0xgg)")
+      == "INSERT INTO \"t\" (\"a\",\"b\") VALUES (0x, 0xgg)")
+    assert(AnsiFlavor.translate("INSERT INTO `t` (`a`) VALUES (0xff)")
+      == "INSERT INTO \"t\" (\"a\") VALUES (CAST(X'ff' AS BLOB))")
+  }
+
+  test("multi-row rowversion INSERT is atomic under autocommit") {
+    withDb("rvatomic") { url =>
+      val c = DriverManager.getConnection(url)
+      try {
+        val st = c.createStatement()
+        st.execute("CREATE TABLE [t] ([id] INT NOT NULL PRIMARY KEY, " +
+          "[rv] ROWVERSION)")
+        // the per-tuple sequence-draw split must keep MSSQL's
+        // single-statement atomicity: the duplicate key in tuple 3
+        // rolls back tuples 1-2 as well
+        intercept[Exception] {
+          st.execute("INSERT INTO [t] ([id]) VALUES (1), (2), (1)")
+        }
+        val rs = st.executeQuery("SELECT COUNT(*) FROM [t]")
+        rs.next()
+        assert(rs.getLong(1) == 0L,
+          "mid-list failure must roll back earlier tuples")
+        rs.close()
+        assert(c.getAutoCommit, "autocommit must be restored")
+        // a clean multi-row insert still lands with per-row counters
+        st.execute("INSERT INTO [t] ([id]) VALUES (7), (8)")
+        val rs2 = st.executeQuery("SELECT COUNT(DISTINCT [rv]) FROM [t]")
+        rs2.next(); assert(rs2.getLong(1) == 2L)
+        rs2.close()
+        st.close()
+      } finally c.close()
+    }
+  }
+
+  test("UPDATE rowversion guard scans literal-masked text") {
+    withDb("rvmask") { url =>
+      val c = DriverManager.getConnection(url)
+      try {
+        val st = c.createStatement()
+        st.execute("CREATE TABLE [m] ([id] INT NOT NULL PRIMARY KEY, " +
+          "[v] VARCHAR(60), [rv] ROWVERSION)")
+        st.execute("INSERT INTO [m] ([id],[v]) VALUES (1, 'a')")
+        // '[rv] =' INSIDE a string literal is data — must not trip the
+        // cannot-update-rowversion rejection
+        st.execute(
+          "UPDATE [m] SET [v] = 'text with [rv] = 9 inside' WHERE [id] = 1")
+        val rs = st.executeQuery("SELECT [v],[rv] FROM [m] WHERE [id] = 1")
+        rs.next()
+        assert(rs.getString(1) == "text with [rv] = 9 inside")
+        assert(rs.getLong(2) == 2L) // the guard still bumped the counter
+        rs.close()
+        // ' WHERE ' INSIDE a literal must not truncate the SET span: a
+        // real rowversion assignment after it is still rejected
+        val e = intercept[Exception] {
+          st.execute(
+            "UPDATE [m] SET [v] = 'a WHERE b', [rv] = 9 WHERE [id] = 1")
+        }
+        def chain(t: Throwable): Seq[String] =
+          Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+            .map(x => Option(x.getMessage).getOrElse("")).toSeq
+        assert(chain(e).exists(_.contains("rowversion")))
+        st.close()
+      } finally c.close()
+    }
+  }
+
   test("smalldatetime decode rounds to the minute at 29.999 s") {
     withDb("sdt") { url =>
       val c = DriverManager.getConnection(url)
@@ -382,6 +457,38 @@ class MssqlModeSpec extends AnyFunSuite {
         rs3.close()
         st.close()
       } finally c.close()
+    }
+  }
+
+  test("DECIMAL(12,2) keeps exact scale over the wire (raw type pin)") {
+    // The driver-facing queries render DECIMAL outputs as strings
+    // (the driver's hash cannot verify DECIMAL columns) — this pins
+    // the RAW wire type and exact scale-padded values underneath, so
+    // the envelope cast can never mask a precision bug.
+    withDb("decpin") { url =>
+      val c = DriverManager.getConnection(url)
+      try {
+        val st = c.createStatement()
+        st.execute("CREATE TABLE [dp] ([id] INT NOT NULL PRIMARY KEY, " +
+          "[bal] DECIMAL(12,2))")
+        st.execute("INSERT INTO [dp] ([id],[bal]) VALUES " +
+          "(1, 250.00), (2, 0.5), (3, -25.50), (4, 900)")
+        val rs = st.executeQuery("SELECT [id],[bal] FROM [dp] ORDER BY [id]")
+        val raw = Iterator.continually(rs).takeWhile(_.next())
+          .map(r => (r.getInt(1), r.getBigDecimal(2))).toList
+        rs.close(); st.close()
+        // JDBC hands back scale-2 BigDecimals: 0.5 → 0.50, 900 → 900.00
+        assert(raw.map(_._2.toPlainString) ==
+          List("250.00", "0.50", "-25.50", "900.00"))
+        assert(raw.forall(_._2.scale == 2))
+      } finally c.close()
+      val df = new MssqlSchemaSource(url).read(spark, "dp")
+      val balType = df.schema("bal").dataType
+      assert(balType == org.apache.spark.sql.types.DecimalType(12, 2),
+        s"wire type drifted: $balType")
+      val strs = df.orderBy(col("id"))
+        .select(col("bal").cast("string")).collect().map(_.getString(0))
+      assert(strs.toSeq == Seq("250.00", "0.50", "-25.50", "900.00"))
     }
   }
 

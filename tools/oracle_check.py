@@ -94,6 +94,23 @@ def main():
             print(f"FAIL {name}: spark read error: {e}")
             n_fail += 1
             continue
+        # Driver-verifiable output envelope: the driver's harness
+        # crashes on BLOB cells (pandas sort, r13) and hash-reds
+        # value-identical DECIMAL columns (r12/r13) — `norm` below
+        # would happily green both, so REFUSE them on either side
+        # instead of normalizing them away (mirror red ⇔ driver red).
+        envelope_bad = [
+            (side, c, str(t))
+            for side, cols_types in (("oracle", zip(d.columns, d.types)),
+                                     ("spark", zip(sres.columns, sres.types)))
+            for c, t in cols_types
+            if "DECIMAL" in str(t).upper() or "BLOB" in str(t).upper()
+            or "BINARY" in str(t).upper()]
+        if envelope_bad:
+            print(f"FAIL {name}: output schema outside the driver-"
+                  f"verifiable envelope (DECIMAL/BLOB): {envelope_bad}")
+            n_fail += 1
+            continue
         dc, dr = table_of(d_rows, d_cols)
         sc, sr = table_of(s_rows, s_cols)
         if dc != sc:
