@@ -117,25 +117,26 @@ class WireFuzzSpec extends AnyFunSuite {
     }
   }
 
-  test("fuzz round-trip through the strict MSSQL-dialect SOURCE wire") {
+  private def tsql(v: Any): String = v match {
+    case null => "NULL"
+    case s: String => "N'" + s.replace("'", "''") + "'"
+    case d: java.math.BigDecimal => d.toPlainString
+    case b: Array[Byte] =>
+      "0x" + b.map(x => f"${x & 0xff}%02x").mkString
+    case t: Timestamp =>
+      val f = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+      f.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+      "'" + f.format(t) + "'"
+    case other => other.toString
+  }
+
+  private def mssqlSourceRoundTrip(seed: Long): Unit = {
     // the symmetric leg: random values rendered as T-SQL literals
     // (N'…' with '' doubling, backslash a PLAIN character, 0xHEX
     // binaries) are INSERTed through the shim's lexer/translator and
     // read back through MssqlSchemaSource's partitioned scan +
     // canonical decode
-    val input = mkRows(0xf00d3L, 60)
-    def tsql(v: Any): String = v match {
-      case null => "NULL"
-      case s: String => "N'" + s.replace("'", "''") + "'"
-      case d: java.math.BigDecimal => d.toPlainString
-      case b: Array[Byte] =>
-        "0x" + b.map(x => f"${x & 0xff}%02x").mkString
-      case t: Timestamp =>
-        val f = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
-        f.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
-        "'" + f.format(t) + "'"
-      case other => other.toString
-    }
+    val input = mkRows(seed, 60)
     val nonce = System.nanoTime()
     val srcRest = s"memory:fuzzsrc_$nonce;create=true"
     val srcUrl = MssqlModeEngine.url(srcRest)
@@ -162,6 +163,126 @@ class WireFuzzSpec extends AnyFunSuite {
       catch { case _: java.sql.SQLException => () }
     }
   }
+
+  test("fuzz round-trip through the strict MSSQL-dialect SOURCE wire") {
+    mssqlSourceRoundTrip(0xf00d3L)
+  }
+
+  /** Fuzz the rowversion DML path: multi-row INSERTs (split into
+    * per-tuple statements under one transaction) and UPDATEs whose SET
+    * literals carry every scan hazard (' WHERE ', '[rv] =', 'VALUES',
+    * backticks, '@@', 0x-looking text) — the exact text the masked
+    * guard and the VALUES/SET anchors must never mistake for syntax.
+    * The model tracks the expected database-wide counter per row.
+    */
+  private def rowversionDmlFuzz(seed: Long): Unit = {
+    val r = new scala.util.Random(seed)
+    val nonce = System.nanoTime()
+    val rest = s"memory:fuzzrv_${nonce}_$seed;create=true"
+    val url = MssqlModeEngine.url(rest)
+    try {
+      val c = DriverManager.getConnection(url)
+      try {
+        val st = c.createStatement()
+        st.execute("CREATE TABLE [rvz] ([id] INT NOT NULL PRIMARY KEY, " +
+          "[s] NVARCHAR(300), [rv] ROWVERSION)")
+        val s = scala.collection.mutable.Map.empty[Int, String] // id → s
+        val rv = scala.collection.mutable.Map.empty[Int, Long] // id → rv
+        var counter = 0L
+        var nextId = 1
+        // phase 1: multi-row inserts in random batch sizes — each row
+        // draws one counter value in tuple order
+        while (nextId <= 30) {
+          val k = 1 + r.nextInt(5)
+          val ids = (nextId until math.min(nextId + k, 31)).toVector
+          nextId += ids.size
+          val tuples = ids.map { id =>
+            val v = if (r.nextInt(8) == 0) null else randString(r)
+            s(id) = Option(v).getOrElse("<null>")
+            counter += 1; rv(id) = counter
+            s"($id, ${tsql(v)})"
+          }
+          st.execute("INSERT INTO [rvz] ([id],[s]) VALUES " +
+            tuples.mkString(", "))
+        }
+        // phase 2: random updates — one counter draw per matched row,
+        // the SET literal carrying the full hazard alphabet
+        (1 to 20).foreach { _ =>
+          val id = 1 + r.nextInt(30)
+          val v = randString(r) + " WHERE [rv] = 9 VALUES `x` @@v"
+          s(id) = v
+          counter += 1; rv(id) = counter
+          st.execute(s"UPDATE [rvz] SET [s] = ${tsql(v)} WHERE [id] = $id")
+        }
+        // model check over the live wire read-back
+        val got = new MssqlSchemaSource(url).read(spark, "rvz")
+          .collect().map(row => (row.getAs[Int]("id"),
+            Option(row.getAs[String]("s")).getOrElse("<null>"),
+            row.getAs[Long]("rv"))).sortBy(_._1).toSeq
+        val want = (1 to 30).map(id => (id, s(id), rv(id)))
+        got.zip(want).foreach { case (g, w) =>
+          assert(g == w, s"\n got=$g\nwant=$w")
+        }
+        // violation arms stay violations under fuzz data
+        intercept[Exception](
+          st.execute("INSERT INTO [rvz] ([id],[s],[rv]) VALUES (99, 'x', 1)"))
+        intercept[Exception](
+          st.execute("UPDATE [rvz] SET [rv] = 5 WHERE [id] = 1"))
+        // a failing multi-row insert (dup key mid-list) keeps nothing
+        intercept[Exception](
+          st.execute("INSERT INTO [rvz] ([id],[s]) VALUES (98, 'a'), (1, 'b')"))
+        val rs = st.executeQuery(
+          "SELECT COUNT(*) FROM [rvz] WHERE [id] IN (98, 99)")
+        rs.next(); assert(rs.getLong(1) == 0L); rs.close()
+        st.close()
+      } finally c.close()
+    } finally {
+      try DriverManager.getConnection(
+        s"jdbc:derby:$rest".replace(";create=true", ";drop=true"))
+      catch { case _: java.sql.SQLException => () }
+    }
+  }
+
+  test("fuzz rowversion DML through the strict MSSQL wire") {
+    rowversionDmlFuzz(0xf00d4L)
+  }
+
+  // Optional wide sweep: SPARK_GRAFT_FUZZ_SEEDS="1,2,3" registers every
+  // leg once per seed — used for local soak runs; CI stays on the
+  // fixed seeds above.
+  sys.env.get("SPARK_GRAFT_FUZZ_SEEDS").toSeq
+    .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty).map(_.toLong)
+    .foreach { seed =>
+      test(s"fuzz sweep seed $seed: ANSI target") {
+        val nonce = System.nanoTime()
+        val dstUrl = s"jdbc:derby:memory:fzsw${nonce}_$seed;create=true"
+        try roundTrip(seed, dstUrl, AnsiFlavor, () =>
+          spark.read.jdbc(dstUrl, "\"fuzz\"", new java.util.Properties))
+        finally {
+          try DriverManager.getConnection(
+            dstUrl.replace(";create=true", ";drop=true"))
+          catch { case _: java.sql.SQLException => () }
+        }
+      }
+      test(s"fuzz sweep seed $seed: MySQL shim target") {
+        val nonce = System.nanoTime()
+        val dstRest = s"memory:fzswmy${nonce}_$seed;create=true"
+        val dstUrl = MySqlModeEngine.url(dstRest)
+        try roundTrip(seed, dstUrl, MySqlFlavor, () =>
+          spark.read.jdbc(dstUrl, "`fuzz`", new java.util.Properties))
+        finally {
+          try DriverManager.getConnection(
+            s"jdbc:derby:$dstRest".replace(";create=true", ";drop=true"))
+          catch { case _: java.sql.SQLException => () }
+        }
+      }
+      test(s"fuzz sweep seed $seed: MSSQL source wire") {
+        mssqlSourceRoundTrip(seed)
+      }
+      test(s"fuzz sweep seed $seed: rowversion DML") {
+        rowversionDmlFuzz(seed)
+      }
+    }
 
   test("fuzz round-trip into the strict MySQL-dialect shim target") {
     val nonce = System.nanoTime()
