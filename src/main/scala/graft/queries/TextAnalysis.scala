@@ -1346,7 +1346,86 @@ object TextAnalysis {
       |    AS novelty
       |FROM d CROSS JOIN n GROUP BY 1 ORDER BY decile""".stripMargin
 
+  /** Cross-source 3-gram overlap matrix — the corpus-comparison step a
+    * multi-source training mix runs before weighting: which sources
+    * share content (mirrors, re-scrapes of the same sites) and which
+    * are genuinely distinct. Computed the scale-safe way: ONE
+    * corpus-wide aggregation folds each 3-gram's source set into a
+    * BIGINT bitmask (the source list is a tiny lexically-indexed dim;
+    * `bit_or` is idempotent, so no pre-distinct pass is needed), and
+    * only the bitmask HISTOGRAM — ≤ min(|vocab|, 2^n_src) rows, KBs
+    * where the corpus is TBs — leaves that shuffle. Every pairwise
+    * |A∩B| / |A| / |B| / Jaccard then falls out of conditional sums
+    * over histogram × pair-dim (190 × histogram rows, both
+    * corpus-size-independent). The naive alternative — a shingle
+    * self-join per source pair — re-scans the corpus O(pairs) times.
+    */
+  private def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    // ≤ dozens of rows: the partition-less window runs on the source
+    // DIM, never the corpus
+    val srcs = Tables(s, dir, "documents").select(col("source")).distinct()
+      .withColumn("idx",
+        row_number().over(Window.orderBy(col("source"))))
+    val hist = Tables(s, dir, "documents")
+      .select(col("source"),
+        explode(graft.functions.WordShingles(col("text"), 3)).as("g"))
+      .join(broadcast(srcs), "source")
+      .groupBy(col("g"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), idx - 1))").as("mask"))
+      .groupBy(col("mask")).agg(count(lit(1)).as("cnt"))
+    val pairs = srcs.select(col("source").as("src_a"), col("idx").as("ia"))
+      .crossJoin(srcs.select(col("source").as("src_b"), col("idx").as("ib")))
+      .filter(col("ia") < col("ib"))
+    val bitA = expr(
+      "(mask & shiftleft(CAST(1 AS BIGINT), ia - 1)) != 0")
+    val bitB = expr(
+      "(mask & shiftleft(CAST(1 AS BIGINT), ib - 1)) != 0")
+    pairs.crossJoin(hist)
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(
+        sum(when(bitA && bitB, col("cnt")).otherwise(0L)).as("n_common"),
+        sum(when(bitA, col("cnt")).otherwise(0L)).as("n_a"),
+        sum(when(bitB, col("cnt")).otherwise(0L)).as("n_b"))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common")))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  private val sourceOverlapSql =
+    """WITH sh AS (
+      |  SELECT source,
+      |    unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS g
+      |  FROM (SELECT source, string_split(text, ' ') AS ws FROM documents)
+      |  WHERE len(ws) >= 3),
+      |srcs AS (
+      |  SELECT source,
+      |    CAST(row_number() OVER (ORDER BY source) AS INT) AS idx
+      |  FROM (SELECT DISTINCT source FROM documents)),
+      |masks AS (
+      |  SELECT g, bit_or(CAST(1 AS BIGINT) << (idx - 1)) AS mask
+      |  FROM sh JOIN srcs USING (source) GROUP BY g),
+      |hist AS (SELECT mask, count(*) AS cnt FROM masks GROUP BY mask),
+      |pairs AS (
+      |  SELECT a.source AS src_a, a.idx AS ia, b.source AS src_b,
+      |    b.idx AS ib
+      |  FROM srcs a JOIN srcs b ON a.idx < b.idx),
+      |agg AS (
+      |  SELECT src_a, src_b,
+      |    CAST(sum(CASE WHEN (mask >> (ia - 1)) & 1 = 1
+      |      AND (mask >> (ib - 1)) & 1 = 1 THEN cnt ELSE 0 END) AS BIGINT)
+      |      AS n_common,
+      |    CAST(sum(CASE WHEN (mask >> (ia - 1)) & 1 = 1 THEN cnt
+      |      ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN (mask >> (ib - 1)) & 1 = 1 THEN cnt
+      |      ELSE 0 END) AS BIGINT) AS n_b
+      |  FROM pairs CROSS JOIN hist GROUP BY src_a, src_b)
+      |SELECT src_a, src_b, n_common, n_a, n_b,
+      |  CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
+      |FROM agg ORDER BY src_a, src_b""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("ta_source_overlap", sourceOverlap, Some(sourceOverlapSql)),
     QueryDef("ta_ngram_novelty", ngramNovelty, Some(ngramNoveltySql)),
     QueryDef("ta_tokenizer_fertility", tokenizerFertility,
       Some(tokenizerFertilitySql)),

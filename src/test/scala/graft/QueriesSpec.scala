@@ -31,6 +31,33 @@ class QueriesSpec extends AnyFunSuite {
     assert((all -- oracles) == Set.empty[String])
   }
 
+  test("ta_source_overlap: bitmask-histogram matrix equals direct set math") {
+    val out = SparkEntry.queries("ta_source_overlap")(spark, dir).collect()
+    val nSrc = graft.Tables(spark, dir, "documents")
+      .select("source").distinct().count().toInt
+    assert(out.length == nSrc * (nSrc - 1) / 2, "one row per source pair")
+    out.foreach { r =>
+      val (common, na, nb) = (r.getAs[Long]("n_common"),
+        r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      assert(common <= math.min(na, nb), s"intersection bound: $r")
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.0 && j <= 1.0 && j == common.toDouble / (na + nb - common))
+    }
+    // direct (non-bitmask) recomputation of one pair must agree — the
+    // histogram path is an optimization, not a definition
+    val first = out.minBy(r => (r.getString(0), r.getString(1)))
+    val (sa, sb) = (first.getString(0), first.getString(1))
+    import org.apache.spark.sql.functions._
+    def gramSet(src: String) = graft.Tables(spark, dir, "documents")
+      .filter(col("source") === src)
+      .select(explode(graft.functions.WordShingles(col("text"), 3)).as("g"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val (ga, gb) = (gramSet(sa), gramSet(sb))
+    assert(first.getAs[Long]("n_a") == ga.size.toLong)
+    assert(first.getAs[Long]("n_b") == gb.size.toLong)
+    assert(first.getAs[Long]("n_common") == ga.intersect(gb).size.toLong)
+  }
+
   test("mm_decode_wav containers parse under the JDK's own audio stack") {
     // independent-parser check: the PRODUCTION encoder's bytes
     // (queries.Multimodal.encodeWavPcm16 — the same function the query
