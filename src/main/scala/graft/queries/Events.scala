@@ -1523,7 +1523,71 @@ object Events {
       |FROM detrended GROUP BY event_type, hod
       |ORDER BY event_type, hod""".stripMargin
 
+  /** Day-bitmap engagement census — the bitmap-index formulation of
+    * activity segmentation: each user's active days fold into ONE
+    * BIGINT bitmask (`bit_or(1 << day)`, idempotent — no per-day
+    * dedup pass), so active-day count is `bit_count(mask)` and the
+    * longest consecutive-day streak is pure mask arithmetic
+    * (iterate m → m & (m<<1); iterations-to-zero = longest run),
+    * computed on the DISTINCT-mask histogram — never per user. Output
+    * is the bounded (n_active_days, longest_streak) census.
+    *
+    * Scale shape: one shuffle on user_id (map-side combined bit_or),
+    * then everything runs on ≤ min(users, 2^window_days) histogram
+    * rows. Contract: the event window must fit a BIGINT (≤ 63 days
+    * from the corpus min-date — the fixture spans 30); longer windows
+    * shard the mask into an ARRAY<BIGINT> with the same arithmetic.
+    * Compare ev_retention/ev_dau_wau: same engagement signals via
+    * joins/windows — this is the form whose per-user state is 8 bytes.
+    */
+  private def dayBitmap(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val d0 = ev.agg(min(to_date(col("ts"))).as("d0"))
+    val hist = ev.crossJoin(broadcast(d0))
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), col("d0")).as("day"))
+      .groupBy(col("user_id"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), day))").as("mask"))
+      .groupBy(col("mask")).agg(count(lit(1)).as("n_users"))
+    // 63-step fold on the tiny histogram relation (interpreted HOF is
+    // fine off the corpus path): k = iterations until m & (m<<1)
+    // reaches zero = the longest run of consecutive set bits
+    hist
+      .withColumn("longest_streak",
+        expr("""aggregate(sequence(1, 63), struct(mask AS m, 0 AS k),
+          (acc, i) -> IF(acc.m <> 0,
+            struct(acc.m & shiftleft(acc.m, 1) AS m, acc.k + 1 AS k),
+            acc),
+          acc -> acc.k)"""))
+      .groupBy(expr("CAST(bit_count(mask) AS INT)").as("n_active_days"),
+        col("longest_streak"))
+      .agg(sum(col("n_users")).as("n_users"))
+      .orderBy(col("n_active_days"), col("longest_streak"))
+  }
+
+  private val dayBitmapSql =
+    """WITH RECURSIVE d0 AS (
+      |  SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+      |um AS (
+      |  SELECT user_id,
+      |    bit_or(CAST(1 AS BIGINT) << datediff('day', d0, CAST(ts AS DATE)))
+      |      AS mask
+      |  FROM events CROSS JOIN d0 GROUP BY user_id),
+      |hist AS (SELECT mask, count(*) AS nu FROM um GROUP BY mask),
+      |r(mask, m, k) AS (
+      |  SELECT mask, mask, 0 FROM hist
+      |  UNION ALL
+      |  SELECT mask, m & (m << 1), k + 1 FROM r WHERE m <> 0),
+      |st AS (
+      |  SELECT mask, CAST(max(k) AS INT) AS longest_streak
+      |  FROM r GROUP BY mask)
+      |SELECT CAST(bit_count(hist.mask) AS INT) AS n_active_days,
+      |  longest_streak, CAST(sum(nu) AS BIGINT) AS n_users
+      |FROM hist JOIN st USING (mask)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("ev_day_bitmap", dayBitmap, Some(dayBitmapSql)),
     QueryDef("ev_seasonal_decompose", seasonalDecompose,
       Some(seasonalDecomposeSql)),
     QueryDef("ev_gap_fill", gapFill, Some(gapFillSql)),

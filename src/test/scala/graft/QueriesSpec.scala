@@ -58,6 +58,37 @@ class QueriesSpec extends AnyFunSuite {
     assert(first.getAs[Long]("n_common") == ga.intersect(gb).size.toLong)
   }
 
+  test("ev_day_bitmap: mask arithmetic equals direct streak computation") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("ev_day_bitmap")(spark, dir).collect()
+    // census covers every user exactly once
+    val nUsers = graft.Tables(spark, dir, "events")
+      .select("user_id").distinct().count()
+    assert(out.map(_.getAs[Long]("n_users")).sum == nUsers)
+    out.foreach { r =>
+      val (act, st) = (r.getAs[Int]("n_active_days"),
+        r.getAs[Int]("longest_streak"))
+      assert(st >= 1 && st <= act, s"streak bounds: $r")
+    }
+    // direct per-user recomputation (sets + linear scan, no bitmasks)
+    val byUser = graft.Tables(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getDate(1).toLocalDate).toSet).toMap
+    val want = byUser.values.map { days =>
+      val sorted = days.toSeq.sorted
+      val streak = sorted.foldLeft((0, 0, Option.empty[java.time.LocalDate])) {
+        case ((best, cur, prev), d) =>
+          val c = if (prev.exists(p => p.plusDays(1) == d)) cur + 1 else 1
+          (math.max(best, c), c, Some(d))
+      }._1
+      (days.size, streak)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = out.map(r => ((r.getAs[Int]("n_active_days"),
+      r.getAs[Int]("longest_streak")), r.getAs[Long]("n_users"))).toMap
+    assert(got == want)
+  }
+
   test("mm_decode_wav containers parse under the JDK's own audio stack") {
     // independent-parser check: the PRODUCTION encoder's bytes
     // (queries.Multimodal.encodeWavPcm16 — the same function the query
