@@ -1361,11 +1361,21 @@ object TextAnalysis {
     * self-join per source pair — re-scans the corpus O(pairs) times.
     */
   private def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    // ≤ dozens of rows: the partition-less window runs on the source
-    // DIM, never the corpus
-    val srcs = Tables(s, dir, "documents").select(col("source")).distinct()
-      .withColumn("idx",
-        row_number().over(Window.orderBy(col("source"))))
+    // The bit index only has to be INJECTIVE — every pairwise stat is
+    // index-invariant — so build it from a bounded dim collect (the
+    // centroid/dim-table pattern; the source list is the mix config,
+    // dozens of rows) rather than an unpartitioned window. Fail loudly
+    // past 63 sources: the BIGINT mask is full — shard into
+    // ARRAY<BIGINT> masks with the same arithmetic beyond that.
+    val srcNames = Tables(s, dir, "documents")
+      .select(col("source")).distinct()
+      .collect().map(_.getString(0)).sorted
+    require(srcNames.length <= 63,
+      s"source-overlap bitmask holds <= 63 sources, got ${srcNames.length}")
+    import s.implicits._
+    val srcs = srcNames.zipWithIndex
+      .map { case (n, i) => (n, i + 1) }.toSeq
+      .toDF("source", "idx")
     val hist = Tables(s, dir, "documents")
       .select(col("source"),
         explode(graft.functions.WordShingles(col("text"), 3)).as("g"))
