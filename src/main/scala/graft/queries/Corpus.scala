@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{QueryDef, Tables}
+import graft.{QueryDef, Quant, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -251,8 +251,8 @@ object Corpus {
       .withColumn("distinct_5grams",
         size(graft.functions.WordShingles(col("text"), 5)))
       .withColumn("rep_ratio",
-        when(col("total_5grams") > 0,
-          round(lit(1.0) - col("distinct_5grams").cast("double") /
+        when(col("total_5grams") > 0, // qdec: int/int ratio can TIE
+          Quant.qdec(lit(1.0) - col("distinct_5grams").cast("double") /
             col("total_5grams"), 9))
           .otherwise(lit(0.0)))
       .withColumn("keep", col("rep_ratio") <= 0.2)
@@ -270,18 +270,18 @@ object Corpus {
       |        || ws[i+3] || ' ' || ws[i+4]))) ELSE 0 END AS INTEGER)
       |    AS distinct_5grams,
       |  CASE WHEN len(ws) - 4 > 0
-      |    THEN round(1.0 - (CASE WHEN len(ws) >= 5 THEN len(list_distinct(
+      |    THEN floor((1.0 - (CASE WHEN len(ws) >= 5 THEN len(list_distinct(
       |      list_transform(range(1, len(ws) - 3),
       |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
       |          || ws[i+3] || ' ' || ws[i+4]))) ELSE 0 END)
-      |      / CAST(len(ws) - 4 AS DOUBLE), 9)
+      |      / CAST(len(ws) - 4 AS DOUBLE)) * 1e9 + 0.5) / 1e9
       |    ELSE 0.0 END AS rep_ratio,
       |  CASE WHEN len(ws) - 4 > 0
-      |    THEN round(1.0 - (CASE WHEN len(ws) >= 5 THEN len(list_distinct(
+      |    THEN floor((1.0 - (CASE WHEN len(ws) >= 5 THEN len(list_distinct(
       |      list_transform(range(1, len(ws) - 3),
       |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
       |          || ws[i+3] || ' ' || ws[i+4]))) ELSE 0 END)
-      |      / CAST(len(ws) - 4 AS DOUBLE), 9)
+      |      / CAST(len(ws) - 4 AS DOUBLE)) * 1e9 + 0.5) / 1e9
       |    ELSE 0.0 END <= 0.2 AS keep
       |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
       |ORDER BY doc_id""".stripMargin
@@ -341,11 +341,11 @@ object Corpus {
     docs
       .withColumn("ws", split(col("text"), " "))
       .withColumn("n_words", size(col("ws")))
-      .withColumn("mean_word_len",
-        round(aggregate(transform(col("ws"), w => length(w)), lit(0),
+      .withColumn("mean_word_len", // qdec: int/int ratios can TIE
+        Quant.qdec(aggregate(transform(col("ws"), w => length(w)), lit(0),
           (a, x) => a + x).cast("double") / col("n_words"), 9))
       .withColumn("distinct_ratio",
-        round(size(array_distinct(col("ws"))).cast("double") /
+        Quant.qdec(size(array_distinct(col("ws"))).cast("double") /
           col("n_words"), 9))
       .withColumn("n_stop", size(filter(col("ws"),
         w => w.isin("the", "a", "and", "of", "to"))))
@@ -403,10 +403,10 @@ object Corpus {
       |m AS (
       |  SELECT doc_id,
       |    len(ws) AS n_words,
-      |    round(CAST(list_aggregate(list_transform(ws, w -> len(w)), 'sum')
-      |      AS DOUBLE) / len(ws), 9) AS mean_word_len,
-      |    round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 9)
-      |      AS distinct_ratio,
+      |    floor(CAST(list_aggregate(list_transform(ws, w -> len(w)), 'sum')
+      |      AS DOUBLE) / len(ws) * 1e9 + 0.5) / 1e9 AS mean_word_len,
+      |    floor(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)
+      |      * 1e9 + 0.5) / 1e9 AS distinct_ratio,
       |    len(list_filter(ws, w -> w IN ('the','a','and','of','to')))
       |      AS n_stop
       |  FROM d)
@@ -675,14 +675,16 @@ object Corpus {
     * Features are Horner-hashed word buckets mod 4096 (portable
     * arithmetic — same fold in Spark `aggregate` and DuckDB
     * `list_reduce`, no engine hash involved). Per-bucket log ratios
-    * round to 9 decimals and accumulate in DECIMAL, so document
-    * scores are order-independent. Scale shape: the two bucket-count
+    * quantize to BIGINT nano-nats via floor(x*1e9 + 0.5) — the
+    * engine-identical IEEE computation, NOT round(), whose half-case
+    * handling diverges on true decimal ties (found at sf0.1) — and
+    * accumulate as exact integers, so document scores are
+    * order-independent and engine-exact. Scale shape: the two bucket-count
     * aggregates partial-aggregate before their shuffles; the weight
     * table is at most 4096 rows — broadcast to a narrow per-token
     * join; one final per-doc aggregate.
     */
   private def dsirScores(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     val nBuckets = 4096
     val words = Tables(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
@@ -701,21 +703,29 @@ object Corpus {
         count(when(col("lang") === "en", 1)).as("ct"))
     val totals = bucketCounts.agg(
       sum(col("cr")).as("n_raw"), sum(col("ct")).as("n_tgt"))
+    // per-bucket weights quantized to BIGINT nano-nats with the
+    // floor(x*1e9 + 0.5) pattern, NOT round(): sf0.1 exposed a true
+    // decimal TIE (sum(lw) at scale 9 divided by n=28 terminates
+    // exactly on ...5 at digit 10), and engine round() disagrees on
+    // ties — Spark rounds the double's exact binary expansion,
+    // DuckDB rounds the x*1e9 product. floor(x+0.5) is the same IEEE
+    // double computation in both engines, so it can never diverge;
+    // the nano sums then accumulate as exact BIGINTs.
     val weights = bucketCounts
       .crossJoin(broadcast(totals))
       .select(col("bucket"),
-        round(log(
+        floor(log(
           ((col("ct") + 1).cast("double") /
             (col("n_tgt") + nBuckets).cast("double")) /
             ((col("cr") + 1).cast("double") /
-              (col("n_raw") + nBuckets).cast("double"))),
-          9).cast(DecimalType(12, 9)).as("lw"))
+              (col("n_raw") + nBuckets).cast("double"))) * 1e9 + 0.5)
+          .cast("long").as("lw_nano"))
     words
       .join(broadcast(weights), Seq("bucket"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_tokens"),
-        round(sum(col("lw")).cast("double") / count(lit(1)), 9)
-          .as("dsir_score"))
+        (floor(sum(col("lw_nano")).cast("double") / count(lit(1)) + 0.5) /
+          1e9).as("dsir_score"))
       .orderBy(col("doc_id"))
   }
 
@@ -737,13 +747,14 @@ object Corpus {
        |  SELECT sum(cr) AS n_raw, sum(ct) AS n_tgt FROM bucket_counts),
        |weights AS (
        |  SELECT bucket,
-       |    CAST(round(ln(
+       |    CAST(floor(ln(
        |      ((ct + 1) / CAST(n_tgt + 4096 AS DOUBLE)) /
-       |      ((cr + 1) / CAST(n_raw + 4096 AS DOUBLE))), 9)
-       |      AS DECIMAL(12,9)) AS lw
+       |      ((cr + 1) / CAST(n_raw + 4096 AS DOUBLE))) * 1e9 + 0.5)
+       |      AS BIGINT) AS lw_nano
        |  FROM bucket_counts, totals)
        |SELECT doc_id, lang, count(*) AS n_tokens,
-       |  round(CAST(sum(lw) AS DOUBLE) / count(*), 9) AS dsir_score
+       |  floor(CAST(sum(lw_nano) AS DOUBLE) / count(*) + 0.5) / 1e9
+       |    AS dsir_score
        |FROM words JOIN weights USING (bucket)
        |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
   }
@@ -752,7 +763,8 @@ object Corpus {
     * with probability exp(score_d - max_score) (self-normalized so the
     * best-matching doc is accepted with probability 1), decided by the
     * same deterministic md5 uniform the split/mix operators use. The
-    * acceptance probability rounds to 9 decimals (exp is the usual
+    * acceptance probability quantizes to 9 decimals via the
+    * floor(x*1e9 + 0.5) pattern (engine-identical; exp is the usual
     * 1-ulp transcendental) and the uniform has 1e-6 granularity, so
     * the keep verdict is engine-exact. One broadcast max scalar; the
     * verdict pass is narrow over the score frame.
@@ -762,8 +774,8 @@ object Corpus {
     val mx = scores.agg(max(col("dsir_score")).as("mx"))
     scores.crossJoin(broadcast(mx))
       .withColumn("u_micro", hashBucket("dsir:", 1000000))
-      .withColumn("p_accept",
-        round(exp(col("dsir_score") - col("mx")), 9))
+      .withColumn("p_accept", // floor(x+0.5): engine-identical (see lw_nano)
+        floor(exp(col("dsir_score") - col("mx")) * 1e9 + 0.5) / 1e9)
       .select(col("doc_id"), col("lang"), col("u_micro"), col("p_accept"),
         (col("u_micro").cast("double") / 1000000.0 < col("p_accept"))
           .as("keep"))
@@ -777,9 +789,9 @@ object Corpus {
        |mx AS (SELECT max(dsir_score) AS mx FROM scores)
        |SELECT doc_id, lang,
        |  ${bucketSql("dsir:", 1000000)} AS u_micro,
-       |  round(exp(dsir_score - mx), 9) AS p_accept,
+       |  floor(exp(dsir_score - mx) * 1e9 + 0.5) / 1e9 AS p_accept,
        |  ${bucketSql("dsir:", 1000000)} / 1000000.0
-       |    < round(exp(dsir_score - mx), 9) AS keep
+       |    < floor(exp(dsir_score - mx) * 1e9 + 0.5) / 1e9 AS keep
        |FROM scores, mx ORDER BY doc_id""".stripMargin
   }
 
@@ -858,7 +870,7 @@ object Corpus {
     val epochs = least(lit(2.0), share * budget / col("n_tokens"))
     perSource.crossJoin(broadcast(totals))
       .select(col("source"), col("n_docs"), col("n_tokens"),
-        round(share, 9).as("target_share"),
+        Quant.qdec(share, 9).as("target_share"), // int/int TIE (Quant)
         round(epochs, 6).as("epochs"),
         floor(epochs * col("n_tokens") + lit(0.5)).cast("long")
           .as("granted_tokens"),
@@ -878,8 +890,8 @@ object Corpus {
       |      AS BIGINT) AS weight_sum
       |  FROM per_source)
       |SELECT source, n_docs, n_tokens,
-      |  round(CAST(CAST(substring(source, 4, 10) AS INTEGER) + 1 AS DOUBLE)
-      |    / weight_sum, 9) AS target_share,
+      |  floor(CAST(CAST(substring(source, 4, 10) AS INTEGER) + 1 AS DOUBLE)
+      |    / weight_sum * 1e9 + 0.5) / 1e9 AS target_share,
       |  round(least(2.0,
       |    CAST(CAST(substring(source, 4, 10) AS INTEGER) + 1 AS DOUBLE)
       |      / weight_sum * (0.6 * total_tokens) / n_tokens), 6) AS epochs,
@@ -928,10 +940,10 @@ object Corpus {
   private val filterAblationSql =
     """WITH m AS (
       |  SELECT len(ws) AS n_words,
-      |    round(CAST(list_aggregate(list_transform(ws, w -> len(w)), 'sum')
-      |      AS DOUBLE) / len(ws), 9) AS mean_word_len,
-      |    round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 9)
-      |      AS distinct_ratio,
+      |    floor(CAST(list_aggregate(list_transform(ws, w -> len(w)), 'sum')
+      |      AS DOUBLE) / len(ws) * 1e9 + 0.5) / 1e9 AS mean_word_len,
+      |    floor(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)
+      |      * 1e9 + 0.5) / 1e9 AS distinct_ratio,
       |    len(list_filter(ws, w -> w IN ('the','a','and','of','to')))
       |      AS n_stop
       |  FROM (SELECT string_split(text, ' ') AS ws FROM documents)),

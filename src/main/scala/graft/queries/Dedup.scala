@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{QueryDef, Tables}
+import graft.{QueryDef, Quant, Tables}
 import graft.functions.TextFns
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -782,8 +782,9 @@ object Dedup {
         least(floor(col("jaccard") * 20).cast("int"), lit(19)))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_pairs"),
-        round(min(col("jaccard")), 9).as("min_j"),
-        round(max(col("jaccard")), 9).as("max_j"))
+        // qdec: jaccard is an int/int rational and can TIE (Quant)
+        Quant.qdec(min(col("jaccard")), 9).as("min_j"),
+        Quant.qdec(max(col("jaccard")), 9).as("max_j"))
       .orderBy(col("bin"))
 
   private val jaccardHistogramSql =
@@ -809,7 +810,8 @@ object Dedup {
        |    JOIN sizes sa ON doc_a = sa.doc_id
        |    JOIN sizes sb ON doc_b = sb.doc_id)
        |SELECT bin, count(*) AS n_pairs,
-       |  round(min(jaccard), 9) AS min_j, round(max(jaccard), 9) AS max_j
+       |  floor(min(jaccard) * 1e9 + 0.5) / 1e9 AS min_j,
+       |  floor(max(jaccard) * 1e9 + 0.5) / 1e9 AS max_j
        |FROM scored GROUP BY bin ORDER BY bin""".stripMargin
 
   /** Distributed PageRank over the near-dup pair graph — centrality

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{QueryDef, Tables}
+import graft.{QueryDef, Quant, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -270,8 +270,8 @@ object Events {
       .groupBy(col("day"))
       .agg(count(lit(1)).as("n_active"),
         sum(coalesce(col("retained"), lit(0))).cast("long").as("n_retained"))
-      .withColumn("retention_rate",
-        round(col("n_retained").cast("double") / col("n_active"), 9))
+      .withColumn("retention_rate", // qdec: int/int ratio can TIE (Quant)
+        Quant.qdec(col("n_retained").cast("double") / col("n_active"), 9))
       .orderBy(col("day"))
   }
 
@@ -282,8 +282,8 @@ object Events {
       |  count(*) AS n_active,
       |  CAST(sum(CASE WHEN b.user_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
       |    AS n_retained,
-      |  round(CAST(sum(CASE WHEN b.user_id IS NULL THEN 0 ELSE 1 END)
-      |      AS DOUBLE) / count(*), 9) AS retention_rate
+      |  floor(CAST(sum(CASE WHEN b.user_id IS NULL THEN 0 ELSE 1 END)
+      |      AS DOUBLE) / count(*) * 1e9 + 0.5) / 1e9 AS retention_rate
       |FROM active a LEFT JOIN active b
       |  ON a.user_id = b.user_id AND b.day = a.day + 1
       |GROUP BY a.day ORDER BY a.day""".stripMargin
@@ -373,8 +373,8 @@ object Events {
       .groupBy(col("day"))
       .agg(countDistinct(col("user_id")).as("wau"))
     dau.join(wau, "day")
-      .withColumn("stickiness",
-        round(col("dau").cast("double") / col("wau"), 9))
+      .withColumn("stickiness", // qdec: int/int ratio can TIE (Quant)
+        Quant.qdec(col("dau").cast("double") / col("wau"), 9))
       .orderBy(col("day"))
   }
 
@@ -390,7 +390,7 @@ object Events {
       |    ON u.day BETWEEN d.day - 6 AND d.day
       |  GROUP BY d.day)
       |SELECT day, dau, wau,
-      |  round(CAST(dau AS DOUBLE) / wau, 9) AS stickiness
+      |  floor(CAST(dau AS DOUBLE) / wau * 1e9 + 0.5) / 1e9 AS stickiness
       |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin
 
   /** First-order Markov transition matrix over per-user event
@@ -411,7 +411,7 @@ object Events {
     val totals = Window.partitionBy(col("from_type"))
     pairs.groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("p", round(col("n").cast("double") /
+      .withColumn("p", Quant.qdec(col("n").cast("double") / // int/int TIE
         sum(col("n")).over(totals), 9))
       .orderBy(col("from_type"), col("to_type"))
   }
@@ -426,8 +426,8 @@ object Events {
       |  SELECT from_type, to_type, count(*) AS n FROM pairs
       |  WHERE from_type IS NOT NULL GROUP BY 1, 2)
       |SELECT from_type, to_type, n,
-      |  round(CAST(n AS DOUBLE) /
-      |    sum(n) OVER (PARTITION BY from_type), 9) AS p
+      |  floor(CAST(n AS DOUBLE) /
+      |    sum(n) OVER (PARTITION BY from_type) * 1e9 + 0.5) / 1e9 AS p
       |FROM counts ORDER BY from_type, to_type""".stripMargin
 
   /** Time-windowed SEQUENTIAL funnel — the strict form of `ev_funnel`:
@@ -637,7 +637,8 @@ object Events {
     val z = round((meanA - meanB) /
       sqrt(varA / col("n_a") + varB / col("n_b")), 9)
     agg.select(col("event_type"), col("n_a"), col("n_b"),
-        round(meanA, 9).as("mean_a"), round(meanB, 9).as("mean_b"),
+        // qdec: decimal-sum/int-count ratios can TIE (Quant)
+        Quant.qdec(meanA, 9).as("mean_a"), Quant.qdec(meanB, 9).as("mean_b"),
         z.as("z_score"), (abs(z) > 1.96).as("significant"))
       .orderBy(col("event_type"))
   }
@@ -662,7 +663,8 @@ object Events {
       |      THEN CAST(value * value AS DECIMAL(28,12)) END) AS DOUBLE) AS ss_b
       |  FROM v GROUP BY 1)
       |SELECT event_type, n_a, n_b,
-      |  round(s_a / n_a, 9) AS mean_a, round(s_b / n_b, 9) AS mean_b,
+      |  floor(s_a / n_a * 1e9 + 0.5) / 1e9 AS mean_a,
+      |  floor(s_b / n_b * 1e9 + 0.5) / 1e9 AS mean_b,
       |  round((s_a/n_a - s_b/n_b) / sqrt(
       |    ((ss_a - s_a*s_a/n_a) / (n_a - 1)) / n_a +
       |    ((ss_b - s_b*s_b/n_b) / (n_b - 1)) / n_b), 9) AS z_score,
@@ -744,8 +746,8 @@ object Events {
     val wPick = Window.partitionBy(col("event_type"))
       .orderBy(abs(col("cusum")).desc, col("hour"))
     hourly.join(broadcast(stats), "event_type")
-      .withColumn("dev",
-        round(col("x") - col("sx").cast("double") / col("n_hours"), 6)
+      .withColumn("dev", // qdec: int-ratio detrend can TIE (Quant)
+        Quant.qdec(col("x") - col("sx").cast("double") / col("n_hours"), 6)
           .cast(DecimalType(18, 6)))
       .withColumn("cusum", sum(col("dev")).over(wCum))
       .withColumn("pick", row_number().over(wPick))
@@ -765,8 +767,8 @@ object Events {
       |  FROM hourly GROUP BY 1),
       |cum AS (
       |  SELECT event_type, n_hours, hour,
-      |    sum(CAST(round(x - CAST(sx AS DOUBLE) / n_hours, 6)
-      |      AS DECIMAL(18,6)))
+      |    sum(CAST(floor((x - CAST(sx AS DOUBLE) / n_hours) * 1e6 + 0.5)
+      |      / 1e6 AS DECIMAL(18,6)))
       |      OVER (PARTITION BY event_type ORDER BY hour) AS cusum
       |  FROM hourly JOIN stats USING (event_type)),
       |picked AS (
@@ -884,7 +886,7 @@ object Events {
           .orderBy(col("ts").desc, col("event_id").desc)))
       .filter(col("rn_desc") === 1)
       .select(col("user_id"), col("m").as("n_window"),
-        round(col("num").cast("double") /
+        Quant.qdec(col("num").cast("double") / // dyadic denom can TIE
           (lit(2.0) - pow(lit(0.5), col("m") - 1)), 9).as("ewma"))
       .orderBy(col("user_id"))
   }
@@ -901,7 +903,8 @@ object Events {
        |  FROM events
        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
        |SELECT user_id, m AS n_window,
-       |  round(CAST(num AS DOUBLE) / (2 - power(0.5, m - 1)), 9) AS ewma
+       |  floor(CAST(num AS DOUBLE) / (2 - power(0.5, m - 1)) * 1e9 + 0.5)
+       |    / 1e9 AS ewma
        |FROM x
        |QUALIFY row_number() OVER (PARTITION BY user_id
        |  ORDER BY ts DESC, event_id DESC) = 1
@@ -1117,9 +1120,9 @@ object Events {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_hours"),
         sum(abs(col("n") - col("n_pred"))).as("sum_abs_err"),
-        round(sum(abs(col("n") - col("n_pred"))).cast("double") /
-          count(lit(1)), 9).as("mae"),
-        round(sum(col("n") - col("n_pred")).cast("double") /
+        Quant.qdec(sum(abs(col("n") - col("n_pred"))).cast("double") /
+          count(lit(1)), 9).as("mae"), // int/int ratios can TIE (Quant)
+        Quant.qdec(sum(col("n") - col("n_pred")).cast("double") /
           count(lit(1)), 9).as("bias"))
       .orderBy(col("event_type"))
   }
@@ -1131,8 +1134,10 @@ object Events {
       |  FROM events GROUP BY 1, 2)
       |SELECT a.event_type, count(*) AS n_hours,
       |  CAST(sum(abs(a.n - p.n)) AS BIGINT) AS sum_abs_err,
-      |  round(CAST(sum(abs(a.n - p.n)) AS DOUBLE) / count(*), 9) AS mae,
-      |  round(CAST(sum(a.n - p.n) AS DOUBLE) / count(*), 9) AS bias
+      |  floor(CAST(sum(abs(a.n - p.n)) AS DOUBLE) / count(*) * 1e9 + 0.5)
+      |    / 1e9 AS mae,
+      |  floor(CAST(sum(a.n - p.n) AS DOUBLE) / count(*) * 1e9 + 0.5) / 1e9
+      |    AS bias
       |FROM hourly a JOIN hourly p
       |  ON a.hour = p.hour + INTERVAL 168 HOUR
       |  AND a.event_type = p.event_type
@@ -1171,8 +1176,8 @@ object Events {
         count(lit(1)).as("n_eval"),
         sum(when(col("to_type") === col("predicted"), 1L).otherwise(0L))
           .as("n_correct"))
-      .withColumn("accuracy",
-        round(col("n_correct").cast("double") / col("n_eval"), 9))
+      .withColumn("accuracy", // qdec: int/int ratio can TIE (Quant)
+        Quant.qdec(col("n_correct").cast("double") / col("n_eval"), 9))
       .orderBy(col("from_type"))
   }
 
@@ -1195,8 +1200,8 @@ object Events {
       |  count(*) AS n_eval,
       |  CAST(sum(CASE WHEN to_type = predicted THEN 1 ELSE 0 END)
       |    AS BIGINT) AS n_correct,
-      |  round(CAST(sum(CASE WHEN to_type = predicted THEN 1 ELSE 0 END)
-      |    AS DOUBLE) / count(*), 9) AS accuracy
+      |  floor(CAST(sum(CASE WHEN to_type = predicted THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / count(*) * 1e9 + 0.5) / 1e9 AS accuracy
       |FROM pairs JOIN model USING (from_type)
       |WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
       |GROUP BY from_type ORDER BY from_type""".stripMargin
@@ -1491,8 +1496,8 @@ object Events {
         (col("n") - col("trend")).cast(DecimalType(38, 18)))
       .groupBy(col("event_type"), (col("hr") % 24).as("hod"))
       .agg(count(lit(1)).as("n_hours"),
-        round(sum(col("detr")).cast("double") / count(lit(1)), 9)
-          .as("seasonal"))
+        Quant.qdec(sum(col("detr")).cast("double") / count(lit(1)), 9)
+          .as("seasonal")) // qdec: decimal/int ratio can TIE (Quant)
       .orderBy(col("event_type"), col("hod"))
   }
 
@@ -1519,7 +1524,8 @@ object Events {
       |  WINDOW w AS (PARTITION BY event_type ORDER BY hr
       |               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING))
       |SELECT event_type, hr % 24 AS hod, count(*) AS n_hours,
-      |  round(CAST(sum(detr) AS DOUBLE) / count(*), 9) AS seasonal
+      |  floor(CAST(sum(detr) AS DOUBLE) / count(*) * 1e9 + 0.5) / 1e9
+      |    AS seasonal
       |FROM detrended GROUP BY event_type, hod
       |ORDER BY event_type, hod""".stripMargin
 

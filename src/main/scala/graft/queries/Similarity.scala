@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{QueryDef, Tables}
+import graft.{QueryDef, Quant, Tables}
 import graft.functions.TextFns
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1077,7 +1077,8 @@ object Similarity {
         explode(col("m.gram")).as("g"))
       .filter(col("g.i") < col("g.j"))
       .select(col("g.i").as("i"), col("g.j").as("j"),
-        round(col("g.v").cast("double") / col("n_rows") -
+        // qdec: ratios of exact decimal sums can TIE (Quant)
+        Quant.qdec(col("g.v").cast("double") / col("n_rows") -
           (element_at(col("sums"), col("g.i") + 1).cast("double") /
             col("n_rows")) *
           (element_at(col("sums"), col("g.j") + 1).cast("double") /
@@ -1102,13 +1103,13 @@ object Similarity {
       |  FROM embeddings, (SELECT unnest(range(0, 64)) AS k) GROUP BY k),
       |n AS (SELECT count(*) AS n_rows FROM embeddings)
       |SELECT i, j,
-      |  round(CAST(sxy AS DOUBLE) / n_rows -
+      |  floor((CAST(sxy AS DOUBLE) / n_rows -
       |    (CAST(si.sx AS DOUBLE) / n_rows) *
-      |    (CAST(sj.sx AS DOUBLE) / n_rows), 9) AS cov
+      |    (CAST(sj.sx AS DOUBLE) / n_rows)) * 1e9 + 0.5) / 1e9 AS cov
       |FROM m JOIN s si ON si.k = m.i JOIN s sj ON sj.k = m.j, n
-      |ORDER BY abs(round(CAST(sxy AS DOUBLE) / n_rows -
+      |ORDER BY abs(floor((CAST(sxy AS DOUBLE) / n_rows -
       |  (CAST(si.sx AS DOUBLE) / n_rows) *
-      |  (CAST(sj.sx AS DOUBLE) / n_rows), 9)) DESC, i, j LIMIT 20""".stripMargin
+      |  (CAST(sj.sx AS DOUBLE) / n_rows)) * 1e9 + 0.5) / 1e9) DESC, i, j LIMIT 20""".stripMargin
 
   /** IVF bucket-balance diagnostic — the nlist/centroid-quality table
     * an operator reads before sizing probes: per-centroid corpus
@@ -1135,9 +1136,9 @@ object Similarity {
       .agg(count(lit(1)).as("n_vectors"))
       .crossJoin(broadcast(total))
       .select(col("cent_id"), col("n_vectors"),
-        round(col("n_vectors").cast("double") / col("n_total"), 9)
-          .as("share"),
-        round(col("n_vectors").cast("double") * NumCentroids /
+        Quant.qdec(col("n_vectors").cast("double") / col("n_total"), 9)
+          .as("share"), // qdec: int/int ratios can TIE (Quant)
+        Quant.qdec(col("n_vectors").cast("double") * NumCentroids /
           col("n_total"), 9).as("load_factor"))
       .orderBy(col("cent_id"))
   }
@@ -1159,9 +1160,10 @@ object Similarity {
        |  WHERE arnk = 1),
        |tot AS (SELECT count(*) AS n_total FROM corpus)
        |SELECT cent_id, count(*) AS n_vectors,
-       |  round(CAST(count(*) AS DOUBLE) / n_total, 9) AS share,
-       |  round(CAST(count(*) AS DOUBLE) * $NumCentroids / n_total, 9)
-       |    AS load_factor
+       |  floor(CAST(count(*) AS DOUBLE) / n_total * 1e9 + 0.5) / 1e9
+       |    AS share,
+       |  floor(CAST(count(*) AS DOUBLE) * $NumCentroids / n_total
+       |    * 1e9 + 0.5) / 1e9 AS load_factor
        |FROM assigned, tot
        |GROUP BY cent_id, n_total ORDER BY cent_id""".stripMargin
 
@@ -1395,7 +1397,7 @@ object Similarity {
       .select(col("m.n").as("n_rows"), col("m.sums").as("sums"),
         explode(col("m.gram")).as("g"))
       .select(col("g.i").as("i"), col("g.j").as("j"),
-        round(round(col("g.v").cast("double") / col("n_rows") -
+        round(Quant.qdec(col("g.v").cast("double") / col("n_rows") -
           (element_at(col("sums"), col("g.i") + 1).cast("double") /
             col("n_rows")) *
           (element_at(col("sums"), col("g.j") + 1).cast("double") /
@@ -1471,8 +1473,8 @@ object Similarity {
       .select(col("label"), proj.as("p"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
-        round(sum(col("p")).cast("double") / count(lit(1)), 9)
-          .as("mean_proj"),
+        Quant.qdec(sum(col("p")).cast("double") / count(lit(1)), 9)
+          .as("mean_proj"), // qdec: decimal/int ratio can TIE (Quant)
         round(min(col("p")).cast("double"), 9).as("min_proj"),
         round(max(col("p")).cast("double"), 9).as("max_proj"))
       .orderBy(col("label"))
@@ -1519,9 +1521,10 @@ object Similarity {
        |n AS MATERIALIZED (SELECT count(*) AS n_rows FROM embeddings),
        |cov9 AS MATERIALIZED (
        |  SELECT i, j,
-       |    CAST(round(round(CAST(sxy AS DOUBLE) / n_rows -
+       |    CAST(round(floor((CAST(sxy AS DOUBLE) / n_rows -
        |      (CAST(si.sx AS DOUBLE) / n_rows) *
-       |      (CAST(sj.sx AS DOUBLE) / n_rows), 9) * $S, 0) AS BIGINT)
+       |      (CAST(sj.sx AS DOUBLE) / n_rows)) * 1e9 + 0.5) / 1e9
+       |      * $S, 0) AS BIGINT)
        |      AS c
        |  FROM m JOIN s si ON si.k = m.i JOIN s sj ON sj.k = m.j
        |  CROSS JOIN n),
@@ -1550,7 +1553,8 @@ object Similarity {
        |  FROM embeddings e CROSS JOIN vd
        |  GROUP BY e.vec_id, e.label)
        |SELECT label, count(*) AS n_vecs,
-       |  round(CAST(sum(p) AS DOUBLE) / count(*), 9) AS mean_proj,
+       |  floor(CAST(sum(p) AS DOUBLE) / count(*) * 1e9 + 0.5) / 1e9
+       |    AS mean_proj,
        |  round(CAST(min(p) AS DOUBLE), 9) AS min_proj,
        |  round(CAST(max(p) AS DOUBLE), 9) AS max_proj
        |FROM proj GROUP BY label ORDER BY label""".stripMargin

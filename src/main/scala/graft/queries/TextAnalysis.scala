@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{QueryDef, Tables}
+import graft.{QueryDef, Quant, Tables}
 import graft.functions.TextFns
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -608,8 +608,8 @@ object TextAnalysis {
           .cast(DecimalType(12, 9)))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(col("logp")).cast("double") / count(lit(1)), 9)
-          .as("avg_logp"))
+        Quant.qdec(sum(col("logp")).cast("double") / count(lit(1)), 9)
+          .as("avg_logp")) // qdec: decimal/int ratio can TIE (Quant)
       .orderBy(col("doc_id"))
   }
 
@@ -622,8 +622,9 @@ object TextAnalysis {
       |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
       |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1)
       |SELECT doc_id, count(*) AS n_bigrams,
-      |  round(CAST(sum(CAST(round(ln(CAST(c12 AS DOUBLE) / c1), 9)
-      |    AS DECIMAL(12,9))) AS DOUBLE) / count(*), 9) AS avg_logp
+      |  floor(CAST(sum(CAST(round(ln(CAST(c12 AS DOUBLE) / c1), 9)
+      |    AS DECIMAL(12,9))) AS DOUBLE) / count(*) * 1e9 + 0.5) / 1e9
+      |    AS avg_logp
       |FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
@@ -935,7 +936,8 @@ object TextAnalysis {
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"))
       .select(col("lang"), col("n_ranks"),
-        round(
+        // qdec: a ratio of exact decimal sums can TIE (Quant)
+        Quant.qdec(
           (col("n_ranks") * col("sxy").cast("double") -
             col("sx").cast("double") * col("sy").cast("double")) /
             (col("n_ranks") * col("sxx").cast("double") -
@@ -959,11 +961,11 @@ object TextAnalysis {
       |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, word) AS r
       |  FROM counts QUALIFY r <= 50)
       |SELECT lang, count(*) AS n_ranks,
-      |  round((count(*) * CAST(sum(x * y) AS DOUBLE)
+      |  floor((count(*) * CAST(sum(x * y) AS DOUBLE)
       |      - CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE))
       |    / (count(*) * CAST(sum(x * x) AS DOUBLE)
-      |      - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)),
-      |    6) AS zipf_slope
+      |      - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE))
+      |    * 1e6 + 0.5) / 1e6 AS zipf_slope
       |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Model-based quality scoring — the fastText-classifier-inference
@@ -1134,8 +1136,8 @@ object TextAnalysis {
         Seq("doc_id", "phrase_id"))
       .groupBy(col("w"))
       .agg(count(lit(1)).as("freq"), sum(col("phrase_len")).as("degree"))
-      .withColumn("wscore",
-        round(col("degree").cast("double") / col("freq"), 9)
+      .withColumn("wscore", // qdec: int/int ratio can TIE (Quant)
+        Quant.qdec(col("degree").cast("double") / col("freq"), 9)
           .cast(DecimalType(18, 9)))
     val scores = pw.join(wordStats.select(col("w"), col("wscore")), "w")
       .groupBy(col("doc_id"), col("phrase_id"))
@@ -1171,8 +1173,8 @@ object TextAnalysis {
        |  FROM pw GROUP BY 1, 2),
        |word_stats AS (
        |  SELECT w,
-       |    CAST(round(CAST(sum(phrase_len) AS DOUBLE) / count(*), 9)
-       |      AS DECIMAL(18,9)) AS wscore
+       |    CAST(floor(CAST(sum(phrase_len) AS DOUBLE) / count(*)
+       |      * 1e9 + 0.5) / 1e9 AS DECIMAL(18,9)) AS wscore
        |  FROM pw JOIN phrases USING (doc_id, phrase_id)
        |  GROUP BY w),
        |scored AS (
