@@ -871,7 +871,7 @@ object Corpus {
     perSource.crossJoin(broadcast(totals))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         Quant.qdec(share, 9).as("target_share"), // int/int TIE (Quant)
-        round(epochs, 6).as("epochs"),
+        Quant.qdec(epochs, 6).as("epochs"), // rational of counts (Quant)
         floor(epochs * col("n_tokens") + lit(0.5)).cast("long")
           .as("granted_tokens"),
         floor(share * budget - epochs * col("n_tokens") + lit(0.5))
@@ -892,9 +892,10 @@ object Corpus {
       |SELECT source, n_docs, n_tokens,
       |  floor(CAST(CAST(substring(source, 4, 10) AS INTEGER) + 1 AS DOUBLE)
       |    / weight_sum * 1e9 + 0.5) / 1e9 AS target_share,
-      |  round(least(2.0,
+      |  floor(least(2.0,
       |    CAST(CAST(substring(source, 4, 10) AS INTEGER) + 1 AS DOUBLE)
-      |      / weight_sum * (0.6 * total_tokens) / n_tokens), 6) AS epochs,
+      |      / weight_sum * (0.6 * total_tokens) / n_tokens)
+      |    * 1e6 + 0.5) / 1e6 AS epochs,
       |  CAST(floor(least(2.0,
       |    CAST(CAST(substring(source, 4, 10) AS INTEGER) + 1 AS DOUBLE)
       |      / weight_sum * (0.6 * total_tokens) / n_tokens)
@@ -1051,11 +1052,11 @@ object Corpus {
       sum(col("pw_fp")).as("tot_pw"))
     base.crossJoin(broadcast(totals))
       .select(col("source"), col("n_docs"), col("n_chars"),
-        round(col("n_chars").cast("double") / col("tot"), 9)
-          .as("raw_share"),
-        round(col("pw_fp").cast("double") / col("tot_pw"), 9)
+        Quant.qdec(col("n_chars").cast("double") / col("tot"), 9)
+          .as("raw_share"), // int/int ratios can TIE (Quant)
+        Quant.qdec(col("pw_fp").cast("double") / col("tot_pw"), 9)
           .as("temp_share"),
-        round(col("pw_fp").cast("double") / col("tot_pw") *
+        Quant.qdec(col("pw_fp").cast("double") / col("tot_pw") *
           2.0 * col("tot") / col("n_chars"), 9).as("eff_epochs"))
       .orderBy(col("source"))
   }
@@ -1070,10 +1071,12 @@ object Corpus {
       |t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS tot,
       |  CAST(sum(pw_fp) AS BIGINT) AS tot_pw FROM b)
       |SELECT source, n_docs, n_chars,
-      |  round(CAST(n_chars AS DOUBLE) / tot, 9) AS raw_share,
-      |  round(CAST(pw_fp AS DOUBLE) / tot_pw, 9) AS temp_share,
-      |  round(CAST(pw_fp AS DOUBLE) / tot_pw * 2.0 * tot / n_chars, 9)
-      |    AS eff_epochs
+      |  floor(CAST(n_chars AS DOUBLE) / tot * 1e9 + 0.5) / 1e9
+      |    AS raw_share,
+      |  floor(CAST(pw_fp AS DOUBLE) / tot_pw * 1e9 + 0.5) / 1e9
+      |    AS temp_share,
+      |  floor(CAST(pw_fp AS DOUBLE) / tot_pw * 2.0 * tot / n_chars
+      |    * 1e9 + 0.5) / 1e9 AS eff_epochs
       |FROM b CROSS JOIN t ORDER BY source""".stripMargin
 
   /** Length-bucketed batching efficiency — the padding-waste planner:

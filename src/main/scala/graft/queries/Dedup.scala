@@ -701,7 +701,7 @@ object Dedup {
       .map(lit): _*)
     val quality = Tables(s, dir, "documents")
       .select(col("doc_id"),
-        round(
+        Quant.qdec( // rational of counts: can TIE (Quant)
           lit(0.5) * least(size(ws).cast("double") / 100.0, lit(1.0)) +
             lit(0.3) * (size(filter(ws, w => array_contains(stopArr, w)))
               .cast("double") / size(ws)) +
@@ -746,9 +746,10 @@ object Dedup {
       |  SELECT node AS doc_id, min(reach) AS cluster FROM walk GROUP BY node),
       |quality AS (
       |  SELECT doc_id,
-      |    round(0.5 * least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
+      |    floor((0.5 * least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
       |        + 0.3 * (CAST(n_stop AS DOUBLE) / n_tok)
-      |        + 0.2 * (CAST(n_dis AS DOUBLE) / n_tok), 6) AS quality
+      |        + 0.2 * (CAST(n_dis AS DOUBLE) / n_tok)) * 1e6 + 0.5) / 1e6
+      |      AS quality
       |  FROM (
       |    SELECT doc_id,
       |      len(list_filter(string_split(text, ' '),

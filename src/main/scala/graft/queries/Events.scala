@@ -690,17 +690,20 @@ object Events {
     * `approx_percentile`; the two-pass broadcast shape is unchanged.
     */
   private def madOutliers(s: SparkSession, dir: String): DataFrame = {
+    // qdec throughout: medians of short-decimal data and dev/mad
+    // rationals can land on true round-half ties (Quant).
     val med = Tables(s, dir, "events")
       .groupBy(col("event_type"))
-      .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+      .agg(Quant.qdec(expr("percentile(value, 0.5)"), 6).as("med"))
     val devs = Tables(s, dir, "events")
       .join(broadcast(med), "event_type")
       .withColumn("dev", abs(col("value") - col("med")))
     val mad = devs.groupBy(col("event_type"))
-      .agg(round(expr("percentile(dev, 0.5)"), 6).as("mad"))
+      .agg(Quant.qdec(expr("percentile(dev, 0.5)"), 6).as("mad"))
     devs.join(broadcast(mad), "event_type")
       .filter(col("mad") > 0)
-      .withColumn("robust_z", round(col("dev") / (lit(1.4826) * col("mad")), 6))
+      .withColumn("robust_z",
+        Quant.qdec(col("dev") / (lit(1.4826) * col("mad")), 6))
       .filter(col("robust_z") > 3.5)
       .select(col("event_id"), col("event_type"), col("value"),
         col("robust_z"))
@@ -709,18 +712,20 @@ object Events {
 
   private val madOutliersSql =
     """WITH med AS (
-      |  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+      |  SELECT event_type,
+      |    floor(quantile_cont(value, 0.5) * 1e6 + 0.5) / 1e6 AS med
       |  FROM events GROUP BY 1),
       |devs AS (
       |  SELECT event_id, event_type, value, abs(value - med) AS dev
       |  FROM events JOIN med USING (event_type)),
       |mad AS (
-      |  SELECT event_type, round(quantile_cont(dev, 0.5), 6) AS mad
+      |  SELECT event_type,
+      |    floor(quantile_cont(dev, 0.5) * 1e6 + 0.5) / 1e6 AS mad
       |  FROM devs GROUP BY 1)
       |SELECT event_id, event_type, value,
-      |  round(dev / (1.4826 * mad), 6) AS robust_z
+      |  floor(dev / (1.4826 * mad) * 1e6 + 0.5) / 1e6 AS robust_z
       |FROM devs JOIN mad USING (event_type)
-      |WHERE mad > 0 AND round(dev / (1.4826 * mad), 6) > 3.5
+      |WHERE mad > 0 AND floor(dev / (1.4826 * mad) * 1e6 + 0.5) / 1e6 > 3.5
       |ORDER BY event_id""".stripMargin
 
   /** CUSUM change-point detection per event type: the hour where the

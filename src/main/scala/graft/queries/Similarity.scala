@@ -415,7 +415,7 @@ object Similarity {
         x => floor(x / col("scale") + 0.5).cast("long")))
       .select(col("vec_id"), col("scale"),
         aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
-        round(aggregate(
+        Quant.qdec(aggregate( // qdec: identical-fold sum can TIE (Quant)
           zip_with(col("dv"), col("q"), (x, q) => {
             val d = x - q.cast("double") * col("scale")
             d * d
@@ -434,10 +434,10 @@ object Similarity {
       |  CAST(list_aggregate(list_transform(dv,
       |    x -> CAST(floor(x / scale + 0.5) AS BIGINT)), 'sum') AS BIGINT)
       |    AS q_sum,
-      |  round(list_aggregate(list_transform(dv,
+      |  floor(list_aggregate(list_transform(dv,
       |    x -> (x - floor(x / scale + 0.5) * scale)
-      |       * (x - floor(x / scale + 0.5) * scale)), 'sum'), 9)
-      |    AS recon_err
+      |       * (x - floor(x / scale + 0.5) * scale)), 'sum')
+      |    * 1e9 + 0.5) / 1e9 AS recon_err
       |FROM q ORDER BY vec_id""".stripMargin
 
   private val PqSubspaces = 8 // 64 dims -> 8 subspaces x 8 dims

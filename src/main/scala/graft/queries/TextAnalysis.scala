@@ -252,7 +252,7 @@ object TextAnalysis {
     Tables(s, dir, "documents")
       .select(col("doc_id"), words.as("n_words"),
         sentences.as("n_sentences"), syllables.as("n_syllables"))
-      .withColumn("fk_grade", round(
+      .withColumn("fk_grade", Quant.qdec( // rational of counts: can TIE
         lit(0.39) * (col("n_words").cast("double") /
           greatest(col("n_sentences"), lit(1))) +
         lit(11.8) * (col("n_syllables").cast("double") / col("n_words")) -
@@ -265,11 +265,11 @@ object TextAnalysis {
       |  len(string_split(text, ' ')) AS n_words,
       |  len(regexp_extract_all(text, '[.!?]+')) AS n_sentences,
       |  len(regexp_extract_all(text, '[aeiouAEIOU]+')) AS n_syllables,
-      |  round(0.39 * (CAST(len(string_split(text, ' ')) AS DOUBLE)
+      |  floor((0.39 * (CAST(len(string_split(text, ' ')) AS DOUBLE)
       |      / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
       |    + 11.8 * (CAST(len(regexp_extract_all(text, '[aeiouAEIOU]+'))
       |      AS DOUBLE) / len(string_split(text, ' ')))
-      |    - 15.59, 9) AS fk_grade
+      |    - 15.59) * 1e9 + 0.5) / 1e9 AS fk_grade
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Rolling-hash winnowing fingerprint (the MOSS scheme): a Horner
@@ -377,7 +377,7 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         col("n_stop"),
-        round(
+        Quant.qdec( // rational of counts: can TIE (Quant)
           lit(0.5) * least(size(col("ws")).cast("double") / 100.0, lit(1.0)) +
             lit(0.3) * (col("n_stop").cast("double") / size(col("ws"))) +
             lit(0.2) * (size(array_distinct(col("ws"))).cast("double") /
@@ -388,9 +388,10 @@ object TextAnalysis {
 
   private val qualitySql =
     s"""SELECT doc_id, n_stop,
-       |  round(0.5 * least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
+       |  floor((0.5 * least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
        |      + 0.3 * (CAST(n_stop AS DOUBLE) / n_tok)
-       |      + 0.2 * (CAST(n_dis AS DOUBLE) / n_tok), 6) AS quality
+       |      + 0.2 * (CAST(n_dis AS DOUBLE) / n_tok)) * 1e6 + 0.5) / 1e6
+       |    AS quality
        |FROM (
        |  SELECT doc_id,
        |    len(list_filter(string_split(text, ' '),

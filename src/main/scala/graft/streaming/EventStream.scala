@@ -768,7 +768,9 @@ object EventStream {
     runToCompletion(ss, ewmaTransform(ev, flushUs), "evs_ewma_sink", "append")
       .filter(col("user_id") >= 0)
       .select(col("user_id"), col("n_window"),
-        round(col("num").cast("double") /
+        // qdec, matching the batch ev_ewma and the floor-form oracle:
+        // the dyadic denominator makes true round-half ties possible
+        graft.Quant.qdec(col("num").cast("double") /
           (lit(2.0) - pow(lit(0.5), col("n_window") - 1)), 9).as("ewma"))
       .orderBy(col("user_id"))
   }
