@@ -445,6 +445,78 @@ object MssqlDialect {
     sb.toString
   }
 
+  /** Length-preserving literal blank-out: every char INSIDE a
+    * single-quoted span becomes a space (the quote delimiters stay),
+    * so keyword scans can never match data and — because the length
+    * never changes — every index into the masked text is valid in the
+    * original. The same discipline as the UPDATE-guard literal mask,
+    * applied to column-definition parsing: the old raw-text scans let
+    * `DEFAULT 'NOT NULL'` flip nullability, a 'check' inside a
+    * literal fabricate a CHECK constraint, and (the Jdbc.scala VALUES
+    * bug class) a toUpperCase-copy index drift past 'ß'-style
+    * length-changing case mappings.
+    */
+  private def blankLiterals(s: String): String = {
+    val a = s.toCharArray
+    var inLit = false
+    var i = 0
+    while (i < a.length) {
+      if (a(i) == '\'') inLit = !inLit
+      else if (inLit) a(i) = ' '
+      i += 1
+    }
+    new String(a)
+  }
+
+  /** On top of [[blankLiterals]] output: additionally blank the
+    * contents of `[bracketed]` identifier spans (delimiters stay), so
+    * constraint-KEYWORD scans can't match a column/table NAME like
+    * `[unique]` either. Never used for extraction — only location.
+    */
+  private def blankBrackets(s: String): String = {
+    val a = s.toCharArray
+    var inBr = false
+    var i = 0
+    while (i < a.length) {
+      val c = a(i)
+      if (inBr) { if (c == ']') inBr = false else a(i) = ' ' }
+      else if (c == '[') inBr = true
+      i += 1
+    }
+    new String(a)
+  }
+
+  /** Index of the `)` matching the `(` at `open` (both in `s`), or
+    * `s.length` if unbalanced — mirrors balancedParen's to-end
+    * fallback. Run on MASKED text so parens inside literals or
+    * bracketed identifiers never skew the depth.
+    */
+  private def matchingParen(s: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '(') depth += 1
+      else if (c == ')') { depth -= 1; if (depth == 0) return i }
+      i += 1
+    }
+    s.length
+  }
+
+  /** Last case-insensitive occurrence of `word` in `s` scanned with
+    * regionMatches on the original — no toUpperCase copy, no index
+    * drift.
+    */
+  private def lastKeywordAt(s: String, word: String): Int = {
+    var found = -1
+    var i = 0
+    while (i <= s.length - word.length) {
+      if (s.regionMatches(true, i, word, 0, word.length)) found = i
+      i += 1
+    }
+    found
+  }
+
   private val colDefRe =
     "(?is)^\\[([^\\]]+)\\]\\s+([a-z0-9]+)\\s*(\\(\\s*([a-z0-9]+)\\s*(?:,\\s*(\\d+)\\s*)?\\))?(.*)$".r
 
@@ -463,7 +535,6 @@ object MssqlDialect {
               case "rowversion" => "timestamp" // metadata parity
               case other => other
             }
-            val upperRest = rest.toUpperCase
             val charMax = tpe match {
               case "char" | "nchar" | "varchar" | "nvarchar" | "binary" |
                   "varbinary" =>
@@ -479,22 +550,38 @@ object MssqlDialect {
               case "smallmoney" => (Some(10), Some(4))
               case _ => (None, None)
             }
-            val pk = upperRest.contains("PRIMARY KEY")
-            val notNull = pk || upperRest.contains("NOT NULL")
+            // constraint keywords are LOCATED on masked text (literal
+            // contents and bracketed-identifier contents blanked,
+            // length-preserving) and their payloads EXTRACTED from the
+            // original by the masked span — a literal can never flip
+            // nullability or fabricate a constraint, and no uppercase
+            // copy ever indexes the original
+            val litMaskDef = blankLiterals(defText)
+            val kwMaskDef = blankBrackets(litMaskDef)
+            val kwRest = kwMaskDef.substring(defText.length - rest.length)
+              .toUpperCase
+            val pk = kwRest.contains("PRIMARY KEY")
+            val notNull = pk || kwRest.contains("NOT NULL")
             // reference CASE precedence (extractor.rs:62-70):
             // PK > FK > UNIQUE > CHECK > DEFAULT — one slot per column
             val constraint: String =
               if (pk) "PRIMARY KEY"
-              else refRe.findFirstMatchIn(defText) match {
+              else refRe.findFirstMatchIn(litMaskDef) match {
+                // groups are bracket contents — untouched by litMask
                 case Some(m) => s"FOREIGN KEY,${m.group(1)},${m.group(2)}"
                 case None =>
-                  if (upperRest.contains("UNIQUE")) "UNIQUE"
+                  if (kwRest.contains("UNIQUE")) "UNIQUE"
                   else {
-                    val checkAt = defText.toUpperCase.lastIndexOf("CHECK")
-                    if (checkAt >= 0 && defText.indexOf('(', checkAt) >= 0)
-                      s"CHECK (${balancedParen(defText, defText.indexOf('(', checkAt))})"
-                    else defaultRe.findFirstMatchIn(defText) match {
-                      case Some(m) => s"DEFAULT ${m.group(1)}"
+                    val checkAt = lastKeywordAt(kwMaskDef, "CHECK")
+                    val openAt =
+                      if (checkAt >= 0) kwMaskDef.indexOf('(', checkAt)
+                      else -1
+                    if (openAt >= 0)
+                      s"CHECK (${defText.substring(openAt + 1,
+                        matchingParen(kwMaskDef, openAt))})"
+                    else defaultRe.findFirstMatchIn(litMaskDef) match {
+                      case Some(m) =>
+                        s"DEFAULT ${defText.substring(m.start(1), m.end(1))}"
                       case None => ""
                     }
                   }

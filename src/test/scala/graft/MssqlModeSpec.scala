@@ -130,6 +130,41 @@ class MssqlModeSpec extends AnyFunSuite {
     }
   }
 
+  test("constraint parsing is literal- and bracket-mask-aware") {
+    withDb("mask") { url =>
+      val c = DriverManager.getConnection(url)
+      try {
+        val st = c.createStatement()
+        st.execute(
+          "CREATE TABLE [m] ([id] INT NOT NULL PRIMARY KEY, " +
+            // constraint keywords INSIDE a DEFAULT literal are data:
+            // they must not flip nullability or fabricate constraints
+            "[a] VARCHAR(30) DEFAULT 'NOT NULL unique check (x', " +
+            // a REAL CHECK after a 'ß'-laden literal (an uppercase-copy
+            // index drifts: each ß → SS) whose body itself contains a
+            // literal with ')' (raw paren-matching closes early)
+            "[b] VARCHAR(30) DEFAULT 'ßßßßßßßß' CHECK ([b] <> 'ß)'), " +
+            // 'check' inside a BRACKETED IDENTIFIER after the real
+            // CHECK: a raw lastIndexOf lands on the identifier and
+            // loses the constraint
+            "[d_check] INT CHECK ([d_check] > 0), " +
+            "[c] INT REFERENCES [m]([id]))")
+        st.close()
+      } finally c.close()
+
+      val src = new MssqlSchemaSource(url)
+      val byName = src.getTableSchema("m").map(s => s.columnName -> s).toMap
+      assert(byName("a").isNullable)
+      assert(byName("a").constraints ==
+        Some(Constraint.Default("'NOT NULL unique check (x'")))
+      assert(byName("b").constraints ==
+        Some(Constraint.Check("[b] <> 'ß)'")))
+      assert(byName("d_check").constraints ==
+        Some(Constraint.Check("[d_check] > 0")))
+      assert(byName("c").constraints == Some(Constraint.ForeignKey("m", "id")))
+    }
+  }
+
   test("scan decodes datetimeoffset to UTC and round-trips quirk types") {
     withDb("scan") { url =>
       val c = DriverManager.getConnection(url)
