@@ -174,6 +174,141 @@ object Dedup {
       |WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** b-bit minhash (Li & König 2010): the storage-compression play —
+    * keep only the LOWEST BIT of each of 63 min-hashes, so a doc's
+    * whole sketch is ONE BIGINT (8 bytes vs the 1 KB full signature;
+    * at 100 TB / 10^11 docs that is 0.8 TB of sketches vs 100 TB).
+    * Resemblance is then estimated from the packed words alone:
+    * p̂ = matched_bits/63 and Ĵ = 2·p̂ − 1 (for b=1 an unrelated pair
+    * still agrees on half its bits, so the estimator rescales; the
+    * r1/r2 density correction of Li-König Eq. 3 is dropped, the usual
+    * simplification). Candidates come from 4 arithmetic band keys over
+    * the FULL mins — banding needs the full values (1-bit bands have
+    * ~50% noise collisions); compression is for storage + estimation,
+    * which is exactly how production systems split the two roles.
+    *
+    * Everything is PORTABLE integer arithmetic so the oracle replays
+    * it exactly: one md5 per shingle, h1 = first 15 hex digits
+    * (60 bits), h2 = 13 digits from position 17 (52 bits), and the
+    * i-th permutation is (h1 + i·h2) mod 2^40 — the low 40 bits
+    * (Kirsch-Mitzenmacher double hashing; the sum stays < 2^61 so no
+    * overflow, and the MOD is what decorrelates the permutations:
+    * without it every min is won by the same smallest-h1 shingle and
+    * the 63 bits collapse to one). Plan shape: the shingle rows
+    * partial-aggregate into 64 per-doc mins (one shuffle of 5 k
+    * groups × 64 longs), the band self-join touches 4 keys/doc, and
+    * exact-Jaccard verification runs on candidates only.
+    */
+  private val BbitPerms = 63 // bits 0..62: DuckDB errors on 1 << 63
+  private val BbitBandKeys = 4 // 4 bands x 4 full mins, 15 bits each
+
+  private def bbitMinhash(s: SparkSession, dir: String): DataFrame = {
+    val sh = cachedShingles(s, dir)
+      .withColumn("h", md5(col("g").cast("binary")))
+      .select(col("doc_id"),
+        conv(substring(col("h"), 1, 15), 16, 10).cast("long").as("h1"),
+        conv(substring(col("h"), 17, 13), 16, 10).cast("long").as("h2"))
+    val mask40 = lit((1L << 40) - 1)
+    val mins = sh.groupBy(col("doc_id"))
+      .agg(min(col("h1").bitwiseAND(mask40)).as("m0"),
+        (1 until BbitPerms).map(i =>
+          min((col("h1") + lit(i.toLong) * col("h2")).bitwiseAND(mask40))
+            .as(s"m$i")): _*)
+    val sig = (0 until BbitPerms)
+      .map(i => shiftleft(col(s"m$i").bitwiseAND(lit(1L)), i))
+      .reduce(_ bitwiseOR _)
+    val bandKey = (b: Int) => (0 until 4)
+      .map(j => shiftleft(col(s"m${4 * b + j}") % 32768L, 15 * j))
+      .reduce(_ bitwiseOR _)
+    val sigs = mins.select(col("doc_id"), sig.as("sig"),
+      array((0 until BbitBandKeys).map(bandKey): _*).as("keys"))
+    val bands = sigs.select(col("doc_id"), col("sig"),
+      posexplode(col("keys")).as(Seq("band", "key")))
+    val candidates = bands
+      .select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+        col("band"), col("key"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+        col("band"), col("key")), Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .distinct()
+      .withColumn("matched_bits",
+        lit(BbitPerms.toLong) -
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .withColumn("j_bbit", Quant.qdec(
+        lit(2.0) * col("matched_bits") / BbitPerms - 1.0, 9))
+    val sets = cachedShingles(s, dir).groupBy(col("doc_id"))
+      .agg(collect_set(col("g")).as("gs"))
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("gs").as("ga")),
+        "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("gs").as("gb")),
+        "doc_b")
+      .withColumn("n_inter", size(array_intersect(col("ga"), col("gb"))))
+      .withColumn("j_exact", Quant.qdec(col("n_inter").cast("double") /
+        (size(col("ga")) + size(col("gb")) - col("n_inter")), 9))
+      .select(col("doc_a"), col("doc_b"),
+        col("matched_bits").cast("int").as("matched_bits"),
+        col("j_bbit"), col("j_exact"),
+        Quant.qdec(abs(col("j_bbit") - col("j_exact")), 9).as("abs_err"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val bbitMinhashSql =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS g
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |  WHERE len(ws) >= 3),
+      |hashed AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) AS h1,
+      |    CAST(('0x' || substring(md5(g), 17, 13)) AS BIGINT) AS h2
+      |  FROM sh),
+      |mins AS (
+      |  SELECT doc_id, i, min((h1 + i * h2) & 1099511627775) AS m
+      |  FROM hashed CROSS JOIN (SELECT unnest(range(0, 63)) AS i)
+      |  GROUP BY doc_id, i),
+      |sigs AS (
+      |  SELECT doc_id, bit_or((m & 1) << i) AS sig FROM mins
+      |  GROUP BY doc_id),
+      |keys AS (
+      |  SELECT doc_id, b, bit_or((m % 32768) << (15 * (i - 4 * b))) AS key
+      |  FROM mins CROSS JOIN (SELECT unnest(range(0, 4)) AS b)
+      |  WHERE i >= 4 * b AND i < 4 * b + 4
+      |  GROUP BY doc_id, b),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM keys a JOIN keys b ON a.b = b.b AND a.key = b.key
+      |    AND a.doc_id < b.doc_id),
+      |est AS (
+      |  SELECT doc_a, doc_b,
+      |    63 - bit_count(xor(sa.sig, sb.sig)) AS matched_bits
+      |  FROM cand
+      |    JOIN sigs sa ON doc_a = sa.doc_id
+      |    JOIN sigs sb ON doc_b = sb.doc_id),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT doc_a, doc_b, count(*) AS n_inter
+      |  FROM cand JOIN sh a ON a.doc_id = doc_a
+      |    JOIN sh b ON b.doc_id = doc_b AND a.g = b.g
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT e.doc_a, e.doc_b, CAST(e.matched_bits AS INTEGER)
+      |      AS matched_bits,
+      |    floor((2.0 * e.matched_bits / 63 - 1.0) * 1e9 + 0.5) / 1e9
+      |      AS j_bbit,
+      |    floor((CAST(coalesce(n_inter, 0) AS DOUBLE)
+      |      / (sa.n + sb.n - coalesce(n_inter, 0)))
+      |      * 1e9 + 0.5) / 1e9 AS j_exact
+      |  FROM est e LEFT JOIN inter USING (doc_a, doc_b)
+      |    JOIN sizes sa ON e.doc_a = sa.doc_id
+      |    JOIN sizes sb ON e.doc_b = sb.doc_id)
+      |SELECT doc_a, doc_b, matched_bits, j_bbit, j_exact,
+      |  floor(abs(j_bbit - j_exact) * 1e9 + 0.5) / 1e9 AS abs_err
+      |FROM scored ORDER BY doc_a, doc_b""".stripMargin
+
   /** MinHash + LSH near-dup: 128 xxhash64 min-hashes per doc, banded
     * 32×4; bucket-join candidates, then exact-Jaccard verification of
     * candidates only. Output equals the exact oracle (recall argument
@@ -1918,6 +2053,7 @@ object Dedup {
     QueryDef("dd_chunk_exact", chunkExact, Some(chunkExactSql)),
     QueryDef("dd_ngram_jaccard", cachedJaccard, Some(jaccardSql)),
     QueryDef("dd_minhash_lsh", minhashLsh, Some(jaccardSql)),
+    QueryDef("dd_bbit_minhash", bbitMinhash, Some(bbitMinhashSql)),
     QueryDef("dd_simhash", simhash, Some(simhashSql)),
     QueryDef("dd_simhash_hamming", cachedSimhashPairs,
       Some(simhashHammingSql)),

@@ -58,6 +58,37 @@ class QueriesSpec extends AnyFunSuite {
     assert(first.getAs[Long]("n_common") == ga.intersect(gb).size.toLong)
   }
 
+  test("dd_bbit_minhash: estimator identity holds and exact dups read 63/63") {
+    val out = SparkEntry.queries("dd_bbit_minhash")(spark, dir).collect()
+    assert(out.nonEmpty, "the sf0.001 fixture has near-dup pairs")
+    def q9(x: Double) = math.floor(x * 1e9 + 0.5) / 1e9
+    out.foreach { r =>
+      val m = r.getAs[Int]("matched_bits")
+      assert(m >= 0 && m <= 63)
+      // the output columns are DEFINED off matched_bits — re-derive
+      assert(r.getAs[Double]("j_bbit") == q9(2.0 * m / 63 - 1.0), s"$r")
+      assert(r.getAs[Double]("abs_err") ==
+        q9(math.abs(r.getAs[Double]("j_bbit") - r.getAs[Double]("j_exact"))))
+    }
+    // identical shingle SETS share every min, hence all 63 bits —
+    // when the fixture has such pairs the estimator must read exactly
+    // 1.0 on them (conditional: the sf0.001 near-dups top out ~0.99)
+    out.filter(_.getAs[Double]("j_exact") == 1.0).foreach { r =>
+      assert(r.getAs[Int]("matched_bits") == 63, s"full match expected: $r")
+      assert(r.getAs[Double]("j_bbit") == 1.0)
+    }
+    // high-J pairs must read high: for j >= 0.95 each bit matches with
+    // p >= 0.975 (E[m] >= 61.4, sd <= 1.24) — 52 is an 7.5-sigma floor
+    out.filter(_.getAs[Double]("j_exact") >= 0.95).foreach { r =>
+      assert(r.getAs[Int]("matched_bits") >= 52, s"estimator floor: $r")
+    }
+    // b=1 estimator sanity on the candidate set as a whole: mean
+    // absolute error bounded by a few estimator standard deviations
+    // (sd(J-hat) = 2*sd(p-hat) <= 1/sqrt(63) ~ 0.126)
+    val meanErr = out.map(_.getAs[Double]("abs_err")).sum / out.length
+    assert(meanErr < 0.25, f"estimator off the rails: meanErr=$meanErr%.3f")
+  }
+
   test("ev_day_bitmap: mask arithmetic equals direct streak computation") {
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("ev_day_bitmap")(spark, dir).collect()
