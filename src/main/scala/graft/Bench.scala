@@ -112,8 +112,14 @@ object Bench {
     val total = stats.map(_._2).sum
 
     // Full per-query med/min/max map → repo file (the durable artifact).
+    // `reps` carries the raw per-pass samples in pass order (pass 0 =
+    // forward iteration, pass 1 = reverse, ...): the judge can then
+    // separate JIT/staging warmup (pass-0-only spikes) from genuine
+    // run-to-run variance and machine interference, instead of
+    // inferring it from a min/max spread alone.
     val fullQs = stats.map { case (k, med, mn, mx) =>
-      s""""$k":{"med":${js(med)},"min":${js(mn)},"max":${js(mx)}}"""
+      val raw = samples(k).map(js).mkString("[", ",", "]")
+      s""""$k":{"med":${js(med)},"min":${js(mn)},"max":${js(mx)},"reps":$raw}"""
     }.mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":${js(total)},"unit":"sec","stat":"median","reps":$reps,"queries":$fullQs,"sf":"$sfDir","cpus":$cpus}"""

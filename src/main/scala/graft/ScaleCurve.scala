@@ -59,7 +59,11 @@ object ScaleCurve {
     // round-12: the streaming tier's cost drivers (r10/r11 verdict
     // item — the tier previously had no measured curve)
     "evs_cdc_apply", "evs_incremental_ingest", "evs_session_windows",
-    "evs_stream_stream_join", "evs_windowed_topk")
+    "evs_stream_stream_join", "evs_windowed_topk",
+    // round-15: the compressed-sketch tier and the two sharded-mask
+    // operators (histogram/sparse-pair-event read-outs — the curves
+    // prove the corpus-shuffle-then-tiny-relation claims)
+    "dd_bbit_minhash", "ev_day_bitmap_sharded", "ta_source_overlap_sharded")
 
   private def js(v: Double): String =
     String.format(Locale.ROOT, "%.3f", Double.box(v))

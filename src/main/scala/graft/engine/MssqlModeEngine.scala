@@ -398,22 +398,33 @@ object MssqlDialect {
   private val createRe =
     "(?is)^\\s*CREATE\\s+TABLE\\s+\\[([^\\]]+)\\]\\s*\\((.*)\\)\\s*$".r
 
-  /** Split a column-definition list on top-level commas (parens and
-    * literals nest).
+  /** Split a column-definition list on top-level commas (parens,
+    * literals AND bracketed identifiers nest — an apostrophe or comma
+    * inside `[o'brien]`-style names is part of the NAME, and `]]` is
+    * the escaped close bracket; same states as [[blankMasks]]).
     */
   private def splitDefs(body: String): Seq[String] = {
     val out = ListBuffer.empty[String]
     val sb = new StringBuilder
     var depth = 0
     var inLit = false
+    var inBr = false
     var i = 0
     while (i < body.length) {
       val c = body.charAt(i)
       if (inLit) {
         sb.append(c)
         if (c == '\'') inLit = false
+      } else if (inBr) {
+        sb.append(c)
+        if (c == ']') {
+          if (i + 1 < body.length && body.charAt(i + 1) == ']') {
+            sb.append(']'); i += 1
+          } else inBr = false
+        }
       } else c match {
         case '\'' => inLit = true; sb.append(c)
+        case '[' => inBr = true; sb.append(c)
         case '(' => depth += 1; sb.append(c)
         case ')' => depth -= 1; sb.append(c)
         case ',' if depth == 0 => out += sb.toString.trim; sb.clear()
@@ -445,45 +456,59 @@ object MssqlDialect {
     sb.toString
   }
 
-  /** Length-preserving literal blank-out: every char INSIDE a
-    * single-quoted span becomes a space (the quote delimiters stay),
-    * so keyword scans can never match data and — because the length
-    * never changes — every index into the masked text is valid in the
-    * original. The same discipline as the UPDATE-guard literal mask,
-    * applied to column-definition parsing: the old raw-text scans let
-    * `DEFAULT 'NOT NULL'` flip nullability, a 'check' inside a
-    * literal fabricate a CHECK constraint, and (the Jdbc.scala VALUES
-    * bug class) a toUpperCase-copy index drift past 'ß'-style
-    * length-changing case mappings.
+  /** Length-preserving blank-out masks for column-definition parsing
+    * (the discipline of the UPDATE-guard literal mask: every masked
+    * char becomes a space, so keyword scans can never match data and
+    * every index into the masked text is valid in the original — the
+    * old raw-text scans let `DEFAULT 'NOT NULL'` flip nullability, a
+    * 'check' inside a literal fabricate a CHECK constraint, and a
+    * toUpperCase-copy index drift past 'ß'-style length-changing case
+    * mappings).
+    *
+    * ONE bracket- and escape-aware walk producing both masks:
+    * `_1` = literal contents blanked, bracket contents intact
+    * (extraction positions — refRe/defaultRe read identifier payloads
+    * from it); `_2` = literal AND bracketed-identifier contents
+    * blanked (keyword location — a column named `[unique]` or a
+    * `DEFAULT 'NOT NULL'` can match nothing). A single state machine,
+    * because two independent walks can DISAGREE about where a literal
+    * ends: a legal bracketed identifier containing an apostrophe
+    * (`[o'brien] ... DEFAULT 'NOT NULL'`) toggled the old
+    * literal-only walk's quote state and inverted masking for the
+    * rest of the column definition. `''` (escaped quote, content) and
+    * `]]` (escaped close bracket, content) are consumed as single
+    * tokens of their span.
     */
-  private def blankLiterals(s: String): String = {
-    val a = s.toCharArray
-    var inLit = false
+  private def blankMasks(s: String): (String, String) = {
+    val lit = s.toCharArray // literals blanked
+    val kw = s.toCharArray // literals + bracket contents blanked
+    var state = 0 // 0 = plain, 1 = in '...' literal, 2 = in [...] ident
     var i = 0
-    while (i < a.length) {
-      if (a(i) == '\'') inLit = !inLit
-      else if (inLit) a(i) = ' '
+    while (i < s.length) {
+      val c = s.charAt(i)
+      state match {
+        case 0 =>
+          if (c == '\'') state = 1
+          else if (c == '[') state = 2
+        case 1 =>
+          if (c == '\'') {
+            if (i + 1 < s.length && s.charAt(i + 1) == '\'') {
+              lit(i) = ' '; kw(i) = ' '
+              lit(i + 1) = ' '; kw(i + 1) = ' '
+              i += 1
+            } else state = 0
+          } else { lit(i) = ' '; kw(i) = ' ' }
+        case _ =>
+          if (c == ']') {
+            if (i + 1 < s.length && s.charAt(i + 1) == ']') {
+              kw(i) = ' '; kw(i + 1) = ' '
+              i += 1
+            } else state = 0
+          } else kw(i) = ' '
+      }
       i += 1
     }
-    new String(a)
-  }
-
-  /** On top of [[blankLiterals]] output: additionally blank the
-    * contents of `[bracketed]` identifier spans (delimiters stay), so
-    * constraint-KEYWORD scans can't match a column/table NAME like
-    * `[unique]` either. Never used for extraction — only location.
-    */
-  private def blankBrackets(s: String): String = {
-    val a = s.toCharArray
-    var inBr = false
-    var i = 0
-    while (i < a.length) {
-      val c = a(i)
-      if (inBr) { if (c == ']') inBr = false else a(i) = ' ' }
-      else if (c == '[') inBr = true
-      i += 1
-    }
-    new String(a)
+    (new String(lit), new String(kw))
   }
 
   /** Index of the `)` matching the `(` at `open` (both in `s`), or
@@ -556,8 +581,7 @@ object MssqlDialect {
             // original by the masked span — a literal can never flip
             // nullability or fabricate a constraint, and no uppercase
             // copy ever indexes the original
-            val litMaskDef = blankLiterals(defText)
-            val kwMaskDef = blankBrackets(litMaskDef)
+            val (litMaskDef, kwMaskDef) = blankMasks(defText)
             val kwRest = kwMaskDef.substring(defText.length - rest.length)
               .toUpperCase
             val pk = kwRest.contains("PRIMARY KEY")
@@ -976,12 +1000,23 @@ private final class MssqlModeStmtHandler(underlying: Statement,
                 // the original as ONE atomic statement, so under
                 // autocommit the N tuples must commit or roll back
                 // together — a mid-list failure must not keep earlier
-                // tuples (addBatch only queues; its executeBatch-time
-                // semantics are the caller's transaction as usual)
+                // tuples. Via addBatch that atomicity is NOT
+                // reproducible (executeBatch under autocommit commits
+                // each queued entry separately, and wrapping the WHOLE
+                // batch in one txn would over-atomize the caller's
+                // unrelated entries), so reject it loudly — the same
+                // contract as the prepare path above.
+                if (method.getName == "addBatch")
+                  throw new IllegalArgumentException(
+                    "mssql-mode: multi-row INSERT into a rowversion " +
+                      "table is not batchable (MSSQL runs it as one " +
+                      "atomic statement; executeBatch under autocommit " +
+                      "cannot) — use Statement.execute or single-row " +
+                      "tuples")
                 def runAll(): Seq[AnyRef] = many.map(s2 =>
                   method.invoke(underlying, (s2 +: args.drop(1)): _*))
                 val rets =
-                  if (method.getName == "addBatch" || !conn.getAutoCommit)
+                  if (!conn.getAutoCommit)
                     runAll()
                   else {
                     conn.setAutoCommit(false)
@@ -1002,7 +1037,7 @@ private final class MssqlModeStmtHandler(underlying: Statement,
                   case "executeLargeUpdate" =>
                     java.lang.Long.valueOf(
                       rets.map(_.asInstanceOf[java.lang.Long].longValue).sum)
-                  case _ => rets.last // execute: Boolean; addBatch: null
+                  case _ => rets.last // execute: Boolean
                 }
             }
         }

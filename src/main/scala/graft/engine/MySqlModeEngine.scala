@@ -296,6 +296,21 @@ private[engine] object MySqlDecimalCoerce {
     * depth-1 VALUES tuple, track the value ordinal at depth-1 commas;
     * a single-quoted literal that BEGINS a value at a decimal ordinal
     * is wrapped in the explicit cast.
+    *
+    * PRECONDITION: `sql` is `MySqlDialect.translate` output — the ANSI
+    * re-emission where every literal is ''-escaped (ansiLiteral; the
+    * lexer already decoded any MySQL backslash escape) and every
+    * double-quoted span is a ""-escaped IDENTIFIER (ansiIdent). Raw
+    * MySQL-dialect text must never reach this walk: without
+    * ANSI_QUOTES, MySQL's `"` delimits a backslash-escaped string
+    * literal, so a value like "a\"b" would end the span at the escaped
+    * quote and desync the ordinal/depth tracking — and a double-quoted
+    * string at a DECIMAL ordinal would silently skip the coercion.
+    * Structurally guaranteed: both call sites feed
+    * `MySqlDialect.Translated(...)` only, and the lexer REJECTS any
+    * raw `"` ("double-quoted identifier is not MySQL dialect"), so
+    * every `"` surviving into translated text was emitted by
+    * ansiIdent.
     */
   private[engine] def rewrite(sql: String, decPos: Map[Int, (Int, Int)]): String = {
     val valuesAt = findValuesKeyword(sql)

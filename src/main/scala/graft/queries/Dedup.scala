@@ -180,9 +180,22 @@ object Dedup {
     * at 100 TB / 10^11 docs that is 0.8 TB of sketches vs 100 TB).
     * Resemblance is then estimated from the packed words alone:
     * p̂ = matched_bits/63 and Ĵ = 2·p̂ − 1 (for b=1 an unrelated pair
-    * still agrees on half its bits, so the estimator rescales; the
-    * r1/r2 density correction of Li-König Eq. 3 is dropped, the usual
-    * simplification). Candidates come from 4 arithmetic band keys over
+    * still agrees on half its bits, so the estimator rescales).
+    * `j_bbit_corrected` additionally applies the full Li-König Eq. 3
+    * density correction Ĵ = (p̂ − C₁)/(1 − C₂) with
+    * Aᵢ = (1−rᵢ)/(2−rᵢ) (the b=1 closed form) and rᵢ = |Sᵢ|/2^40 —
+    * the density of each shingle set in the IMPLEMENTATION universe,
+    * which for hash-value sketches is the hash range, not the corpus
+    * vocabulary. At these densities (r ≈ 10⁻⁹) the correction shifts
+    * Ĵ by ~r/2 ≈ 10⁻¹⁰ — rendered at 12 decimals so it stays
+    * observable, PROVING the simplified estimator's validity
+    * numerically (the bias a denser universe would inflict is shown
+    * to be negligible here) instead of assuming it. The residual
+    * mean |err| (~0.04) is binomial
+    * VARIANCE from k=63 bits (sd(Ĵ) = 2·sqrt(p̂(1−p̂)/63), up to
+    * 0.126), which no bias correction can remove — only more bits or
+    * the full signature can. Candidates come from 4 arithmetic band
+    * keys over
     * the FULL mins — banding needs the full values (1-bit bands have
     * ~50% noise collisions); compression is for storage + estimation,
     * which is exactly how production systems split the two roles.
@@ -247,9 +260,25 @@ object Dedup {
       .withColumn("n_inter", size(array_intersect(col("ga"), col("gb"))))
       .withColumn("j_exact", Quant.qdec(col("n_inter").cast("double") /
         (size(col("ga")) + size(col("gb")) - col("n_inter")), 9))
+      .withColumn("j_bbit_corrected", {
+        // Li-König Eq. 3, b=1 closed form — the expression TREE must
+        // mirror the oracle exactly (same IEEE ops in the same order)
+        val d = lit(1099511627776.0) // 2^40, the hash universe
+        val r1 = size(col("ga")).cast("double") / d
+        val r2 = size(col("gb")).cast("double") / d
+        val a1 = (lit(1.0) - r1) / (lit(2.0) - r1)
+        val a2 = (lit(1.0) - r2) / (lit(2.0) - r2)
+        val c1 = a1 * r2 / (r1 + r2) + a2 * r1 / (r1 + r2)
+        val c2 = a1 * r1 / (r1 + r2) + a2 * r2 / (r1 + r2)
+        val pHat = col("matched_bits").cast("double") / lit(63.0)
+        // 12 decimals, not the usual 9: at this corpus' densities the
+        // correction lives at the 10th decimal (~r/2 ≈ 10⁻¹⁰) — a
+        // 9-decimal render would erase it and re-emit j_bbit
+        Quant.qdec((pHat - c1) / (lit(1.0) - c2), 12)
+      })
       .select(col("doc_a"), col("doc_b"),
         col("matched_bits").cast("int").as("matched_bits"),
-        col("j_bbit"), col("j_exact"),
+        col("j_bbit"), col("j_bbit_corrected"), col("j_exact"),
         Quant.qdec(abs(col("j_bbit") - col("j_exact")), 9).as("abs_err"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -294,18 +323,33 @@ object Dedup {
       |  FROM cand JOIN sh a ON a.doc_id = doc_a
       |    JOIN sh b ON b.doc_id = doc_b AND a.g = b.g
       |  GROUP BY 1, 2),
-      |scored AS (
-      |  SELECT e.doc_a, e.doc_b, CAST(e.matched_bits AS INTEGER)
-      |      AS matched_bits,
-      |    floor((2.0 * e.matched_bits / 63 - 1.0) * 1e9 + 0.5) / 1e9
-      |      AS j_bbit,
-      |    floor((CAST(coalesce(n_inter, 0) AS DOUBLE)
-      |      / (sa.n + sb.n - coalesce(n_inter, 0)))
-      |      * 1e9 + 0.5) / 1e9 AS j_exact
+      |dens AS (
+      |  SELECT e.doc_a, e.doc_b, e.matched_bits, n_inter,
+      |    sa.n AS na, sb.n AS nb,
+      |    (CAST(sa.n AS DOUBLE) / 1099511627776.0) AS r1,
+      |    (CAST(sb.n AS DOUBLE) / 1099511627776.0) AS r2
       |  FROM est e LEFT JOIN inter USING (doc_a, doc_b)
       |    JOIN sizes sa ON e.doc_a = sa.doc_id
-      |    JOIN sizes sb ON e.doc_b = sb.doc_id)
-      |SELECT doc_a, doc_b, matched_bits, j_bbit, j_exact,
+      |    JOIN sizes sb ON e.doc_b = sb.doc_id),
+      |corr AS (
+      |  SELECT doc_a, doc_b, matched_bits, n_inter, na, nb, r1, r2,
+      |    (1.0 - r1) / (2.0 - r1) AS a1,
+      |    (1.0 - r2) / (2.0 - r2) AS a2
+      |  FROM dens),
+      |scored AS (
+      |  SELECT doc_a, doc_b, CAST(matched_bits AS INTEGER)
+      |      AS matched_bits,
+      |    floor((2.0 * matched_bits / 63 - 1.0) * 1e9 + 0.5) / 1e9
+      |      AS j_bbit,
+      |    floor(((CAST(matched_bits AS DOUBLE) / 63.0
+      |        - (a1 * r2 / (r1 + r2) + a2 * r1 / (r1 + r2)))
+      |      / (1.0 - (a1 * r1 / (r1 + r2) + a2 * r2 / (r1 + r2))))
+      |      * 1e12 + 0.5) / 1e12 AS j_bbit_corrected,
+      |    floor((CAST(coalesce(n_inter, 0) AS DOUBLE)
+      |      / (na + nb - coalesce(n_inter, 0)))
+      |      * 1e9 + 0.5) / 1e9 AS j_exact
+      |  FROM corr)
+      |SELECT doc_a, doc_b, matched_bits, j_bbit, j_bbit_corrected, j_exact,
       |  floor(abs(j_bbit - j_exact) * 1e9 + 0.5) / 1e9 AS abs_err
       |FROM scored ORDER BY doc_a, doc_b""".stripMargin
 
@@ -773,19 +817,26 @@ object Dedup {
     * no-recall-loss claim is re-proven through the cluster structure
     * too.
     */
-  /** Hamming pair set shared per session (the cachedJaccard
-    * convention) — consumed by dd_simhash_hamming's surface and the
-    * cluster labeling below.
+  /** Hamming pair set staged to parquet once per (JVM, fixture) — the
+    * CdcApply.stagedDirs convention — consumed by dd_simhash_hamming's
+    * surface and the cluster labeling below. The pair set is a pure
+    * function of the fixture; the former in-memory `.cache()` could be
+    * evicted mid-suite, turning a worst-case rep into a full recompute
+    * of the banded self-join. With a parquet stage the worst case is a
+    * file read.
     */
-  private val simhashPairsCache = new graft.SessionCache[DataFrame]
-
-  private def cachedSimhashPairs(s: SparkSession, dir: String): DataFrame =
-    simhashPairsCache.getOrElseUpdate(s, dir)(simhashHamming(s, dir).cache())
+  private def cachedSimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val staged = graft.StagedFixture.dir(
+      s"simhash_pairs:$dir", "graft_simhash_pairs") { t =>
+      simhashHamming(s, dir).coalesce(1).write.mode("overwrite").parquet(t)
+    }
+    s.read.parquet(staged).orderBy(col("doc_a"), col("doc_b"))
+  }
 
   private def simhashClusters(s: SparkSession, dir: String): DataFrame = {
-    // pair build under the caller's session (AQE on), star loop in the
-    // AQE-off narrow clone — the dd_components pattern, same rationale
-    cachedSimhashPairs(s, dir).count()
+    // pair staging under the caller's session (AQE on), star loop in
+    // the AQE-off narrow clone — the dd_components pattern
+    val _ = cachedSimhashPairs(s, dir)
     val s2 = s.newSession()
     s2.conf.set("spark.sql.adaptive.enabled", "false")
     s2.conf.set("spark.sql.shuffle.partitions", "8")

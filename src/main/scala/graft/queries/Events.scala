@@ -1545,11 +1545,17 @@ object Events {
     *
     * Scale shape: one shuffle on user_id (map-side combined bit_or),
     * then everything runs on ≤ min(users, 2^window_days) histogram
-    * rows. Contract: the event window must fit a BIGINT (≤ 63 days
-    * from the corpus min-date — the fixture spans 30); longer windows
-    * shard the mask into an ARRAY<BIGINT> with the same arithmetic.
-    * Compare ev_retention/ev_dau_wau: same engagement signals via
-    * joins/windows — this is the form whose per-user state is 8 bytes.
+    * rows. Contract — ENFORCED, not just documented: the event window
+    * must fit a BIGINT's non-negative bits (day ≤ 62 from the corpus
+    * min-date — the fixture spans 30). Spark's `shiftleft` silently
+    * wraps the shift mod 64, so without the guard a longer window
+    * folds distinct days onto the same bit and the census is wrong
+    * with no error; the per-row raise_error below fails loudly
+    * instead, distributed and at zero extra passes. Longer windows →
+    * `ev_day_bitmap_sharded`: the same arithmetic over sharded
+    * BIGINT masks. Compare ev_retention/ev_dau_wau: same engagement
+    * signals via joins/windows — this is the form whose per-user
+    * state is 8 bytes.
     */
   private def dayBitmap(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables(s, dir, "events")
@@ -1557,6 +1563,12 @@ object Events {
     val hist = ev.crossJoin(broadcast(d0))
       .select(col("user_id"),
         datediff(to_date(col("ts")), col("d0")).as("day"))
+      .select(col("user_id"),
+        when(col("day") > 62, raise_error(concat(
+          lit("ev_day_bitmap: day "), col("day").cast("string"),
+          lit(" exceeds the 63-day BIGINT mask window (bits 0..62);" +
+            " use ev_day_bitmap_sharded for longer spans"))))
+          .otherwise(col("day")).as("day"))
       .groupBy(col("user_id"))
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), day))").as("mask"))
       .groupBy(col("mask")).agg(count(lit(1)).as("n_users"))
@@ -1597,7 +1609,126 @@ object Events {
       |FROM hist JOIN st USING (mask)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Sharded day-bitmap census — `ev_day_bitmap`'s "longer windows
+    * shard the mask" claim made real instead of asserted: the same
+    * bit_or / bit_count / m&(m<<1) arithmetic over an array of
+    * 63-bit BIGINT shards (bits 0..62 per shard; bit 62 carries into
+    * the next shard's shiftleft, so streaks cross shard boundaries
+    * exactly as they would in one wide register). The fixture's
+    * 30-day window is deterministically stretched to ~130 synthetic
+    * days (day = datediff + 50·(length(event_type) mod 4), replayed
+    * verbatim by the oracle) so the correctness row really exercises
+    * >63 days, boundary-crossing streaks included. NShards is a
+    * plan-time constant (a production job derives it from the window
+    * config, ceil(days/63)); out-of-window days fail loudly via the
+    * same per-row raise_error as the unsharded form.
+    *
+    * Scale shape is unchanged: one user_id shuffle with map-side
+    * combined bit_ors (NShards × 8 bytes of per-user state), then the
+    * streak fold runs on the DISTINCT-(m0..mN) histogram only —
+    * nothing corpus-sized ever leaves the shuffle.
+    */
+  private val ShardBits = 63
+  private val NShards = 3
+
+  private def dayBitmapSharded(s: SparkSession, dir: String): DataFrame = {
+    val maxDay = NShards * ShardBits - 1
+    // clear bit 62 before the <<1 so the shift never touches the sign
+    // bit (Spark would wrap silently; DuckDB errors) — the cleared bit
+    // re-enters as the next shard's carry-in
+    val preMask = (1L << (ShardBits - 1)) - 1
+    val ev = Tables(s, dir, "events")
+    val d0 = ev.agg(min(to_date(col("ts"))).as("d0"))
+    val hist = ev.crossJoin(broadcast(d0))
+      .select(col("user_id"),
+        (datediff(to_date(col("ts")), col("d0")) +
+          lit(50) * (length(col("event_type")) % 4)).as("day"))
+      .select(col("user_id"),
+        when(col("day") > maxDay, raise_error(concat(
+          lit("ev_day_bitmap_sharded: day "), col("day").cast("string"),
+          lit(s" exceeds the $NShards-shard window (${maxDay + 1} days);" +
+            " raise NShards"))))
+          .otherwise(col("day")).as("day"))
+      .groupBy(col("user_id"))
+      .agg(
+        expr(s"bit_or(IF(day div $ShardBits = 0, " +
+          s"shiftleft(CAST(1 AS BIGINT), day % $ShardBits), " +
+          "CAST(0 AS BIGINT)))").as("m0"),
+        (1 until NShards).map(j =>
+          expr(s"bit_or(IF(day div $ShardBits = $j, " +
+            s"shiftleft(CAST(1 AS BIGINT), day % $ShardBits), " +
+            "CAST(0 AS BIGINT)))").as(s"m$j")): _*)
+      .groupBy((0 until NShards).map(j => col(s"m$j")): _*)
+      .agg(count(lit(1)).as("n_users"))
+    // the m&(m<<1) fold, sharded: shl1 of shard j = (m_j & preMask)<<1
+    // OR'd with shard j-1's bit 62 — one wide register in N pieces.
+    // Runs on the tiny histogram relation only (interpreted HOF ok).
+    def shl1(j: Int): String =
+      if (j == 0) s"shiftleft(acc.a0 & $preMask, 1)"
+      else s"(shiftleft(acc.a$j & $preMask, 1) | " +
+        s"(shiftright(acc.a${j - 1}, ${ShardBits - 1}) & 1))"
+    val nonZero = (0 until NShards).map(j => s"acc.a$j <> 0").mkString(" OR ")
+    val initial = (0 until NShards).map(j => s"m$j AS a$j").mkString(", ")
+    val step = (0 until NShards).map(j => s"acc.a$j & ${shl1(j)} AS a$j")
+      .mkString(", ")
+    hist
+      .withColumn("longest_streak",
+        expr(s"""aggregate(sequence(1, ${NShards * ShardBits}),
+          struct($initial, 0 AS k),
+          (acc, i) -> IF($nonZero,
+            struct($step, acc.k + 1 AS k),
+            acc),
+          acc -> acc.k)"""))
+      .groupBy(expr((0 until NShards).map(j => s"bit_count(m$j)")
+        .mkString("CAST(", " + ", " AS INT)")).as("n_active_days"),
+        col("longest_streak"))
+      .agg(sum(col("n_users")).as("n_users"))
+      .orderBy(col("n_active_days"), col("longest_streak"))
+  }
+
+  private val dayBitmapShardedSql =
+    """WITH RECURSIVE d0 AS (
+      |  SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+      |dy AS (
+      |  SELECT user_id,
+      |    datediff('day', d0, CAST(ts AS DATE))
+      |      + 50 * (length(event_type) % 4) AS day
+      |  FROM events CROSS JOIN d0),
+      |um AS (
+      |  SELECT user_id,
+      |    bit_or(CASE WHEN day // 63 = 0
+      |      THEN CAST(1 AS BIGINT) << (day % 63) ELSE CAST(0 AS BIGINT)
+      |      END) AS m0,
+      |    bit_or(CASE WHEN day // 63 = 1
+      |      THEN CAST(1 AS BIGINT) << (day % 63) ELSE CAST(0 AS BIGINT)
+      |      END) AS m1,
+      |    bit_or(CASE WHEN day // 63 = 2
+      |      THEN CAST(1 AS BIGINT) << (day % 63) ELSE CAST(0 AS BIGINT)
+      |      END) AS m2
+      |  FROM dy GROUP BY user_id),
+      |hist AS (SELECT m0, m1, m2, count(*) AS nu FROM um GROUP BY 1, 2, 3),
+      |r(m0, m1, m2, a0, a1, a2, k) AS (
+      |  SELECT m0, m1, m2, m0, m1, m2, 0 FROM hist
+      |  UNION ALL
+      |  SELECT m0, m1, m2,
+      |    a0 & ((a0 & 4611686018427387903) << 1),
+      |    a1 & (((a1 & 4611686018427387903) << 1) | ((a0 >> 62) & 1)),
+      |    a2 & (((a2 & 4611686018427387903) << 1) | ((a1 >> 62) & 1)),
+      |    k + 1
+      |  FROM r WHERE a0 <> 0 OR a1 <> 0 OR a2 <> 0),
+      |st AS (
+      |  SELECT m0, m1, m2, CAST(max(k) AS INT) AS longest_streak
+      |  FROM r GROUP BY 1, 2, 3)
+      |SELECT
+      |  CAST(bit_count(hist.m0) + bit_count(hist.m1) + bit_count(hist.m2)
+      |    AS INT) AS n_active_days,
+      |  longest_streak, CAST(sum(nu) AS BIGINT) AS n_users
+      |FROM hist JOIN st USING (m0, m1, m2)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("ev_day_bitmap_sharded", dayBitmapSharded,
+      Some(dayBitmapShardedSql)),
     QueryDef("ev_day_bitmap", dayBitmap, Some(dayBitmapSql)),
     QueryDef("ev_seasonal_decompose", seasonalDecompose,
       Some(seasonalDecomposeSql)),

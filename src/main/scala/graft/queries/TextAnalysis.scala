@@ -662,6 +662,42 @@ object TextAnalysis {
       |      FROM documents)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** HLL sketch MERGE associativity — the property that makes
+    * cardinality sketches work on a 1000-executor cluster: registers
+    * are max-merged, so sketching each shard and unioning must equal
+    * sketching the whole corpus in one pass. Here the shards are the
+    * 20 sources (per-partition at scale); `merge_lossless` asserts the
+    * merged estimate EQUALS the direct single-pass estimate — not
+    * approximately: identical registers give identical estimates —
+    * and `within_tolerance` re-checks the estimate against the exact
+    * count (the ta_vocab_hll convention: the oracle predicts the
+    * booleans, so a sketch or merge regression reds the gate).
+    * Datasketches HLL (Spark 4's hll_sketch_agg), lgK 12.
+    */
+  private def vocabHllMerge(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables(s, dir, "documents")
+      .select(col("source"), explode(TextFns.tokens(col("text"))).as("w"))
+    val merged = words.groupBy(col("source"))
+      .agg(hll_sketch_agg(col("w"), lit(12)).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+        .as("est_merged"))
+    val direct = words.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("w"), lit(12)))
+        .as("est_direct"),
+      countDistinct(col("w")).as("exact_vocab"))
+    direct.crossJoin(merged)
+      .select(col("exact_vocab"),
+        (col("est_merged") === col("est_direct")).as("merge_lossless"),
+        (abs(col("est_merged") - col("exact_vocab")) <=
+          lit(0.05) * col("exact_vocab")).as("within_tolerance"))
+  }
+
+  private val vocabHllMergeSql =
+    """SELECT count(DISTINCT word) AS exact_vocab,
+      |  TRUE AS merge_lossless, TRUE AS within_tolerance
+      |FROM (SELECT unnest(string_split(text, ' ')) AS word
+      |      FROM documents)""".stripMargin
+
   /** TF-IDF per (doc, term): tf = term count / doc length, idf =
     * ln(N / df). All inputs are exact integers, and JVM Math.log is
     * bit-identical to DuckDB's ln (verified), so the scores
@@ -792,6 +828,71 @@ object TextAnalysis {
       |  JOIN dfs d2 ON pairs.w2 = d2.w
       |  CROSS JOIN n
       |ORDER BY pmi DESC, w1, w2 LIMIT 15""".stripMargin
+
+  /** Self-trained bigram-LM negative log-likelihood — the
+    * CCNet/Gopher-style perplexity quality filter, the signal every
+    * production corpus pipeline ranks documents by before training: a
+    * bigram model p(w2|w1) = c(w1,w2)/c(w1·) is estimated from the
+    * corpus itself (so every bigram is observed — no smoothing or OOV
+    * path needed), and each document scores its mean negative
+    * log-likelihood in nats/bigram. Low nll = templated/predictable
+    * text, high = unusual; both tails are what the filter cuts.
+    * Perplexity = e^nll, left to the reader so no second
+    * transcendental enters the gate.
+    *
+    * Scale shape: the bigram stream partial-aggregates per (doc,
+    * bigram) before anything shuffles; the LM tables are
+    * VOCABULARY²-bounded and deliberately NOT broadcast-hinted (same
+    * rationale as pmi/tfidf — AQE broadcasts them at fixture scale
+    * and falls back to word-keyed shuffle joins at corpus scale).
+    * Exactness: each term rounds ln to 9 decimals then accumulates in
+    * DECIMAL (order-independent), and the final rational
+    * (decimal-sum / count) goes through Quant.qdec — round() on it
+    * could tie.
+    */
+  private def lmPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val bi = Tables(s, dir, "documents")
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(2, size(toks)), i -> " +
+          "struct(element_at(toks, i - 1) AS w1, " +
+          "element_at(toks, i) AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val docBi = bi.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cd"))
+    val lm2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val lm1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    docBi
+      .join(lm2, Seq("w1", "w2"))
+      .join(lm1, Seq("w1"))
+      .withColumn("term",
+        round(-col("cd") * log(col("c2").cast("double") / col("c1")), 9)
+          .cast(DecimalType(18, 9)))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cd")).as("nb"), sum(col("term")).as("t"))
+      .select(col("doc_id"), col("nb").cast("int").as("n_bigrams"),
+        Quant.qdec(col("t").cast("double") / col("nb"), 9).as("nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val lmPerplexitySql =
+    """WITH bi AS (
+      |  SELECT doc_id, ws[i - 1] AS w1, ws[i] AS w2
+      |  FROM (SELECT doc_id, ws, unnest(range(2, len(ws) + 1)) AS i
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS ws
+      |              FROM documents)
+      |        WHERE len(ws) >= 2)),
+      |docbi AS (
+      |  SELECT doc_id, w1, w2, count(*) AS cd FROM bi GROUP BY 1, 2, 3),
+      |lm2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+      |lm1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1)
+      |SELECT doc_id, CAST(sum(cd) AS INTEGER) AS n_bigrams,
+      |  floor(CAST(sum(CAST(round(
+      |      -cd * ln(CAST(c2 AS DOUBLE) / c1), 9) AS DECIMAL(18,9)))
+      |    AS DOUBLE) / sum(cd) * 1e9 + 0.5) / 1e9 AS nll
+      |FROM docbi JOIN lm2 USING (w1, w2) JOIN lm1 USING (w1)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Per-document unigram Shannon entropy — the information-density
     * quality signal (low entropy = repetitive/templated text).
@@ -1386,9 +1487,14 @@ object TextAnalysis {
       .groupBy(col("g"))
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), idx - 1))").as("mask"))
       .groupBy(col("mask")).agg(count(lit(1)).as("cnt"))
+    // orient pairs by NAME comparison, not bit index: Spark compares
+    // strings as UTF-8 bytes (same as DuckDB's binary collation), while
+    // the Scala `.sorted` above is UTF-16 code-unit order — they agree
+    // on ASCII but diverge on supplementary-plane names, so the index
+    // must never decide which source lands in src_a vs src_b
     val pairs = srcs.select(col("source").as("src_a"), col("idx").as("ia"))
       .crossJoin(srcs.select(col("source").as("src_b"), col("idx").as("ib")))
-      .filter(col("ia") < col("ib"))
+      .filter(col("src_a") < col("src_b"))
     val bitA = expr(
       "(mask & shiftleft(CAST(1 AS BIGINT), ia - 1)) != 0")
     val bitB = expr(
@@ -1399,10 +1505,161 @@ object TextAnalysis {
         sum(when(bitA && bitB, col("cnt")).otherwise(0L)).as("n_common"),
         sum(when(bitA, col("cnt")).otherwise(0L)).as("n_a"),
         sum(when(bitB, col("cnt")).otherwise(0L)).as("n_b"))
-      .withColumn("jaccard", col("n_common").cast("double") /
-        (col("n_a") + col("n_b") - col("n_common")))
+      // guard the 0/0 case (a source whose docs all have < 3 words has
+      // an empty gram set): Spark renders NULL, DuckDB NaN — make both
+      // NULL. qdec keeps the one rational output column inside the
+      // Quant convention (ratio of exact counts; see Quant's scaladoc).
+      .withColumn("jaccard",
+        when(col("n_a") + col("n_b") - col("n_common") > 0,
+          Quant.qdec(col("n_common").cast("double") /
+            (col("n_a") + col("n_b") - col("n_common")), 9)))
       .orderBy(col("src_a"), col("src_b"))
   }
+
+  /** Sharded source-overlap matrix — `ta_source_overlap`'s "shard into
+    * ARRAY<BIGINT> masks with the same arithmetic" claim made real:
+    * the 20 fixture sources are deterministically widened to 100
+    * synthetic sub-sources (source + '_' + (doc_id div 20) mod 5 —
+    * the div-20 decorrelates from the fixture's source ≡ doc_id mod 20
+    * assignment; replayed verbatim by the oracle) so the bit index
+    * genuinely exceeds one BIGINT, and every per-gram source set
+    * folds into TWO 63-bit mask shards (bit = idx mod 63, shard =
+    * idx div 63) in the one aggregation.
+    *
+    * The pairwise read-out is DIFFERENT from the base query's, and
+    * deliberately so: histogram × pair-dim
+    * conditional sums cost |hist| × C(n,2), and at 100 fine-grained
+    * sub-sources the mask histogram stops compressing (measured at
+    * sf0.1: 27,082 distinct mask tuples over 27,213 grams — nearly
+    * every gram has a unique source subset), so that read-out is
+    * O(grams × pairs): 21 s where the base runs 2 s. Instead each
+    * histogram row explodes only its SET-BIT combinations (C(d,2)
+    * pair events for a gram in d sub-sources — overwhelmingly d ≤ 2,
+    * so this is ~O(grams)), and one (ia, ib) shuffle sums the
+    * co-occurrence counts; per-source totals come from the same bit
+    * explode, and zero-overlap pairs are restored by a left join from
+    * the tiny pair dim. This is the crossover every production
+    * overlap matrix hits: dense masks + conditional sums win while
+    * distinct subsets ≪ grams, sparse pair events win beyond.
+    * OverlapShards is a plan-time constant (production:
+    * ceil(sources/63)); the require fails loudly past 126.
+    */
+  private val OverlapShards = 2
+
+  private def sourceOverlapSharded(s: SparkSession, dir: String): DataFrame = {
+    val nBits = OverlapShards * 63
+    val syn = concat(col("source"), lit("_"),
+      (expr("doc_id div 20") % 5).cast("string")).as("source")
+    val srcNames = Tables(s, dir, "documents")
+      .select(syn).distinct()
+      .collect().map(_.getString(0)).sorted
+    require(srcNames.length <= nBits,
+      s"sharded source-overlap holds <= $nBits sources, " +
+        s"got ${srcNames.length}; raise OverlapShards")
+    import s.implicits._
+    val srcs = srcNames.zipWithIndex.toSeq
+      .map { case (n, i) => (n, i, i / 63, i % 63) }
+      .toDF("source", "idx", "shard", "bit")
+    // one corpus shuffle: per-gram sharded source masks (bit_or is
+    // idempotent across a sub-source's docs), then the histogram
+    val hist = Tables(s, dir, "documents")
+      .select(syn,
+        explode(graft.functions.WordShingles(col("text"), 3)).as("g"))
+      .join(broadcast(srcs), "source")
+      .groupBy(col("g"))
+      .agg(
+        expr("bit_or(IF(shard = 0, shiftleft(CAST(1 AS BIGINT), bit), " +
+          "CAST(0 AS BIGINT)))").as("m0"),
+        (1 until OverlapShards).map(j =>
+          expr(s"bit_or(IF(shard = $j, shiftleft(CAST(1 AS BIGINT), bit), " +
+            "CAST(0 AS BIGINT)))").as(s"m$j")): _*)
+      .groupBy((0 until OverlapShards).map(j => col(s"m$j")): _*)
+      .agg(count(lit(1)).as("cnt"))
+    // set-bit list of the sharded mask tuple (m0/m1 are attribute
+    // references — safe inside HOF lambdas); size(bits) = the gram's
+    // sub-source count d, overwhelmingly 1-2
+    def shardSel(v: String): String =
+      (0 until OverlapShards - 1).foldRight(s"m${OverlapShards - 1}") {
+        (j, acc) => s"IF($v div 63 = $j, m$j, $acc)"
+      }
+    val withBits = hist.withColumn("bits", expr(
+      s"filter(sequence(0, ${nBits - 1}), " +
+        s"i -> (((${shardSel("i")}) >> (i % 63)) & 1) = 1)"))
+    // sparse pair events: C(d,2) (ia, ib) structs per histogram row,
+    // ia < ib by bit order (== name order: idx was assigned sorted)
+    val co = withBits
+      .select(col("cnt"), explode(expr(
+        "flatten(transform(bits, (a, i) -> " +
+          "transform(slice(bits, i + 2, size(bits)), " +
+          "b -> struct(a AS ia, b AS ib))))")).as("pr"))
+      .groupBy(col("pr.ia").as("ia"), col("pr.ib").as("ib"))
+      .agg(sum(col("cnt")).as("n_common"))
+    // per-source distinct-gram totals from the same bit explode
+    val perSrc = withBits
+      .select(explode(col("bits")).as("idx"), col("cnt"))
+      .groupBy(col("idx")).agg(sum(col("cnt")).as("n"))
+    val pairs = srcs.select(col("source").as("src_a"), col("idx").as("ia"))
+      .crossJoin(srcs.select(col("source").as("src_b"), col("idx").as("ib")))
+      .filter(col("src_a") < col("src_b"))
+    // co (≤ C(sources,2) rows) and perSrc (≤ sources rows) are
+    // dim-bounded by construction — broadcast them outright instead of
+    // waiting for AQE to discover it
+    pairs
+      .join(broadcast(co), Seq("ia", "ib"), "left")
+      .join(broadcast(perSrc.select(col("idx").as("ia"), col("n").as("na"))),
+        Seq("ia"), "left")
+      .join(broadcast(perSrc.select(col("idx").as("ib"), col("n").as("nb"))),
+        Seq("ib"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        coalesce(col("na"), lit(0L)).as("n_a"),
+        coalesce(col("nb"), lit(0L)).as("n_b"))
+      .withColumn("jaccard",
+        when(col("n_a") + col("n_b") - col("n_common") > 0,
+          Quant.qdec(col("n_common").cast("double") /
+            (col("n_a") + col("n_b") - col("n_common")), 9)))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  private val sourceOverlapShardedSql =
+    """WITH sh AS (
+      |  SELECT DISTINCT
+      |    source || '_' || CAST((doc_id // 20) % 5 AS VARCHAR) AS source,
+      |    g
+      |  FROM (
+      |    SELECT source, doc_id,
+      |      unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS g
+      |    FROM (SELECT source, doc_id, string_split(text, ' ') AS ws
+      |          FROM documents)
+      |    WHERE len(ws) >= 3)),
+      |srcs AS (
+      |  SELECT DISTINCT
+      |    source || '_' || CAST((doc_id // 20) % 5 AS VARCHAR) AS source
+      |  FROM documents),
+      |sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+      |co AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+      |  FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a.source AS src_a, b.source AS src_b
+      |  FROM srcs a JOIN srcs b ON a.source < b.source)
+      |SELECT src_a, src_b,
+      |  CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
+      |  CAST(coalesce(sa.n, 0) AS BIGINT) AS n_a,
+      |  CAST(coalesce(sb.n, 0) AS BIGINT) AS n_b,
+      |  CASE WHEN coalesce(sa.n, 0) + coalesce(sb.n, 0)
+      |            - coalesce(n_common, 0) > 0 THEN
+      |    floor(CAST(coalesce(n_common, 0) AS DOUBLE)
+      |          / (coalesce(sa.n, 0) + coalesce(sb.n, 0)
+      |             - coalesce(n_common, 0)) * 1e9 + 0.5) / 1e9
+      |  END AS jaccard
+      |FROM pairs
+      |  LEFT JOIN co USING (src_a, src_b)
+      |  LEFT JOIN sizes sa ON src_a = sa.source
+      |  LEFT JOIN sizes sb ON src_b = sb.source
+      |ORDER BY src_a, src_b""".stripMargin
 
   private val sourceOverlapSql =
     """WITH sh AS (
@@ -1422,7 +1679,7 @@ object TextAnalysis {
       |pairs AS (
       |  SELECT a.source AS src_a, a.idx AS ia, b.source AS src_b,
       |    b.idx AS ib
-      |  FROM srcs a JOIN srcs b ON a.idx < b.idx),
+      |  FROM srcs a JOIN srcs b ON a.source < b.source),
       |agg AS (
       |  SELECT src_a, src_b,
       |    CAST(sum(CASE WHEN (mask >> (ia - 1)) & 1 = 1
@@ -1434,20 +1691,27 @@ object TextAnalysis {
       |      ELSE 0 END) AS BIGINT) AS n_b
       |  FROM pairs CROSS JOIN hist GROUP BY src_a, src_b)
       |SELECT src_a, src_b, n_common, n_a, n_b,
-      |  CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
+      |  CASE WHEN n_a + n_b - n_common > 0 THEN
+      |    floor(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common)
+      |          * 1e9 + 0.5) / 1e9
+      |  END AS jaccard
       |FROM agg ORDER BY src_a, src_b""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("ta_source_overlap", sourceOverlap, Some(sourceOverlapSql)),
+    QueryDef("ta_source_overlap_sharded", sourceOverlapSharded,
+      Some(sourceOverlapShardedSql)),
     QueryDef("ta_ngram_novelty", ngramNovelty, Some(ngramNoveltySql)),
     QueryDef("ta_tokenizer_fertility", tokenizerFertility,
       Some(tokenizerFertilitySql)),
     QueryDef("ta_bm25", bm25, Some(bm25Sql)),
     QueryDef("ta_token_entropy", tokenEntropy, Some(tokenEntropySql)),
+    QueryDef("ta_lm_perplexity", lmPerplexity, Some(lmPerplexitySql)),
     QueryDef("ta_tfidf", tfidf, Some(tfidfSql)),
     QueryDef("ta_cooccurrence", cooccurrence, Some(cooccurrenceSql)),
     QueryDef("ta_pmi_bigrams", pmiBigrams, Some(pmiBigramsSql)),
     QueryDef("ta_vocab_hll", vocabHll, Some(vocabHllSql)),
+    QueryDef("ta_vocab_hll_merge", vocabHllMerge, Some(vocabHllMergeSql)),
     QueryDef("ta_token_stats", tokenStats, Some(tokenStatsSql)),
     QueryDef("ta_bpe_token_count", bpeTokenCount, Some(bpeTokenCountSql)),
     QueryDef("ta_bpe_true_count", bpeTrueCount, Some(bpeTrueCountSql)),

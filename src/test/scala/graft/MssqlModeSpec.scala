@@ -148,6 +148,14 @@ class MssqlModeSpec extends AnyFunSuite {
             // CHECK: a raw lastIndexOf lands on the identifier and
             // loses the constraint
             "[d_check] INT CHECK ([d_check] > 0), " +
+            // an APOSTROPHE inside a bracketed identifier is part of
+            // the NAME, not a literal delimiter: two independent
+            // literal/bracket walks disagreed here — the ' toggled the
+            // literal-only walk's state and INVERTED masking for the
+            // rest of the definition, so the 'NOT NULL' literal's
+            // keywords became visible (nullability flipped) and real
+            // keywords after it got blanked
+            "[o'brien] VARCHAR(20) DEFAULT 'NOT NULL', " +
             "[c] INT REFERENCES [m]([id]))")
         st.close()
       } finally c.close()
@@ -161,6 +169,10 @@ class MssqlModeSpec extends AnyFunSuite {
         Some(Constraint.Check("[b] <> 'ß)'")))
       assert(byName("d_check").constraints ==
         Some(Constraint.Check("[d_check] > 0")))
+      assert(byName("o'brien").isNullable,
+        "a 'NOT NULL' DEFAULT literal after [o'brien] must stay data")
+      assert(byName("o'brien").constraints ==
+        Some(Constraint.Default("'NOT NULL'")))
       assert(byName("c").constraints == Some(Constraint.ForeignKey("m", "id")))
     }
   }
@@ -327,6 +339,32 @@ class MssqlModeSpec extends AnyFunSuite {
         rs2.next(); assert(rs2.getLong(1) == 2L)
         rs2.close()
         st.close()
+      } finally c.close()
+    }
+  }
+
+  test("multi-row rowversion INSERT via addBatch is rejected; " +
+    "single-row batches still work") {
+    withDb("rvbatch") { url =>
+      val c = DriverManager.getConnection(url)
+      try {
+        val st = c.createStatement()
+        st.execute("CREATE TABLE [t] ([id] INT NOT NULL PRIMARY KEY, " +
+          "[rv] ROWVERSION)")
+        // executeBatch under autocommit commits each queued entry
+        // separately, so the per-tuple split could not reproduce
+        // MSSQL's single-statement atomicity — reject at queue time
+        val e = intercept[IllegalArgumentException] {
+          st.addBatch("INSERT INTO [t] ([id]) VALUES (1), (2)")
+        }
+        assert(e.getMessage.contains("not batchable"))
+        // single-row tuples are one statement each — batchable as usual
+        st.addBatch("INSERT INTO [t] ([id]) VALUES (1)")
+        st.addBatch("INSERT INTO [t] ([id]) VALUES (2)")
+        st.executeBatch()
+        val rs = st.executeQuery("SELECT COUNT(DISTINCT [rv]) FROM [t]")
+        rs.next(); assert(rs.getLong(1) == 2L)
+        rs.close(); st.close()
       } finally c.close()
     }
   }

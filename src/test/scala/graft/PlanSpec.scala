@@ -388,20 +388,40 @@ class PlanSpec extends AnyFunSuite {
 
   test("bucketed join consumes both scans in place — no exchange " +
     "below the merge join (mig_bucketed_join)") {
-    val (joined, tmp) = queries.Migration.stageBucketedJoin(spark, dir)
-    try {
-      val p = joined.queryExecution.executedPlan.toString
-      val joinIdx = p.indexOf("SortMergeJoin")
-      assert(joinIdx >= 0, p.take(900))
-      // depth-first print: everything after the join line is its subtree.
-      // An in-partition Sort is allowed (Spark 3+ stopped propagating
-      // per-bucket sort order from bucketed scans); the shuffle is not.
-      val below = p.substring(joinIdx)
-      assert(!below.contains("Exchange"), below.take(900))
-      assert(below.contains("Bucketed: true"), below.take(900))
-      assert(below.contains("SelectedBucketsCount: 8 out of 8"),
-        below.take(900))
-    } finally queries.Migration.cleanupBucketedJoin(spark, tmp)
+    // staging is memoized per (JVM, fixture) — no cleanup; the
+    // shutdown hook owns the staged dir
+    val joined = queries.Migration.stageBucketedJoin(spark, dir)
+    val p = joined.queryExecution.executedPlan.toString
+    val joinIdx = p.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, p.take(900))
+    // depth-first print: everything after the join line is its subtree.
+    // An in-partition Sort is allowed (Spark 3+ stopped propagating
+    // per-bucket sort order from bucketed scans); the shuffle is not.
+    val below = p.substring(joinIdx)
+    assert(!below.contains("Exchange"), below.take(900))
+    assert(below.contains("Bucketed: true"), below.take(900))
+    assert(below.contains("SelectedBucketsCount: 8 out of 8"),
+      below.take(900))
+  }
+
+  test("sharded day bitmap: one user_id shuffle, no window or sort over " +
+    "the corpus (ev_day_bitmap_sharded)") {
+    val p = plan("ev_day_bitmap_sharded")
+    // the per-user masks come from ONE partial-aggregated shuffle; the
+    // streak fold runs on the histogram relation only
+    assert(p.contains("hashpartitioning(user_id"), p.take(900))
+    assert(!p.contains("Window"), p.take(900))
+    assert(!p.contains("SortMergeJoin"), p.take(900))
+  }
+
+  test("sharded source overlap: dim joins broadcast, gram masks are one " +
+    "partial-aggregated shuffle (ta_source_overlap_sharded)") {
+    val p = plan("ta_source_overlap_sharded")
+    assert(p.contains("BroadcastHashJoin"), p.take(900)) // srcs dim
+    assert(!p.contains("SortMergeJoin"), p.take(900))
+    // the pairwise sums run on histogram × pair-dim, never on the
+    // corpus: the only nested-loop join is against the tiny pair dim
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(900))
   }
 
   test("profile's distinct pass hash-aggregates — no data-column sort anywhere") {

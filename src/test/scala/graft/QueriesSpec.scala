@@ -41,7 +41,9 @@ class QueriesSpec extends AnyFunSuite {
         r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
       assert(common <= math.min(na, nb), s"intersection bound: $r")
       val j = r.getAs[Double]("jaccard")
-      assert(j >= 0.0 && j <= 1.0 && j == common.toDouble / (na + nb - common))
+      val expected = // the Quant.qdec(x, 9) quantization of the ratio
+        math.floor(common.toDouble / (na + nb - common) * 1e9 + 0.5) / 1e9
+      assert(j >= 0.0 && j <= 1.0 && j == expected)
     }
     // direct (non-bitmask) recomputation of one pair must agree — the
     // histogram path is an optimization, not a definition
@@ -69,7 +71,17 @@ class QueriesSpec extends AnyFunSuite {
       assert(r.getAs[Double]("j_bbit") == q9(2.0 * m / 63 - 1.0), s"$r")
       assert(r.getAs[Double]("abs_err") ==
         q9(math.abs(r.getAs[Double]("j_bbit") - r.getAs[Double]("j_exact"))))
+      // Li-König Eq. 3 correction at hash-universe densities
+      // (r = |S|/2^40 ~ 1e-10): provably within r of the simplified
+      // estimator — the sketch's bias really is negligible here
+      assert(math.abs(r.getAs[Double]("j_bbit_corrected") -
+        r.getAs[Double]("j_bbit")) <= 1e-8, s"correction bound: $r")
     }
+    // ...but NOT erased by the render: the 12-decimal quantization
+    // keeps the ~1e-10 correction observable on imperfect matches
+    assert(out.exists(r => r.getAs[Double]("j_bbit_corrected") !=
+      r.getAs[Double]("j_bbit")),
+      "j_bbit_corrected must be distinguishable from j_bbit")
     // identical shingle SETS share every min, hence all 63 bits —
     // when the fixture has such pairs the estimator must read exactly
     // 1.0 on them (conditional: the sf0.001 near-dups top out ~0.99)
