@@ -247,6 +247,93 @@ class WireFuzzSpec extends AnyFunSuite {
     rowversionDmlFuzz(0xf00d4L)
   }
 
+  /** Fuzz the CREATE TABLE constraint parser: column NAMES drawn from
+    * constraint keywords and apostrophe-laden text (the blankMasks /
+    * splitDefs hazards — a bracketed [o'brien]-style identifier must
+    * never toggle literal masking), DEFAULT/CHECK literals drawn from
+    * the same keyword soup, one constraint slot per column
+    * (extractor.rs:62-70 precedence). Expected metadata is derived
+    * from the generated spec, read back through the live emulated
+    * INFORMATION_SCHEMA.
+    */
+  private def constraintParseFuzz(seed: Long): Unit = {
+    val r = new scala.util.Random(seed)
+    val nastyNames = Vector("o'brien", "not null", "unique", "check",
+      "default", "references", "primary key", "values x", "café",
+      "O'Reilly's", "a'b'c", "check (x", "[weird", "словарь")
+    val nastyLits = Vector("NOT NULL", "unique", "check (x",
+      "PRIMARY KEY", "REFERENCES [m]([id])", "][", "'", "''", "café",
+      "O'Brien", "\\", "0xdead", "VALUES", "DEFAULT 'money'", "")
+    def esc(name: String) = name // no ']' in nastyNames — no escaping
+    def lit(r: scala.util.Random): String =
+      (0 until (1 + r.nextInt(3)))
+        .map(_ => nastyLits(r.nextInt(nastyLits.size))).mkString(" ").take(60)
+    sealed trait Spec
+    case object Plain extends Spec
+    case object NotNull extends Spec
+    case object Uniq extends Spec
+    final case class Dflt(raw: String) extends Spec
+    final case class Chk(body: String) extends Spec
+    val cols = (0 until 6).map { i =>
+      val name = s"${nastyNames(r.nextInt(nastyNames.size))}_$i"
+      val spec = r.nextInt(5) match {
+        case 0 => Plain
+        case 1 => NotNull
+        case 2 => Uniq
+        case 3 => Dflt("'" + lit(r).replace("'", "''") + "'")
+        case _ => Chk(s"[${esc(name)}] <> '${lit(r).replace("'", "''")}'")
+      }
+      (name, spec)
+    }
+    val defs = cols.map { case (name, spec) =>
+      val base = s"[${esc(name)}] NVARCHAR(200)"
+      spec match {
+        case Plain => base
+        case NotNull => s"$base NOT NULL"
+        case Uniq => s"$base UNIQUE"
+        case Dflt(raw) => s"$base DEFAULT $raw"
+        case Chk(body) => s"$base CHECK ($body)"
+      }
+    }
+    val nonce = System.nanoTime()
+    val rest = s"memory:fuzzcp_${nonce}_$seed;create=true"
+    val url = MssqlModeEngine.url(rest)
+    try {
+      val c = DriverManager.getConnection(url)
+      try {
+        val st = c.createStatement()
+        st.execute("CREATE TABLE [fzc] ([id] INT NOT NULL PRIMARY KEY, " +
+          defs.mkString(", ") + ")")
+        st.close()
+      } finally c.close()
+      val byName = new MssqlSchemaSource(url).getTableSchema("fzc")
+        .map(s => s.columnName -> s).toMap
+      assert(byName("id").constraints == Some(Constraint.PrimaryKey))
+      assert(!byName("id").isNullable)
+      cols.foreach { case (name, spec) =>
+        val col = byName(name)
+        val want: (Boolean, Option[Constraint]) = spec match {
+          case Plain => (true, None)
+          case NotNull => (false, None)
+          case Uniq => (true, Some(Constraint.Unique))
+          case Dflt(raw) => (true, Some(Constraint.Default(raw)))
+          case Chk(body) => (true, Some(Constraint.Check(body)))
+        }
+        assert((col.isNullable, col.constraints) == want,
+          s"column [$name] spec $spec: got " +
+            s"(${col.isNullable}, ${col.constraints})")
+      }
+    } finally {
+      try DriverManager.getConnection(
+        s"jdbc:derby:$rest".replace(";create=true", ";drop=true"))
+      catch { case _: java.sql.SQLException => () }
+    }
+  }
+
+  test("fuzz CREATE TABLE constraint parsing (keyword names + literals)") {
+    (1L to 8L).foreach(constraintParseFuzz)
+  }
+
   // Optional wide sweep: SPARK_GRAFT_FUZZ_SEEDS="1,2,3" registers every
   // leg once per seed — used for local soak runs; CI stays on the
   // fixed seeds above.
