@@ -1600,7 +1600,11 @@ object Events {
       |r(mask, m, k) AS (
       |  SELECT mask, mask, 0 FROM hist
       |  UNION ALL
-      |  SELECT mask, m & (m << 1), k + 1 FROM r WHERE m <> 0),
+      |  -- clear bit 62 before the shift: DuckDB ERRORS on a left
+      |  -- shift into the sign bit (day 62 is in-contract), and bit 63
+      |  -- of the mask is always 0 so the AND result is identical
+      |  SELECT mask, m & ((m & 4611686018427387903) << 1), k + 1
+      |  FROM r WHERE m <> 0),
       |st AS (
       |  SELECT mask, CAST(max(k) AS INT) AS longest_streak
       |  FROM r GROUP BY mask)
@@ -1726,7 +1730,97 @@ object Events {
       |FROM hist JOIN st USING (m0, m1, m2)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Session sequence-pattern matching — the MATCH_RECOGNIZE
+    * capability (Flink/Trino `PATTERN (V+ C P)`) Spark has no native
+    * operator for: per 30-minute-gap session, count strictly
+    * contiguous `view+ click purchase` occurrences. The scalable
+    * encoding is the classic one — sessionize, collapse each session
+    * to a one-char-per-event string (bounded by session length, never
+    * corpus length), and run the pattern as a regex over session
+    * strings: one linear pass per session, embarrassingly parallel,
+    * no self-joins and no per-step window cascade (compare
+    * ev_funnel_windowed, which hand-builds ONE fixed 3-step funnel
+    * from two windows — the regex form expresses arbitrary patterns).
+    * Event codes fail loudly on an unmapped type (the day-bitmap
+    * raise_error convention) rather than silently dropping events;
+    * ordering inside a session is pinned by (us, event_id) so
+    * same-microsecond events cannot flip the string across engines.
+    * Output: per user-decile cohort, sessions / matching sessions /
+    * total matches / match rate.
+    */
+  private def sequencePattern(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000000
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val code = when(col("event_type") === "click", "c")
+      .when(col("event_type") === "error", "e")
+      .when(col("event_type") === "purchase", "p")
+      .when(col("event_type") === "signup", "s")
+      .when(col("event_type") === "view", "v")
+      .otherwise(raise_error(concat(
+        lit("ev_sequence_pattern: unmapped event_type "),
+        col("event_type"))))
+    val sess = Tables(s, dir, "events")
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("code", code)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(expr("array_join(transform(" +
+        "array_sort(collect_list(struct(us, event_id, code))), " +
+        "x -> x.code), '')").as("str"))
+    sess
+      .withColumn("n_matches",
+        size(expr("regexp_extract_all(str, 'v+cp', 0)")))
+      .groupBy((col("user_id") % 10).as("cohort"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_matches") > 0, 1L).otherwise(0L))
+          .as("n_match_sessions"),
+        sum(col("n_matches")).as("n_matches"))
+      .withColumn("match_rate", Quant.qdec(
+        col("n_match_sessions").cast("double") / col("n_sessions"), 9))
+      .orderBy(col("cohort"))
+  }
+
+  private val sequencePatternSql =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    CASE event_type WHEN 'click' THEN 'c' WHEN 'error' THEN 'e'
+      |      WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+      |      WHEN 'view' THEN 'v' END AS code,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |numbered AS (
+      |  SELECT *, sum(new_session) OVER (
+      |    PARTITION BY user_id ORDER BY us
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM marked),
+      |sess AS (
+      |  SELECT user_id, session_seq,
+      |    string_agg(code, '' ORDER BY us, event_id) AS str
+      |  FROM numbered GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT user_id,
+      |    len(regexp_extract_all(str, 'v+cp')) AS n_matches
+      |  FROM sess)
+      |SELECT user_id % 10 AS cohort, count(*) AS n_sessions,
+      |  CAST(sum(CASE WHEN n_matches > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_match_sessions,
+      |  CAST(sum(n_matches) AS BIGINT) AS n_matches,
+      |  floor(CAST(sum(CASE WHEN n_matches > 0 THEN 1 ELSE 0 END)
+      |      AS DOUBLE) / count(*) * 1e9 + 0.5) / 1e9 AS match_rate
+      |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("ev_sequence_pattern", sequencePattern,
+      Some(sequencePatternSql)),
     QueryDef("ev_day_bitmap_sharded", dayBitmapSharded,
       Some(dayBitmapShardedSql)),
     QueryDef("ev_day_bitmap", dayBitmap, Some(dayBitmapSql)),
