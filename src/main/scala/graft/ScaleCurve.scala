@@ -63,7 +63,8 @@ object ScaleCurve {
     // round-15: the compressed-sketch tier and the two sharded-mask
     // operators (histogram/sparse-pair-event read-outs — the curves
     // prove the corpus-shuffle-then-tiny-relation claims)
-    "dd_bbit_minhash", "ev_day_bitmap_sharded", "ta_source_overlap_sharded")
+    "dd_bbit_minhash", "ev_day_bitmap_sharded", "ta_source_overlap_sharded",
+    "ev_sequence_pattern")
 
   private def js(v: Double): String =
     String.format(Locale.ROOT, "%.3f", Double.box(v))

@@ -662,41 +662,59 @@ object TextAnalysis {
       |      FROM documents)
       |GROUP BY source ORDER BY source""".stripMargin
 
-  /** HLL sketch MERGE associativity — the property that makes
-    * cardinality sketches work on a 1000-executor cluster: registers
-    * are max-merged, so sketching each shard and unioning must equal
-    * sketching the whole corpus in one pass. Here the shards are the
-    * 20 sources (per-partition at scale); `merge_lossless` asserts the
-    * merged estimate EQUALS the direct single-pass estimate — not
-    * approximately: identical registers give identical estimates —
-    * and `within_tolerance` re-checks the estimate against the exact
-    * count (the ta_vocab_hll convention: the oracle predicts the
-    * booleans, so a sketch or merge regression reds the gate).
-    * Datasketches HLL (Spark 4's hll_sketch_agg), lgK 12.
+  /** HLL sketch MERGE bound — the property that makes cardinality
+    * sketches work on a 1000-executor cluster: sketch each shard
+    * independently, union the sketches, and the merged estimate must
+    * stay inside the sketch's advertised error against the exact
+    * count. Here the shards are the 20 sources (per-partition at
+    * scale); `merged_within_tol` gates the merged-union estimate and
+    * `direct_within_tol` the single-pass estimate, both vs the exact
+    * distinct count at 5% (lgK 12 → rsd ≈ 1.6%, so 5% ≈ 3σ). The
+    * oracle predicts both booleans TRUE — a sketch or merge
+    * regression reds the gate.
+    *
+    * Two empirical findings are pinned here deliberately: (1) the
+    * sketch runs over 3-GRAM shingles, not words — the fixture's word
+    * vocabulary is 31, where a sparse-mode sketch estimates exactly
+    * and the gate proves nothing; grams are tens of thousands, real
+    * HLL mode. (2) estimate-IDENTITY between merged and direct was
+    * FALSIFIED at gram scale: Datasketches' directly-built sketch
+    * carries the HIP (historical inverse probability) estimator,
+    * whose update-order-dependent state a union cannot preserve, so
+    * the union falls back to the composite estimator and the two
+    * estimates differ slightly (16,245 vs exact 16,223 at sf0.01) —
+    * BOTH inside the bound. The merge contract that actually holds in
+    * production is the error bound, not bit-identity, and that is
+    * what this row asserts.
     */
   private def vocabHllMerge(s: SparkSession, dir: String): DataFrame = {
-    val words = Tables(s, dir, "documents")
-      .select(col("source"), explode(TextFns.tokens(col("text"))).as("w"))
-    val merged = words.groupBy(col("source"))
+    val grams = Tables(s, dir, "documents")
+      .select(col("source"),
+        explode(graft.functions.WordShingles(col("text"), 3)).as("w"))
+    val merged = grams.groupBy(col("source"))
       .agg(hll_sketch_agg(col("w"), lit(12)).as("sk"))
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
         .as("est_merged"))
-    val direct = words.agg(
+    val direct = grams.agg(
       hll_sketch_estimate(hll_sketch_agg(col("w"), lit(12)))
         .as("est_direct"),
       countDistinct(col("w")).as("exact_vocab"))
     direct.crossJoin(merged)
       .select(col("exact_vocab"),
-        (col("est_merged") === col("est_direct")).as("merge_lossless"),
         (abs(col("est_merged") - col("exact_vocab")) <=
-          lit(0.05) * col("exact_vocab")).as("within_tolerance"))
+          lit(0.05) * col("exact_vocab")).as("merged_within_tol"),
+        (abs(col("est_direct") - col("exact_vocab")) <=
+          lit(0.05) * col("exact_vocab")).as("direct_within_tol"))
   }
 
   private val vocabHllMergeSql =
-    """SELECT count(DISTINCT word) AS exact_vocab,
-      |  TRUE AS merge_lossless, TRUE AS within_tolerance
-      |FROM (SELECT unnest(string_split(text, ' ')) AS word
-      |      FROM documents)""".stripMargin
+    """SELECT count(DISTINCT g) AS exact_vocab,
+      |  TRUE AS merged_within_tol, TRUE AS direct_within_tol
+      |FROM (
+      |  SELECT unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS g
+      |  FROM (SELECT string_split(text, ' ') AS ws FROM documents)
+      |  WHERE len(ws) >= 3)""".stripMargin
 
   /** TF-IDF per (doc, term): tf = term count / doc length, idf =
     * ln(N / df). All inputs are exact integers, and JVM Math.log is

@@ -414,6 +414,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(900))
   }
 
+  test("sequence pattern: every window partitions by user, the regex " +
+    "scan runs on session-grouped strings (ev_sequence_pattern)") {
+    val p = plan("ev_sequence_pattern")
+    // sessionize windows must never collapse to a single partition
+    assert(!p.contains("Window [") ||
+      p.contains("windowspecdefinition(user_id"), p.take(900))
+    assert(p.contains("hashpartitioning(user_id"), p.take(900))
+    assert(!p.contains("CartesianProduct"), p.take(900))
+  }
+
   test("sharded source overlap: dim joins broadcast, gram masks are one " +
     "partial-aggregated shuffle (ta_source_overlap_sharded)") {
     val p = plan("ta_source_overlap_sharded")
