@@ -1564,13 +1564,37 @@ object TextAnalysis {
     */
   private val OverlapShards = 2
 
+  /** UTF-8-byte lexicographic `<` — the collation Spark's string `<`
+    * and DuckDB's binary VARCHAR comparison both use; Scala's default
+    * String ordering is UTF-16 code-unit order, which disagrees on
+    * supplementary-plane characters.
+    */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val (x, y) = (a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   private def sourceOverlapSharded(s: SparkSession, dir: String): DataFrame = {
     val nBits = OverlapShards * 63
     val syn = concat(col("source"), lit("_"),
       (expr("doc_id div 20") % 5).cast("string")).as("source")
+    // sort by UTF-8 BYTES, not Scala's default UTF-16 code units: the
+    // co-occurrence join below keys pairs by (min idx, max idx), and
+    // the pair dim orients by Spark's `<` (UTF-8 binary, same as the
+    // DuckDB oracle) — idx order must therefore BE name order, or a
+    // supplementary-plane source name silently zeroes its n_common
     val srcNames = Tables(s, dir, "documents")
       .select(syn).distinct()
-      .collect().map(_.getString(0)).sorted
+      .collect().map(_.getString(0))
+      .sortWith(utf8Lt)
     require(srcNames.length <= nBits,
       s"sharded source-overlap holds <= $nBits sources, " +
         s"got ${srcNames.length}; raise OverlapShards")
@@ -1604,7 +1628,7 @@ object TextAnalysis {
       s"filter(sequence(0, ${nBits - 1}), " +
         s"i -> (((${shardSel("i")}) >> (i % 63)) & 1) = 1)"))
     // sparse pair events: C(d,2) (ia, ib) structs per histogram row,
-    // ia < ib by bit order (== name order: idx was assigned sorted)
+    // ia < ib by bit order == UTF-8 name order (utf8Lt above)
     val co = withBits
       .select(col("cnt"), explode(expr(
         "flatten(transform(bits, (a, i) -> " +
