@@ -40,6 +40,18 @@ object Bench {
   private def js(v: Double): String =
     String.format(Locale.ROOT, "%.3f", Double.box(v)) // locale-proof: '.' decimal separator always
 
+  /** Cumulative stop-the-world GC time of this JVM, in milliseconds.
+    * Sampled before/after each timed query run so BENCH_DETAIL can
+    * attribute a slow rep to collector pressure (delta >> 0) vs box
+    * interference (delta ~ 0 but wall-clock ballooned) — the r15
+    * driver-only evs drift was undecidable without this split.
+    */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     val n = s.length
@@ -71,6 +83,14 @@ object Bench {
       .filter { case (n, _) => only.isEmpty || only(n) }
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
+    // Per-(query, rep) wall-clock start (epoch seconds) and GC-time
+    // delta (ms) — spikes across DIFFERENT queries that share one
+    // start-time window prove a single interference event; a spike
+    // whose gc delta covers the excess proves collector pressure.
+    val starts = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    val gcDeltas = scala.collection.mutable.Map.empty[String, Vector[Long]]
+      .withDefaultValue(Vector.empty)
     def family(name: String): String = name.takeWhile(_ != '_')
     for (rep <- 0 until reps) {
       val order = if (rep % 2 == 0) byName else byName.reverse
@@ -87,6 +107,8 @@ object Bench {
         // any single query (runs before the timer starts).
         if (prevFam.nonEmpty && family(name) != prevFam) System.gc()
         prevFam = family(name)
+        val gc0 = gcMillis()
+        starts(name) = starts(name) :+ System.currentTimeMillis() / 1e3
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
@@ -94,6 +116,7 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
         samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+        gcDeltas(name) = gcDeltas(name) :+ (gcMillis() - gc0)
       }
     }
 
@@ -119,10 +142,17 @@ object Bench {
     // inferring it from a min/max spread alone.
     val fullQs = stats.map { case (k, med, mn, mx) =>
       val raw = samples(k).map(js).mkString("[", ",", "]")
-      s""""$k":{"med":${js(med)},"min":${js(mn)},"max":${js(mx)},"reps":$raw}"""
+      // starts = per-rep wall-clock start (epoch sec, 3 dp); gc_ms =
+      // per-rep stop-the-world GC delta. Together they make a slow rep
+      // attributable from one run: same start-window spikes across
+      // queries = box interference; gc_ms covering the excess =
+      // collector pressure; neither = genuinely slower code.
+      val st = starts(k).map(js).mkString("[", ",", "]")
+      val gc = gcDeltas(k).mkString("[", ",", "]")
+      s""""$k":{"med":${js(med)},"min":${js(mn)},"max":${js(mx)},"reps":$raw,"starts":$st,"gc_ms":$gc}"""
     }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":${js(total)},"unit":"sec","stat":"median","reps":$reps,"queries":$fullQs,"sf":"$sfDir","cpus":$cpus}"""
+      s"""{"metric":"total","value":${js(total)},"unit":"sec","stat":"median","reps":$reps,"t_end":${js(System.currentTimeMillis() / 1e3)},"gc_total_ms":${gcMillis()},"queries":$fullQs,"sf":"$sfDir","cpus":$cpus}"""
     val detailPath = Paths.get("BENCH_DETAIL.json").toAbsolutePath
     if (only.isEmpty) // a filtered run must not clobber the full artifact
       Files.write(detailPath,

@@ -31,4 +31,37 @@ object StagedFixture {
       build(st.toString)
       st.toString
     })
+
+  /** Memo key for a staging that is a pure function of fixture `dir`:
+    * `tag:dir@digest`, where the digest covers every regular file's
+    * relative path, size, and mtime under `dir`. A path-only key goes
+    * stale if the fixture is regenerated mid-JVM (same path, new
+    * bytes) — the digest makes that impossible: new bytes → new key →
+    * fresh staging. The walk is a directory listing plus one stat per
+    * file (fixtures are dozens of parquet files), so recomputing per
+    * call costs microseconds, far below any staging it guards.
+    */
+  def key(tag: String, dir: String): String =
+    s"$tag:$dir@${contentStamp(dir)}"
+
+  /** 12-hex SHA-256 prefix over the sorted (relPath, size, mtime)
+    * triples of regular files under `dir`; also usable as a
+    * collision-free identifier suffix (unlike String.hashCode, whose
+    * 32 bits birthday-collide across staged fixtures — a collision
+    * there silently repoints shared catalog names at the wrong data).
+    */
+  def contentStamp(dir: String): String = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(dir)
+    val lines: Seq[String] = java.nio.file.Files.walk(root).iterator().asScala
+      .filter((p: java.nio.file.Path) => java.nio.file.Files.isRegularFile(p))
+      .map { (p: java.nio.file.Path) =>
+        val rel = root.relativize(p).toString
+        s"$rel ${java.nio.file.Files.size(p)} ${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+      }
+      .toSeq.sorted
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    lines.foreach(l => md.update(l.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    md.digest().take(6).map("%02x".format(_)).mkString
+  }
 }

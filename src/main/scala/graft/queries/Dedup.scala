@@ -827,7 +827,7 @@ object Dedup {
     */
   private def cachedSimhashPairs(s: SparkSession, dir: String): DataFrame = {
     val staged = graft.StagedFixture.dir(
-      s"simhash_pairs:$dir", "graft_simhash_pairs") { t =>
+      graft.StagedFixture.key("simhash_pairs", dir), "graft_simhash_pairs") { t =>
       simhashHamming(s, dir).coalesce(1).write.mode("overwrite").parquet(t)
     }
     s.read.parquet(staged).orderBy(col("doc_a"), col("doc_b"))

@@ -22,6 +22,46 @@ import org.apache.spark.sql.types.DecimalType
   * Exactness: time buckets are integer µs arithmetic; `value` sums go
   * through decimal casts; durations are µs longs.
   */
+
+/** Parameters for the session sequence-pattern operator
+  * ([[Events.sequencePatternWith]]) — the PipelineConfig convention:
+  * everything a caller could want to vary is a validated constructor
+  * input, and invalid configs fail HERE, eagerly, not as a Spark task
+  * error three stages into a 100 TB run.
+  *
+  * @param codes      event_type → single-char code; must be injective
+  *                   (two types sharing a code would silently merge in
+  *                   the session string) and each code one char (the
+  *                   session string is positional). Unmapped types are
+  *                   NOT dropped at run time — they `raise_error`.
+  * @param pattern    Java-regex over the code alphabet, compiled here
+  *                   so a malformed pattern rejects at config time.
+  * @param gapMinutes inactivity gap that closes a session.
+  */
+final case class SequencePatternConfig(
+    codes: Map[String, String],
+    pattern: String,
+    gapMinutes: Int = 30) {
+  require(codes.nonEmpty, "codes must map at least one event_type")
+  require(codes.values.forall(_.length == 1),
+    s"every code must be a single char, got ${codes.values.mkString(",")}")
+  require(codes.values.toSet.size == codes.size,
+    "codes must be injective: two event types sharing a code would " +
+      "silently merge in the session string")
+  require(gapMinutes > 0, s"gapMinutes must be positive, got $gapMinutes")
+  java.util.regex.Pattern.compile(pattern) // malformed regex fails here
+}
+
+object SequencePatternConfig {
+  /** The registered `ev_sequence_pattern` instantiation: the
+    * view+ click purchase funnel over the fixture's five event types.
+    */
+  val Default: SequencePatternConfig = SequencePatternConfig(
+    Map("click" -> "c", "error" -> "e", "purchase" -> "p",
+      "signup" -> "s", "view" -> "v"),
+    "v+cp")
+}
+
 object Events {
 
   /** Point-in-time-correct training-feature assembly — the feature-
@@ -1748,14 +1788,23 @@ object Events {
     * Output: per user-decile cohort, sessions / matching sessions /
     * total matches / match rate.
     */
-  private def sequencePattern(s: SparkSession, dir: String): DataFrame = {
-    val gapUs = 30L * 60 * 1000000
+  /** The operator proper, parameterized (the PipelineConfig
+    * convention): event-code mapping, pattern, and session gap are
+    * caller inputs validated eagerly at config construction, and the
+    * registered `ev_sequence_pattern` query is just the Default
+    * instantiation. Arbitrary patterns over arbitrary alphabets run
+    * in the same single pass — that is the operator's whole pitch vs
+    * the hand-built fixed funnel (ev_funnel_windowed).
+    */
+  private[graft] def sequencePatternWith(cfg: SequencePatternConfig)(
+      s: SparkSession, dir: String): DataFrame = {
+    val gapUs = cfg.gapMinutes.toLong * 60 * 1000000
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-    val code = when(col("event_type") === "click", "c")
-      .when(col("event_type") === "error", "e")
-      .when(col("event_type") === "purchase", "p")
-      .when(col("event_type") === "signup", "s")
-      .when(col("event_type") === "view", "v")
+    val mapped = cfg.codes.toSeq.sortBy(_._1)
+    val code = mapped.tail
+      .foldLeft(when(col("event_type") === mapped.head._1, mapped.head._2)) {
+        case (w, (t, c)) => w.when(col("event_type") === t, c)
+      }
       .otherwise(raise_error(concat(
         lit("ev_sequence_pattern: unmapped event_type "),
         col("event_type"))))
@@ -1775,7 +1824,9 @@ object Events {
         "x -> x.code), '')").as("str"))
     sess
       .withColumn("n_matches",
-        size(expr("regexp_extract_all(str, 'v+cp', 0)")))
+        // pattern as a literal ARGUMENT, not spliced into an expr
+        // string — no escaping/injection surface for caller regexes
+        size(regexp_extract_all(col("str"), lit(cfg.pattern), lit(0))))
       .groupBy((col("user_id") % 10).as("cohort"))
       .agg(count(lit(1)).as("n_sessions"),
         sum(when(col("n_matches") > 0, 1L).otherwise(0L))
@@ -1785,6 +1836,9 @@ object Events {
         col("n_match_sessions").cast("double") / col("n_sessions"), 9))
       .orderBy(col("cohort"))
   }
+
+  private def sequencePattern(s: SparkSession, dir: String): DataFrame =
+    sequencePatternWith(SequencePatternConfig.Default)(s, dir)
 
   private val sequencePatternSql =
     """WITH marked AS (

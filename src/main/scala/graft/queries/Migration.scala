@@ -1067,7 +1067,7 @@ object Migration {
     // the three format copies are pure functions of the fixture —
     // staged once per JVM (graft.StagedFixture); the read-back legs
     // and checksums run per invocation
-    val tmp = graft.StagedFixture.dir(s"formats:$dir", "graft_formats") {
+    val tmp = graft.StagedFixture.dir(graft.StagedFixture.key("formats", dir), "graft_formats") {
       t =>
         docs.write.mode("overwrite").orc(s"$t/orc")
         docs.write.mode("overwrite").option("header", "true")
@@ -1119,7 +1119,7 @@ object Migration {
     // the two writer generations are a pure function of the fixture —
     // staged once per JVM; the mergeSchema read under test runs fresh
     // per invocation
-    val tmp = graft.StagedFixture.dir(s"evolve:$dir", "graft_evolve") { t =>
+    val tmp = graft.StagedFixture.dir(graft.StagedFixture.key("evolve", dir), "graft_evolve") { t =>
       docs.filter(pmod(col("doc_id"), lit(2)) === 0)
         .select(col("doc_id"), col("text"))
         .write.mode("overwrite").parquet(s"$t/gen1")
@@ -1158,7 +1158,7 @@ object Migration {
     // the partitioned layout is a pure function of the fixture —
     // staged once per JVM; the discovery + pruned read under test
     // (StorageSpec asserts the PartitionFilters) runs per invocation
-    val tmp = graft.StagedFixture.dir(s"partlake:$dir", "graft_partlake") {
+    val tmp = graft.StagedFixture.dir(graft.StagedFixture.key("partlake", dir), "graft_partlake") {
       t =>
         ev.select(col("event_id"), col("user_id"), col("value"),
             col("event_type"))
@@ -1208,29 +1208,53 @@ object Migration {
     * physical plan). The pre-write `repartition(8, key)` aligns write
     * partitioning with the bucket spec so each bucket lands in ONE
     * file per table — no small-file fan-out (tasks × buckets files)
-    * from the bucketed write. Catalog names carry a fixture-dir hash
-    * so two fixtures staged in one JVM (ScaleCurve) never collide;
-    * the catalog entries live in the shared external catalog, visible
-    * to every session of the JVM, and are dropped with the temp dir
-    * at exit.
+    * from the bucketed write. Catalog names carry a fixture content
+    * stamp (SHA-256 prefix over file paths/sizes/mtimes — NOT
+    * String.hashCode, whose 32 bits can birthday-collide across
+    * fixtures and silently repoint a shared name at the wrong data);
+    * two fixtures staged in one JVM (ScaleCurve) therefore never
+    * collide, and a regenerated fixture gets fresh names. The catalog
+    * entries live in the session catalog; the filesystem memo outlives
+    * any one SparkSession, so the entries are re-registered from the
+    * staged path whenever the current session's catalog lacks them
+    * (a fresh session in the same JVM starts with an empty in-memory
+    * catalog while the memo still returns). Catalog mutation is
+    * serialized on a JVM lock: same-key concurrent first callers may
+    * both run the memo's build, and unserialized DROP/CREATE on the
+    * shared names would race.
     */
+  private val bucketedCatalogLock = new Object
   private[graft] def stageBucketedJoin(
       s: SparkSession, dir: String): DataFrame = {
-    val h = Integer.toHexString(dir.hashCode)
+    val h = graft.StagedFixture.contentStamp(dir)
     val (ordersTbl, customerTbl) =
       (s"graft_bkt_orders_$h", s"graft_bkt_customer_$h")
-    graft.StagedFixture.dir(s"bucketed:$dir", "graft_bucketed") { t =>
-      def stage(name: String, df: DataFrame, key: String): Unit = {
-        s.sql(s"DROP TABLE IF EXISTS $name")
-        df.repartition(8, col(key)).write.mode("overwrite")
-          .option("path", s"$t/$name")
-          .bucketBy(8, key).sortBy(key)
-          .format("parquet").saveAsTable(name)
-      }
+    val staged = graft.StagedFixture.dir(
+      graft.StagedFixture.key("bucketed", dir), "graft_bucketed") { t =>
+      def stage(name: String, df: DataFrame, key: String): Unit =
+        bucketedCatalogLock.synchronized {
+          s.sql(s"DROP TABLE IF EXISTS $name")
+          df.repartition(8, col(key)).write.mode("overwrite")
+            .option("path", s"$t/$name")
+            .bucketBy(8, key).sortBy(key)
+            .format("parquet").saveAsTable(name)
+        }
       stage(ordersTbl, Tables(s, dir, "orders")
         .select(col("o_custkey"), col("o_totalprice")), "o_custkey")
       stage(customerTbl, Tables(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment")), "c_custkey")
+    }
+    bucketedCatalogLock.synchronized {
+      for ((tbl, key) <- Seq((ordersTbl, "o_custkey"),
+          (customerTbl, "c_custkey"))
+        if !s.catalog.tableExists(tbl)) {
+        // schema from the parquet footer; the bucket spec must match
+        // the write above or the no-exchange plan contract breaks
+        val ddl = s.read.parquet(s"$staged/$tbl").schema.toDDL
+        s.sql(s"CREATE TABLE $tbl ($ddl) USING parquet " +
+          s"CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS " +
+          s"LOCATION '$staged/$tbl'")
+      }
     }
     s.table(ordersTbl)
       .join(s.table(customerTbl).hint("merge"),

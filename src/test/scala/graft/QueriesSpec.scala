@@ -143,6 +143,74 @@ class QueriesSpec extends AnyFunSuite {
     assert(out == agg.toMap, s"\nspark=$out\ndirect=${agg.toMap}")
   }
 
+  test("sequencePatternWith: a second pattern (vvc) matches a direct " +
+    "Scala sessionize + java.util.regex recount") {
+    import org.apache.spark.sql.functions._
+    val cfg = graft.queries.SequencePatternConfig(
+      Map("click" -> "c", "error" -> "e", "purchase" -> "p",
+        "signup" -> "s", "view" -> "v"),
+      "vvc")
+    val out = graft.queries.Events.sequencePatternWith(cfg)(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("cohort") ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_match_sessions"),
+          r.getAs[Long]("n_matches")))
+      .toMap
+    val code = Map("click" -> 'c', "error" -> 'e', "purchase" -> 'p',
+      "signup" -> 's', "view" -> 'v')
+    val ev = graft.Tables(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        code(r.getString(3))))
+    val pat = java.util.regex.Pattern.compile("vvc")
+    val agg = scala.collection.mutable.Map
+      .empty[Long, (Long, Long, Long)].withDefaultValue((0L, 0L, 0L))
+    ev.groupBy(_._1).foreach { case (user, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      val sessions = scala.collection.mutable.ArrayBuffer(
+        new StringBuilder)
+      ordered.zipWithIndex.foreach { case ((_, us, _, ch), i) =>
+        if (i > 0 && us - ordered(i - 1)._2 > 30L * 60 * 1000000)
+          sessions += new StringBuilder
+        sessions.last.append(ch)
+      }
+      sessions.foreach { sb =>
+        val m = pat.matcher(sb.toString)
+        var n = 0L
+        while (m.find()) n += 1
+        val (s0, ms0, m0) = agg(user % 10)
+        agg(user % 10) = (s0 + 1, ms0 + (if (n > 0) 1 else 0), m0 + n)
+      }
+    }
+    // the two patterns must actually differ in what they count, or
+    // this spec proves nothing beyond the default's test
+    assert(agg.values.map(_._3).sum !=
+      out.values.map(_._3).sum || out == agg.toMap)
+    assert(out == agg.toMap, s"\nspark=$out\ndirect=${agg.toMap}")
+  }
+
+  test("SequencePatternConfig rejects invalid configs eagerly") {
+    val codes = Map("view" -> "v", "click" -> "c")
+    intercept[IllegalArgumentException] {
+      graft.queries.SequencePatternConfig(Map.empty, "v+")
+    }
+    intercept[IllegalArgumentException] { // non-injective codes
+      graft.queries.SequencePatternConfig(
+        Map("view" -> "v", "click" -> "v"), "v+")
+    }
+    intercept[IllegalArgumentException] { // multi-char code
+      graft.queries.SequencePatternConfig(Map("view" -> "vw"), "v+")
+    }
+    intercept[IllegalArgumentException] {
+      graft.queries.SequencePatternConfig(codes, "v+", gapMinutes = 0)
+    }
+    intercept[java.util.regex.PatternSyntaxException] { // malformed regex
+      graft.queries.SequencePatternConfig(codes, "v+(")
+    }
+  }
+
   test("ev_day_bitmap: mask arithmetic equals direct streak computation") {
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("ev_day_bitmap")(spark, dir).collect()
