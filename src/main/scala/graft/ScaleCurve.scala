@@ -64,7 +64,11 @@ object ScaleCurve {
     // operators (histogram/sparse-pair-event read-outs — the curves
     // prove the corpus-shuffle-then-tiny-relation claims)
     "dd_bbit_minhash", "ev_day_bitmap_sharded", "ta_source_overlap_sharded",
-    "ev_sequence_pattern")
+    "ev_sequence_pattern",
+    // round-16: exact substring-span dedup (two gram-keyed corpus
+    // shuffles + one per-doc window — the curve checks no hidden
+    // pair-mass term)
+    "dd_substring_spans")
 
   private def js(v: Double): String =
     String.format(Locale.ROOT, "%.3f", Double.box(v))

@@ -29,6 +29,7 @@ object Dedup {
 
   private val ShingleK = 3
   private val SpanW = 8 // dd_span_dupes window width (tokens)
+  private val SpanK = 20 // dd_substring_spans minimal repeated-span width
   // dd_containment threshold: production uses ~0.8 on real crawl text;
   // the synthetic fixture's non-identical overlaps top out near 0.35,
   // so the exercised threshold sits below that (the plan is identical
@@ -1739,6 +1740,95 @@ object Dedup {
        |GROUP BY doc_id ORDER BY dup_frac DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  /** Exact repeated-substring spans — the canonical training-data
+    * dedup modality (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", ACL'22: remove every position covered
+    * by a duplicated ≥k-token window), expressed as sorted k-gram
+    * chains instead of a suffix array: group identical k-token grams
+    * by position, mark a position duplicated when its gram occurs ≥2
+    * times anywhere in the corpus (other docs OR self-repetition —
+    * boilerplate inside one doc counts, exactly as the suffix-array
+    * formulation would), then extend maximal runs of CONSECUTIVE
+    * duplicated positions per doc with one gaps-and-islands window: a
+    * run of L consecutive duplicated gram starts covers a repeated
+    * span of L+k−1 tokens. Output: the span-length histogram (spans /
+    * affected docs per length) — the report a dedup pass reads before
+    * choosing its cut threshold. Complements the approximations
+    * already in the family (dd_cdc_chunks, dd_span_dupes, ta_winnow_fp
+    * fingerprint coverage): this one is EXACT up to md5 collision and
+    * positional, so the spans are actually removable.
+    *
+    * k = 20 tokens here (fixture docs are 10–99 tokens; the canonical
+    * web-corpus choice is 50 BPE tokens — k is a constant, not a
+    * semantic: every plan shape below is k-independent).
+    *
+    * Scale shape — the suffix-array alternative needs a global sort
+    * of every suffix; this needs three key-partitioned shuffles, all
+    * map-side combinable: (1) grams md5-hashed BEFORE the shuffle so
+    * the exchange carries 32-byte keys, never 20-token strings;
+    * (2) the dup filter aggregates to one row per duplicated gram, so
+    * the join back fans out to exactly the duplicated POSITIONS —
+    * a hot boilerplate gram costs its occurrence count, not its
+    * square (no doc-pair term anywhere, unlike pairwise extension);
+    * (3) the run extension is one window over (doc_id, pos) — the
+    * same one-shuffle gaps-and-islands plan as sessionization. At
+    * 100 TB the histogram is bounded by max doc length, and the only
+    * corpus-sized exchanges are the two gram-keyed ones.
+    */
+  private def substringSpans(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= SpanK)
+    val grams = toks.select(col("doc_id"),
+      posexplode(expr(
+        s"transform(sequence(1, size(ws) - ${SpanK - 1}), " +
+          s"i -> md5(CAST(array_join(slice(ws, i, $SpanK), ' ') AS BINARY)))")))
+      .toDF("doc_id", "pos", "g")
+    val dup = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
+      .select(col("g"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = grams.join(dup, "g")
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) === 1, 0).otherwise(1))
+      .withColumn("run_id", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("run_id"))
+      .agg((count(lit(1)) + lit(SpanK - 1).cast("long")).as("span_tokens"))
+    runs.groupBy(col("span_tokens"))
+      .agg(count(lit(1)).as("n_spans"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("span_tokens"))
+  }
+
+  private val substringSpansSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $SpanK),
+       |g AS (
+       |  SELECT doc_id, i AS pos,
+       |    md5(array_to_string(ws[i:i+${SpanK - 1}], ' ')) AS g
+       |  FROM t, unnest(range(1, len(ws) - ${SpanK} + 2)) AS u(i)),
+       |dup AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2),
+       |m AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos)
+       |        OVER (PARTITION BY doc_id ORDER BY pos) = 1
+       |      THEN 0 ELSE 1 END AS brk
+       |  FROM g JOIN dup USING (g)),
+       |r AS (
+       |  SELECT doc_id, sum(brk) OVER (
+       |    PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+       |  FROM m),
+       |runs AS (
+       |  SELECT doc_id, run_id,
+       |    count(*) + ${SpanK - 1} AS span_tokens
+       |  FROM r GROUP BY 1, 2)
+       |SELECT CAST(span_tokens AS BIGINT) AS span_tokens,
+       |  count(*) AS n_spans, count(DISTINCT doc_id) AS n_docs
+       |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Leakage-safe train/test split — the fix for the eval-integrity
     * hole plain hash splitting leaves open: two NEAR-duplicates can
     * land in train and test, leaking training text into evaluation
@@ -2079,6 +2169,7 @@ object Dedup {
       Some(leakageSafeSplitSql)),
     QueryDef("dd_containment", containment, Some(containmentSql)),
     QueryDef("dd_span_dupes", spanDupes, Some(spanDupesSql)),
+    QueryDef("dd_substring_spans", substringSpans, Some(substringSpansSql)),
     QueryDef("dd_prefix_jaccard", prefixJaccard, Some(jaccardSql)),
     QueryDef("dd_triangles", triangles, Some(trianglesSql)),
     QueryDef("dd_semdedup", semDedup, Some(semDedupSql)),

@@ -424,6 +424,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(900))
   }
 
+  test("substring spans: gram-keyed shuffles only, per-doc run window, " +
+    "no pair term (dd_substring_spans)") {
+    val p = plan("dd_substring_spans")
+    // the run extension partitions by doc — never a global window
+    assert(p.contains("windowspecdefinition(doc_id"), p.take(900))
+    // no doc-pair join anywhere: the dup filter joins back on the gram
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(900))
+    // grams shuffle on the 32-byte md5, not the raw token strings
+    assert(p.contains("hashpartitioning(g#"), p.take(900))
+  }
+
   test("sharded source overlap: dim joins broadcast, gram masks are one " +
     "partial-aggregated shuffle (ta_source_overlap_sharded)") {
     val p = plan("ta_source_overlap_sharded")

@@ -211,6 +211,48 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("dd_substring_spans: gram-chain histogram equals a direct " +
+    "imperative suffix-scan recount") {
+    import org.apache.spark.sql.functions._
+    val k = 20
+    val out = SparkEntry.queries("dd_substring_spans")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("span_tokens") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("n_docs")))
+      .toMap
+    // independent recomputation: collect texts, build the gram
+    // occurrence index imperatively (raw strings, no md5), extend
+    // runs with a linear scan per doc — a third engine for the
+    // semantics and a falsifier for silent md5-key bugs
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+      .filter(_._2.length >= k)
+    val occ = scala.collection.mutable.Map.empty[String, Int]
+      .withDefaultValue(0)
+    val grams = docs.map { case (id, ws) =>
+      id -> (0 to ws.length - k).map(i => ws.slice(i, i + k).mkString(" "))
+    }
+    grams.foreach(_._2.foreach(g => occ(g) += 1))
+    val agg = scala.collection.mutable.Map.empty[Long, (Long, Set[Long])]
+      .withDefaultValue((0L, Set.empty))
+    grams.foreach { case (id, gs) =>
+      var run = 0
+      def close(): Unit = if (run > 0) {
+        val span = (run + k - 1).toLong
+        val (n, ds) = agg(span)
+        agg(span) = (n + 1, ds + id)
+        run = 0
+      }
+      gs.foreach { g => if (occ(g) >= 2) run += 1 else close() }
+      close()
+    }
+    val expect = agg.map { case (sp, (n, ds)) =>
+      sp -> (n, ds.size.toLong) }.toMap
+    assert(out == expect, s"\nspark=$out\ndirect=$expect")
+    assert(out.nonEmpty, "fixture must actually contain repeated spans")
+  }
+
   test("ev_day_bitmap: mask arithmetic equals direct streak computation") {
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("ev_day_bitmap")(spark, dir).collect()
