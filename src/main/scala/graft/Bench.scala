@@ -52,6 +52,26 @@ object Bench {
       .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
   }
 
+  /** Cumulative hypervisor STEAL time of the whole box, in ms
+    * (/proc/stat cpu field 8 × 10 ms USER_HZ ticks; 0 where absent).
+    * This box is a VM on a shared host: r16 measured the identical
+    * ingest query at 6.5 s under ~0% steal and 93 s under a steal
+    * burst (12.8% of 32-core capacity averaged over the run, front-
+    * loaded) — host contention, not code, owned the r15 driver-only
+    * evs drift signature. A slow rep whose steal delta is large is
+    * the host's fault; one with steal ≈ 0 and gc ≈ 0 is ours.
+    */
+  private def stealMillis(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().find(_.startsWith("cpu ")) match {
+        case Some(l) =>
+          val f = l.trim.split("\\s+")
+          if (f.length > 8) f(8).toLong * 10 else 0L
+        case None => 0L
+      } finally src.close()
+    } catch { case _: Throwable => 0L }
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     val n = s.length
@@ -91,6 +111,8 @@ object Bench {
       .withDefaultValue(Vector.empty)
     val gcDeltas = scala.collection.mutable.Map.empty[String, Vector[Long]]
       .withDefaultValue(Vector.empty)
+    val stealDeltas = scala.collection.mutable.Map.empty[String, Vector[Long]]
+      .withDefaultValue(Vector.empty)
     def family(name: String): String = name.takeWhile(_ != '_')
     for (rep <- 0 until reps) {
       val order = if (rep % 2 == 0) byName else byName.reverse
@@ -108,6 +130,7 @@ object Bench {
         if (prevFam.nonEmpty && family(name) != prevFam) System.gc()
         prevFam = family(name)
         val gc0 = gcMillis()
+        val steal0 = stealMillis()
         starts(name) = starts(name) :+ System.currentTimeMillis() / 1e3
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
@@ -117,6 +140,7 @@ object Bench {
         }
         samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
         gcDeltas(name) = gcDeltas(name) :+ (gcMillis() - gc0)
+        stealDeltas(name) = stealDeltas(name) :+ (stealMillis() - steal0)
       }
     }
 
@@ -149,10 +173,11 @@ object Bench {
       // collector pressure; neither = genuinely slower code.
       val st = starts(k).map(js).mkString("[", ",", "]")
       val gc = gcDeltas(k).mkString("[", ",", "]")
-      s""""$k":{"med":${js(med)},"min":${js(mn)},"max":${js(mx)},"reps":$raw,"starts":$st,"gc_ms":$gc}"""
+      val sl = stealDeltas(k).mkString("[", ",", "]")
+      s""""$k":{"med":${js(med)},"min":${js(mn)},"max":${js(mx)},"reps":$raw,"starts":$st,"gc_ms":$gc,"steal_ms":$sl}"""
     }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":${js(total)},"unit":"sec","stat":"median","reps":$reps,"t_end":${js(System.currentTimeMillis() / 1e3)},"gc_total_ms":${gcMillis()},"queries":$fullQs,"sf":"$sfDir","cpus":$cpus}"""
+      s"""{"metric":"total","value":${js(total)},"unit":"sec","stat":"median","reps":$reps,"t_end":${js(System.currentTimeMillis() / 1e3)},"gc_total_ms":${gcMillis()},"steal_total_ms":${stealMillis()},"queries":$fullQs,"sf":"$sfDir","cpus":$cpus}"""
     val detailPath = Paths.get("BENCH_DETAIL.json").toAbsolutePath
     if (only.isEmpty) // a filtered run must not clobber the full artifact
       Files.write(detailPath,

@@ -99,6 +99,13 @@ object IncrementalDedup {
           struct(col("id"), col("n"), lit(false).as("isb")).as("e"))
         .unionByName(b.shingles.select(col("g"),
           struct(col("id"), col("n"), lit(true).as("isb")).as("e")))
+    // Emission shape measured, not assumed (r16): a 2-field pair
+    // struct with the doc sizes joined from a dim AFTER the count
+    // looked 2× faster in isolation, but in the full screen the dim
+    // re-executes the semi-joined postings pipeline twice more and
+    // adds two exchanges — full-ingest median regressed 7.3 → 10.4 s.
+    // Carrying n on every emitted pair keeps the near layer a single
+    // self-contained aggregation tree; it stays.
     val pairs = tagged
       .groupBy(col("g")).agg(collect_list(col("e")).as("ds"))
       .filter(size(col("ds")).between(2, maxShingleDf))

@@ -158,8 +158,18 @@ object CdcApply {
       }
       .start()
     try {
-      (1 to 5).foreach { i =>
-        arrive(s"v$i")
+      // Two arrival waves, not one per version: the replay contract is
+      // arrival-order coverage — multi-batch, with state PERSISTED and
+      // re-read between batches — not batch count. Versions inside a
+      // wave merge by the same version-order window that governs them
+      // across waves (latest per key wins either way), and the
+      // delete→re-upsert resurrection (v3 D, v4 U) still crosses the
+      // persisted-state boundary. Five single-version waves billed 5×
+      // the state-rewrite floor for identical semantics coverage; the
+      // specs (StreamRecoverySpec restart + bucket invariance) pin the
+      // multi-batch behavior independently.
+      Seq(Seq(1, 2, 3), Seq(4, 5)).foreach { wave =>
+        wave.foreach(i => arrive(s"v$i"))
         q.processAllAvailable()
       }
     } finally q.stop()

@@ -63,10 +63,15 @@ object IncrementalIngest {
 
   def ingest(spark: SparkSession, dir: String,
       threshold: Double, shingleK: Int, maxShingleDf: Int): DataFrame = {
-    // cloned session: narrow shuffle width for the tiny per-batch
-    // joins, caller's conf untouched (the EventStream convention)
+    // cloned session: caller's conf untouched (the EventStream
+    // convention). The shuffle width is INHERITED, not narrowed: the
+    // screen's bucket pair expansion is compute-bound (interpreted
+    // HOFs over collect_list buckets), and pinning it to 8 partitions
+    // left 3/4 of a 32-core box idle on the hot stage — measured at
+    // sf0.1: warm screen+write 2.20 s at width 8 vs 1.67 s at 32,
+    // cold 4.92 s vs 2.23 s. (A join-based pair expansion was also
+    // measured — 3.32 s vs the HOF's 1.63: more shuffles, no win.)
     val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
 
     val docs = graft.Tables(ss, dir, "documents")
     val staged = stagedDirs.getOrElseUpdate((dir, shingleK), {
