@@ -178,8 +178,14 @@ object Bench {
     }.mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":${js(total)},"unit":"sec","stat":"median","reps":$reps,"t_end":${js(System.currentTimeMillis() / 1e3)},"gc_total_ms":${gcMillis()},"steal_total_ms":${stealMillis()},"queries":$fullQs,"sf":"$sfDir","cpus":$cpus}"""
-    val detailPath = Paths.get("BENCH_DETAIL.json").toAbsolutePath
-    if (only.isEmpty) // a filtered run must not clobber the full artifact
+    // SPARK_GRAFT_BENCH_DETAIL_OUT redirects the detail artifact (the
+    // contended-bench experiment needs per-rep vectors from FILTERED
+    // runs); without it, a filtered run must not clobber the full
+    // driver artifact.
+    val detailOverride = sys.env.get("SPARK_GRAFT_BENCH_DETAIL_OUT")
+    val detailPath = Paths.get(
+      detailOverride.getOrElse("BENCH_DETAIL.json")).toAbsolutePath
+    if (only.isEmpty || detailOverride.isDefined)
       Files.write(detailPath,
         (fullJson + "\n").getBytes(StandardCharsets.UTF_8))
 
