@@ -68,7 +68,7 @@ object ScaleCurve {
     // round-16: exact substring-span dedup (two gram-keyed corpus
     // shuffles + one per-doc window — the curve checks no hidden
     // pair-mass term)
-    "dd_substring_spans")
+    "dd_substring_spans", "dd_substring_trim")
 
   private def js(v: Double): String =
     String.format(Locale.ROOT, "%.3f", Double.box(v))

@@ -1829,6 +1829,100 @@ object Dedup {
        |  count(*) AS n_spans, count(DISTINCT doc_id) AS n_docs
        |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Exact substring-span REMOVAL accounting — the transform half of
+    * [[substringSpans]]: Lee et al. don't just report repeated spans,
+    * they REMOVE every token position covered by a duplicated
+    * ≥k-token window. Coverage is an interval-union problem: each
+    * duplicated gram start p covers tokens [p, p+k−1]; two starts
+    * whose distance is ≤ k produce contiguous-or-overlapping cover,
+    * so islands merge on `gap ≤ k` (note: ≤ k, NOT the +1-adjacency
+    * of the span CHAIN — a hole in the start sequence smaller than
+    * the window width leaves no hole in coverage), and each island
+    * covers `last − first + k` tokens. Output: per doc-id decile,
+    * docs / total tokens / covered tokens / retained fraction — the
+    * before/after budget a dedup pass publishes when it trims a
+    * corpus.
+    *
+    * Scale shape: identical to substringSpans (two gram-keyed
+    * map-combinable shuffles + one per-doc window) plus a doc-keyed
+    * left join of per-doc coverage onto per-doc token counts — both
+    * sides one row per doc, co-partitioned by the same key.
+    */
+  private def substringTrim(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val grams = toks.filter(size(col("ws")) >= SpanK)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(1, size(ws) - ${SpanK - 1}), " +
+            s"i -> md5(CAST(array_join(slice(ws, i, $SpanK), ' ') AS BINARY)))")))
+      .toDF("doc_id", "pos", "g")
+    val dup = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
+      .select(col("g"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val covered = grams.join(dup, "g")
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= SpanK, 0)
+          .otherwise(1))
+      .withColumn("island", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg((max(col("pos")) - min(col("pos")) + lit(SpanK))
+        .cast("long").as("cov"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cov")).as("covered_tokens"))
+    toks
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"),
+        (col("doc_id") % 10).as("decile"))
+      .join(covered, Seq("doc_id"), "left")
+      .withColumn("cov", coalesce(col("covered_tokens"), lit(0L)))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("cov")).as("covered_tokens"))
+      .withColumn("retained_frac", Quant.qdec(
+        lit(1.0) - col("covered_tokens").cast("double") /
+          col("total_tokens"), 9))
+      .orderBy(col("decile"))
+  }
+
+  private val substringTrimSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |g AS (
+       |  SELECT doc_id, i AS pos,
+       |    md5(array_to_string(ws[i:i+${SpanK - 1}], ' ')) AS g
+       |  FROM t, unnest(range(1, len(ws) - ${SpanK} + 2)) AS u(i)
+       |  WHERE len(ws) >= $SpanK),
+       |dup AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2),
+       |m AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos)
+       |        OVER (PARTITION BY doc_id ORDER BY pos) <= $SpanK
+       |      THEN 0 ELSE 1 END AS brk
+       |  FROM g JOIN dup USING (g)),
+       |isl AS (
+       |  SELECT doc_id, pos, sum(brk) OVER (
+       |    PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM m),
+       |cov AS (
+       |  SELECT doc_id, sum(cv) AS covered_tokens FROM (
+       |    SELECT doc_id, max(pos) - min(pos) + $SpanK AS cv
+       |    FROM isl GROUP BY doc_id, island)
+       |  GROUP BY doc_id),
+       |d AS (
+       |  SELECT doc_id, len(ws) AS n_tokens, doc_id % 10 AS decile,
+       |    coalesce(covered_tokens, 0) AS cv
+       |  FROM t LEFT JOIN cov USING (doc_id))
+       |SELECT decile, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(sum(cv) AS BIGINT) AS covered_tokens,
+       |  floor((1.0 - CAST(sum(cv) AS DOUBLE) / sum(n_tokens)) * 1e9
+       |    + 0.5) / 1e9 AS retained_frac
+       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Leakage-safe train/test split — the fix for the eval-integrity
     * hole plain hash splitting leaves open: two NEAR-duplicates can
     * land in train and test, leaking training text into evaluation
@@ -2170,6 +2264,7 @@ object Dedup {
     QueryDef("dd_containment", containment, Some(containmentSql)),
     QueryDef("dd_span_dupes", spanDupes, Some(spanDupesSql)),
     QueryDef("dd_substring_spans", substringSpans, Some(substringSpansSql)),
+    QueryDef("dd_substring_trim", substringTrim, Some(substringTrimSql)),
     QueryDef("dd_prefix_jaccard", prefixJaccard, Some(jaccardSql)),
     QueryDef("dd_triangles", triangles, Some(trianglesSql)),
     QueryDef("dd_semdedup", semDedup, Some(semDedupSql)),

@@ -253,6 +253,45 @@ class QueriesSpec extends AnyFunSuite {
     assert(out.nonEmpty, "fixture must actually contain repeated spans")
   }
 
+  test("dd_substring_trim: island interval-union coverage equals a " +
+    "direct boolean-mark recount") {
+    import org.apache.spark.sql.functions._
+    val k = 20
+    val out = SparkEntry.queries("dd_substring_trim")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("decile") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
+          r.getAs[Long]("covered_tokens")))
+      .toMap
+    // independent recount: per doc, literally MARK each token covered
+    // by a duplicated k-gram window in a boolean array and count marks
+    // — the ground-truth interval union the island formula must equal
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    val occ = scala.collection.mutable.Map.empty[String, Int]
+      .withDefaultValue(0)
+    val grams = docs.map { case (id, ws) =>
+      (id, ws.length,
+        if (ws.length >= k)
+          (0 to ws.length - k).map(i => ws.slice(i, i + k).mkString(" "))
+        else Seq.empty[String])
+    }
+    grams.foreach(_._3.foreach(g => occ(g) += 1))
+    val agg = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)]
+      .withDefaultValue((0L, 0L, 0L))
+    grams.foreach { case (id, n, gs) =>
+      val marked = Array.fill(n)(false)
+      gs.zipWithIndex.foreach { case (g, p) =>
+        if (occ(g) >= 2) (p until p + k).foreach(marked(_) = true)
+      }
+      val (d0, t0, c0) = agg(id % 10)
+      agg(id % 10) = (d0 + 1, t0 + n, c0 + marked.count(identity))
+    }
+    assert(out == agg.toMap, s"\nspark=$out\ndirect=${agg.toMap}")
+    assert(out.values.exists(_._3 > 0), "fixture must have covered spans")
+  }
+
   test("ev_day_bitmap: mask arithmetic equals direct streak computation") {
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("ev_day_bitmap")(spark, dir).collect()
