@@ -149,22 +149,50 @@ object EventStream {
     * fixtures are a single `events.parquet` FILE, the derived sf1*
     * fixture a parquet DIRECTORY of part files — stage either shape.
     */
+  /** Fixture bytes are immutable inputs, so "copying" them into a
+    * per-run arrival dir is done with HARDLINKS where the filesystem
+    * allows (same device: zero bytes moved, zero page-cache churn —
+    * the per-run copies were the largest remaining per-invocation
+    * temp I/O in the evs tier), falling back to a real copy across
+    * devices. Deleting the link at run teardown never touches the
+    * source.
+    */
+  private def linkOrCopy(src: java.nio.file.Path,
+      target: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    try Files.createLink(target, src)
+    catch {
+      case _: Exception =>
+        Files.copy(src, target, StandardCopyOption.REPLACE_EXISTING): Unit
+    }
+  }
+
   private def copyEventsInto(dir: String,
       streamDir: java.nio.file.Path): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Paths}
     val src = Paths.get(s"$dir/events.parquet")
     if (Files.isDirectory(src)) {
       val it = Files.list(src)
       try it.forEach { p =>
         val nm = p.getFileName.toString
         if (nm.endsWith(".parquet"))
-          Files.copy(p, streamDir.resolve("events_" + nm),
-            StandardCopyOption.REPLACE_EXISTING)
+          linkOrCopy(p, streamDir.resolve("events_" + nm))
       } finally it.close()
     } else
-      Files.copy(src, streamDir.resolve("events.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
+      linkOrCopy(src, streamDir.resolve("events.parquet"))
   }
+
+  /** max event time per fixture — a pure fixture function scanned
+    * once per JVM, not once per invocation (the srcNames/StagedFixture
+    * memo convention; lateDataDrop and the sentinel staging both need
+    * it to place probe/sentinel rows relative to the watermark).
+    */
+  private val maxTsMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def maxEventMicros(ss: SparkSession, dir: String): Long =
+    maxTsMemo.getOrElseUpdate(dir,
+      graft.Tables(ss, dir, "events")
+        .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0))
 
   /** Run a streaming aggregation to completion into a memory sink and
     * return the sink table (registered in the stream's own session).
@@ -407,8 +435,7 @@ object EventStream {
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         org.apache.commons.io.FileUtils.deleteQuietly(streamDir.toFile): Unit))
       copyEventsInto(dir, streamDir)
-      val maxTsMicros = graft.Tables(ss, dir, "events")
-        .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+      val maxTsMicros = maxEventMicros(ss, dir)
       stageEventRows(ss, legacy,
         sentinelTypes.zipWithIndex.map { case (t, i) =>
           (-1L - i, maxTsMicros + 30L * 24 * 3600 * 1000000L, -1L, t, 0.0, "{}")
@@ -453,8 +480,7 @@ object EventStream {
     // watermark -inf, and nothing would be late)
     val streamDir = Files.createTempDirectory("graft_late_stream")
     val legacy = eventsTsIsLegacyNanos(ss, dir)
-    val maxTsMicros = graft.Tables(ss, dir, "events")
-      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val maxTsMicros = maxEventMicros(ss, dir)
     val hourUs = 3600L * 1000000L
     def writeBatch(name: String,
         rows: Seq[(Long, Long, Long, String, Double, String)]): Unit =
@@ -757,8 +783,7 @@ object EventStream {
   def ewmaState(spark: SparkSession, dir: String): DataFrame = {
     val ss = streamSession(spark)
     import ss.implicits._
-    val flushUs = graft.Tables(ss, dir, "events")
-      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0) +
+    val flushUs = maxEventMicros(ss, dir) +
       29L * 24 * 3600 * 1000000L
     val ev = sentinelFlushedEvents(ss, dir, Seq("sentinel"))
       .withWatermark("ts", "30 minutes")
