@@ -663,6 +663,137 @@ object Corpus {
        |ORDER BY a.doc_id""".stripMargin
   }
 
+  /** Span-level eval-set decontamination — cp_contamination's
+    * positional upgrade: the 13-gram screen says WHETHER a test doc
+    * shares any window with train; this one says HOW MUCH and HOW
+    * CONTIGUOUSLY, which is what actually decides the call between
+    * "shared idiom" (one isolated 13-gram) and "verbatim leak" (a
+    * 40-token stretch of the test doc sitting inside some train doc).
+    * Per test-split document: gram positions, hit positions (gram
+    * present anywhere in the train split), the LONGEST contaminated
+    * run (consecutive hit starts → run + k − 1 tokens, the
+    * dd_substring_spans chain), and the covered-token interval union
+    * (islands merge on gap ≤ k, the dd_substring_trim rule).
+    *
+    * Scale shape: the train side collapses to DISTINCT gram md5s
+    * (map-side combinable; 16-byte keys on the exchange), the test
+    * side is positional grams semi-joined against it — cost rides the
+    * TEST split (small by construction), never train×test. The run
+    * and coverage windows partition by test doc.
+    */
+  private def contaminationSpans(s: SparkSession, dir: String): DataFrame = {
+    val k = 13
+    val assigned = Tables(s, dir, "documents")
+      .withColumn("bucket", hashBucket("split:", 100))
+    val gramExpr = expr(
+      s"transform(sequence(1, size(ws) - ${k - 1}), " +
+        s"i -> md5(CAST(array_join(slice(ws, i, $k), ' ') AS BINARY)))")
+    val trainGrams = assigned.filter(col("bucket") < 80)
+      .select(split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= k)
+      .select(explode(gramExpr).as("g")).distinct()
+    val testDocs = assigned.filter(col("bucket") >= 90)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val hits = testDocs.filter(size(col("ws")) >= k)
+      .select(col("doc_id"), posexplode(gramExpr))
+      .toDF("doc_id", "pos", "g")
+      .join(trainGrams, Seq("g"), "left_semi")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = hits
+      .withColumn("run_brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) === 1, 0).otherwise(1))
+      .withColumn("cov_brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= k, 0).otherwise(1))
+      .withColumn("run_id", sum(col("run_brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("isl_id", sum(col("cov_brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val perDoc = runs
+      .groupBy(col("doc_id"), col("run_id"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("run_len")).as("n_hits"),
+        (max(col("run_len")) + lit(k - 1)).cast("long")
+          .as("longest_span_tokens"))
+    // covered tokens aggregate ISLANDS, a coarser grouping than runs
+    // (one island can span several runs) — kept as its own tree so
+    // neither statistic double-counts the other's grouping
+    val covered = runs
+      .groupBy(col("doc_id"), col("isl_id"))
+      .agg((max(col("pos")) - min(col("pos")) + lit(k)).cast("long")
+        .as("cov"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cov")).as("covered_tokens"))
+    testDocs
+      .select(col("doc_id"),
+        greatest(size(col("ws")) - lit(k - 1), lit(0)).cast("long")
+          .as("n_grams"))
+      .join(perDoc.select(col("doc_id"), col("n_hits"),
+        col("longest_span_tokens")), Seq("doc_id"), "left")
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("longest_span_tokens"), lit(0L))
+          .as("longest_span_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val contaminationSpansSql = {
+    val k = 13
+    s"""WITH assigned AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws,
+       |    ${bucketSql("split:", 100)} AS bucket
+       |  FROM documents),
+       |train_grams AS (
+       |  SELECT DISTINCT
+       |    md5(array_to_string(ws[i:i+${k - 1}], ' ')) AS g
+       |  FROM assigned, unnest(range(1, len(ws) - $k + 2)) AS u(i)
+       |  WHERE bucket < 80 AND len(ws) >= $k),
+       |hits AS (
+       |  SELECT doc_id, i AS pos
+       |  FROM assigned, unnest(range(1, len(ws) - $k + 2)) AS u(i)
+       |  WHERE bucket >= 90 AND len(ws) >= $k
+       |    AND md5(array_to_string(ws[i:i+${k - 1}], ' '))
+       |      IN (SELECT g FROM train_grams)),
+       |marked AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos)
+       |        OVER (PARTITION BY doc_id ORDER BY pos) = 1
+       |      THEN 0 ELSE 1 END AS run_brk,
+       |    CASE WHEN pos - lag(pos)
+       |        OVER (PARTITION BY doc_id ORDER BY pos) <= $k
+       |      THEN 0 ELSE 1 END AS cov_brk
+       |  FROM hits),
+       |ids AS (
+       |  SELECT doc_id, pos,
+       |    sum(run_brk) OVER w AS run_id, sum(cov_brk) OVER w AS isl_id
+       |  FROM marked
+       |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |per_doc AS (
+       |  SELECT doc_id, sum(run_len) AS n_hits,
+       |    max(run_len) + $k - 1 AS longest_span_tokens
+       |  FROM (SELECT doc_id, run_id, count(*) AS run_len
+       |        FROM ids GROUP BY 1, 2)
+       |  GROUP BY doc_id),
+       |cov AS (
+       |  SELECT doc_id, sum(cv) AS covered_tokens FROM (
+       |    SELECT doc_id, max(pos) - min(pos) + $k AS cv
+       |    FROM ids GROUP BY doc_id, isl_id)
+       |  GROUP BY doc_id)
+       |SELECT a.doc_id,
+       |  CAST(greatest(len(ws) - ${k - 1}, 0) AS BIGINT) AS n_grams,
+       |  CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+       |  CAST(coalesce(longest_span_tokens, 0) AS BIGINT)
+       |    AS longest_span_tokens,
+       |  CAST(coalesce(covered_tokens, 0) AS BIGINT) AS covered_tokens
+       |FROM (SELECT * FROM assigned WHERE bucket >= 90) a
+       |  LEFT JOIN per_doc USING (doc_id)
+       |  LEFT JOIN cov USING (doc_id)
+       |ORDER BY a.doc_id""".stripMargin
+  }
+
   /** DSIR-style importance weights (Data Selection via Importance
     * Resampling, Xie et al. 2023): score every raw document by how
     * much its hashed-unigram distribution looks like a target domain
@@ -1140,6 +1271,8 @@ object Corpus {
     QueryDef("cp_dsir_weights", dsirScores, Some(dsirWeightsSql)),
     QueryDef("cp_dsir_resample", dsirResample, Some(dsirResampleSql)),
     QueryDef("cp_contamination", contamination, Some(contaminationSql)),
+    QueryDef("cp_contamination_spans", contaminationSpans,
+      Some(contaminationSpansSql)),
     QueryDef("cp_chunk", chunk, Some(chunkSql)),
     QueryDef("cp_sequence_pack", sequencePack, Some(sequencePackSql)),
     QueryDef("cp_pipeline_from_config", pipelineFromConfig,

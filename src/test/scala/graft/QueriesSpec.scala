@@ -292,6 +292,36 @@ class QueriesSpec extends AnyFunSuite {
     assert(out.values.exists(_._3 > 0), "fixture must have covered spans")
   }
 
+  test("cp_contamination_spans agrees with cp_contamination on WHICH " +
+    "docs are contaminated, and its span stats are internally sound") {
+    val k = 13
+    val spans = SparkEntry.queries("cp_contamination_spans")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_hits"),
+          r.getAs[Long]("longest_span_tokens"),
+          r.getAs[Long]("covered_tokens")))
+      .toMap
+    val flat = SparkEntry.queries("cp_contamination")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("contaminated"))
+      .toMap
+    // same split, same k, same tokenization — the two screens must
+    // flag the same documents (the span screen adds HOW MUCH, not WHO)
+    assert(spans.keySet == flat.keySet)
+    flat.foreach { case (id, c) =>
+      assert((spans(id)._2 > 0) == c, s"doc $id: flat=$c spans=${spans(id)}")
+    }
+    spans.values.foreach { case (nGrams, nHits, longest, covered) =>
+      assert(nHits <= nGrams)
+      assert(longest == 0 || longest >= k) // any hit spans >= k tokens
+      assert(covered >= longest) // union covers at least the best run
+      assert(covered <= nGrams + k - 1) // can't exceed the doc's tokens
+      assert((nHits == 0) == (covered == 0))
+    }
+    assert(spans.values.exists(_._2 > 0), "fixture must show contamination")
+  }
+
   test("ev_day_bitmap: mask arithmetic equals direct streak computation") {
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("ev_day_bitmap")(spark, dir).collect()
