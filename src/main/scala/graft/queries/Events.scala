@@ -1796,7 +1796,13 @@ object Events {
     * in the same single pass — that is the operator's whole pitch vs
     * the hand-built fixed funnel (ev_funnel_windowed).
     */
-  private[graft] def sequencePatternWith(cfg: SequencePatternConfig)(
+  /** The shared sessionize-and-stringify pass: one row per (user,
+    * session) with the session's one-char-per-event string. Every
+    * pattern variant below rides this SAME single pass — that is the
+    * operator's whole economy (N patterns cost one corpus scan plus N
+    * regex evaluations over session-length strings).
+    */
+  private def sessionStrings(cfg: SequencePatternConfig)(
       s: SparkSession, dir: String): DataFrame = {
     val gapUs = cfg.gapMinutes.toLong * 60 * 1000000
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
@@ -1808,7 +1814,7 @@ object Events {
       .otherwise(raise_error(concat(
         lit("ev_sequence_pattern: unmapped event_type "),
         col("event_type"))))
-    val sess = Tables(s, dir, "events")
+    Tables(s, dir, "events")
       .withColumn("us", unix_micros(col("ts")))
       .withColumn("prev_us", lag(col("us"), 1).over(byUser))
       .withColumn("new_session",
@@ -1822,7 +1828,11 @@ object Events {
       .agg(expr("array_join(transform(" +
         "array_sort(collect_list(struct(us, event_id, code))), " +
         "x -> x.code), '')").as("str"))
-    sess
+  }
+
+  private[graft] def sequencePatternWith(cfg: SequencePatternConfig)(
+      s: SparkSession, dir: String): DataFrame = {
+    sessionStrings(cfg)(s, dir)
       .withColumn("n_matches",
         // pattern as a literal ARGUMENT, not spliced into an expr
         // string — no escaping/injection surface for caller regexes
@@ -1839,6 +1849,58 @@ object Events {
 
   private def sequencePattern(s: SparkSession, dir: String): DataFrame =
     sequencePatternWith(SequencePatternConfig.Default)(s, dir)
+
+  /** N patterns in ONE pass — the economy the regex encoding buys
+    * over hand-built funnels: the corpus is sessionized and
+    * stringified once, then every pattern is a regex evaluation over
+    * session-length strings (computed side by side in one projection,
+    * unpivoted with `stack`). A product team's whole pattern
+    * dashboard costs one scan; the windowed-funnel alternative costs
+    * a window cascade PER pattern. Pattern names become output rows,
+    * so they are validated as identifiers (they pass through a stack
+    * expression); regexes compile eagerly, as in the single-pattern
+    * config.
+    */
+  private[graft] def sequencePatternsMulti(cfg: SequencePatternConfig,
+      patterns: Map[String, String])(
+      s: SparkSession, dir: String): DataFrame = {
+    require(patterns.nonEmpty, "at least one pattern")
+    patterns.foreach { case (n, p) =>
+      require(n.matches("[A-Za-z][A-Za-z0-9_]*"),
+        s"pattern name '$n' must be an identifier")
+      java.util.regex.Pattern.compile(p)
+    }
+    val named = patterns.toSeq.sortBy(_._1)
+    val counted = sessionStrings(cfg)(s, dir).select(
+      (col("user_id") % 10).as("cohort") +: named.map { case (n, p) =>
+        size(regexp_extract_all(col("str"), lit(p), lit(0))).as(n)
+      }: _*)
+    val stackExpr = s"stack(${named.size}, " + named.map { case (n, _) =>
+      s"'$n', `$n`"
+    }.mkString(", ") + ") AS (pattern_name, n_matches)"
+    counted.select(col("cohort"), expr(stackExpr))
+      .groupBy(col("cohort"), col("pattern_name"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_matches") > 0, 1L).otherwise(0L))
+          .as("n_match_sessions"),
+        sum(col("n_matches")).as("n_matches"))
+      .withColumn("match_rate", Quant.qdec(
+        col("n_match_sessions").cast("double") / col("n_sessions"), 9))
+      .orderBy(col("cohort"), col("pattern_name"))
+  }
+
+  /** The registered instantiation: the default funnel, a stricter
+    * double-view variant, and a NON-contiguous signup→purchase
+    * pattern (`s.*p` — anything may intervene), which the strictly
+    * contiguous chain encodings cannot express at all.
+    */
+  private val MultiPatterns = Map(
+    "funnel" -> "v+cp",
+    "double_view_click" -> "vvc",
+    "signup_then_purchase" -> "s.*p")
+
+  private def sequencePatternMulti(s: SparkSession, dir: String): DataFrame =
+    sequencePatternsMulti(SequencePatternConfig.Default, MultiPatterns)(s, dir)
 
   private val sequencePatternSql =
     """WITH marked AS (
@@ -1872,9 +1934,48 @@ object Events {
       |      AS DOUBLE) / count(*) * 1e9 + 0.5) / 1e9 AS match_rate
       |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
 
+  private val sequencePatternMultiSql = {
+    val pats = MultiPatterns.toSeq.sorted
+      .map { case (n, p) => s"('$n', '$p')" }.mkString(", ")
+    s"""WITH marked AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS us,
+       |    CASE event_type WHEN 'click' THEN 'c' WHEN 'error' THEN 'e'
+       |      WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+       |      WHEN 'view' THEN 'v' END AS code,
+       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+       |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       |numbered AS (
+       |  SELECT *, sum(new_session) OVER (
+       |    PARTITION BY user_id ORDER BY us
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+       |  FROM marked),
+       |sess AS (
+       |  SELECT user_id, session_seq,
+       |    string_agg(code, '' ORDER BY us, event_id) AS str
+       |  FROM numbered GROUP BY 1, 2),
+       |pats(pattern_name, pattern) AS (VALUES $pats),
+       |scored AS (
+       |  SELECT user_id, pattern_name,
+       |    len(regexp_extract_all(str, pattern)) AS n_matches
+       |  FROM sess CROSS JOIN pats)
+       |SELECT user_id % 10 AS cohort, pattern_name,
+       |  count(*) AS n_sessions,
+       |  CAST(sum(CASE WHEN n_matches > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_match_sessions,
+       |  CAST(sum(n_matches) AS BIGINT) AS n_matches,
+       |  floor(CAST(sum(CASE WHEN n_matches > 0 THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / count(*) * 1e9 + 0.5) / 1e9 AS match_rate
+       |FROM scored GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("ev_sequence_pattern", sequencePattern,
       Some(sequencePatternSql)),
+    QueryDef("ev_sequence_pattern_multi", sequencePatternMulti,
+      Some(sequencePatternMultiSql)),
     QueryDef("ev_day_bitmap_sharded", dayBitmapSharded,
       Some(dayBitmapShardedSql)),
     QueryDef("ev_day_bitmap", dayBitmap, Some(dayBitmapSql)),

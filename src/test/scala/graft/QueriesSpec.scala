@@ -191,6 +191,35 @@ class QueriesSpec extends AnyFunSuite {
     assert(out == agg.toMap, s"\nspark=$out\ndirect=${agg.toMap}")
   }
 
+  test("ev_sequence_pattern_multi: every pattern row equals its " +
+    "single-pattern run; greedy s.*p matches at most once per session") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("cohort"), r.getAs[Long]("n_sessions"),
+        r.getAs[Long]("n_match_sessions"), r.getAs[Long]("n_matches")))
+      .toSet
+    val multi = SparkEntry.queries("ev_sequence_pattern_multi")(spark, dir)
+      .collect()
+      .groupBy(_.getAs[String]("pattern_name"))
+      .map { case (n, rs) => n -> rs.map(r =>
+        (r.getAs[Long]("cohort"), r.getAs[Long]("n_sessions"),
+          r.getAs[Long]("n_match_sessions"), r.getAs[Long]("n_matches")))
+        .toSet }
+    assert(multi.keySet ==
+      Set("funnel", "double_view_click", "signup_then_purchase"))
+    val cfg = graft.queries.SequencePatternConfig.Default
+    assert(multi("funnel") ==
+      rows(SparkEntry.queries("ev_sequence_pattern")(spark, dir)))
+    assert(multi("double_view_click") == rows(graft.queries.Events
+      .sequencePatternWith(cfg.copy(pattern = "vvc"))(spark, dir)))
+    assert(multi("signup_then_purchase") == rows(graft.queries.Events
+      .sequencePatternWith(cfg.copy(pattern = "s.*p"))(spark, dir)))
+    // greedy s.*p consumes to the session's LAST p — a second match
+    // would need another s followed by a later p, which cannot exist
+    multi("signup_then_purchase").foreach { case (_, _, ms, m) =>
+      assert(ms == m, "greedy non-contiguous pattern matched twice")
+    }
+  }
+
   test("SequencePatternConfig rejects invalid configs eagerly") {
     val codes = Map("view" -> "v", "click" -> "c")
     intercept[IllegalArgumentException] {
