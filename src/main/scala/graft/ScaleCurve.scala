@@ -68,7 +68,8 @@ object ScaleCurve {
     // round-16: exact substring-span dedup (two gram-keyed corpus
     // shuffles + one per-doc window — the curve checks no hidden
     // pair-mass term)
-    "dd_substring_spans", "dd_substring_trim")
+    "dd_substring_spans", "dd_substring_trim",
+    "cp_contamination_spans", "ev_sequence_pattern_multi")
 
   private def js(v: Double): String =
     String.format(Locale.ROOT, "%.3f", Double.box(v))

@@ -436,6 +436,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(g#"), p.take(900))
   }
 
+  test("contamination spans: train side reaches the test side as a " +
+    "semi join, windows partition by doc (cp_contamination_spans)") {
+    val p = plan("cp_contamination_spans")
+    // the positional test grams are SEMI-joined against the distinct
+    // train gram set — never an inner join that could fan out on a
+    // hot boilerplate gram
+    assert(p.contains("LeftSemi"), p.take(900))
+    assert(p.contains("windowspecdefinition(doc_id"), p.take(900))
+    assert(!p.contains("CartesianProduct"), p.take(900))
+  }
+
+  test("multi-pattern sequence scan: one sessionize pass feeds every " +
+    "pattern — a single user-keyed exchange (ev_sequence_pattern_multi)") {
+    val df = SparkEntry.queries("ev_sequence_pattern_multi")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the N regex evaluations ride ONE session-string build: exactly
+    // one user_id hash exchange in the whole plan (sessionize), plus
+    // the tiny cohort rollup — a per-pattern cascade would repeat it
+    val userExchanges = p.linesIterator
+      .count(l => l.contains("hashpartitioning(user_id"))
+    assert(userExchanges == 1, s"user_id exchanges: $userExchanges\n${p.take(900)}")
+    assert(!p.contains("CartesianProduct"), p.take(900))
+  }
+
   test("sharded source overlap: dim joins broadcast, gram masks are one " +
     "partial-aggregated shuffle (ta_source_overlap_sharded)") {
     val p = plan("ta_source_overlap_sharded")
