@@ -69,7 +69,8 @@ object ScaleCurve {
     // shuffles + one per-doc window — the curve checks no hidden
     // pair-mass term)
     "dd_substring_spans", "dd_substring_trim",
-    "cp_contamination_spans", "ev_sequence_pattern_multi")
+    "cp_contamination_spans", "ev_sequence_pattern_multi",
+    "dd_source_mirror")
 
   private def js(v: Double): String =
     String.format(Locale.ROOT, "%.3f", Double.box(v))

@@ -701,6 +701,105 @@ object Dedup {
       |  CAST(min(doc_id * 1024 + chunk_idx) % 1024 AS BIGINT) AS keep_chunk
       |FROM ch GROUP BY 1 ORDER BY chunk_md5""".stripMargin
 
+  /** Cross-source mirror detection — WHICH sources copy from which,
+    * at document granularity: two docs from different sources sharing
+    * an exact duplicated 32-word chunk (the dd_chunk_exact windows,
+    * win 32 / stride 24) are a mirroring EVENT, and the per-source-
+    * pair rollup of distinct shared chunks and distinct doc pairs is
+    * the report a curation pipeline reads before deciding which
+    * source to drop wholesale. Distinct from ta_source_overlap
+    * (vocabulary-level gram overlap shares): this counts verbatim
+    * copy events between concrete documents, the mirror/aggregator
+    * signature.
+    *
+    * Scale shape: chunk fingerprints are md5'd BEFORE their one
+    * corpus shuffle; pair emission is the bucket pattern over
+    * duplicated fingerprints only, so a chunk costs its occurrence
+    * count squared ONLY within its bucket — and buckets past
+    * MirrorCap occupants raise_error loudly (the day-bitmap
+    * contract): a chunk duplicated thousands of times is boilerplate
+    * that belongs to the filter tier, not the mirror report, and
+    * silently exploding pairs on it would be the 100 TB failure mode.
+    * Output is bounded by source pairs.
+    */
+  // 256: the sf1* derived fixture replicates sf0.1's duplication 10x
+  // (hottest chunk 71 occupants), and 256^2 pairs per bucket is still
+  // report-scale; the cap exists to fail LOUDLY when true boilerplate
+  // (thousands of copies) reaches an operator meant for mirror events
+  private val MirrorCap = 256
+  private def sourceMirror(s: SparkSession, dir: String): DataFrame = {
+    val win = 32
+    val stride = 24
+    val ch = Tables(s, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_words", size(col("ws")))
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0),
+          greatest(floor((col("n_words") - 1) / stride).cast("int"), lit(0)))))
+      .withColumn("start", col("chunk_idx") * stride)
+      .filter(col("start") < col("n_words"))
+      .select(col("doc_id"), col("source"),
+        md5(array_join(
+          slice(col("ws"), col("start") + 1,
+            least(lit(win), col("n_words") - col("start"))), " ")
+          .cast("binary")).as("fp"))
+      .distinct() // a chunk repeated INSIDE one doc is one occurrence
+    val buckets = ch
+      .groupBy(col("fp"))
+      .agg(collect_list(struct(col("doc_id").as("id"),
+        col("source").as("src"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(col("fp"),
+        when(size(col("ds")) <= MirrorCap, col("ds"))
+          .otherwise(raise_error(concat(
+            lit("dd_source_mirror: chunk duplicated "),
+            size(col("ds")).cast("string"),
+            lit(s" times exceeds the $MirrorCap-occupant pair cap —" +
+              " boilerplate for the filter tier, not the mirror" +
+              " report")))).as("ds"))
+    val pairs = buckets
+      .select(col("fp"), explode(flatten(transform(col("ds"), bb =>
+        transform(
+          filter(col("ds"), aa =>
+            aa("id") < bb("id") && aa("src") =!= bb("src")),
+          aa => struct(
+            least(aa("src"), bb("src")).as("src_a"),
+            greatest(aa("src"), bb("src")).as("src_b"),
+            aa("id").as("doc_a"), bb("id").as("doc_b")))))).as("p"))
+      .select(col("fp"), col("p.src_a"), col("p.src_b"),
+        col("p.doc_a"), col("p.doc_b"))
+    pairs
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(countDistinct(col("fp")).as("n_shared_chunks"),
+        countDistinct(col("doc_a"), col("doc_b")).as("n_doc_pairs"))
+      .orderBy(col("n_doc_pairs").desc, col("src_a"), col("src_b"))
+  }
+
+  private val sourceMirrorSql =
+    """WITH ch AS (
+      |  SELECT DISTINCT doc_id, source,
+      |    md5(array_to_string(ws[chunk_idx*24 + 1 :
+      |      chunk_idx*24 + least(32, nw - chunk_idx*24)], ' ')) AS fp
+      |  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws,
+      |          len(string_split(text, ' ')) AS nw FROM documents),
+      |    (SELECT unnest(range(0, 100)) AS chunk_idx)
+      |  WHERE chunk_idx <= greatest((nw - 1) // 24, 0)
+      |    AND chunk_idx * 24 < nw),
+      |dup AS (SELECT fp FROM ch GROUP BY fp HAVING count(*) >= 2),
+      |p AS (
+      |  SELECT a.fp,
+      |    least(a.source, b.source) AS src_a,
+      |    greatest(a.source, b.source) AS src_b,
+      |    a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM ch a JOIN ch b USING (fp)
+      |  WHERE a.doc_id < b.doc_id AND a.source <> b.source
+      |    AND fp IN (SELECT fp FROM dup))
+      |SELECT src_a, src_b,
+      |  count(DISTINCT fp) AS n_shared_chunks,
+      |  count(DISTINCT (doc_a, doc_b)) AS n_doc_pairs
+      |FROM p GROUP BY 1, 2
+      |ORDER BY n_doc_pairs DESC, src_a, src_b""".stripMargin
+
   /** The MinHashDedup library API end-to-end under the hash gate:
     * signatures → banded candidates → exact verification → greedy
     * survivors (keep a doc iff it has no near-dup with a smaller id).
@@ -2265,6 +2364,7 @@ object Dedup {
     QueryDef("dd_span_dupes", spanDupes, Some(spanDupesSql)),
     QueryDef("dd_substring_spans", substringSpans, Some(substringSpansSql)),
     QueryDef("dd_substring_trim", substringTrim, Some(substringTrimSql)),
+    QueryDef("dd_source_mirror", sourceMirror, Some(sourceMirrorSql)),
     QueryDef("dd_prefix_jaccard", prefixJaccard, Some(jaccardSql)),
     QueryDef("dd_triangles", triangles, Some(trianglesSql)),
     QueryDef("dd_semdedup", semDedup, Some(semDedupSql)),
