@@ -160,4 +160,47 @@ class StorageSpec extends AnyFunSuite {
         .filter(col("event_type") === "purchase").count())
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
   }
+
+  test("bucketed-join staging re-registers dropped catalog entries " +
+    "from the staged path (the lost-session-catalog case)") {
+    val dir = "/root/testdata/sf0.001"
+    val before = graft.queries.Migration.stageBucketedJoin(spark, dir)
+      .collect().map(_.mkString("|")).toSeq
+    assert(before.nonEmpty)
+    // simulate a fresh session whose in-memory catalog lost the
+    // entries while the per-JVM filesystem memo still returns: drop
+    // the catalog names out from under the memo
+    val h = graft.StagedFixture.contentStamp(dir)
+    spark.sql(s"DROP TABLE IF EXISTS graft_bkt_orders_$h")
+    spark.sql(s"DROP TABLE IF EXISTS graft_bkt_customer_$h")
+    assert(!spark.catalog.tableExists(s"graft_bkt_orders_$h"))
+    // the staging must notice and re-register from the staged files
+    // (same bucket spec — the join still collapses to the same rows)
+    val after = graft.queries.Migration.stageBucketedJoin(spark, dir)
+      .collect().map(_.mkString("|")).toSeq
+    assert(after == before)
+    assert(spark.catalog.tableExists(s"graft_bkt_orders_$h"))
+  }
+
+  test("StagedFixture.key changes when the fixture bytes change " +
+    "(content stamp makes stale staging impossible)") {
+    val fx = Files.createTempDirectory("graft_key_fixture")
+    java.nio.file.Files.write(fx.resolve("part.parquet"),
+      "v1".getBytes("UTF-8"))
+    val k1 = graft.StagedFixture.key("t", fx.toString)
+    // same bytes, same mtime -> stable key
+    assert(graft.StagedFixture.key("t", fx.toString) == k1)
+    // different bytes (size or mtime moves) -> different key
+    java.nio.file.Files.write(fx.resolve("part.parquet"),
+      "v2-longer".getBytes("UTF-8"))
+    val k2 = graft.StagedFixture.key("t", fx.toString)
+    assert(k2 != k1)
+    // a staged dir built under k1 is simply never consulted for k2
+    var builds = 0
+    graft.StagedFixture.dir(k1, "graft_key_a") { _ => builds += 1 }
+    graft.StagedFixture.dir(k1, "graft_key_a") { _ => builds += 1 }
+    graft.StagedFixture.dir(k2, "graft_key_b") { _ => builds += 1 }
+    assert(builds == 2) // k1 memoized; k2 forced a fresh build
+    org.apache.commons.io.FileUtils.deleteQuietly(fx.toFile)
+  }
 }
