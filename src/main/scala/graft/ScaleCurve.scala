@@ -70,7 +70,7 @@ object ScaleCurve {
     // pair-mass term)
     "dd_substring_spans", "dd_substring_trim",
     "cp_contamination_spans", "ev_sequence_pattern_multi",
-    "dd_source_mirror")
+    "dd_source_mirror", "cp_contamination_fuzzy")
 
   private def js(v: Double): String =
     String.format(Locale.ROOT, "%.3f", Double.box(v))

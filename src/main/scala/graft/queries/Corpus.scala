@@ -794,6 +794,109 @@ object Corpus {
        |ORDER BY a.doc_id""".stripMargin
   }
 
+  /** FUZZY eval-set decontamination — the third screen in the
+    * triptych (exact 13-gram → exact spans → near-dup): a test doc
+    * whose shingle-Jaccard against some TRAIN doc clears the dedup
+    * threshold is a paraphrased/reflowed leak the exact screens miss
+    * (the fixture carries one at J=0.989 that survives light edits).
+    * Built on the MinHashDedup machinery, but with TWO-SIDED banding:
+    * test bands join train bands directly, so no test–test or
+    * train–train candidate is ever generated — the candidate volume
+    * is the cross-split collision mass only. bandRows = 2 because the
+    * screen runs at the j ≥ 0.5 regime (per the library's recall
+    * table: miss ≈ 1e-8 there, vs 0.13 at the default r=4 banding);
+    * candidates verify by exact Jaccard before anything is reported.
+    * Per test doc: matches, strongest leak (max J; ties break to the
+    * smallest train id), the culprit train doc.
+    *
+    * Scale shape: signatures are one codegen pass per side; the band
+    * join is key-partitioned; verification semi-joins the corpus down
+    * to candidate ids before any shingle set is re-materialized
+    * (bounded by candidates, not the corpus).
+    */
+  private def contaminationFuzzy(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.MinHashDedup
+    val threshold = 0.5
+    val bandRows = 2
+    val numPerms = 128
+    val assigned = Tables(s, dir, "documents")
+      .withColumn("bucket", hashBucket("split:", 100))
+    val train = assigned.filter(col("bucket") < 80)
+      .select(col("doc_id"), col("text"))
+    val test = assigned.filter(col("bucket") >= 90)
+      .select(col("doc_id"), col("text"))
+    def bands(docs: DataFrame): DataFrame =
+      MinHashDedup.signatures(docs, "doc_id", "text")
+        .select(col("id"),
+          posexplode(transform(
+            sequence(lit(0), lit(numPerms / bandRows - 1)),
+            b => xxhash64(b, slice(col("sig"), b * bandRows + 1,
+              lit(bandRows)))))
+            .as(Seq("band", "band_key")))
+    val cands = bands(test)
+      .select(col("id").as("id_a"), col("band"), col("band_key"))
+      .join(bands(train)
+        .select(col("id").as("id_b"), col("band"), col("band_key")),
+        Seq("band", "band_key"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val verified = MinHashDedup.verifiedPairs(
+      assigned, cands, "doc_id", "text", threshold)
+    val agg = verified.groupBy(col("id_a"))
+      .agg(count(lit(1)).as("n_train_matches"),
+        max(col("jaccard")).as("best_jaccard"))
+    val culprit = verified
+      .join(agg.select(col("id_a"), col("best_jaccard")), "id_a")
+      .filter(col("jaccard") === col("best_jaccard"))
+      .groupBy(col("id_a")).agg(min(col("id_b")).as("contaminated_by"))
+    test.select(col("doc_id"))
+      .join(agg.withColumnRenamed("id_a", "doc_id"), Seq("doc_id"), "left")
+      .join(culprit.withColumnRenamed("id_a", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_train_matches"), lit(0L)).as("n_train_matches"),
+        col("best_jaccard"), col("contaminated_by"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val contaminationFuzzySql =
+    s"""WITH assigned AS (
+       |  SELECT doc_id, text, ${bucketSql("split:", 100)} AS bucket
+       |  FROM documents),
+       |ts AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' ||
+       |    ws[i+2]))) AS g
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+       |        FROM assigned WHERE bucket >= 90)
+       |  WHERE len(ws) >= 3),
+       |tr AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' ||
+       |    ws[i+2]))) AS g
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+       |        FROM assigned WHERE bucket < 80)
+       |  WHERE len(ws) >= 3),
+       |st AS (SELECT doc_id, count(*) AS n FROM ts GROUP BY 1),
+       |sr AS (SELECT doc_id, count(*) AS n FROM tr GROUP BY 1),
+       |j AS (
+       |  SELECT tid, rid, CAST(ni AS DOUBLE) / (st.n + sr.n - ni) AS jac
+       |  FROM (SELECT t.doc_id AS tid, r.doc_id AS rid, count(*) AS ni
+       |        FROM ts t JOIN tr r USING (g) GROUP BY 1, 2)
+       |    JOIN st ON tid = st.doc_id JOIN sr ON rid = sr.doc_id
+       |  WHERE CAST(ni AS DOUBLE) / (st.n + sr.n - ni) >= 0.5),
+       |agg AS (
+       |  SELECT tid, count(*) AS n_train_matches, max(jac) AS best_jaccard
+       |  FROM j GROUP BY 1),
+       |culprit AS (
+       |  SELECT j.tid, min(rid) AS contaminated_by
+       |  FROM j JOIN agg USING (tid) WHERE jac = best_jaccard GROUP BY 1)
+       |SELECT a.doc_id,
+       |  CAST(coalesce(n_train_matches, 0) AS BIGINT) AS n_train_matches,
+       |  best_jaccard, contaminated_by
+       |FROM (SELECT doc_id FROM assigned WHERE bucket >= 90) a
+       |  LEFT JOIN agg ON a.doc_id = agg.tid
+       |  LEFT JOIN culprit ON a.doc_id = culprit.tid
+       |ORDER BY a.doc_id""".stripMargin
+
   /** DSIR-style importance weights (Data Selection via Importance
     * Resampling, Xie et al. 2023): score every raw document by how
     * much its hashed-unigram distribution looks like a target domain
@@ -1273,6 +1376,8 @@ object Corpus {
     QueryDef("cp_contamination", contamination, Some(contaminationSql)),
     QueryDef("cp_contamination_spans", contaminationSpans,
       Some(contaminationSpansSql)),
+    QueryDef("cp_contamination_fuzzy", contaminationFuzzy,
+      Some(contaminationFuzzySql)),
     QueryDef("cp_chunk", chunk, Some(chunkSql)),
     QueryDef("cp_sequence_pack", sequencePack, Some(sequencePackSql)),
     QueryDef("cp_pipeline_from_config", pipelineFromConfig,

@@ -220,6 +220,53 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("cp_contamination_fuzzy equals a brute-force all-pairs " +
+    "test-vs-train Jaccard recount (LSH recall holds)") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("cp_contamination_fuzzy")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_train_matches"),
+          Option(r.getAs[java.lang.Double]("best_jaccard")).map(_.toDouble),
+          Option(r.getAs[java.lang.Long]("contaminated_by")).map(_.toLong)))
+      .toMap
+    // imperative ground truth: every test x train pair, exact Jaccard
+    // over distinct 3-shingles — no banding, no hashing
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(3).map("%02x".format(_)).mkString, 16) % 100
+    }
+    def sh(ws: Array[String]): Set[String] =
+      if (ws.length >= 3)
+        (0 to ws.length - 3).map(i => ws.slice(i, i + 3).mkString(" ")).toSet
+      else Set.empty
+    val train = docs.filter(d => bucket(d._1) < 80)
+      .map { case (id, ws) => id -> sh(ws) }.filter(_._2.nonEmpty)
+    val test = docs.filter(d => bucket(d._1) >= 90)
+    val expect = test.map { case (tid, ws) =>
+      val ts = sh(ws)
+      val hits = train.flatMap { case (rid, rs) =>
+        if (ts.isEmpty) None
+        else {
+          val ni = (ts & rs).size
+          val j = ni.toDouble / (ts.size + rs.size - ni)
+          if (j >= 0.5) Some(rid -> j) else None
+        }
+      }
+      val best = if (hits.isEmpty) None else Some(hits.map(_._2).max)
+      val culprit = best.map(b =>
+        hits.filter(_._2 == b).map(_._1).min)
+      tid -> (hits.length.toLong, best, culprit)
+    }.toMap
+    assert(out == expect, s"\nspark=$out\ndirect=$expect")
+    assert(out.values.exists(_._1 > 0), "fixture must show a fuzzy leak")
+  }
+
   test("SequencePatternConfig rejects invalid configs eagerly") {
     val codes = Map("view" -> "v", "click" -> "c")
     intercept[IllegalArgumentException] {
