@@ -190,7 +190,9 @@ object EventStream {
   private val maxTsMemo =
     scala.collection.concurrent.TrieMap.empty[String, Long]
   private def maxEventMicros(ss: SparkSession, dir: String): Long =
-    maxTsMemo.getOrElseUpdate(dir,
+    // content-stamped key (the StagedFixture convention): a fixture
+    // regenerated mid-JVM gets a fresh scan, never a stale constant
+    maxTsMemo.getOrElseUpdate(graft.StagedFixture.key("max_ts", dir),
       graft.Tables(ss, dir, "events")
         .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0))
 
