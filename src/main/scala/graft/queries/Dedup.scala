@@ -687,13 +687,15 @@ object Dedup {
   }
 
   private val chunkExactSql =
-    """WITH ch AS (
+    """WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws,
+      |    len(string_split(text, ' ')) AS nw FROM documents),
+      |ch AS (
       |  SELECT doc_id, chunk_idx,
       |    array_to_string(ws[chunk_idx*24 + 1 :
       |      chunk_idx*24 + least(32, nw - chunk_idx*24)], ' ') AS chunk_text
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws,
-      |          len(string_split(text, ' ')) AS nw FROM documents),
-      |    (SELECT unnest(range(0, 100)) AS chunk_idx)
+      |  FROM base,
+      |    (SELECT unnest(range(0,
+      |       (SELECT (max(nw) - 1) // 24 + 1 FROM base))) AS chunk_idx)
       |  WHERE chunk_idx <= greatest((nw - 1) // 24, 0)
       |    AND chunk_idx * 24 < nw)
       |SELECT md5(chunk_text) AS chunk_md5, count(*) AS n_copies,
@@ -720,17 +722,23 @@ object Dedup {
     * contract): a chunk duplicated thousands of times is boilerplate
     * that belongs to the filter tier, not the mirror report, and
     * silently exploding pairs on it would be the 100 TB failure mode.
-    * Output is bounded by source pairs.
+    * Output is bounded by source pairs. When boilerplate density is
+    * the EXPECTED regime (web corpora), run dd_source_mirror_agg —
+    * the pre-aggregated escalation below, cap-free by construction.
     */
   // 256: the sf1* derived fixture replicates sf0.1's duplication 10x
   // (hottest chunk 71 occupants), and 256^2 pairs per bucket is still
   // report-scale; the cap exists to fail LOUDLY when true boilerplate
   // (thousands of copies) reaches an operator meant for mirror events
-  private val MirrorCap = 256
-  private def sourceMirror(s: SparkSession, dir: String): DataFrame = {
+  private[graft] val MirrorCap = 256
+  /** (doc_id, source, fp) — one row per distinct (doc, chunk
+    * fingerprint), the shared front end of the mirror report family
+    * (dd_chunk_exact windows, win 32 / stride 24, md5 fingerprints).
+    */
+  private[graft] def mirrorChunks(docs: DataFrame): DataFrame = {
     val win = 32
     val stride = 24
-    val ch = Tables(s, dir, "documents")
+    docs
       .withColumn("ws", split(col("text"), " "))
       .withColumn("n_words", size(col("ws")))
       .withColumn("chunk_idx",
@@ -744,6 +752,15 @@ object Dedup {
             least(lit(win), col("n_words") - col("start"))), " ")
           .cast("binary")).as("fp"))
       .distinct() // a chunk repeated INSIDE one doc is one occurrence
+  }
+
+  private def sourceMirror(s: SparkSession, dir: String): DataFrame =
+    mirrorEnumReport(mirrorChunks(Tables(s, dir, "documents")))
+
+  /** The doc-enumerating mirror report (capped — see [[MirrorCap]]);
+    * [[mirrorAggReport]] is the boilerplate-proof escalation.
+    */
+  private[graft] def mirrorEnumReport(ch: DataFrame): DataFrame = {
     val buckets = ch
       .groupBy(col("fp"))
       .agg(collect_list(struct(col("doc_id").as("id"),
@@ -776,13 +793,15 @@ object Dedup {
   }
 
   private val sourceMirrorSql =
-    """WITH ch AS (
+    """WITH base AS (SELECT doc_id, source, string_split(text, ' ') AS ws,
+      |    len(string_split(text, ' ')) AS nw FROM documents),
+      |ch AS (
       |  SELECT DISTINCT doc_id, source,
       |    md5(array_to_string(ws[chunk_idx*24 + 1 :
       |      chunk_idx*24 + least(32, nw - chunk_idx*24)], ' ')) AS fp
-      |  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws,
-      |          len(string_split(text, ' ')) AS nw FROM documents),
-      |    (SELECT unnest(range(0, 100)) AS chunk_idx)
+      |  FROM base,
+      |    (SELECT unnest(range(0,
+      |       (SELECT (max(nw) - 1) // 24 + 1 FROM base))) AS chunk_idx)
       |  WHERE chunk_idx <= greatest((nw - 1) // 24, 0)
       |    AND chunk_idx * 24 < nw),
       |dup AS (SELECT fp FROM ch GROUP BY fp HAVING count(*) >= 2),
@@ -799,6 +818,97 @@ object Dedup {
       |  count(DISTINCT (doc_a, doc_b)) AS n_doc_pairs
       |FROM p GROUP BY 1, 2
       |ORDER BY n_doc_pairs DESC, src_a, src_b""".stripMargin
+
+  /** The boilerplate-proof escalation of [[sourceMirror]] — the form a
+    * 100 TB run publishes. The enumerating report above holds DOC ids
+    * through the per-fingerprint bucket, so a chunk's cost is its
+    * occupant count SQUARED and true boilerplate (license headers,
+    * navigation chrome — thousands of copies) trips the MirrorCap
+    * raise_error: loud, but the answer is an abort, not a report.
+    * Here occupants are rolled up per (fingerprint, source) BEFORE
+    * any pairing, so a bucket holds at most one entry PER SOURCE and
+    * a chunk costs O(sources²) regardless of how many documents carry
+    * it; the doc-level count survives exactly as a tally — a source
+    * pair's copy events for one chunk are n_a·n_b without enumerating
+    * them (every cross-source doc pair qualifies: ids differ, sources
+    * differ). The per-pair rollup is therefore
+    *   n_copy_events = Σ_fp n_a·n_b
+    *     = |{(fp, doc_a, doc_b) : both docs carry fp}|,
+    * the exact count the enumerating form's pair rows have — pinned
+    * by SourceMirrorSpec's equality property below the cap. What the
+    * aggregation gives up is doc-pair DISTINCTNESS across chunks
+    * (n_doc_pairs needs the ids); a pair sharing three chunks counts
+    * three events. At boilerplate density that is the honest metric —
+    * and the one that exists at all.
+    */
+  private[graft] def mirrorAggReport(ch: DataFrame): DataFrame = {
+    val perSrc = ch
+      .groupBy(col("fp"), col("source"))
+      .agg(count(lit(1)).as("nd")) // ch is (doc, fp)-distinct already
+    val buckets = perSrc
+      .groupBy(col("fp"))
+      .agg(collect_list(struct(col("source").as("src"),
+        col("nd").as("nd"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+    buckets
+      .select(col("fp"), explode(flatten(transform(col("ss"), bb =>
+        transform(
+          filter(col("ss"), aa => aa("src") < bb("src")),
+          aa => struct(aa("src").as("src_a"), bb("src").as("src_b"),
+            (aa("nd") * bb("nd")).as("events")))))).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(countDistinct(col("fp")).as("n_shared_chunks"),
+        sum(col("p.events")).as("n_copy_events"))
+      .orderBy(col("n_copy_events").desc, col("src_a"), col("src_b"))
+  }
+
+  private def sourceMirrorAgg(s: SparkSession, dir: String): DataFrame =
+    mirrorAggReport(mirrorChunks(Tables(s, dir, "documents")))
+
+  /** A 32-word boilerplate header prepended to EVERY document — the
+    * web-corpus shape (license text, navigation chrome) that makes
+    * >MirrorCap-occupant chunks routine. Deterministic and exactly one
+    * window wide, so chunk 0 of every doc is the identical
+    * fingerprint: at sf0.01 that bucket holds 500 docs — double the
+    * 256 cap, the regime where [[sourceMirror]]'s raise_error fires —
+    * while the aggregated form's bucket holds 20 (one per source).
+    */
+  private[graft] val MirrorBoiler: String =
+    (0 until 32).map(i => s"boiler$i").mkString(" ")
+
+  private def sourceMirrorBoiler(s: SparkSession, dir: String): DataFrame =
+    mirrorAggReport(mirrorChunks(Tables(s, dir, "documents")
+      .withColumn("text",
+        concat(lit(MirrorBoiler), lit(" "), col("text")))))
+
+  private def mirrorAggSqlFor(textExpr: String): String =
+    s"""WITH d AS (SELECT doc_id, source, $textExpr AS text FROM documents),
+      |base AS (SELECT doc_id, source, string_split(text, ' ') AS ws,
+      |           len(string_split(text, ' ')) AS nw FROM d),
+      |ch AS (
+      |  SELECT DISTINCT doc_id, source,
+      |    md5(array_to_string(ws[chunk_idx*24 + 1 :
+      |      chunk_idx*24 + least(32, nw - chunk_idx*24)], ' ')) AS fp
+      |  FROM base,
+      |    (SELECT unnest(range(0,
+      |       (SELECT (max(nw) - 1) // 24 + 1 FROM base))) AS chunk_idx)
+      |  WHERE chunk_idx <= greatest((nw - 1) // 24, 0)
+      |    AND chunk_idx * 24 < nw),
+      |ps AS (SELECT fp, source, count(*) AS nd FROM ch GROUP BY 1, 2),
+      |p AS (
+      |  SELECT a.fp, a.source AS src_a, b.source AS src_b,
+      |    a.nd * b.nd AS events
+      |  FROM ps a JOIN ps b ON a.fp = b.fp AND a.source < b.source)
+      |SELECT src_a, src_b,
+      |  count(DISTINCT fp) AS n_shared_chunks,
+      |  CAST(sum(events) AS BIGINT) AS n_copy_events
+      |FROM p GROUP BY 1, 2
+      |ORDER BY n_copy_events DESC, src_a, src_b""".stripMargin
+
+  private val sourceMirrorAggSql = mirrorAggSqlFor("text")
+
+  private val sourceMirrorBoilerSql = mirrorAggSqlFor(
+    s"concat('$MirrorBoiler', ' ', text)")
 
   /** The MinHashDedup library API end-to-end under the hash gate:
     * signatures → banded candidates → exact verification → greedy
@@ -2365,6 +2475,10 @@ object Dedup {
     QueryDef("dd_substring_spans", substringSpans, Some(substringSpansSql)),
     QueryDef("dd_substring_trim", substringTrim, Some(substringTrimSql)),
     QueryDef("dd_source_mirror", sourceMirror, Some(sourceMirrorSql)),
+    QueryDef("dd_source_mirror_agg", sourceMirrorAgg,
+      Some(sourceMirrorAggSql)),
+    QueryDef("dd_source_mirror_boiler", sourceMirrorBoiler,
+      Some(sourceMirrorBoilerSql)),
     QueryDef("dd_prefix_jaccard", prefixJaccard, Some(jaccardSql)),
     QueryDef("dd_triangles", triangles, Some(trianglesSql)),
     QueryDef("dd_semdedup", semDedup, Some(semDedupSql)),
