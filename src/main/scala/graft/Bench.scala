@@ -52,25 +52,73 @@ object Bench {
       .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
   }
 
-  /** Cumulative hypervisor STEAL time of the whole box, in ms
-    * (/proc/stat cpu field 8 × 10 ms USER_HZ ticks; 0 where absent).
-    * This box is a VM on a shared host: r16 measured the identical
-    * ingest query at 6.5 s under ~0% steal and 93 s under a steal
-    * burst (12.8% of 32-core capacity averaged over the run, front-
-    * loaded) — host contention, not code, owned the r15 driver-only
-    * evs drift signature. A slow rep whose steal delta is large is
-    * the host's fault; one with steal ≈ 0 and gc ≈ 0 is ours.
+  /** Kernel tick length: /proc/stat counters are USER_HZ ticks, and
+    * USER_HZ is a kernel config, not a constant — a hardcoded 10 ms
+    * silently mis-scales every steal/iowait vector on a box built
+    * with a different CLK_TCK, skewing exactly the guilt-attribution
+    * thresholds this artifact exists to support. Read it once via
+    * getconf (the libc sysconf value); fall back to the x86 default
+    * 100 and record the value used in the artifact header either way.
     */
-  private def stealMillis(): Long =
+  private lazy val clkTck: Long =
+    try {
+      val p = new ProcessBuilder("getconf", "CLK_TCK").start()
+      val out = new String(p.getInputStream.readAllBytes(),
+        StandardCharsets.UTF_8).trim
+      p.waitFor()
+      val v = out.toLong
+      if (v > 0) v else 100L
+    } catch { case _: Throwable => 100L }
+
+  /** One cumulative whole-box counter from /proc/stat's `cpu ` line,
+    * converted to ms (field index in that line; 0 where absent).
+    */
+  private def cpuStatMillis(field: Int): Long =
     try {
       val src = scala.io.Source.fromFile("/proc/stat")
       try src.getLines().find(_.startsWith("cpu ")) match {
         case Some(l) =>
           val f = l.trim.split("\\s+")
-          if (f.length > 8) f(8).toLong * 10 else 0L
+          if (f.length > field) f(field).toLong * 1000L / clkTck else 0L
         case None => 0L
       } finally src.close()
     } catch { case _: Throwable => 0L }
+
+  /** Cumulative hypervisor STEAL time of the whole box, in ms
+    * (/proc/stat cpu field 8). This box is a VM on a shared host: r16
+    * measured the identical ingest query at 6.5 s under ~0% steal and
+    * 93 s under a steal burst (12.8% of 32-core capacity averaged
+    * over the run, front-loaded) — host contention, not code, owned
+    * the r15 driver-only evs drift signature. A slow rep whose steal
+    * delta is large is the host's fault; one with steal ≈ 0 and
+    * gc ≈ 0 needs the cpu-vs-wall split below to finish the verdict.
+    */
+  private def stealMillis(): Long = cpuStatMillis(8)
+
+  /** Cumulative whole-box IOWAIT, in ms (/proc/stat cpu field 5) —
+    * CPUs idle with IO outstanding. A slow rep with steal ≈ 0 and
+    * gc ≈ 0 but an iowait spike is a starved page cache / device
+    * stall, not slower code.
+    */
+  private def iowaitMillis(): Long = cpuStatMillis(5)
+
+  /** Cumulative CPU time actually granted to THIS process, in ms
+    * (-1 where the platform bean is unavailable). Closes the r16
+    * attribution hole (a 15.31 s rep with steal 80 ms / gc 174 ms —
+    * neither guilty, sibling reps 3.4 s): per rep, compare cpu_ms to
+    * the wall-clock excess. cpu_ms scaling WITH the wall means the
+    * code genuinely ran more cycles (ours); wall ballooning while
+    * cpu_ms stays near the sibling reps' means the process was
+    * runnable-but-descheduled or IO-blocked (the box's), even when
+    * the steal counter — which only sees the hypervisor — is flat.
+    */
+  private def processCpuMillis(): Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        val ns = os.getProcessCpuTime
+        if (ns < 0) -1L else ns / 1000000L
+      case _ => -1L
+    }
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -113,6 +161,18 @@ object Bench {
       .withDefaultValue(Vector.empty)
     val stealDeltas = scala.collection.mutable.Map.empty[String, Vector[Long]]
       .withDefaultValue(Vector.empty)
+    val cpuDeltas = scala.collection.mutable.Map.empty[String, Vector[Long]]
+      .withDefaultValue(Vector.empty)
+    val iowaitDeltas = scala.collection.mutable.Map.empty[String, Vector[Long]]
+      .withDefaultValue(Vector.empty)
+    // Run-start snapshots: the header totals are DELTAS over this
+    // bench run, matching the per-rep convention — the raw counters
+    // are machine-lifetime cumulative (r16's header printed the box's
+    // 18331 s lifetime steal next to 8.1 s of per-rep deltas).
+    val runGc0 = gcMillis()
+    val runSteal0 = stealMillis()
+    val runCpu0 = processCpuMillis()
+    val runIowait0 = iowaitMillis()
     def family(name: String): String = name.takeWhile(_ != '_')
     for (rep <- 0 until reps) {
       val order = if (rep % 2 == 0) byName else byName.reverse
@@ -131,6 +191,8 @@ object Bench {
         prevFam = family(name)
         val gc0 = gcMillis()
         val steal0 = stealMillis()
+        val cpu0 = processCpuMillis()
+        val io0 = iowaitMillis()
         starts(name) = starts(name) :+ System.currentTimeMillis() / 1e3
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
@@ -141,6 +203,9 @@ object Bench {
         samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
         gcDeltas(name) = gcDeltas(name) :+ (gcMillis() - gc0)
         stealDeltas(name) = stealDeltas(name) :+ (stealMillis() - steal0)
+        cpuDeltas(name) = cpuDeltas(name) :+
+          (if (cpu0 < 0) -1L else processCpuMillis() - cpu0)
+        iowaitDeltas(name) = iowaitDeltas(name) :+ (iowaitMillis() - io0)
       }
     }
 
@@ -174,10 +239,18 @@ object Bench {
       val st = starts(k).map(js).mkString("[", ",", "]")
       val gc = gcDeltas(k).mkString("[", ",", "]")
       val sl = stealDeltas(k).mkString("[", ",", "]")
-      s""""$k":{"med":${js(med)},"min":${js(mn)},"max":${js(mx)},"reps":$raw,"starts":$st,"gc_ms":$gc,"steal_ms":$sl}"""
+      // cpu_ms = process CPU granted during the rep (-1: bean absent);
+      // iowait_ms = whole-box iowait delta. With steal_ms/gc_ms these
+      // close the attribution taxonomy: steal → host, gc → collector,
+      // cpu tracking the wall → genuinely slower code, wall excess
+      // with flat cpu (± iowait) → descheduled/IO-starved process.
+      val cp = cpuDeltas(k).mkString("[", ",", "]")
+      val io = iowaitDeltas(k).mkString("[", ",", "]")
+      s""""$k":{"med":${js(med)},"min":${js(mn)},"max":${js(mx)},"reps":$raw,"starts":$st,"gc_ms":$gc,"steal_ms":$sl,"cpu_ms":$cp,"iowait_ms":$io}"""
     }.mkString("{", ",", "}")
+    // header *_total_ms are deltas over THIS run (snapshots above)
     val fullJson =
-      s"""{"metric":"total","value":${js(total)},"unit":"sec","stat":"median","reps":$reps,"t_end":${js(System.currentTimeMillis() / 1e3)},"gc_total_ms":${gcMillis()},"steal_total_ms":${stealMillis()},"queries":$fullQs,"sf":"$sfDir","cpus":$cpus}"""
+      s"""{"metric":"total","value":${js(total)},"unit":"sec","stat":"median","reps":$reps,"t_end":${js(System.currentTimeMillis() / 1e3)},"gc_total_ms":${gcMillis() - runGc0},"steal_total_ms":${stealMillis() - runSteal0},"cpu_total_ms":${if (runCpu0 < 0) -1L else processCpuMillis() - runCpu0},"iowait_total_ms":${iowaitMillis() - runIowait0},"clk_tck":$clkTck,"queries":$fullQs,"sf":"$sfDir","cpus":$cpus}"""
     // SPARK_GRAFT_BENCH_DETAIL_OUT redirects the detail artifact (the
     // contended-bench experiment needs per-rep vectors from FILTERED
     // runs); without it, a filtered run must not clobber the full
