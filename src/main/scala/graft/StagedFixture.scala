@@ -44,22 +44,44 @@ object StagedFixture {
   def key(tag: String, dir: String): String =
     s"$tag:$dir@${contentStamp(dir)}"
 
-  /** 12-hex SHA-256 prefix over the sorted (relPath, size, mtime)
-    * triples of regular files under `dir`; also usable as a
-    * collision-free identifier suffix (unlike String.hashCode, whose
-    * 32 bits birthday-collide across staged fixtures — a collision
-    * there silently repoints shared catalog names at the wrong data).
+  /** 12-hex SHA-256 prefix over the sorted (relPath, size, mtime,
+    * head/tail bytes) tuples of regular files under `dir`; also usable
+    * as a collision-free identifier suffix (unlike String.hashCode,
+    * whose 32 bits birthday-collide across staged fixtures — a
+    * collision there silently repoints shared catalog names at the
+    * wrong data). The head/tail slices (64 B each; for parquet the
+    * tail covers the variable compressed footer) make the stamp strict
+    * against in-place regeneration that lands identical sizes inside
+    * one mtime granule — (path, size, mtime) alone is not.
     */
   def contentStamp(dir: String): String = {
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get(dir)
-    val lines: Seq[String] = java.nio.file.Files.walk(root).iterator().asScala
-      .filter((p: java.nio.file.Path) => java.nio.file.Files.isRegularFile(p))
-      .map { (p: java.nio.file.Path) =>
-        val rel = root.relativize(p).toString
-        s"$rel ${java.nio.file.Files.size(p)} ${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
-      }
-      .toSeq.sorted
+    def slice(p: java.nio.file.Path, fromEnd: Boolean): String =
+      try {
+        val ch = java.nio.file.Files.newByteChannel(p)
+        try {
+          val n = ch.size()
+          val want = math.min(64L, n).toInt
+          if (fromEnd) ch.position(n - want)
+          val buf = java.nio.ByteBuffer.allocate(want)
+          while (buf.hasRemaining && ch.read(buf) > 0) {}
+          java.util.Base64.getEncoder.encodeToString(buf.array())
+        } finally ch.close()
+      } catch { case _: java.io.IOException => "?" }
+    val walk = java.nio.file.Files.walk(root)
+    val lines: Seq[String] =
+      try walk.iterator().asScala
+        .filter((p: java.nio.file.Path) =>
+          java.nio.file.Files.isRegularFile(p))
+        .map { (p: java.nio.file.Path) =>
+          val rel = root.relativize(p).toString
+          s"$rel ${java.nio.file.Files.size(p)} " +
+            s"${java.nio.file.Files.getLastModifiedTime(p).toMillis} " +
+            s"${slice(p, fromEnd = false)} ${slice(p, fromEnd = true)}"
+        }
+        .toSeq.sorted
+      finally walk.close() // a walk abandoned mid-iteration leaks dir handles
     val md = java.security.MessageDigest.getInstance("SHA-256")
     lines.foreach(l => md.update(l.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     md.digest().take(6).map("%02x".format(_)).mkString
