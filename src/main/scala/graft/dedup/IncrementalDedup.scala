@@ -62,6 +62,7 @@ object IncrementalDedup {
     Artifacts(spark.read.parquet(s"$path/fingerprints"),
       spark.read.parquet(s"$path/shingles"))
 
+
   /** Screen a batch against the accepted artifacts. Returns one row
     * per batch doc: (id, exact_of, near_of, keep) — `exact_of` /
     * `near_of` are the smallest qualifying prior doc (accepted docs
@@ -143,23 +144,47 @@ object IncrementalDedup {
 
   /** LSM-style maintenance for delta-published artifact state (the
     * `streaming.IncrementalIngest` layout — `d0` seed + one delta per
-    * ingested batch): union every delta and publish the result as ONE
-    * artifact set at `outPath`. Run periodically so reader-side fan-in
-    * (one parquet listing per delta) stays bounded; the deltas are
-    * disjoint by construction (each doc is accepted exactly once), so
-    * compaction is a pure union — no dedup pass, no ordering
-    * sensitivity, and screening against the compacted set is
-    * row-for-row the same as against the delta union (asserted in
-    * IncrementalIngestSpec).
+    * ingested batch): fold every delta into ONE artifact set at
+    * `outPath`. Run periodically so reader-side fan-in (one parquet
+    * listing per delta) stays bounded.
+    *
+    * Semantics: the row-DISTINCT union. Deltas are disjoint by
+    * construction (each doc is accepted exactly once), so normally
+    * this is plain concatenation — but when a retry anomaly DID
+    * double-publish a doc, distinct restores the state a single
+    * publish would have left (duplicate postings would otherwise
+    * double-count bucket intersections in screen's near layer).
+    * Screening against the compacted set is row-for-row the same as
+    * against the delta union on both shapes (IncrementalIngestSpec).
+    *
+    * Durability: writes land in a sibling `.compact-tmp` directory and
+    * publish via ONE atomic rename — a crash mid-compaction leaves the
+    * raw deltas untouched and the target absent (a stale tmp from a
+    * crashed run is deleted and rebuilt on retry), so readers can
+    * never observe a partial compacted artifact. The target must not
+    * already exist: compaction never overwrites published state in
+    * place — the caller swaps its delta list to the new path only
+    * after this returns, and deleting (or keeping) the old deltas is a
+    * separate, already-safe step.
     */
   def compact(spark: SparkSession, deltaPaths: Seq[String],
       outPath: String): Artifacts = {
     require(deltaPaths.nonEmpty, "compact needs at least one delta")
+    val target = java.nio.file.Paths.get(outPath)
+    require(!java.nio.file.Files.exists(target),
+      s"compact: target $outPath already exists — compaction never " +
+        "overwrites published state in place")
     val merged = deltaPaths.map(p => load(spark, p))
       .reduce((x, y) => Artifacts(
         x.fingerprints.unionByName(y.fingerprints),
         x.shingles.unionByName(y.shingles)))
-    save(merged, outPath)
+    val tmp = target.resolveSibling(target.getFileName.toString +
+      ".compact-tmp")
+    org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+    save(Artifacts(merged.fingerprints.distinct(),
+      merged.shingles.distinct()), tmp.toString)
+    java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     load(spark, outPath)
   }
 }

@@ -1404,6 +1404,17 @@ object Dedup {
     graft.streaming.IncrementalIngest.ingest(s, dir,
       threshold = 0.5, shingleK = ShingleK, maxShingleDf = MaxShingleDf)
 
+  /** The same two-arrival ingest with LSM delta compaction LIVE on the
+    * stream path: after batch 1 publishes, the delta chain (seed + d1)
+    * folds into one compacted artifact and batch 2 screens against it.
+    * Shares [[incrementalIngestSql]] verbatim — compaction is
+    * maintenance, not semantics, and the shared oracle is the proof.
+    */
+  private def ingestCompacted(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.IncrementalIngest.ingest(s, dir,
+      threshold = 0.5, shingleK = ShingleK, maxShingleDf = MaxShingleDf,
+      compactEvery = 2)
+
   private val incrementalIngestSql = {
     // one stage of the unrolled gate: `bsel` picks the arriving batch,
     // `prior` decides which docs qualify as the earlier side
@@ -2486,6 +2497,8 @@ object Dedup {
       Some(semDedupTrainedSql)),
     QueryDef("dd_incremental", incremental, Some(incrementalSql)),
     QueryDef("evs_incremental_ingest", incrementalIngest,
+      Some(incrementalIngestSql)),
+    QueryDef("evs_ingest_compacted", ingestCompacted,
       Some(incrementalIngestSql)),
     QueryDef("dd_minhash_survivors", minhashSurvivors,
       Some(minhashSurvivorsSql)),

@@ -22,8 +22,10 @@ import graft.dedup.IncrementalDedup
   * Artifacts are persisted as DELTAS (`d0` = the seed, `dN` = batch
   * N's keepers only; a reader unions the deltas): each batch WRITES
   * O(batch) and never rewrites the corpus-sized accepted set — the
-  * LSM shape every growing index uses, with periodic compaction of
-  * old deltas as the obvious production maintenance job. Publishing a
+  * LSM shape every growing index uses. Periodic compaction of old
+  * deltas (the production maintenance job) is `compactEvery`:
+  * IncrementalDedup.compact folds the chain into one equivalent
+  * artifact between batches, atomically. Publishing a
   * new delta directory is atomic, nothing is overwritten in place, and
   * a failed batch can re-screen against the deltas it started from
   * (effectively-once verdicts under retries).
@@ -61,8 +63,17 @@ object IncrementalIngest {
   private val stagedDirs =
     scala.collection.concurrent.TrieMap.empty[(String, Int), String]
 
+  /** @param compactEvery when > 0, run delta compaction between
+    *   micro-batches once the published-delta count reaches it: all
+    *   current deltas merge into one (IncrementalDedup.compact — row
+    *   distinct, atomic publish) and subsequent batches screen against
+    *   the single compacted artifact. 0 = never compact (deltas
+    *   accumulate; the read cost grows with batch count — fine for a
+    *   bounded run, the maintenance job at 100 TB ingest).
+    */
   def ingest(spark: SparkSession, dir: String,
-      threshold: Double, shingleK: Int, maxShingleDf: Int): DataFrame = {
+      threshold: Double, shingleK: Int, maxShingleDf: Int,
+      compactEvery: Int = 0): DataFrame = {
     // cloned session: caller's conf untouched (the EventStream
     // convention). The shuffle width is INHERITED, not narrowed: the
     // screen's bucket pair expansion is compute-bound (interpreted
@@ -98,6 +109,11 @@ object IncrementalIngest {
     // the persisted accepted set = union of all published deltas
     // (d0 = the staged seed; later deltas publish into the run dir)
     var deltaPaths = Vector(stagedPath.resolve("seed_delta").toString)
+    // audit/delta dir names come from an ingested-batch counter, NOT
+    // deltaPaths.size — compaction collapses the path list, and a
+    // size-derived name would collide with an earlier batch's dir
+    var batchNo = 0
+    var compactNo = 0
     def loadAccepted(s2: SparkSession): IncrementalDedup.Artifacts =
       deltaPaths.map(p => IncrementalDedup.load(s2, p))
         .reduce((x, y) => IncrementalDedup.Artifacts(
@@ -131,6 +147,18 @@ object IncrementalIngest {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val s2 = batch.sparkSession
+          // LSM maintenance runs at batch START, when the chain is
+          // about to be READ — compacting after a publish would also
+          // fold the run's final delta into an artifact nothing ever
+          // reads. Atomic publish: a crash here leaves the raw chain
+          // intact (see compact's scaladoc), restart contract
+          // unchanged.
+          if (compactEvery > 0 && deltaPaths.size >= compactEvery) {
+            compactNo += 1
+            val cPath = work.resolve(s"compacted_$compactNo").toString
+            IncrementalDedup.compact(s2, deltaPaths, cPath): Unit
+            deltaPaths = Vector(cPath)
+          }
           val accepted = loadAccepted(s2)
           val verdicts = IncrementalDedup.screen(batch, accepted,
             "doc_id", "text", threshold, shingleK, maxShingleDf)
@@ -142,14 +170,15 @@ object IncrementalIngest {
           // below (and any later per-batch audit) scans O(batch) — an
           // append-then-rescan of the whole log would creep to
           // O(corpus) per batch as ingest accumulates
+          batchNo += 1
           val batchVerdicts =
-            work.resolve(s"verdicts/b${deltaPaths.size}").toString
+            work.resolve(s"verdicts/b$batchNo").toString
           verdicts.write.parquet(batchVerdicts)
           val keptIds = s2.read.parquet(batchVerdicts) // one screen pass
             .filter(col("keep")).select(col("id").as("doc_id"))
           // publish ONLY this batch's keepers as the next delta —
           // O(batch) written, the corpus-sized union is never rewritten
-          val next = work.resolve(s"artifacts_d${deltaPaths.size}").toString
+          val next = work.resolve(s"artifacts_d$batchNo").toString
           IncrementalDedup.save(IncrementalDedup.artifacts(
             batch.join(keptIds, "doc_id"), "doc_id", "text", shingleK), next)
           deltaPaths :+= next

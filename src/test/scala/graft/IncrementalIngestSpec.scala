@@ -97,5 +97,41 @@ class IncrementalIngestSpec extends AnyFunSuite {
     val viaCompacted = verdicts(IncrementalDedup.compact(spark,
       Seq(s"$work/d0", s"$work/d1"), s"$work/compacted"))
     assert(viaDeltas.nonEmpty && viaCompacted == viaDeltas)
+
+    // retry anomaly: the SAME delta listed twice (a double-publish).
+    // Raw union would double every posting and mis-count bucket
+    // intersections; compaction's distinct restores single-publish
+    // state, so screening equals the clean-chain result exactly.
+    val viaDoubled = verdicts(IncrementalDedup.compact(spark,
+      Seq(s"$work/d0", s"$work/d0", s"$work/d1"), s"$work/compacted2"))
+    assert(viaDoubled == viaDeltas)
+
+    // never overwrite published state in place
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedup.compact(spark,
+        Seq(s"$work/d0"), s"$work/compacted")
+    }
+    assert(e.getMessage.contains("already exists"))
+
+    // mid-compaction crash: a stale half-written .compact-tmp from a
+    // killed run must not poison the retry — it is rebuilt and the
+    // atomic rename publishes a complete artifact
+    val stale = java.nio.file.Paths.get(s"$work/compacted3.compact-tmp")
+    java.nio.file.Files.createDirectories(stale)
+    java.nio.file.Files.writeString(stale.resolve("garbage"), "partial")
+    val viaRetry = verdicts(IncrementalDedup.compact(spark,
+      Seq(s"$work/d0", s"$work/d1"), s"$work/compacted3"))
+    assert(viaRetry == viaDeltas)
+    assert(!java.nio.file.Files.exists(stale), "tmp must not linger")
+  }
+
+  test("evs_ingest_compacted: live mid-stream compaction leaves every " +
+    "verdict identical to the uncompacted ingest") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(name: String) = SparkEntry.queries(name)(spark, dir)
+      .collect().map(_.toString).toSeq // both orderBy doc_id
+    val plain = rows("evs_incremental_ingest")
+    val compacted = rows("evs_ingest_compacted")
+    assert(plain.nonEmpty && compacted == plain)
   }
 }
