@@ -7,6 +7,36 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+/** Parameters of the exact substring-dedup pair (dd_substring_spans /
+  * dd_substring_trim), validated at construction — the
+  * SequencePatternConfig convention: a bad config fails eagerly at
+  * the call site, never as a silent plan-level surprise.
+  *
+  * @param k minimal repeated-window width, in TOKENS of the chosen
+  *   granularity (Lee et al. ACL'22 use 50 BPE tokens; the default
+  *   word-granularity instantiation uses 20 because fixture docs are
+  *   10–99 words)
+  * @param granularity `word` (whitespace tokens) or `bpe` (true BPE
+  *   symbols via the sentinel-coded replace-chain tokenizer)
+  */
+final case class SubstringDedupConfig(
+    k: Int,
+    granularity: String = "word") {
+  require(k >= 2, s"window width k must be >= 2, got $k")
+  require(granularity == "word" || granularity == "bpe",
+    s"granularity must be 'word' or 'bpe', got '$granularity'")
+}
+
+object SubstringDedupConfig {
+  /** The registered dd_substring_spans / dd_substring_trim setting. */
+  val Default: SubstringDedupConfig = SubstringDedupConfig(20, "word")
+
+  /** The canonical Lee et al. setting: 50 BPE tokens
+    * (dd_substring_spans_bpe).
+    */
+  val Bpe: SubstringDedupConfig = SubstringDedupConfig(50, "bpe")
+}
+
 /** Deduplication operators over `documents` / `embeddings`: exact
   * (hash-groupBy), normalized-exact, n-gram Jaccard, MinHash+LSH,
   * SimHash, and embedding-cosine near-dup — the standard LLM-corpus
@@ -29,7 +59,9 @@ object Dedup {
 
   private val ShingleK = 3
   private val SpanW = 8 // dd_span_dupes window width (tokens)
-  private val SpanK = 20 // dd_substring_spans minimal repeated-span width
+  // dd_substring_spans minimal repeated-span width (oracle SQL
+  // interpolates this; the operator reads it via the Default config)
+  private val SpanK = SubstringDedupConfig.Default.k
   // dd_containment threshold: production uses ~0.8 on real crawl text;
   // the synthetic fixture's non-identical overlaps top out near 0.35,
   // so the exercised threshold sits below that (the plan is identical
@@ -1995,15 +2027,54 @@ object Dedup {
     * 100 TB the histogram is bounded by max doc length, and the only
     * corpus-sized exchanges are the two gram-keyed ones.
     */
-  private def substringSpans(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .filter(size(col("ws")) >= SpanK)
-    val grams = toks.select(col("doc_id"),
-      posexplode(expr(
-        s"transform(sequence(1, size(ws) - ${SpanK - 1}), " +
-          s"i -> md5(CAST(array_join(slice(ws, i, $SpanK), ' ') AS BINARY)))")))
-      .toDF("doc_id", "pos", "g")
+  /** (doc_id, pos, g): every k-window start position with its md5
+    * fingerprint, at the config's token granularity. `word` slices the
+    * whitespace token array; `bpe` slices the sentinel-coded BPE
+    * symbol string (one char per token — TextAnalysis.bpeEncode, the
+    * replace-chain tokenizer the true-count oracle proves), spaces
+    * stripped AFTER encoding so windows span pre-token boundaries the
+    * way word windows span words.
+    */
+  private def substringGrams(cfg: SubstringDedupConfig,
+      docs: DataFrame): DataFrame = {
+    val k = cfg.k
+    cfg.granularity match {
+      case "word" =>
+        docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .filter(size(col("ws")) >= k)
+          .select(col("doc_id"), posexplode(expr(
+            s"transform(sequence(1, size(ws) - ${k - 1}), " +
+              s"i -> md5(CAST(array_join(slice(ws, i, $k), ' ') AS BINARY)))")))
+          .toDF("doc_id", "pos", "g")
+      case _ =>
+        docs.select(col("doc_id"),
+            replace(TextAnalysis.bpeEncode(col("text")), lit(" "), lit(""))
+              .as("enc"))
+          .filter(length(col("enc")) >= k)
+          .select(col("doc_id"), posexplode(expr(
+            s"transform(sequence(1, length(enc) - ${k - 1}), " +
+              s"i -> md5(CAST(substring(enc, i, $k) AS BINARY)))")))
+          .toDF("doc_id", "pos", "g")
+    }
+  }
+
+  /** (doc_id, n_tokens) at the config's granularity — the trim
+    * denominator.
+    */
+  private def substringTokenCounts(cfg: SubstringDedupConfig,
+      docs: DataFrame): DataFrame = cfg.granularity match {
+    case "word" =>
+      docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    case _ =>
+      docs.select(col("doc_id"),
+        length(replace(TextAnalysis.bpeEncode(col("text")), lit(" "),
+          lit(""))).cast("long").as("n_tokens"))
+  }
+
+  private[graft] def substringSpansWith(cfg: SubstringDedupConfig)(
+      s: SparkSession, dir: String): DataFrame = {
+    val grams = substringGrams(cfg, Tables(s, dir, "documents"))
     val dup = grams.groupBy(col("g"))
       .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
       .select(col("g"))
@@ -2014,12 +2085,23 @@ object Dedup {
       .withColumn("run_id", sum(col("brk")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("doc_id"), col("run_id"))
-      .agg((count(lit(1)) + lit(SpanK - 1).cast("long")).as("span_tokens"))
+      .agg((count(lit(1)) + lit(cfg.k - 1).cast("long")).as("span_tokens"))
     runs.groupBy(col("span_tokens"))
       .agg(count(lit(1)).as("n_spans"),
         countDistinct(col("doc_id")).as("n_docs"))
       .orderBy(col("span_tokens"))
   }
+
+  private def substringSpans(s: SparkSession, dir: String): DataFrame =
+    substringSpansWith(SubstringDedupConfig.Default)(s, dir)
+
+  /** [[substringSpans]] at 50-BPE-token granularity — the canonical
+    * Lee et al. ACL'22 setting (k = 50 BPE tokens), runnable because
+    * the tokenizer is the sentinel-coded replace chain whose
+    * char-per-symbol output makes BPE windows ordinary substrings.
+    */
+  private def substringSpansBpe(s: SparkSession, dir: String): DataFrame =
+    substringSpansWith(SubstringDedupConfig.Bpe)(s, dir)
 
   private val substringSpansSql =
     s"""WITH t AS (
@@ -2049,6 +2131,40 @@ object Dedup {
        |  count(*) AS n_spans, count(DISTINCT doc_id) AS n_docs
        |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // same chain at BPE granularity: the replace-chain tokenizer emits
+  // one char per BPE symbol, so a k-token window is substring(enc,i,k)
+  private val substringSpansBpeSql = {
+    val k = SubstringDedupConfig.Bpe.k
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    replace(${TextAnalysis.bpeEncodeSql("text")}, ' ', '') AS enc
+       |  FROM documents),
+       |tt AS (SELECT doc_id, enc FROM t WHERE length(enc) >= $k),
+       |g AS (
+       |  SELECT doc_id, i AS pos,
+       |    md5(substring(enc, CAST(i AS INTEGER), $k)) AS g
+       |  FROM tt, unnest(range(1, length(enc) - $k + 2)) AS u(i)),
+       |dup AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2),
+       |m AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos)
+       |        OVER (PARTITION BY doc_id ORDER BY pos) = 1
+       |      THEN 0 ELSE 1 END AS brk
+       |  FROM g JOIN dup USING (g)),
+       |r AS (
+       |  SELECT doc_id, sum(brk) OVER (
+       |    PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+       |  FROM m),
+       |runs AS (
+       |  SELECT doc_id, run_id,
+       |    count(*) + ${k - 1} AS span_tokens
+       |  FROM r GROUP BY 1, 2)
+       |SELECT CAST(span_tokens AS BIGINT) AS span_tokens,
+       |  count(*) AS n_spans, count(DISTINCT doc_id) AS n_docs
+       |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Exact substring-span REMOVAL accounting — the transform half of
     * [[substringSpans]]: Lee et al. don't just report repeated spans,
     * they REMOVE every token position covered by a duplicated
@@ -2068,33 +2184,27 @@ object Dedup {
     * left join of per-doc coverage onto per-doc token counts — both
     * sides one row per doc, co-partitioned by the same key.
     */
-  private def substringTrim(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-    val grams = toks.filter(size(col("ws")) >= SpanK)
-      .select(col("doc_id"),
-        posexplode(expr(
-          s"transform(sequence(1, size(ws) - ${SpanK - 1}), " +
-            s"i -> md5(CAST(array_join(slice(ws, i, $SpanK), ' ') AS BINARY)))")))
-      .toDF("doc_id", "pos", "g")
+  private[graft] def substringTrimWith(cfg: SubstringDedupConfig)(
+      s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val grams = substringGrams(cfg, docs)
     val dup = grams.groupBy(col("g"))
       .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
       .select(col("g"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val covered = grams.join(dup, "g")
       .withColumn("brk",
-        when(col("pos") - lag(col("pos"), 1).over(w) <= SpanK, 0)
+        when(col("pos") - lag(col("pos"), 1).over(w) <= cfg.k, 0)
           .otherwise(1))
       .withColumn("island", sum(col("brk")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("doc_id"), col("island"))
-      .agg((max(col("pos")) - min(col("pos")) + lit(SpanK))
+      .agg((max(col("pos")) - min(col("pos")) + lit(cfg.k))
         .cast("long").as("cov"))
       .groupBy(col("doc_id"))
       .agg(sum(col("cov")).as("covered_tokens"))
-    toks
-      .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"),
-        (col("doc_id") % 10).as("decile"))
+    substringTokenCounts(cfg, docs)
+      .withColumn("decile", col("doc_id") % 10)
       .join(covered, Seq("doc_id"), "left")
       .withColumn("cov", coalesce(col("covered_tokens"), lit(0L)))
       .groupBy(col("decile"))
@@ -2106,6 +2216,9 @@ object Dedup {
           col("total_tokens"), 9))
       .orderBy(col("decile"))
   }
+
+  private def substringTrim(s: SparkSession, dir: String): DataFrame =
+    substringTrimWith(SubstringDedupConfig.Default)(s, dir)
 
   private val substringTrimSql =
     s"""WITH t AS (
@@ -2484,6 +2597,8 @@ object Dedup {
     QueryDef("dd_containment", containment, Some(containmentSql)),
     QueryDef("dd_span_dupes", spanDupes, Some(spanDupesSql)),
     QueryDef("dd_substring_spans", substringSpans, Some(substringSpansSql)),
+    QueryDef("dd_substring_spans_bpe", substringSpansBpe,
+      Some(substringSpansBpeSql)),
     QueryDef("dd_substring_trim", substringTrim, Some(substringTrimSql)),
     QueryDef("dd_source_mirror", sourceMirror, Some(sourceMirrorSql)),
     QueryDef("dd_source_mirror_agg", sourceMirrorAgg,

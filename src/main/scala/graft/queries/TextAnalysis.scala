@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Quant, Tables}
 import graft.functions.TextFns
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -116,9 +116,46 @@ object TextAnalysis {
     * per doc, no shuffle — identical contract to the other per-doc
     * text stages.
     */
-  private val BpeMerges: Vector[(String, String)] = Vector(
+  private[queries] val BpeMerges: Vector[(String, String)] = Vector(
     ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
     ("e", "r"), ("o", "n"), ("r", "e"), ("an", "d"))
+
+  /** Sentinel-coded form of a merge-table symbol: base chars are
+    * themselves, merged symbols one control char per rank (the fixture
+    * text is printable ASCII, so sentinels cannot collide). One char
+    * per BPE symbol — the property the replace-chain equivalence and
+    * every char-indexed consumer (substring-dedup grams) rely on.
+    */
+  private[queries] def bpeSentinel(sym: String): String =
+    if (sym.length == 1) sym
+    else (BpeMerges.indexWhere { case (a, b) => a + b == sym } + 1)
+      .toChar.toString
+
+  /** The rank-order replace chain over a Spark column — by the
+    * well-formed-table theorem in [[bpeTrueCount]]'s scaladoc this
+    * equals the canonical lowest-rank-first BPE tokenizer, with one
+    * output char per token (spaces pass through untouched: no rule
+    * contains one, which is what keeps cross-pre-token letter pairs
+    * apart).
+    */
+  private[queries] def bpeEncode(c: Column): Column =
+    BpeMerges.zipWithIndex.foldLeft(c) { case (acc, ((a, b), i)) =>
+      replace(acc, lit(bpeSentinel(a) + bpeSentinel(b)),
+        lit((i + 1).toChar.toString))
+    }
+
+  /** The SAME chain as DuckDB SQL over `inner` — both sides generate
+    * from the one BpeMerges literal, so they cannot drift.
+    */
+  private[queries] def bpeEncodeSql(inner: String): String = {
+    val reprOf: String => String = sym =>
+      if (sym.length == 1) s"'$sym'"
+      else s"chr(${BpeMerges.indexWhere { case (a, b) => a + b == sym } + 1})"
+    BpeMerges.zipWithIndex.foldLeft(inner) {
+      case (acc, ((a, b), i)) =>
+        s"replace($acc, ${reprOf(a)} || ${reprOf(b)}, chr(${i + 1}))"
+    }
+  }
 
   private def bpeTrueCount(s: SparkSession, dir: String): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.product[BpeTrueRow]
@@ -181,13 +218,7 @@ object TextAnalysis {
   // oracle generated from the SAME BpeMerges literal: symbol repr is
   // the symbol itself for base chars, chr(rank+1) for merged symbols
   private val bpeTrueCountSql: String = {
-    val reprOf: String => String = sym =>
-      if (sym.length == 1) s"'$sym'"
-      else s"chr(${BpeMerges.indexWhere { case (a, b) => a + b == sym } + 1})"
-    val replaced = BpeMerges.zipWithIndex.foldLeft("text") {
-      case (acc, ((a, b), i)) =>
-        s"replace($acc, ${reprOf(a)} || ${reprOf(b)}, chr(${i + 1}))"
-    }
+    val replaced = bpeEncodeSql("text")
     s"""WITH r AS (
        |  SELECT doc_id, $replaced AS s,
        |    length(text) - length(replace(text, ' ', '')) AS n_sp,
