@@ -663,6 +663,128 @@ object Corpus {
        |ORDER BY a.doc_id""".stripMargin
   }
 
+  /** The frozen eval-set gram index the streaming screen gates
+    * against: distinct 13-gram md5s of the test split (16-byte keys —
+    * eval sets are small by construction, so this set broadcasts).
+    */
+  private[graft] def evalGramSet(docs: DataFrame, k: Int): DataFrame =
+    docs.filter(graft.corpus.CorpusPipeline
+        .hashBucket("doc_id", "split:", 100) >= 90)
+      .select(explode(graft.functions.WordShingles(col("text"), k)).as("gr"))
+      .select(md5(col("gr").cast("binary")).as("g"))
+      .distinct()
+
+  /** Screen ONE arriving micro-batch of train candidates against the
+    * frozen eval grams: per doc, distinct gram count, grams shared
+    * with the eval set, and the leaky verdict. Pure batch machinery —
+    * foreachBatch hands each micro-batch here.
+    */
+  private[graft] def screenAgainstEval(batch: DataFrame,
+      evalGrams: DataFrame, k: Int): DataFrame = {
+    val g = batch
+      .select(col("doc_id"),
+        explode(graft.functions.WordShingles(col("text"), k)).as("gr"))
+      .select(col("doc_id"), md5(col("gr").cast("binary")).as("g"))
+    val shared = g.join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    batch
+      .select(col("doc_id"),
+        size(graft.functions.WordShingles(col("text"), k)).as("n_grams"))
+      .join(shared, Seq("doc_id"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("leaky", col("n_shared") > 0)
+  }
+
+  /** INGEST-TIME decontamination — the triptych's production
+    * placement: eval leaks are cheapest to stop at ingest, before a
+    * contaminated candidate costs dedup/embedding work and lands in a
+    * training shard. Arriving train-split candidates stream in;
+    * each micro-batch is gated (foreachBatch) against the FROZEN
+    * eval-set gram index — the direction a live pipeline runs, where
+    * the eval set is fixed at release time and the corpus is what
+    * grows. The frozen side is distinct gram md5s computed once and
+    * broadcast into every batch's semi-join; per-batch verdicts land
+    * in a batch-id-named parquet dir (idempotent under foreachBatch's
+    * at-least-once retries — the IncrementalIngest audit-log
+    * convention). Output matches the batch screen row-for-row
+    * (mirrored oracle; ContaminationStreamSpec pins stream-vs-batch
+    * equality and checkpoint restart).
+    *
+    * Scale shape: the eval index is eval-set-sized (broadcast); the
+    * per-batch cost rides the BATCH's gram footprint. Nothing
+    * corpus-sized shuffles, ever — the property that lets the gate
+    * run inline on a 100 TB/day crawl.
+    */
+  private def contaminationIngestStream(s: SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val k = 13
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    // frozen BEFORE the stream starts: the eval set must not move
+    // while the gate is live (localCheckpoint pins the computed set,
+    // not the plan — re-running the lineage per batch would re-scan
+    // the eval split every arrival)
+    val evalGrams =
+      evalGramSet(Tables(ss, dir, "documents"), k).localCheckpoint()
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val work = java.nio.file.Files.createTempDirectory("graft_cstream")
+    val verdictDir = work.resolve("verdicts").toString
+    val q = ss.readStream.schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .writeStream
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val arriving = batch.filter(graft.corpus.CorpusPipeline
+          .hashBucket("doc_id", "split:", 100) < 80)
+        if (!arriving.isEmpty)
+          screenAgainstEval(arriving, evalGrams, k)
+            .write.mode("overwrite").parquet(s"$verdictDir/b$batchId")
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out = ss.read.option("recursiveFileLookup", "true")
+      .parquet(verdictDir)
+      .select(col("doc_id"), col("n_grams"), col("n_shared"), col("leaky"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint() // materialize before the run dir is deleted
+    org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
+    out
+  }
+
+  // the batch oracle with the roles swapped: arriving = train split,
+  // frozen = eval split — otherwise identical to contaminationSql
+  private val contaminationIngestStreamSql = {
+    val gram13 = (1 to 13).map(j => s"ws[i+${j - 1}]").mkString(" || ' ' || ")
+    s"""WITH assigned AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws,
+       |    ${bucketSql("split:", 100)} AS bucket
+       |  FROM documents),
+       |eval_grams AS (
+       |  SELECT DISTINCT unnest(list_distinct(list_transform(
+       |    range(1, len(ws) - 11), i -> $gram13))) AS g
+       |  FROM assigned WHERE bucket >= 90 AND len(ws) >= 13),
+       |arr_grams AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len(ws) - 11), i -> $gram13))) AS g
+       |  FROM assigned WHERE bucket < 80 AND len(ws) >= 13),
+       |shared AS (
+       |  SELECT doc_id, count(*) AS n_shared FROM arr_grams
+       |  WHERE g IN (SELECT g FROM eval_grams) GROUP BY doc_id)
+       |SELECT a.doc_id,
+       |  CAST(CASE WHEN len(ws) >= 13 THEN len(list_distinct(list_transform(
+       |    range(1, len(ws) - 11), i -> $gram13))) ELSE 0 END AS INTEGER)
+       |    AS n_grams,
+       |  coalesce(n_shared, 0) AS n_shared,
+       |  coalesce(n_shared, 0) > 0 AS leaky
+       |FROM (SELECT * FROM assigned WHERE bucket < 80) a
+       |  LEFT JOIN shared ON a.doc_id = shared.doc_id
+       |ORDER BY a.doc_id""".stripMargin
+  }
+
   /** Span-level eval-set decontamination — cp_contamination's
     * positional upgrade: the 13-gram screen says WHETHER a test doc
     * shares any window with train; this one says HOW MUCH and HOW
@@ -1374,6 +1496,8 @@ object Corpus {
     QueryDef("cp_dsir_weights", dsirScores, Some(dsirWeightsSql)),
     QueryDef("cp_dsir_resample", dsirResample, Some(dsirResampleSql)),
     QueryDef("cp_contamination", contamination, Some(contaminationSql)),
+    QueryDef("cp_contamination_stream", contaminationIngestStream,
+      Some(contaminationIngestStreamSql)),
     QueryDef("cp_contamination_spans", contaminationSpans,
       Some(contaminationSpansSql)),
     QueryDef("cp_contamination_fuzzy", contaminationFuzzy,
