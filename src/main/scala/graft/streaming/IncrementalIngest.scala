@@ -173,8 +173,9 @@ object IncrementalIngest {
           batchNo += 1
           val batchVerdicts =
             work.resolve(s"verdicts/b$batchNo").toString
-          verdicts.write.parquet(batchVerdicts)
-          val keptIds = s2.read.parquet(batchVerdicts) // one screen pass
+          val v = verdicts.localCheckpoint() // screen executes ONCE
+          v.write.parquet(batchVerdicts) // audit log from blocks
+          val keptIds = v // keepers from blocks, no parquet read-back
             .filter(col("keep")).select(col("id").as("doc_id"))
           // publish ONLY this batch's keepers as the next delta —
           // O(batch) written, the corpus-sized union is never rewritten
