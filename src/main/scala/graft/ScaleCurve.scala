@@ -70,7 +70,16 @@ object ScaleCurve {
     // pair-mass term)
     "dd_substring_spans", "dd_substring_trim",
     "cp_contamination_spans", "ev_sequence_pattern_multi",
-    "dd_source_mirror", "cp_contamination_fuzzy")
+    "dd_source_mirror", "cp_contamination_fuzzy",
+    // round-17: BPE-granularity substring dedup (~5x the gram mass of
+    // the word variant), the pre-aggregated mirror escalation — the
+    // boiler variant runs it at 10x-corpus boilerplate density, where
+    // the enumerating form's occupant cap would abort — and the two
+    // new stream-path operators (live compaction; ingest-time
+    // decontamination gate)
+    "dd_substring_spans_bpe", "dd_source_mirror_agg",
+    "dd_source_mirror_boiler", "evs_ingest_compacted",
+    "cp_contamination_stream")
 
   private def js(v: Double): String =
     String.format(Locale.ROOT, "%.3f", Double.box(v))

@@ -2256,6 +2256,54 @@ object Dedup {
        |    + 0.5) / 1e9 AS retained_frac
        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The removal budget at BPE granularity — [[substringTrim]] under
+    * SubstringDedupConfig.Bpe, completing the config matrix (both
+    * operators x both granularities). What a 50-BPE-token trim pass
+    * would delete is the number Lee et al. actually publish.
+    */
+  private def substringTrimBpe(s: SparkSession, dir: String): DataFrame =
+    substringTrimWith(SubstringDedupConfig.Bpe)(s, dir)
+
+  private val substringTrimBpeSql = {
+    val k = SubstringDedupConfig.Bpe.k
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    replace(${TextAnalysis.bpeEncodeSql("text")}, ' ', '') AS enc
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, i AS pos,
+       |    md5(substring(enc, CAST(i AS INTEGER), $k)) AS g
+       |  FROM t, unnest(range(1, length(enc) - $k + 2)) AS u(i)
+       |  WHERE length(enc) >= $k),
+       |dup AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2),
+       |m AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos)
+       |        OVER (PARTITION BY doc_id ORDER BY pos) <= $k
+       |      THEN 0 ELSE 1 END AS brk
+       |  FROM g JOIN dup USING (g)),
+       |isl AS (
+       |  SELECT doc_id, pos, sum(brk) OVER (
+       |    PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM m),
+       |cov AS (
+       |  SELECT doc_id, sum(cv) AS covered_tokens FROM (
+       |    SELECT doc_id, max(pos) - min(pos) + $k AS cv
+       |    FROM isl GROUP BY doc_id, island)
+       |  GROUP BY doc_id),
+       |d AS (
+       |  SELECT doc_id, length(enc) AS n_tokens, doc_id % 10 AS decile,
+       |    coalesce(covered_tokens, 0) AS cv
+       |  FROM t LEFT JOIN cov USING (doc_id))
+       |SELECT decile, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(sum(cv) AS BIGINT) AS covered_tokens,
+       |  floor((1.0 - CAST(sum(cv) AS DOUBLE) / sum(n_tokens)) * 1e9
+       |    + 0.5) / 1e9 AS retained_frac
+       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Leakage-safe train/test split — the fix for the eval-integrity
     * hole plain hash splitting leaves open: two NEAR-duplicates can
     * land in train and test, leaking training text into evaluation
@@ -2600,6 +2648,8 @@ object Dedup {
     QueryDef("dd_substring_spans_bpe", substringSpansBpe,
       Some(substringSpansBpeSql)),
     QueryDef("dd_substring_trim", substringTrim, Some(substringTrimSql)),
+    QueryDef("dd_substring_trim_bpe", substringTrimBpe,
+      Some(substringTrimBpeSql)),
     QueryDef("dd_source_mirror", sourceMirror, Some(sourceMirrorSql)),
     QueryDef("dd_source_mirror_agg", sourceMirrorAgg,
       Some(sourceMirrorAggSql)),
