@@ -382,9 +382,7 @@ object Corpus {
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("lang", StringType), StructField("source", StringType),
       StructField("n_chars", LongType)))
-    val flagged = withQualityFlags(
-      ss.readStream.schema(docsSchema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir))
+    val flagged = withQualityFlags(streamingDocs(ss, dir, docsSchema))
       .select(col("doc_id"), col("n_words"), col("mean_word_len"),
         col("distinct_ratio"), col("n_stop"), col("r_word_count"),
         col("r_mean_len"), col("r_stopwords"), col("r_diversity"),
@@ -663,6 +661,22 @@ object Corpus {
        |ORDER BY a.doc_id""".stripMargin
   }
 
+  /** Streaming source over the fixture's documents table, shape-aware
+    * (the EventStream dispatch): the driver fixtures store documents
+    * as ONE file inside the table dir — filter the shared dir down to
+    * it — while the derived sf1* stores a parquet DIRECTORY of parts,
+    * read directly. A file-name pathGlobFilter on the latter matches
+    * nothing and the stream silently processes zero batches.
+    */
+  private def streamingDocs(ss: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val src = java.nio.file.Paths.get(s"$dir/documents.parquet")
+    val reader = ss.readStream.schema(schema)
+    if (java.nio.file.Files.isDirectory(src))
+      reader.option("pathGlobFilter", "*.parquet").parquet(src.toString)
+    else reader.option("pathGlobFilter", "documents.parquet").parquet(dir)
+  }
+
   /** The frozen eval-set gram index the streaming screen gates
     * against: distinct 13-gram md5s of the test split (16-byte keys —
     * eval sets are small by construction, so this set broadcasts).
@@ -733,8 +747,7 @@ object Corpus {
       StructField("n_chars", LongType)))
     val work = java.nio.file.Files.createTempDirectory("graft_cstream")
     val verdictDir = work.resolve("verdicts").toString
-    val q = ss.readStream.schema(docsSchema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val q = streamingDocs(ss, dir, docsSchema)
       .writeStream
       .option("checkpointLocation", work.resolve("ckpt").toString)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
