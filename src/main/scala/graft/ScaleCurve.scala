@@ -79,7 +79,12 @@ object ScaleCurve {
     // decontamination gate)
     "dd_substring_spans_bpe", "dd_source_mirror_agg",
     "dd_source_mirror_boiler", "evs_ingest_compacted",
-    "cp_contamination_stream")
+    "cp_contamination_stream",
+    // round-17: BPE vocabulary induction — one corpus shuffle to word
+    // frequencies, then vocab-sized iterations; the curve checks the
+    // per-iteration cost tracks VOCAB growth (distinct words), which
+    // plateaus, not corpus growth
+    "ta_bpe_train")
 
   private def js(v: Double): String =
     String.format(Locale.ROOT, "%.3f", Double.box(v))

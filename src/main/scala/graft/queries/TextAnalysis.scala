@@ -230,6 +230,136 @@ object TextAnalysis {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  /** Number of merges `ta_bpe_train` learns (oracle SQL is unrolled
+    * per rank, so the two sides share this one literal).
+    */
+  private[queries] val BpeTrainMerges = 8
+
+  /** BPE vocabulary INDUCTION — the training half of the tokenizer
+    * story (`ta_bpe_true_count` applies a fixed table; this learns
+    * one from the corpus). The classic Sennrich shape restated for a
+    * cluster: the corpus is touched EXACTLY ONCE — one explode +
+    * hash-agg collapses it to the (word, frequency) vocabulary — and
+    * every training iteration after that is vocab-sized, never
+    * corpus-sized. Each iteration enumerates the distinct adjacent
+    * symbol pairs of every vocab word, weights them by word
+    * frequency, takes the global argmax (count desc, pair asc — a
+    * one-row collect), and rewrites the vocabulary with the winning
+    * pair fused. Words are held sentinel-coded (one char per symbol,
+    * rank r's merged symbol = chr(r) — the [[bpeEncode]] convention),
+    * so "fuse the pair" is a single codegen'd `replace` and "count
+    * its occurrences" is a length difference.
+    *
+    * Pair-frequency convention (pinned on all three sides — Spark,
+    * oracle, and the raw-string recount spec): an occurrence is a
+    * NON-OVERLAPPING left-to-right match, i.e. exactly the set of
+    * fusions the merge step would perform ("aaa" counts (a,a) once,
+    * not twice). This is what `replace` computes natively in both
+    * engines, and it keeps the learned count equal to the number of
+    * fusions actually applied — the invariant the property spec
+    * checks per rank.
+    *
+    * Scale shape at 100 TB: the corpus-sized shuffle happens once
+    * (map-side combinable word counts); the vocabulary (distinct
+    * letter-run words — millions, not billions) is localCheckpointed
+    * and each of the N iterations runs two vocab-sized narrow jobs
+    * plus a one-row collect. The driver holds N winner rows, nothing
+    * else.
+    */
+  private def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables(s, dir, "documents")
+      .select(explode(
+        regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0))).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("f"))
+      .localCheckpoint()
+    var state = vocab
+    // sentinel char -> its fully-expanded letter string
+    val expansion = scala.collection.mutable.Map.empty[Char, String]
+    def expand(sym: Char): String = expansion.getOrElse(sym, sym.toString)
+    val learned = Vector.newBuilder[(Int, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= BpeTrainMerges && !exhausted) {
+      // distinct adjacent pairs per word (2-char windows of the coded
+      // string), weighted by the word's non-overlapping occurrence
+      // count x its corpus frequency. length >= 2 filter because
+      // Spark's sequence(1, 0) counts DOWN rather than emitting empty.
+      val winner = state
+        .filter(length(col("s")) >= 2)
+        .select(col("s"), col("f"),
+          explode(array_distinct(transform(
+            sequence(lit(1), length(col("s")) - 1),
+            i => col("s").substr(i, lit(2))))).as("pr"))
+        .withColumn("occ",
+          ((length(col("s")) - length(replace(col("s"), col("pr"))))
+            / lit(2)).cast("long"))
+        .groupBy(col("pr"))
+        .agg(sum(col("occ") * col("f")).as("c"))
+        .orderBy(col("c").desc, col("pr").asc)
+        .limit(1).collect()
+      if (winner.isEmpty) exhausted = true
+      else {
+        val pr = winner(0).getString(0)
+        val lhs = expand(pr.charAt(0))
+        val rhs = expand(pr.charAt(1))
+        expansion(r.toChar) = lhs + rhs
+        learned += ((r, lhs, rhs, lhs + rhs, winner(0).getLong(1)))
+        state = state.withColumn("s",
+          replace(col("s"), lit(pr), lit(r.toChar.toString)))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    s.createDataFrame(learned.result())
+      .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+      .orderBy(col("merge_rank"))
+  }
+
+  // Unrolled oracle: one (pairs -> argmax -> rewrite) CTE triple per
+  // rank, then per-rank expansion CTEs that decode the winning coded
+  // pair back to letters by replaying strictly-earlier expansions in
+  // DESCENDING rank order (rank r's pair can only contain sentinels
+  // < r, and each substitution introduces only letters). Both sides
+  // generate from BpeTrainMerges, so the unroll depth cannot drift.
+  private val bpeTrainSql: String = {
+    val sb = new StringBuilder
+    sb ++= """WITH w0 AS (
+      |  SELECT t AS s, count(*) AS f
+      |  FROM (SELECT unnest(regexp_extract_all(text, '[A-Za-z]+')) AS t
+      |        FROM documents)
+      |  GROUP BY 1)""".stripMargin
+    for (r <- 1 to BpeTrainMerges) {
+      sb ++= s""",
+      |p$r AS (
+      |  SELECT pr,
+      |    CAST(sum(((length(s) - length(replace(s, pr, ''))) // 2) * f)
+      |      AS BIGINT) AS c
+      |  FROM (SELECT s, f, unnest(list_distinct(list_transform(
+      |          range(1, length(s)), i -> s[i:i+1]))) AS pr
+      |        FROM w${r - 1} WHERE length(s) >= 2)
+      |  GROUP BY 1),
+      |b$r AS (SELECT pr, c FROM p$r ORDER BY c DESC, pr LIMIT 1),
+      |w$r AS (SELECT replace(s, (SELECT pr FROM b$r), chr($r)) AS s, f
+      |        FROM w${r - 1})""".stripMargin
+    }
+    for (r <- 1 to BpeTrainMerges) {
+      def decode(inner: String): String =
+        (r - 1 to 1 by -1).foldLeft(inner)((acc, j) =>
+          s"replace($acc, chr($j), (SELECT m FROM m$j))")
+      sb ++= s""",
+      |m$r AS (SELECT ${decode("pr")} AS m FROM b$r),
+      |lr$r AS (SELECT ${decode("pr[1:1]")} AS lhs,
+      |  ${decode("pr[2:2]")} AS rhs FROM b$r)""".stripMargin
+    }
+    sb ++= "\n"
+    sb ++= (1 to BpeTrainMerges).map(r =>
+      s"""SELECT $r AS merge_rank, lhs, rhs, lhs || rhs AS merged,
+         |  (SELECT c FROM b$r) AS pair_count FROM lr$r""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    sb ++= "\nORDER BY merge_rank"
+    sb.toString
+  }
+
   /** Heavy hitters via the bounded Misra–Gries summary
     * ([[graft.operators.MisraGriesAgg]]) — the at-scale alternative to
     * `ta_word_topk`'s exact groupBy when the KEY SPACE itself is
@@ -1812,6 +1942,7 @@ object TextAnalysis {
     QueryDef("ta_token_stats", tokenStats, Some(tokenStatsSql)),
     QueryDef("ta_bpe_token_count", bpeTokenCount, Some(bpeTokenCountSql)),
     QueryDef("ta_bpe_true_count", bpeTrueCount, Some(bpeTrueCountSql)),
+    QueryDef("ta_bpe_train", bpeTrain, Some(bpeTrainSql)),
     QueryDef("ta_readability", readability, Some(readabilitySql)),
     QueryDef("ta_heavy_hitters_mg", heavyHittersMg, Some(heavyHittersMgSql)),
     QueryDef("ta_winnow_fp", winnowFp, Some(winnowFpSql)),
