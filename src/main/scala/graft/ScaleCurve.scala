@@ -83,8 +83,9 @@ object ScaleCurve {
     // round-17: BPE vocabulary induction — one corpus shuffle to word
     // frequencies, then vocab-sized iterations; the curve checks the
     // per-iteration cost tracks VOCAB growth (distinct words), which
-    // plateaus, not corpus growth
-    "ta_bpe_train")
+    // plateaus, not corpus growth; the apply half adds one codegen'd
+    // corpus pass on top
+    "ta_bpe_train", "ta_bpe_learned_compression")
 
   private def js(v: Double): String =
     String.format(Locale.ROOT, "%.3f", Double.box(v))

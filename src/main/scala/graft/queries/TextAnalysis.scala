@@ -266,7 +266,14 @@ object TextAnalysis {
     * plus a one-row collect. The driver holds N winner rows, nothing
     * else.
     */
-  private def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+  /** One learned merge: the 2-char sentinel-CODED pair (what the
+    * rewrite replaces), its sentinel, the expanded letter parts, and
+    * the winning weighted occurrence count.
+    */
+  private[queries] final case class LearnedMerge(
+      rank: Int, codedPair: String, lhs: String, rhs: String, count: Long)
+
+  private def trainBpe(s: SparkSession, dir: String): Vector[LearnedMerge] = {
     val vocab = Tables(s, dir, "documents")
       .select(explode(
         regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0))).as("s"))
@@ -276,7 +283,7 @@ object TextAnalysis {
     // sentinel char -> its fully-expanded letter string
     val expansion = scala.collection.mutable.Map.empty[Char, String]
     def expand(sym: Char): String = expansion.getOrElse(sym, sym.toString)
-    val learned = Vector.newBuilder[(Int, String, String, String, Long)]
+    val learned = Vector.newBuilder[LearnedMerge]
     var r = 1
     var exhausted = false
     while (r <= BpeTrainMerges && !exhausted) {
@@ -303,16 +310,52 @@ object TextAnalysis {
         val lhs = expand(pr.charAt(0))
         val rhs = expand(pr.charAt(1))
         expansion(r.toChar) = lhs + rhs
-        learned += ((r, lhs, rhs, lhs + rhs, winner(0).getLong(1)))
+        learned += LearnedMerge(r, pr, lhs, rhs, winner(0).getLong(1))
         state = state.withColumn("s",
           replace(col("s"), lit(pr), lit(r.toChar.toString)))
           .localCheckpoint()
         r += 1
       }
     }
-    s.createDataFrame(learned.result())
+    learned.result()
+  }
+
+  private def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val rows = trainBpe(s, dir).map(m =>
+      (m.rank, m.lhs, m.rhs, m.lhs + m.rhs, m.count))
+    s.createDataFrame(rows)
       .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
       .orderBy(col("merge_rank"))
+  }
+
+  /** Corpus compression under the LEARNED table — train-then-apply in
+    * one operator, the readout a tokenizer-training run publishes
+    * (how much the induced vocab shrinks the corpus, per source).
+    * After [[trainBpe]]'s vocab-sized iterations, ONE more corpus
+    * pass folds the learned replace chain over the raw text (sound on
+    * full documents by the [[bpeTrueCount]] theorem: no rule contains
+    * a space, so merges never cross word boundaries) and counts
+    * symbols as length minus spaces — every symbol is one char in the
+    * coded string, every non-space char one base symbol before it.
+    * Ratio goes through [[Quant.qdec]] (rational of exact counts).
+    */
+  private def bpeLearnedCompression(s: SparkSession, dir: String): DataFrame = {
+    val learned = trainBpe(s, dir)
+    val coded = learned.foldLeft(col("text")) { (acc, m) =>
+      replace(acc, lit(m.codedPair), lit(m.rank.toChar.toString))
+    }
+    val nsp = length(col("text")) - length(replace(col("text"), lit(" ")))
+    Tables(s, dir, "documents")
+      .select(col("source"),
+        (length(col("text")) - nsp).cast("long").as("base"),
+        (length(coded) - nsp).cast("long").as("after"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("base")).as("base_symbols"),
+        sum(col("after")).as("bpe_tokens"))
+      .withColumn("compression",
+        Quant.qdec(col("bpe_tokens").cast("double") / col("base_symbols"), 9))
+      .orderBy(col("source"))
   }
 
   // Unrolled oracle: one (pairs -> argmax -> rewrite) CTE triple per
@@ -321,7 +364,11 @@ object TextAnalysis {
   // DESCENDING rank order (rank r's pair can only contain sentinels
   // < r, and each substitution introduces only letters). Both sides
   // generate from BpeTrainMerges, so the unroll depth cannot drift.
-  private val bpeTrainSql: String = {
+  /** The training iteration unrolled as DuckDB CTEs (`WITH w0 ...`
+    * through rank [[BpeTrainMerges]]'s argmax `b_r` / rewrite `w_r`) —
+    * the shared prefix of both BPE-training oracles.
+    */
+  private def bpeTrainCtes: String = {
     val sb = new StringBuilder
     sb ++= """WITH w0 AS (
       |  SELECT t AS s, count(*) AS f
@@ -342,6 +389,12 @@ object TextAnalysis {
       |w$r AS (SELECT replace(s, (SELECT pr FROM b$r), chr($r)) AS s, f
       |        FROM w${r - 1})""".stripMargin
     }
+    sb.toString
+  }
+
+  private val bpeTrainSql: String = {
+    val sb = new StringBuilder
+    sb ++= bpeTrainCtes
     for (r <- 1 to BpeTrainMerges) {
       def decode(inner: String): String =
         (r - 1 to 1 by -1).foldLeft(inner)((acc, j) =>
@@ -358,6 +411,26 @@ object TextAnalysis {
       .mkString("\nUNION ALL\n")
     sb ++= "\nORDER BY merge_rank"
     sb.toString
+  }
+
+  // the training CTEs, then ONE pass over documents folding the
+  // learned replace chain (ranks ascending) over the raw text
+  private val bpeLearnedCompressionSql: String = {
+    val chain = (1 to BpeTrainMerges).foldLeft("text")((acc, r) =>
+      s"replace($acc, (SELECT pr FROM b$r), chr($r))")
+    s"""${bpeTrainCtes},
+       |enc AS (
+       |  SELECT source, $chain AS s,
+       |    length(text) - length(replace(text, ' ', '')) AS nsp,
+       |    length(replace(text, ' ', '')) AS nbase
+       |  FROM documents)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(nbase) AS BIGINT) AS base_symbols,
+       |  CAST(sum(length(s) - nsp) AS BIGINT) AS bpe_tokens,
+       |  ${Quant.qdecSql(
+          "CAST(sum(length(s) - nsp) AS DOUBLE) / sum(nbase)", 9)}
+       |    AS compression
+       |FROM enc GROUP BY source ORDER BY source""".stripMargin
   }
 
   /** Heavy hitters via the bounded Misra–Gries summary
@@ -1943,6 +2016,8 @@ object TextAnalysis {
     QueryDef("ta_bpe_token_count", bpeTokenCount, Some(bpeTokenCountSql)),
     QueryDef("ta_bpe_true_count", bpeTrueCount, Some(bpeTrueCountSql)),
     QueryDef("ta_bpe_train", bpeTrain, Some(bpeTrainSql)),
+    QueryDef("ta_bpe_learned_compression", bpeLearnedCompression,
+      Some(bpeLearnedCompressionSql)),
     QueryDef("ta_readability", readability, Some(readabilitySql)),
     QueryDef("ta_heavy_hitters_mg", heavyHittersMg, Some(heavyHittersMgSql)),
     QueryDef("ta_winnow_fp", winnowFp, Some(winnowFpSql)),

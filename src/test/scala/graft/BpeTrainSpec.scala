@@ -136,6 +136,65 @@ class BpeTrainSpec extends AnyFunSuite {
     }
   }
 
+  test("learned compression: per-source symbol counts equal an " +
+      "imperative apply of the reference table") {
+    val rows = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val merges = referenceTrain(rows.map(_._2), 8)
+      .map { case (_, lhs, rhs, _, _) => (lhs, rhs) }
+    // independent apply: per letter run, fuse each merge in rank order
+    // (equals canonical lowest-rank-first for well-formed tables);
+    // every non-space non-letter char is one atomic symbol
+    def tokens(text: String): Long = {
+      def fused(run: String): Int = {
+        var syms = run.map(_.toString).toVector
+        merges.foreach { case (a, b) =>
+          val buf = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+              buf += (a + b); i += 2
+            } else { buf += syms(i); i += 1 }
+          }
+          syms = buf.result()
+        }
+        syms.length
+      }
+      var n = 0L
+      var i = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        if (c == ' ') i += 1
+        else if (c.isLetter) {
+          val start = i
+          while (i < text.length && text.charAt(i).isLetter) i += 1
+          n += fused(text.substring(start, i)).toLong
+        } else { n += 1L; i += 1 }
+      }
+      n
+    }
+    val want = rows.groupBy(_._1).map { case (src, ds) =>
+      val base = ds.map(d => d._2.count(_ != ' ').toLong).sum
+      val after = ds.map(d => tokens(d._2)).sum
+      src -> (ds.length.toLong, base, after)
+    }
+    val got = SparkEntry.queries("ta_bpe_learned_compression")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("base_symbols"),
+          r.getAs[Long]("bpe_tokens"),
+          r.getAs[Double]("compression")))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (src, (nd, base, after)) =>
+      val (gnd, gbase, gafter, gcomp) = got(src)
+      assert((gnd, gbase, gafter) == ((nd, base, after)), src)
+      assert(gcomp == math.floor(after.toDouble / base * 1e9 + 0.5) / 1e9)
+      assert(gcomp < 1.0) // merges must actually compress the fixture
+    }
+  }
+
   test("exhaustion: fewer learnable pairs than the budget => short table") {
     // single-letter words only: zero adjacent pairs after 1 merge?
     // no — zero pairs at all, so the table is empty
