@@ -273,6 +273,28 @@ object TextAnalysis {
   private[queries] final case class LearnedMerge(
       rank: Int, codedPair: String, lhs: String, rhs: String, count: Long)
 
+  /** One training iteration's pair table over a sentinel-coded
+    * (s = word, f = frequency) vocabulary: distinct adjacent pairs
+    * (2-char windows of the coded string), weighted by the word's
+    * NON-overlapping occurrence count (replace-length arithmetic)
+    * times its corpus frequency. length >= 2 filter because Spark's
+    * sequence(1, 0) counts DOWN rather than emitting empty. Exposed
+    * at package level so PlanSpec can pin the map-side partial
+    * aggregation and the argmax's TakeOrdered shape.
+    */
+  private[graft] def pairCounts(state: DataFrame): DataFrame =
+    state
+      .filter(length(col("s")) >= 2)
+      .select(col("s"), col("f"),
+        explode(array_distinct(transform(
+          sequence(lit(1), length(col("s")) - 1),
+          i => col("s").substr(i, lit(2))))).as("pr"))
+      .withColumn("occ",
+        ((length(col("s")) - length(replace(col("s"), col("pr"))))
+          / lit(2)).cast("long"))
+      .groupBy(col("pr"))
+      .agg(sum(col("occ") * col("f")).as("c"))
+
   private def trainBpe(s: SparkSession, dir: String): Vector[LearnedMerge] = {
     val vocab = Tables(s, dir, "documents")
       .select(explode(
@@ -287,22 +309,7 @@ object TextAnalysis {
     var r = 1
     var exhausted = false
     while (r <= BpeTrainMerges && !exhausted) {
-      // distinct adjacent pairs per word (2-char windows of the coded
-      // string), weighted by the word's non-overlapping occurrence
-      // count x its corpus frequency. length >= 2 filter because
-      // Spark's sequence(1, 0) counts DOWN rather than emitting empty.
-      val winner = state
-        .filter(length(col("s")) >= 2)
-        .select(col("s"), col("f"),
-          explode(array_distinct(transform(
-            sequence(lit(1), length(col("s")) - 1),
-            i => col("s").substr(i, lit(2))))).as("pr"))
-        .withColumn("occ",
-          ((length(col("s")) - length(replace(col("s"), col("pr"))))
-            / lit(2)).cast("long"))
-        .groupBy(col("pr"))
-        .agg(sum(col("occ") * col("f")).as("c"))
-        .orderBy(col("c").desc, col("pr").asc)
+      val winner = pairCounts(state).orderBy(col("c").desc, col("pr").asc)
         .limit(1).collect()
       if (winner.isEmpty) exhausted = true
       else {

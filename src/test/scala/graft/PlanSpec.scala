@@ -544,4 +544,25 @@ class PlanSpec extends AnyFunSuite {
       .forall(l => l.contains("event_type")), p.take(900))
   }
 
+  test("bpe train iteration: pair counts combine map-side, the argmax " +
+    "is a TakeOrdered — never a global sort or a collect of the table") {
+    import org.apache.spark.sql.functions._
+    val state = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(
+        regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0))).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("f"))
+    val winner = graft.queries.TextAnalysis.pairCounts(state)
+      .orderBy(col("c").desc, col("pr").asc).limit(1)
+    val p = winner.queryExecution.executedPlan.toString
+    // the pair explosion's weighted sum must partially aggregate
+    // before its exchange — per-iteration shuffle mass is bounded by
+    // DISTINCT pairs per partition, not pair occurrences
+    assert(p.contains("partial_sum"), p.take(1200))
+    // limit(1) over the ordering = TakeOrderedAndProject: each
+    // partition surfaces one candidate, no global Sort materializes
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    assert(!p.linesIterator.exists(l =>
+      l.trim.startsWith("+- Sort") || l.trim.startsWith("Sort")), p.take(1200))
+  }
+
 }
