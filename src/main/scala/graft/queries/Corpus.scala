@@ -601,6 +601,73 @@ object Corpus {
       |  min(doc_id) AS first_doc
       |FROM running GROUP BY 1 ORDER BY seq_id""".stripMargin
 
+  /** Output-shard MANIFEST — the artifact a dataset publisher ships
+    * next to the shards: deterministic doc_id-ordered byte stream cut
+    * at a 64 KiB budget (cp_sequence_pack's greedy split, one level
+    * up: bytes into files instead of tokens into sequences), and per
+    * shard the doc count, byte size, fill ratio against the budget,
+    * id range, and an md5 over the ordered member-id list — the
+    * integrity checksum a consumer re-derives to prove it read
+    * exactly the published membership. A shard can exceed the budget
+    * only when one document alone does (the straddling doc lands in
+    * the shard where its last byte falls).
+    *
+    * Scale shape: the same two-pass prefix sum as mig_batch_plan /
+    * cp_sequence_pack — per-chunk offsets (chunk-count-sized,
+    * broadcast back) + a chunk-partitioned running sum, so no
+    * corpus-sized single-partition window exists; the manifest agg is
+    * one hash aggregation keyed by shard.
+    */
+  private def shardManifest(s: SparkSession, dir: String): DataFrame = {
+    val budget = 65536L
+    val chunkRows = 128L
+    val sized = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars").cast("long").as("nb"))
+      .withColumn("chunk", floor(col("doc_id") / chunkRows))
+    val offsets = sized.groupBy(col("chunk"))
+      .agg(sum(col("nb")).as("chunk_bytes"))
+      .withColumn("offset",
+        coalesce(sum(col("chunk_bytes")).over(
+          Window.orderBy(col("chunk"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("chunk"), col("offset"))
+    val wIn = Window.partitionBy(col("chunk")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sized.join(broadcast(offsets), "chunk")
+      .withColumn("running", col("offset") + sum(col("nb")).over(wIn))
+      .withColumn("shard_id",
+        floor((col("running") - 1).cast("double") / budget).cast("long"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nb")).as("shard_bytes"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        md5(concat_ws(",",
+          transform(sort_array(collect_list(col("doc_id"))),
+            _.cast("string"))).cast("binary")).as("manifest_md5"))
+      .withColumn("fill_ratio",
+        graft.Quant.qdec(col("shard_bytes").cast("double") / budget, 9))
+      .orderBy(col("shard_id"))
+  }
+
+  private val shardManifestSql =
+    """WITH sized AS (SELECT doc_id, n_chars AS nb FROM documents),
+      |running AS (
+      |  SELECT *, sum(nb) OVER (ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+      |  FROM sized)
+      |SELECT CAST(floor(CAST(running - 1 AS DOUBLE) / 65536) AS BIGINT)
+      |    AS shard_id,
+      |  count(*) AS n_docs,
+      |  CAST(sum(nb) AS BIGINT) AS shard_bytes,
+      |  min(doc_id) AS first_doc,
+      |  max(doc_id) AS last_doc,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+      |    AS manifest_md5,
+      |  floor(CAST(sum(nb) AS DOUBLE) / 65536 * 1e9 + 0.5) / 1e9
+      |    AS fill_ratio
+      |FROM running GROUP BY 1 ORDER BY shard_id""".stripMargin
+
   /** Eval-set contamination check: for every test-split document, how
     * many of its distinct 13-grams also appear anywhere in the train
     * split — the standard decontamination screen run before training.
@@ -1517,6 +1584,7 @@ object Corpus {
       Some(contaminationFuzzySql)),
     QueryDef("cp_chunk", chunk, Some(chunkSql)),
     QueryDef("cp_sequence_pack", sequencePack, Some(sequencePackSql)),
+    QueryDef("cp_shard_manifest", shardManifest, Some(shardManifestSql)),
     QueryDef("cp_pipeline_from_config", pipelineFromConfig,
       Some(pipelineFromConfigSql)),
     QueryDef("cp_curation_pipeline", curationPipeline,

@@ -178,6 +178,7 @@ class PlanSpec extends AnyFunSuite {
       "mig_batch_plan", // offsets pass — Migration.scala chunked prefix sum
       "mig_pipeline", // composes the same batch planner
       "cp_sequence_pack", // offsets pass — Corpus.scala sequence packing
+      "cp_shard_manifest", // same offsets pass, bytes-into-files level
       // rank pass runs AFTER TakeOrderedAndProject cut the set to k=50
       // rows — the windowed input is the sample, never the corpus
       "cp_reservoir_sample",
@@ -542,6 +543,19 @@ class PlanSpec extends AnyFunSuite {
     // the ±12 trend window partitions by event_type, never globally
     assert(p.linesIterator.filter(_.contains("windowspecdefinition"))
       .forall(l => l.contains("event_type")), p.take(900))
+  }
+
+  test("shard manifest: running bytes window is chunk-partitioned — " +
+    "no corpus-sized single-partition window") {
+    val p = SparkEntry.queries("cp_shard_manifest")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    // every window over the per-doc byte column carries the chunk key;
+    // the only unpartitioned window is the tiny per-chunk offsets pass
+    val nbWindows = p.linesIterator
+      .filter(l => l.contains("windowspecdefinition(") && l.contains("nb#"))
+      .toSeq
+    assert(nbWindows.nonEmpty && nbWindows.forall(_.contains("chunk#")),
+      nbWindows.mkString("\n"))
   }
 
   test("bpe train iteration: pair counts combine map-side, the argmax " +
