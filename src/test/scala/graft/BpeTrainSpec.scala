@@ -196,8 +196,8 @@ class BpeTrainSpec extends AnyFunSuite {
   }
 
   test("exhaustion: fewer learnable pairs than the budget => short table") {
-    // single-letter words only: zero adjacent pairs after 1 merge?
-    // no — zero pairs at all, so the table is empty
+    // single-letter words only => no word ever has two symbols, so
+    // no pair exists at any rank: the learned table is empty
     val docs = Seq((0L, "a b c a b"), (1L, "c a b"))
     val dir = java.nio.file.Files.createTempDirectory("bpetrain_x")
     import spark.implicits._
