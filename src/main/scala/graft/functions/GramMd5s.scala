@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Positional k-gram md5s of a document in one compiled pass — the
+  * substring-dedup front end's gram enumeration. Replaces the
+  * interpreted `transform(sequence(...), i -> md5(...))` chain: one
+  * output element per window START (NON-distinct, position order —
+  * `posexplode` downstream recovers the position), each the lowercase
+  * md5 hex of the window's UTF-8 bytes, matching engine `md5()` on
+  * both sides exactly.
+  *
+  * `words = true`: tokens are the `split(text, " ", -1)` words
+  * (trailing empties kept — the Spark/DuckDB split convention) and a
+  * window is k words joined by single spaces — byte-identical to
+  * `md5(CAST(array_join(slice(ws, i, k), ' ') AS BINARY))`.
+  * `words = false`: the input is an already-encoded one-char-per-
+  * symbol string (the sentinel-coded BPE form; printable-ASCII +
+  * control sentinels by the [[graft.queries.TextAnalysis]] bpeEncode
+  * contract, so char windows == code-point windows == DuckDB
+  * substring semantics) and a window is k consecutive chars.
+  *
+  * Fewer than k tokens => empty array (no window fits).
+  */
+object GramMd5sHelper {
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def md5Hex(md: java.security.MessageDigest,
+      s: String): UTF8String = {
+    md.reset()
+    val dig = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((dig(i) >> 4) & 0xf).toByte
+      out(2 * i + 1) = hexDigits(dig(i) & 0xf).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  def compute(text: UTF8String, k: Int, words: Boolean): GenericArrayData = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val s = text.toString
+    if (words) {
+      val ws = s.split(" ", -1)
+      if (ws.length < k) return new GenericArrayData(Array.empty[Any])
+      val n = ws.length - k + 1
+      val out = new Array[Any](n)
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i < n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(ws(i + j))
+          j += 1
+        }
+        out(i) = md5Hex(md, sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      if (s.length < k) return new GenericArrayData(Array.empty[Any])
+      val n = s.length - k + 1
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        out(i) = md5Hex(md, s.substring(i, i + k))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+}
+
+case class GramMd5s(child: Expression, k: Int, words: Boolean)
+    extends UnaryExpression {
+
+  require(k >= 1, s"gram_md5s: k=$k must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"gram_md5s expects string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    GramMd5sHelper.compute(input.asInstanceOf[UTF8String], k, words)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.GramMd5sHelper.compute($a, $k, $words);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object GramMd5s {
+  def apply(text: Column, k: Int, words: Boolean): Column =
+    ColumnBridge.column(new GramMd5s(ColumnBridge.expression(text), k, words))
+}

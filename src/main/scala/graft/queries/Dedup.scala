@@ -2038,22 +2038,21 @@ object Dedup {
   private def substringGrams(cfg: SubstringDedupConfig,
       docs: DataFrame): DataFrame = {
     val k = cfg.k
+    // graft.functions.GramMd5s: one compiled pass per document
+    // (tokenize + window + md5) instead of the interpreted
+    // transform(sequence(...)) HOF chain; empty array below k tokens,
+    // so no pre-filter is needed
     cfg.granularity match {
       case "word" =>
-        docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
-          .filter(size(col("ws")) >= k)
-          .select(col("doc_id"), posexplode(expr(
-            s"transform(sequence(1, size(ws) - ${k - 1}), " +
-              s"i -> md5(CAST(array_join(slice(ws, i, $k), ' ') AS BINARY)))")))
+        docs.select(col("doc_id"),
+            posexplode(graft.functions.GramMd5s(col("text"), k,
+              words = true)))
           .toDF("doc_id", "pos", "g")
       case _ =>
         docs.select(col("doc_id"),
-            replace(TextAnalysis.bpeEncode(col("text")), lit(" "), lit(""))
-              .as("enc"))
-          .filter(length(col("enc")) >= k)
-          .select(col("doc_id"), posexplode(expr(
-            s"transform(sequence(1, length(enc) - ${k - 1}), " +
-              s"i -> md5(CAST(substring(enc, i, $k) AS BINARY)))")))
+            posexplode(graft.functions.GramMd5s(
+              replace(TextAnalysis.bpeEncode(col("text")), lit(" "),
+                lit("")), k, words = false)))
           .toDF("doc_id", "pos", "g")
     }
   }

@@ -138,7 +138,7 @@ object TextAnalysis {
     * contains one, which is what keeps cross-pre-token letter pairs
     * apart).
     */
-  private[queries] def bpeEncode(c: Column): Column =
+  private[graft] def bpeEncode(c: Column): Column =
     BpeMerges.zipWithIndex.foldLeft(c) { case (acc, ((a, b), i)) =>
       replace(acc, lit(bpeSentinel(a) + bpeSentinel(b)),
         lit((i + 1).toChar.toString))

@@ -71,6 +71,40 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("GramMd5s equals the transform/md5 chains, both modes and " +
+      "codegen paths") {
+    bothPaths {
+      // word mode vs the exact idiom it replaced (incl. split's
+      // trailing-empty-token convention via the synthetic suffix doc)
+      val augmented = docs.select(col("text"))
+        .union(spark.createDataFrame(Seq(
+          Tuple1("a b c d "), Tuple1(""), Tuple1("x y"))).toDF("text"))
+      val wordRef = when(size(split(col("text"), " ")) < 3,
+        array().cast("array<string>"))
+        .otherwise(expr(
+          "transform(sequence(1, size(split(text, ' ')) - 2), " +
+            "i -> md5(CAST(array_join(slice(split(text, ' '), i, 3), ' ')" +
+            " AS BINARY)))"))
+      assert(augmented
+        .select(functions.GramMd5s(col("text"), 3, words = true).as("fast"),
+          wordRef.as("ref"))
+        .filter(not(col("fast") === col("ref"))).count() == 0)
+      // char mode vs substring/md5 over the sentinel-coded form
+      val enc = org.apache.spark.sql.functions.replace(
+        graft.queries.TextAnalysis.bpeEncode(col("text")),
+        lit(" "), lit(""))
+      val charRef = when(length(col("enc")) < 50,
+        array().cast("array<string>"))
+        .otherwise(expr(
+          "transform(sequence(1, length(enc) - 49), " +
+            "i -> md5(CAST(substring(enc, i, 50) AS BINARY)))"))
+      assert(docs.select(enc.as("enc"))
+        .select(functions.GramMd5s(col("enc"), 50, words = false).as("fast"),
+          charRef.as("ref"))
+        .filter(not(col("fast") === col("ref"))).count() == 0)
+    }
+  }
+
   test("WordShingles edge cases: short docs, k=1") {
     import spark.implicits._
     bothPaths {
