@@ -1163,6 +1163,87 @@ object TextAnalysis {
       |FROM docbi JOIN lm2 USING (w1, w2) JOIN lm1 USING (w1)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Interpolated Kneser–Ney bigram perplexity — the canonical n-gram
+    * smoothing (`ta_lm_perplexity` above is the raw-MLE form; real
+    * CCNet-style quality LMs discount): each bigram's probability is
+    *   P(w2|w1) = (max(c(w1,w2) − D, 0) + D·N1+(w1,·)·P_cont(w2))
+    *                / c(w1·)
+    * with P_cont(w2) = N1+(·,w2) / N1+(·,·) and the standard D = 0.75
+    * absolute discount — the mass removed from seen bigrams is
+    * redistributed by how many distinct HISTORIES a word follows
+    * (continuation counts), not by raw frequency. Self-trained on the
+    * corpus, so every doc bigram has c2 ≥ 1 and P > 0.
+    *
+    * Exactness: the probability is double arithmetic over exact
+    * counts with IDENTICAL operand order on both sides (left-assoc
+    * products, one division each); ln is the only transcendental and
+    * follows the house pattern — per-term round(·, 9) into DECIMAL
+    * accumulation (order-free), final ratio through Quant.qdec.
+    *
+    * Scale shape: everything aggregates before joining — the joins
+    * are keyed on bigram/unigram TYPES (vocabulary-bounded, not
+    * corpus-bounded) except docBi (per-doc distinct bigrams, the same
+    * mass ta_lm_perplexity carries); the N1+(·,·) scalar broadcasts.
+    */
+  private def kneserNey(s: SparkSession, dir: String): DataFrame = {
+    val D = 0.75
+    val bi = Tables(s, dir, "documents")
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(2, size(toks)), i -> " +
+          "struct(element_at(toks, i - 1) AS w1, " +
+          "element_at(toks, i) AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val docBi = bi.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cd"))
+    val lm2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val lm1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val n1f = lm2.groupBy(col("w1")).agg(count(lit(1)).as("nf"))
+    val n1b = lm2.groupBy(col("w2")).agg(count(lit(1)).as("nb"))
+    val nall = lm2.agg(count(lit(1)).as("nall"))
+    val p = (greatest(col("c2") - lit(D), lit(0.0)) +
+      lit(D) * col("nf") * (col("nb").cast("double") / col("nall"))) /
+      col("c1")
+    docBi
+      .join(lm2, Seq("w1", "w2"))
+      .join(lm1, Seq("w1"))
+      .join(n1f, Seq("w1"))
+      .join(n1b, Seq("w2"))
+      .crossJoin(broadcast(nall))
+      .withColumn("term",
+        round(-col("cd") * log(p), 9).cast(DecimalType(18, 9)))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cd")).as("nbt"), sum(col("term")).as("t"))
+      .select(col("doc_id"), col("nbt").cast("int").as("n_bigrams"),
+        Quant.qdec(col("t").cast("double") / col("nbt"), 9).as("nll_kn"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val kneserNeySql =
+    """WITH bi AS (
+      |  SELECT doc_id, ws[i - 1] AS w1, ws[i] AS w2
+      |  FROM (SELECT doc_id, ws, unnest(range(2, len(ws) + 1)) AS i
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS ws
+      |              FROM documents)
+      |        WHERE len(ws) >= 2)),
+      |docbi AS (
+      |  SELECT doc_id, w1, w2, count(*) AS cd FROM bi GROUP BY 1, 2, 3),
+      |lm2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+      |lm1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+      |n1f AS (SELECT w1, count(*) AS nf FROM lm2 GROUP BY 1),
+      |n1b AS (SELECT w2, count(*) AS nb FROM lm2 GROUP BY 1),
+      |nall AS (SELECT count(*) AS nall FROM lm2)
+      |SELECT doc_id, CAST(sum(cd) AS INTEGER) AS n_bigrams,
+      |  floor(CAST(sum(CAST(round(-cd * ln(
+      |      (greatest(c2 - 0.75, 0.0) + 0.75 * nf *
+      |        (CAST(nb AS DOUBLE) / nall)) / c1), 9) AS DECIMAL(18,9)))
+      |    AS DOUBLE) / sum(cd) * 1e9 + 0.5) / 1e9 AS nll_kn
+      |FROM docbi
+      |  JOIN lm2 USING (w1, w2) JOIN lm1 USING (w1)
+      |  JOIN n1f USING (w1) JOIN n1b USING (w2), nall
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Per-document unigram Shannon entropy — the information-density
     * quality signal (low entropy = repetitive/templated text).
     * Computed LINEARLY: one (doc, word) count aggregate, then each
@@ -2014,6 +2095,7 @@ object TextAnalysis {
     QueryDef("ta_bm25", bm25, Some(bm25Sql)),
     QueryDef("ta_token_entropy", tokenEntropy, Some(tokenEntropySql)),
     QueryDef("ta_lm_perplexity", lmPerplexity, Some(lmPerplexitySql)),
+    QueryDef("ta_kneser_ney", kneserNey, Some(kneserNeySql)),
     QueryDef("ta_tfidf", tfidf, Some(tfidfSql)),
     QueryDef("ta_cooccurrence", cooccurrence, Some(cooccurrenceSql)),
     QueryDef("ta_pmi_bigrams", pmiBigrams, Some(pmiBigramsSql)),
