@@ -117,8 +117,7 @@ object IncrementalIngest {
     def loadAccepted(s2: SparkSession): IncrementalDedup.Artifacts =
       deltaPaths.map(p => IncrementalDedup.load(s2, p))
         .reduce((x, y) => IncrementalDedup.Artifacts(
-          x.fingerprints.unionByName(y.fingerprints),
-          x.shingles.unionByName(y.shingles)))
+          x.keys.unionByName(y.keys)))
 
     // an arrival = copy of the staged batch's parquet part files; the
     // second copy happens between processAllAvailable() calls so it
@@ -161,7 +160,8 @@ object IncrementalIngest {
           }
           val accepted = loadAccepted(s2)
           val verdicts = IncrementalDedup.screen(batch, accepted,
-            "doc_id", "text", threshold, shingleK, maxShingleDf)
+            "doc_id", "text", threshold, shingleK, maxShingleDf,
+            ordered = false)
             // batch identity derived from the deterministic split, so
             // the verdict log is stable however the source batches
             .withColumn("arrival_batch",

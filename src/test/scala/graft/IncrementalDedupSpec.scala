@@ -60,10 +60,8 @@ class IncrementalDedupSpec extends AnyFunSuite {
     val a = IncrementalDedup.artifacts(accepted, "id", "text")
     IncrementalDedup.save(a, path)
     val loaded = IncrementalDedup.load(spark, path)
-    assert(loaded.fingerprints.orderBy("id").collect().toSeq ==
-      a.fingerprints.orderBy("id").collect().toSeq)
-    assert(loaded.shingles.orderBy("id", "g").collect().toSeq ==
-      a.shingles.orderBy("id", "g").collect().toSeq)
+    assert(loaded.keys.orderBy("id", "key").collect().toSeq ==
+      a.keys.orderBy("id", "key").collect().toSeq)
   }
 
   test("accept() grows the accepted set so round-2 copies are caught") {

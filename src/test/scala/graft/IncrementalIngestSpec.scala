@@ -92,8 +92,7 @@ class IncrementalIngestSpec extends AnyFunSuite {
     val viaDeltas = verdicts(
       Seq(s"$work/d0", s"$work/d1").map(p => IncrementalDedup.load(spark, p))
         .reduce((x, y) => IncrementalDedup.Artifacts(
-          x.fingerprints.unionByName(y.fingerprints),
-          x.shingles.unionByName(y.shingles))))
+          x.keys.unionByName(y.keys))))
     val viaCompacted = verdicts(IncrementalDedup.compact(spark,
       Seq(s"$work/d0", s"$work/d1"), s"$work/compacted"))
     assert(viaDeltas.nonEmpty && viaCompacted == viaDeltas)
