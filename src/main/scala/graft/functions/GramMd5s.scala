@@ -32,6 +32,15 @@ import org.apache.spark.unsafe.types.UTF8String
 object GramMd5sHelper {
   private val hexDigits = "0123456789abcdef".toCharArray
 
+  /** One digest per thread, reset per window — compute() sits on the
+    * compiled hot path and a per-row getInstance("MD5") allocation is
+    * measurable at gram mass (5× row count on the BPE setting).
+    */
+  private val localMd = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   private def md5Hex(md: java.security.MessageDigest,
       s: String): UTF8String = {
     md.reset()
@@ -47,7 +56,7 @@ object GramMd5sHelper {
   }
 
   def compute(text: UTF8String, k: Int, words: Boolean): GenericArrayData = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = localMd.get()
     val s = text.toString
     if (words) {
       val ws = s.split(" ", -1)
@@ -69,6 +78,15 @@ object GramMd5sHelper {
       }
       new GenericArrayData(out)
     } else {
+      // Char mode windows UTF-16 code units; the DuckDB oracle's
+      // substring/length are code-point based. Equality holds only on
+      // single-byte (ASCII + control-sentinel) input — the bpeEncode
+      // contract — so enforce it loudly instead of letting a non-ASCII
+      // fixture silently diverge and split surrogate pairs.
+      if (text.numBytes != text.numChars) throw new IllegalArgumentException(
+        "gram_md5s char mode requires single-byte (ASCII/control) input " +
+          "per the bpeEncode sentinel contract; got multi-byte code points " +
+          s"(${text.numBytes} bytes, ${text.numChars} chars)")
       if (s.length < k) return new GenericArrayData(Array.empty[Any])
       val n = s.length - k + 1
       val out = new Array[Any](n)

@@ -826,6 +826,18 @@ object Corpus {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
+    // foreachBatch only writes when a batch had arriving (bucket<80)
+    // docs — a corpus with no train-split docs leaves verdictDir
+    // absent and the read would throw. An empty verdict frame IS the
+    // correct answer there, so publish one before the final read.
+    if (!java.nio.file.Files.exists(work.resolve("verdicts")))
+      ss.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          StructType(Seq(
+            StructField("doc_id", LongType),
+            StructField("n_grams", org.apache.spark.sql.types.IntegerType),
+            StructField("n_shared", LongType),
+            StructField("leaky", org.apache.spark.sql.types.BooleanType))))
+        .write.mode("overwrite").parquet(s"$verdictDir/b_empty")
     val out = ss.read.option("recursiveFileLookup", "true")
       .parquet(verdictDir)
       .select(col("doc_id"), col("n_grams"), col("n_shared"), col("leaky"))

@@ -149,4 +149,21 @@ class ContaminationStreamSpec extends AnyFunSuite {
 
     org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
   }
+
+  test("corpus with no train-split docs yields an EMPTY verdict frame, " +
+    "not a missing-dir failure") {
+    val (evalDocs, _, _) = synthesize()
+    // fixture dir whose documents are ALL eval-bucket (>= 90): the
+    // gate's foreachBatch never writes, so the final read must fall
+    // back to the published empty frame
+    val fix = java.nio.file.Files.createTempDirectory("graft_cstream_empty")
+    toDocsDf(evalDocs).write.mode("overwrite")
+      .parquet(fix.resolve("documents.parquet").toString)
+    val out = graft.SparkEntry.queries("cp_contamination_stream")(
+      spark, fix.toString)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "n_grams", "n_shared", "leaky"))
+    assert(out.count() == 0L)
+    org.apache.commons.io.FileUtils.deleteQuietly(fix.toFile)
+  }
 }

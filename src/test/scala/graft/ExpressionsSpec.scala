@@ -105,6 +105,27 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("GramMd5s char mode rejects multi-byte input loudly (sentinel " +
+      "contract guard) and word mode still accepts it") {
+    import spark.implicits._
+    bothPaths {
+      val nonAscii = Seq("héllo wörld grüß gott here").toDF("text")
+      val ex = intercept[Exception] { // SparkException or the raw IAE,
+        // depending on whether local-mode task failure wraps it
+        nonAscii.select(functions.GramMd5s(col("text"), 3, words = false))
+          .collect()
+      }
+      def msgs(t: Throwable): Iterator[String] =
+        Iterator.iterate[Throwable](t)(_.getCause).takeWhile(_ != null)
+          .take(5).map(e => Option(e.getMessage).getOrElse(""))
+      assert(msgs(ex).exists(_.contains("single-byte")))
+      // word mode has no code-unit windowing, so multi-byte is fine
+      assert(nonAscii
+        .select(functions.GramMd5s(col("text"), 3, words = true).as("g"))
+        .selectExpr("size(g)").as[Int].head() == 3)
+    }
+  }
+
   test("WordShingles edge cases: short docs, k=1") {
     import spark.implicits._
     bothPaths {
