@@ -296,35 +296,14 @@ object TextAnalysis {
       .agg(sum(col("occ") * col("f")).as("c"))
 
   private def trainBpe(s: SparkSession, dir: String): Vector[LearnedMerge] = {
-    val vocab = Tables(s, dir, "documents")
-      .select(explode(
-        regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0))).as("s"))
-      .groupBy(col("s")).agg(count(lit(1)).as("f"))
-      .localCheckpoint()
-    var state = vocab
-    // sentinel char -> its fully-expanded letter string
-    val expansion = scala.collection.mutable.Map.empty[Char, String]
-    def expand(sym: Char): String = expansion.getOrElse(sym, sym.toString)
-    val learned = Vector.newBuilder[LearnedMerge]
-    var r = 1
-    var exhausted = false
-    while (r <= BpeTrainMerges && !exhausted) {
-      val winner = pairCounts(state).orderBy(col("c").desc, col("pr").asc)
-        .limit(1).collect()
-      if (winner.isEmpty) exhausted = true
-      else {
-        val pr = winner(0).getString(0)
-        val lhs = expand(pr.charAt(0))
-        val rhs = expand(pr.charAt(1))
-        expansion(r.toChar) = lhs + rhs
-        learned += LearnedMerge(r, pr, lhs, rhs, winner(0).getLong(1))
-        state = state.withColumn("s",
-          replace(col("s"), lit(pr), lit(r.toChar.toString)))
-          .localCheckpoint()
-        r += 1
-      }
-    }
-    learned.result()
+    // the training loop lives in graft.text.BpeModel (the persistable
+    // artifact); ranks <= 31 keep the chr(rank) sentinel the unrolled
+    // DuckDB oracle is generated against, so delegation is exact
+    graft.text.BpeModel
+      .train(Tables(s, dir, "documents"), "text",
+        graft.text.BpeTrainConfig(BpeTrainMerges))
+      .rules
+      .map(m => LearnedMerge(m.rank, m.codedPair, m.lhs, m.rhs, m.count))
   }
 
   private def bpeTrain(s: SparkSession, dir: String): DataFrame = {
@@ -356,6 +335,42 @@ object TextAnalysis {
       .select(col("source"),
         (length(col("text")) - nsp).cast("long").as("base"),
         (length(coded) - nsp).cast("long").as("after"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("base")).as("base_symbols"),
+        sum(col("after")).as("bpe_tokens"))
+      .withColumn("compression",
+        Quant.qdec(col("bpe_tokens").cast("double") / col("base_symbols"), 9))
+      .orderBy(col("source"))
+  }
+
+  /** The persistence closure of the tokenizer story: train →
+    * `BpeModel.save` → `load` → apply, in one operator — proving the
+    * PERSISTED artifact reproduces the inline-trained readout exactly
+    * (the oracle is [[bpeLearnedCompressionSql]], byte-identical
+    * output contract). This is the shape a production pipeline runs:
+    * the tokenizer is trained once, published as an immutable
+    * artifact (atomic rename, refuse-overwrite — the IvfIndex/compact
+    * convention), and every later corpus pass applies the LOADED
+    * table; nothing retrains inline. The model is rule-table sized
+    * (KBs), so load is a driver-side read and apply is one codegen'd
+    * replace chain over the corpus.
+    */
+  private def bpeSavedCompression(s: SparkSession, dir: String): DataFrame = {
+    val model = graft.text.BpeModel.train(Tables(s, dir, "documents"),
+      "text", graft.text.BpeTrainConfig(BpeTrainMerges))
+    val work = java.nio.file.Files.createTempDirectory("graft_bpe_model")
+    val path = work.resolve("model").toString
+    model.save(s, path)
+    val loaded = graft.text.BpeModel.load(s, path)
+    // the artifact is driver-resident after load; the apply plan reads
+    // only the corpus, so the run dir can go away immediately
+    org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
+    val nsp = length(col("text")) - length(replace(col("text"), lit(" ")))
+    Tables(s, dir, "documents")
+      .select(col("source"),
+        (length(col("text")) - nsp).cast("long").as("base"),
+        (length(loaded.encode(col("text"))) - nsp).cast("long").as("after"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("base")).as("base_symbols"),
@@ -2106,6 +2121,8 @@ object TextAnalysis {
     QueryDef("ta_bpe_true_count", bpeTrueCount, Some(bpeTrueCountSql)),
     QueryDef("ta_bpe_train", bpeTrain, Some(bpeTrainSql)),
     QueryDef("ta_bpe_learned_compression", bpeLearnedCompression,
+      Some(bpeLearnedCompressionSql)),
+    QueryDef("ta_bpe_saved_compression", bpeSavedCompression,
       Some(bpeLearnedCompressionSql)),
     QueryDef("ta_readability", readability, Some(readabilitySql)),
     QueryDef("ta_heavy_hitters_mg", heavyHittersMg, Some(heavyHittersMgSql)),
