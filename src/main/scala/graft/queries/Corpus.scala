@@ -776,6 +776,67 @@ object Corpus {
       .withColumn("leaky", col("n_shared") > 0)
   }
 
+  /** Bloom-PRESCREENED decontamination — the batch screen restated
+    * for the regime where even the eval gram SET is too heavy to hand
+    * every executor as a broadcast hash relation. The frozen side
+    * collapses once more, from distinct gram md5s (16+ bytes each) to
+    * a Bloom filter over their xxhash64s (~1.2 bytes/gram at 1% FPR —
+    * an order of magnitude lighter at the same membership question),
+    * built by ONE eval-bounded aggregation and shipped into the
+    * corpus-side scan as a codegen LITERAL predicate
+    * (`BloomFilterMightContain` — the expression Spark's own runtime
+    * row-level filtering injects, so the probe rides whole-stage
+    * codegen with no join machinery). Only the surviving ~(hits + FP)
+    * gram stream enters the exact confirm semi-join, which restores
+    * set semantics — false positives cannot reach the verdict, so the
+    * output is byte-equal to the exact screen and the oracle is the
+    * ingest-gate SQL verbatim.
+    *
+    * Scale shape at 100 TB: corpus side is scan → explode → md5 →
+    * bloom probe, all narrow; the shuffle that remains (per-doc count
+    * of confirmed grams) carries only confirmed hits. The bloom build
+    * is eval-sized; its bytes live in the plan, not in a broadcast
+    * exchange.
+    */
+  private def bloomGate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val k = 13
+    val docs = Tables(s, dir, "documents")
+    val evalGrams = evalGramSet(docs, k)
+    val bloomBytes = evalGrams
+      .select(ColumnBridge.column(new BloomFilterAggregate(
+          new XxHash64(Seq(ColumnBridge.expression(col("g")))),
+          Literal(200000L)).toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val arriving = docs.filter(hashBucket("split:", 100) < 80)
+    val grams = arriving
+      .select(col("doc_id"),
+        explode(graft.functions.WordShingles(col("text"), k)).as("gr"))
+      .select(col("doc_id"), md5(col("gr").cast("binary")).as("g"))
+    // bloomBytes is null only when the eval split is EMPTY (the
+    // aggregate saw no rows) — then nothing can leak and the exact
+    // confirm below sees an empty candidate stream either way
+    val candidates =
+      if (bloomBytes == null) grams.filter(lit(false))
+      else grams.filter(ColumnBridge.column(new BloomFilterMightContain(
+        Literal(bloomBytes,
+          org.apache.spark.sql.types.BinaryType),
+        new XxHash64(Seq(ColumnBridge.expression(col("g")))))))
+    val shared = candidates
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    arriving
+      .select(col("doc_id"),
+        size(graft.functions.WordShingles(col("text"), k)).as("n_grams"))
+      .join(shared, Seq("doc_id"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("leaky", col("n_shared") > 0)
+      .orderBy(col("doc_id"))
+  }
+
   /** INGEST-TIME decontamination — the triptych's production
     * placement: eval leaks are cheapest to stop at ingest, before a
     * contaminated candidate costs dedup/embedding work and lands in a
@@ -1589,6 +1650,8 @@ object Corpus {
     QueryDef("cp_dsir_resample", dsirResample, Some(dsirResampleSql)),
     QueryDef("cp_contamination", contamination, Some(contaminationSql)),
     QueryDef("cp_contamination_stream", contaminationIngestStream,
+      Some(contaminationIngestStreamSql)),
+    QueryDef("cp_bloom_gate", bloomGate,
       Some(contaminationIngestStreamSql)),
     QueryDef("cp_contamination_spans", contaminationSpans,
       Some(contaminationSpansSql)),

@@ -2109,6 +2109,64 @@ object Dedup {
   private def substringSpans(s: SparkSession, dir: String): DataFrame =
     substringSpansWith(SubstringDedupConfig.Default)(s, dir)
 
+  /** Per-document CROSS-DOC duplicate-gram fraction — the dedup-debt
+    * readout: what share of a doc's 5-gram occurrences also appear in
+    * at least one OTHER document. Where [[substringSpans]] reports the
+    * corpus's duplicated-span histogram, this scores each doc (the
+    * signal curation ranks by before deciding whether substring dedup
+    * is worth a pass, and the per-doc weight CC-style pipelines feed
+    * into sampling). Cross-doc — a gram repeated only within its own
+    * doc does not count — so the dup test is distinct-doc occupancy,
+    * not raw occurrence count.
+    *
+    * Scale shape: the gram mass shuffles ONCE into the (gram, doc)
+    * pre-aggregation (map-side combinable); the occupancy window then
+    * rides the REDUCED per-(gram,doc) rows — bounded by distinct
+    * grams × docs-containing-them, typically ~the gram mass only on
+    * pathological corpora — and the final per-doc rollup carries one
+    * row per (gram, doc). No join ever re-expands the gram pipeline
+    * (the lesson the r17 substring front-end rebuild measured).
+    */
+  private def dupgramFraction(s: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val perDocGram = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.GramMd5s(col("text"), k, words = true))
+          .as("g"))
+      .groupBy(col("g"), col("doc_id")).agg(count(lit(1)).as("cnt"))
+    perDocGram
+      .withColumn("n_docs",
+        count(lit(1)).over(Window.partitionBy(col("g"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_grams"),
+        sum(when(col("n_docs") >= 2, col("cnt")).otherwise(0L))
+          .as("n_dup"))
+      .withColumn("dup_frac",
+        graft.Quant.qdec(col("n_dup").cast("double") / col("n_grams"), 9))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dupgramFractionSql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 5),
+      |g AS (
+      |  SELECT doc_id, md5(array_to_string(ws[i:i+4], ' ')) AS g
+      |  FROM t, unnest(range(1, len(ws) - 3)) AS u(i)),
+      |pdg AS (
+      |  SELECT g, doc_id, count(*) AS cnt FROM g GROUP BY 1, 2),
+      |occ AS (
+      |  SELECT doc_id, cnt,
+      |    count(*) OVER (PARTITION BY g) AS n_docs
+      |  FROM pdg)
+      |SELECT doc_id,
+      |  CAST(sum(cnt) AS BIGINT) AS n_grams,
+      |  CAST(sum(CASE WHEN n_docs >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+      |    AS n_dup,
+      |  floor(CAST(sum(CASE WHEN n_docs >= 2 THEN cnt ELSE 0 END)
+      |      AS DOUBLE) / sum(cnt) * 1e9 + 0.5) / 1e9 AS dup_frac
+      |FROM occ GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** [[substringSpans]] at 50-BPE-token granularity — the canonical
     * Lee et al. ACL'22 setting (k = 50 BPE tokens), runnable because
     * the tokenizer is the sentinel-coded replace chain whose
@@ -2655,6 +2713,8 @@ object Dedup {
     QueryDef("dd_containment", containment, Some(containmentSql)),
     QueryDef("dd_span_dupes", spanDupes, Some(spanDupesSql)),
     QueryDef("dd_substring_spans", substringSpans, Some(substringSpansSql)),
+    QueryDef("dd_dupgram_fraction", dupgramFraction,
+      Some(dupgramFractionSql)),
     QueryDef("dd_substring_spans_bpe", substringSpansBpe,
       Some(substringSpansBpeSql)),
     QueryDef("dd_substring_trim", substringTrim, Some(substringTrimSql)),

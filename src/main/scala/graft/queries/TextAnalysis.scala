@@ -657,6 +657,81 @@ object TextAnalysis {
        |  FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  /** Gopher-style RULE filter (Rae et al. 2021, table A1 restated for
+    * the fixture's vocabulary): where `ta_quality_score` blends
+    * signals into one scalar, production corpus curation mostly runs
+    * HARD per-rule gates and keeps the per-rule verdicts for ablation
+    * (which rule cut what). Four of the standard rules, each a
+    * narrow projection over one tokenization:
+    *   - word count inside [40, 120] (the fixture-scaled version of
+    *     Gopher's [50, 100k]);
+    *   - mean word length inside [3, 10];
+    *   - at least 2 DISTINCT stopwords present (Gopher's
+    *     "2 of the 8 common English words" rule);
+    *   - >= 80% of words contain an alphabetic character.
+    * `keep` is the conjunction. One pass, no shuffle except the
+    * output sort; every rational goes through Quant.qdec before a
+    * threshold compare so the gate decisions are order- and
+    * engine-exact.
+    */
+  private def gopherRules(s: SparkSession, dir: String): DataFrame = {
+    val stopArr = array(stopwords.map(lit): _*)
+    Tables(s, dir, "documents")
+      .withColumn("ws", TextFns.tokens(col("text")))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("mean_word_len",
+        Quant.qdec((length(col("text")) - col("n_words") + 1)
+          .cast("double") / col("n_words"), 9))
+      .withColumn("n_stop_distinct",
+        size(filter(array_distinct(col("ws")),
+          w => array_contains(stopArr, w))).cast("long"))
+      .withColumn("alpha_frac",
+        Quant.qdec(size(filter(col("ws"),
+            w => w.rlike("[A-Za-z]"))).cast("double") / col("n_words"), 9))
+      .withColumn("pass_word_count", col("n_words").between(40L, 120L))
+      .withColumn("pass_mean_word_len",
+        col("mean_word_len").between(3.0, 10.0))
+      .withColumn("pass_stopwords", col("n_stop_distinct") >= 2L)
+      .withColumn("pass_alpha", col("alpha_frac") >= 0.8)
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("n_stop_distinct"), col("alpha_frac"),
+        col("pass_word_count"), col("pass_mean_word_len"),
+        col("pass_stopwords"), col("pass_alpha"),
+        (col("pass_word_count") && col("pass_mean_word_len") &&
+          col("pass_stopwords") && col("pass_alpha")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val gopherRulesSql =
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |    floor((CAST(length(text) AS DOUBLE)
+       |        - len(string_split(text, ' ')) + 1)
+       |      / len(string_split(text, ' ')) * 1e9 + 0.5) / 1e9
+       |      AS mean_word_len,
+       |    CAST(len(list_filter(list_distinct(string_split(text, ' ')),
+       |      w -> w IN (${stopwords.map(w => s"'$w'").mkString(", ")})))
+       |      AS BIGINT) AS n_stop_distinct,
+       |    floor(CAST(len(list_filter(string_split(text, ' '),
+       |        w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) * 1e9 + 0.5) / 1e9
+       |      AS alpha_frac
+       |  FROM documents),
+       |ruled AS (
+       |  SELECT *,
+       |    n_words BETWEEN 40 AND 120 AS pass_word_count,
+       |    mean_word_len BETWEEN 3.0 AND 10.0 AS pass_mean_word_len,
+       |    n_stop_distinct >= 2 AS pass_stopwords,
+       |    alpha_frac >= 0.8 AS pass_alpha
+       |  FROM base)
+       |SELECT doc_id, n_words, mean_word_len, n_stop_distinct,
+       |  alpha_frac, pass_word_count, pass_mean_word_len,
+       |  pass_stopwords, pass_alpha,
+       |  pass_word_count AND pass_mean_word_len AND pass_stopwords
+       |    AND pass_alpha AS keep
+       |FROM ruled ORDER BY doc_id""".stripMargin
+
   /** Stopword-profile language ID (n-gram heuristic): score each
     * candidate language by its marker-token hits; argmax with a fixed
     * tie-break order. The fixture vocabulary is shared across langs,
@@ -1159,6 +1234,87 @@ object TextAnalysis {
         Quant.qdec(col("t").cast("double") / col("nb"), 9).as("nll"))
       .orderBy(col("doc_id"))
   }
+
+  /** The perplexity QUALITY GATE `ta_lm_perplexity` scores for — the
+    * CCNet placement: docs whose LM nll falls OUTSIDE a band are cut
+    * (low tail = templated/boilerplate, high tail = noise/garble) and
+    * the readout is the per-source cut report a curation run ships
+    * (which sources lose how much to which tail). Per-doc nll is the
+    * EXACT `ta_lm_perplexity` pipeline (per-term rounded ln into
+    * DECIMAL accumulation, final rational through Quant.qdec), so the
+    * band compare sees bit-identical scores on both engines; the band
+    * [3.35, 3.43] is fixture-scaled (production would set it from a
+    * held-out percentile sweep). The verdict join is doc-keyed —
+    * both sides doc-count-sized, co-partitioned by the join — and the
+    * rollup carries one row per source.
+    */
+  private def perplexityFilter(s: SparkSession, dir: String): DataFrame = {
+    val (lo, hi) = (3.35, 3.43)
+    val bi = Tables(s, dir, "documents")
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(2, size(toks)), i -> " +
+          "struct(element_at(toks, i - 1) AS w1, " +
+          "element_at(toks, i) AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val docBi = bi.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cd"))
+    val lm2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val lm1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val nll = docBi
+      .join(lm2, Seq("w1", "w2"))
+      .join(lm1, Seq("w1"))
+      .withColumn("term",
+        round(-col("cd") * log(col("c2").cast("double") / col("c1")), 9)
+          .cast(DecimalType(18, 9)))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cd")).as("nb"), sum(col("term")).as("t"))
+      .select(col("doc_id"),
+        Quant.qdec(col("t").cast("double") / col("nb"), 9).as("nll"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .join(nll, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("nll") < lo, 1L).otherwise(0L)).as("n_cut_low"),
+        sum(when(col("nll") > hi, 1L).otherwise(0L)).as("n_cut_high"),
+        sum(when(col("nll").between(lo, hi), 1L).otherwise(0L))
+          .as("n_kept"))
+      .withColumn("kept_frac",
+        Quant.qdec(col("n_kept").cast("double") / col("n_docs"), 9))
+      .orderBy(col("source"))
+  }
+
+  private val perplexityFilterSql =
+    """WITH bi AS (
+      |  SELECT doc_id, ws[i - 1] AS w1, ws[i] AS w2
+      |  FROM (SELECT doc_id, ws, unnest(range(2, len(ws) + 1)) AS i
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS ws
+      |              FROM documents)
+      |        WHERE len(ws) >= 2)),
+      |docbi AS (
+      |  SELECT doc_id, w1, w2, count(*) AS cd FROM bi GROUP BY 1, 2, 3),
+      |lm2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+      |lm1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+      |nll AS (
+      |  SELECT doc_id,
+      |    floor(CAST(sum(CAST(round(
+      |        -cd * ln(CAST(c2 AS DOUBLE) / c1), 9) AS DECIMAL(18,9)))
+      |      AS DOUBLE) / sum(cd) * 1e9 + 0.5) / 1e9 AS nll
+      |  FROM docbi JOIN lm2 USING (w1, w2) JOIN lm1 USING (w1)
+      |  GROUP BY doc_id)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN nll < 3.35 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_cut_low,
+      |  CAST(sum(CASE WHEN nll > 3.43 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_cut_high,
+      |  CAST(sum(CASE WHEN nll BETWEEN 3.35 AND 3.43 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_kept,
+      |  floor(CAST(sum(CASE WHEN nll BETWEEN 3.35 AND 3.43 THEN 1 ELSE 0
+      |      END) AS DOUBLE) / count(*) * 1e9 + 0.5) / 1e9 AS kept_frac
+      |FROM documents JOIN nll USING (doc_id)
+      |GROUP BY source ORDER BY source""".stripMargin
 
   private val lmPerplexitySql =
     """WITH bi AS (
@@ -2110,6 +2266,9 @@ object TextAnalysis {
     QueryDef("ta_bm25", bm25, Some(bm25Sql)),
     QueryDef("ta_token_entropy", tokenEntropy, Some(tokenEntropySql)),
     QueryDef("ta_lm_perplexity", lmPerplexity, Some(lmPerplexitySql)),
+    QueryDef("ta_perplexity_filter", perplexityFilter,
+      Some(perplexityFilterSql)),
+    QueryDef("ta_gopher_rules", gopherRules, Some(gopherRulesSql)),
     QueryDef("ta_kneser_ney", kneserNey, Some(kneserNeySql)),
     QueryDef("ta_tfidf", tfidf, Some(tfidfSql)),
     QueryDef("ta_cooccurrence", cooccurrence, Some(cooccurrenceSql)),

@@ -579,4 +579,29 @@ class PlanSpec extends AnyFunSuite {
       l.trim.startsWith("+- Sort") || l.trim.startsWith("Sort")), p.take(1200))
   }
 
+  test("bloom gate: the prescreen is a codegen literal predicate on the " +
+    "scan side — no join, no exchange, before the exact confirm") {
+    val p = plan("cp_bloom_gate")
+    // the bloom probe must appear as a filter expression (the literal
+    // rides the plan), and the only join machinery is the eval-sized
+    // broadcast confirm — never a shuffle join keyed on the gram mass
+    assert(p.contains("might_contain"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("dupgram fraction: gram mass shuffles once into the (gram, doc) " +
+    "pre-aggregation — map-side combine present, no gram-keyed join") {
+    val p = plan("dd_dupgram_fraction")
+    assert(p.contains("partial_count"), p.take(1500))
+    // the occupancy test is a window over the reduced rows, not a
+    // join back onto the gram pipeline (exactly one Generate = one
+    // gram enumeration)
+    val generates = p.linesIterator.count(_.contains("Generate explode"))
+    assert(generates == 1, s"gram pipeline ran $generates times:\n" +
+      p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
 }

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Functional cross-checks for the round's curation-gate operators,
+  * each against an independent imperative reference over the raw
+  * fixture strings (the BpeTrainSpec convention — no Spark machinery
+  * shared with the operator under test).
+  */
+class QualityGatesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def fixtureDocs(): Array[(Long, String)] =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+
+  test("bloom gate == the exact ingest screen, row for row (false " +
+      "positives cannot survive the confirm join)") {
+    val got = SparkEntry.queries("cp_bloom_gate")(spark, dir)
+      .collect().map(_.toSeq).toVector
+    val want = SparkEntry.queries("cp_contamination_stream")(spark, dir)
+      .collect().map(_.toSeq).toVector
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("gopher rules: verdicts equal an imperative evaluation") {
+    val stop = Set("the", "a", "of", "and", "to", "in", "is")
+    val want = fixtureDocs().map { case (id, text) =>
+      val ws = text.split(" ", -1)
+      val nWords = ws.length.toLong
+      val mwl = math.floor(
+        (text.length - nWords + 1).toDouble / nWords * 1e9 + 0.5) / 1e9
+      val nStop = ws.distinct.count(stop).toLong
+      val alpha = math.floor(ws.count(_.exists(_.isLetter)).toDouble /
+        nWords * 1e9 + 0.5) / 1e9
+      id -> ((nWords, mwl, nStop, alpha,
+        nWords >= 40L && nWords <= 120L && mwl >= 3.0 && mwl <= 10.0 &&
+          nStop >= 2L && alpha >= 0.8))
+    }.toMap
+    val got = SparkEntry.queries("ta_gopher_rules")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Double]("mean_word_len"),
+          r.getAs[Long]("n_stop_distinct"), r.getAs[Double]("alpha_frac"),
+          r.getAs[Boolean]("keep")))).toMap
+    assert(got == want)
+    // the fixture must exercise both verdicts
+    assert(got.values.exists(_._5) && got.values.exists(!_._5))
+  }
+
+  test("dupgram fraction: per-doc fractions equal a hash-map recount") {
+    val k = 5
+    def grams(text: String): Seq[String] = {
+      val ws = text.split(" ", -1)
+      if (ws.length < k) Seq.empty
+      else (0 to ws.length - k).map(i => ws.slice(i, i + k).mkString(" "))
+    }
+    val docs = fixtureDocs()
+    val occupancy = scala.collection.mutable
+      .Map.empty[String, Set[Long]].withDefaultValue(Set.empty)
+    docs.foreach { case (id, t) =>
+      grams(t).foreach(g => occupancy(g) += id)
+    }
+    val want = docs.flatMap { case (id, t) =>
+      val gs = grams(t)
+      if (gs.isEmpty) None
+      else {
+        val dup = gs.count(g => occupancy(g).size >= 2).toLong
+        Some(id -> ((gs.length.toLong, dup,
+          math.floor(dup.toDouble / gs.length * 1e9 + 0.5) / 1e9)))
+      }
+    }.toMap
+    val got = SparkEntry.queries("dd_dupgram_fraction")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_dup"),
+          r.getAs[Double]("dup_frac")))).toMap
+    assert(got == want)
+    assert(got.values.exists(_._2 > 0L),
+      "fixture has no cross-doc duplicate grams — signal untested")
+  }
+
+  test("perplexity filter: per-source tallies equal regrouping the " +
+      "ta_lm_perplexity scores through the same band") {
+    val (lo, hi) = (3.35, 3.43)
+    val nll = SparkEntry.queries("ta_lm_perplexity")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("nll")).toMap
+    val srcOf = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = nll.toSeq.groupBy { case (id, _) => srcOf(id) }
+      .map { case (src, xs) =>
+        val kept = xs.count { case (_, v) => v >= lo && v <= hi }.toLong
+        src -> ((xs.size.toLong,
+          xs.count(_._2 < lo).toLong, xs.count(_._2 > hi).toLong, kept,
+          math.floor(kept.toDouble / xs.size * 1e9 + 0.5) / 1e9))
+      }
+    val got = SparkEntry.queries("ta_perplexity_filter")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_cut_low"),
+          r.getAs[Long]("n_cut_high"), r.getAs[Long]("n_kept"),
+          r.getAs[Double]("kept_frac")))).toMap
+    assert(got == want)
+  }
+}
