@@ -120,6 +120,46 @@ object Bench {
       case _ => -1L
     }
 
+  /** Per-thread-CLASS cumulative CPU of this process, in ms, read from
+    * each /proc/self/task entry's comm + stat (utime+stime ticks). The r17 open
+    * thread: process-wide cpu_ms cannot separate executor-pool cycles
+    * from GC/JIT threads, so a rep-0 warm-up spike was labeled by
+    * inference. ThreadMXBean cannot do this either — GC and compiler
+    * threads are NATIVE threads, invisible to it — hence procfs.
+    * Classes: `exec` (Spark's "Executor task launch worker" pool —
+    * the cycles the QUERY burned), `gc` (G1's collector threads),
+    * `jit` (C1/C2 compiler threads — warm-up's signature), `other`
+    * (driver, IO, scheduler...). Caveat recorded here once: a thread
+    * that DIES between snapshots takes its cumulative time with it,
+    * so deltas are floors — fine for the executor pool and GC/JIT
+    * threads, which live for the JVM's lifetime.
+    */
+  private def threadCpuByClass(): Map[String, Long] = {
+    val tasks = new java.io.File("/proc/self/task").listFiles()
+    val acc = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    if (tasks != null) tasks.foreach { t =>
+      try {
+        val comm = Files.readString(t.toPath.resolve("comm")).trim
+        val stat = Files.readString(t.toPath.resolve("stat"))
+        // comm inside stat may contain spaces/parens: parse after the
+        // LAST ')'; fields there start at field 3 (state), so
+        // utime/stime (fields 14/15) are offsets 11/12
+        val rest = stat.substring(stat.lastIndexOf(')') + 2)
+          .split(" ")
+        val ticks = rest(11).toLong + rest(12).toLong
+        val cls =
+          if (comm.startsWith("Executor task")) "exec"
+          else if (comm.startsWith("GC Thread") || comm.startsWith("G1 "))
+            "gc"
+          else if (comm.contains("CompilerThr")) "jit"
+          else "other"
+        acc(cls) += ticks * 1000L / clkTck
+      } catch { case _: Throwable => } // a task may exit mid-listing
+    }
+    acc.toMap.withDefaultValue(0L)
+  }
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     val n = s.length
@@ -165,6 +205,9 @@ object Bench {
       .withDefaultValue(Vector.empty)
     val iowaitDeltas = scala.collection.mutable.Map.empty[String, Vector[Long]]
       .withDefaultValue(Vector.empty)
+    val threadDeltas = scala.collection.mutable
+      .Map.empty[String, Vector[Map[String, Long]]]
+      .withDefaultValue(Vector.empty)
     // Run-start snapshots: the header totals are DELTAS over this
     // bench run, matching the per-rep convention — the raw counters
     // are machine-lifetime cumulative (r16's header printed the box's
@@ -193,6 +236,7 @@ object Bench {
         val steal0 = stealMillis()
         val cpu0 = processCpuMillis()
         val io0 = iowaitMillis()
+        val th0 = threadCpuByClass()
         starts(name) = starts(name) :+ System.currentTimeMillis() / 1e3
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
@@ -206,6 +250,10 @@ object Bench {
         cpuDeltas(name) = cpuDeltas(name) :+
           (if (cpu0 < 0) -1L else processCpuMillis() - cpu0)
         iowaitDeltas(name) = iowaitDeltas(name) :+ (iowaitMillis() - io0)
+        val th1 = threadCpuByClass()
+        threadDeltas(name) = threadDeltas(name) :+
+          Seq("exec", "gc", "jit", "other")
+            .map(c => c -> math.max(0L, th1(c) - th0(c))).toMap
       }
     }
 
@@ -246,7 +294,13 @@ object Bench {
       // with flat cpu (± iowait) → descheduled/IO-starved process.
       val cp = cpuDeltas(k).mkString("[", ",", "]")
       val io = iowaitDeltas(k).mkString("[", ",", "]")
-      s""""$k":{"med":${js(med)},"min":${js(mn)},"max":${js(mx)},"reps":$raw,"starts":$st,"gc_ms":$gc,"steal_ms":$sl,"cpu_ms":$cp,"iowait_ms":$io}"""
+      // thread-class split of cpu_ms (exec = executor pool: the
+      // query's own cycles; gc = collector threads; jit = C1/C2 —
+      // the warm-up signature; other = driver/IO/scheduler). A rep-0
+      // spike whose excess sits in jit+gc is warm-up MEASURED, not
+      // inferred; excess in exec is genuinely more query cycles.
+      def thv(c: String) = threadDeltas(k).map(_(c)).mkString("[", ",", "]")
+      s""""$k":{"med":${js(med)},"min":${js(mn)},"max":${js(mx)},"reps":$raw,"starts":$st,"gc_ms":$gc,"steal_ms":$sl,"cpu_ms":$cp,"iowait_ms":$io,"exec_cpu_ms":${thv("exec")},"gc_cpu_ms":${thv("gc")},"jit_cpu_ms":${thv("jit")},"other_cpu_ms":${thv("other")}}"""
     }.mkString("{", ",", "}")
     // header *_total_ms are deltas over THIS run (snapshots above)
     val fullJson =

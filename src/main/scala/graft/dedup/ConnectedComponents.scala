@@ -86,8 +86,25 @@ object ConnectedComponents {
     * xxhash64 collisions across a round boundary would need two
     * distinct sets with equal count AND equal 64-bit hash sum —
     * negligible against the 20-round cap's own safety margin).
+    *
+    * Bounded ENDGAME (Kiveris et al. §6's own recommendation): once
+    * the shrinking edge set fits `localFinishEdges`, stop scheduling
+    * rounds and finish with a driver union-find. The tail rounds of
+    * the distributed loop are pure scheduling overhead — measured at
+    * sf0.1 (256 edges), the loop costs ~2 s regardless of shuffle
+    * width 1..8 because each round is 2+ driver-scheduled jobs, while
+    * the same 256 edges union-find in microseconds. The check rides
+    * the signature count the loop already collects (no extra job),
+    * the collect is loudly capped (≤ 2²⁰ edges ≈ 16 MB), and on a
+    * 100 TB pair graph the first rounds still run distributed — the
+    * endgame only absorbs the converged tail. `localFinishEdges = 0`
+    * forces the pure distributed loop (the property-test A/B path).
     */
-  def alternatingStars(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+  def alternatingStars(edges: DataFrame, maxRounds: Int = 20,
+      localFinishEdges: Int = 1 << 16): DataFrame = {
+    require(localFinishEdges <= (1 << 20),
+      s"localFinishEdges=$localFinishEdges: the endgame collect is " +
+        "bounded at 2^20 edges — raise rounds, not the driver's heap")
     var e = canon(edges).cache()
 
     // (count, xor of per-edge hashes): order-independent, overflow-free
@@ -103,6 +120,11 @@ object ConnectedComponents {
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
+      if (sig._1 <= localFinishEdges) {
+        val out = localLabel(e)
+        e.unpersist()
+        return out
+      }
       // localCheckpoint (eager): materializes the round AND truncates
       // lineage — without it the logical plan nests per round and
       // planning cost explodes; dropped round RDDs are reclaimed by
@@ -135,6 +157,39 @@ object ConnectedComponents {
       .agg(least(col("node"), min(col("nbr"))).as("component"))
     e.unpersist()
     out
+  }
+
+  /** The endgame labeling: union-find over a CAPPED collected edge
+    * set (caller checked the bound), roots kept at the component
+    * minimum (union always re-roots the larger root under the
+    * smaller, and the global min of a component can never lose its
+    * root), so `find` IS the label. Output schema and types match the
+    * distributed labeling exactly.
+    */
+  private def localLabel(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    val dt = e.schema("a").dataType
+    val rows = e.select(col("a").cast("long"), col("b").cast("long"))
+      .collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    val nodes = scala.collection.mutable.SortedSet.empty[Long]
+    rows.foreach { r =>
+      val (x, y) = (r.getLong(0), r.getLong(1))
+      nodes += x; nodes += y
+      val (rx, ry) = (find(x), find(y))
+      if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+    }
+    import spark.implicits._
+    nodes.toSeq.map(n => (n, find(n))).toDF("node", "component")
+      .select(col("node").cast(dt).as("node"),
+        col("component").cast(dt).as("component"))
   }
 
   /** Iterative min-label propagation (the O(diameter) baseline kept

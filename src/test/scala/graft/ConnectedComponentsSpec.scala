@@ -40,9 +40,16 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val df = edges.toDF("x", "y")
     val expect = unionFind(edges)
     assert(expect.nonEmpty, s"$label: degenerate fixture")
+    // default path: the bounded endgame absorbs these small graphs
     val stars = ConnectedComponents.alternatingStars(df)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(stars == expect, s"$label: alternatingStars != union-find")
+    // forced pure-distributed path (localFinishEdges = 0): the star
+    // rounds themselves must produce the same labeling
+    val dist = ConnectedComponents.alternatingStars(df,
+        localFinishEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == expect, s"$label: distributed stars != union-find")
     if (alsoLabelProp) { // skipped where O(diameter) rounds is the point
       val prop = ConnectedComponents.labelPropagation(df, maxRounds = 60)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -70,7 +77,8 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val chain = (0L until 399L).map(i => (i, i + 1))
     check(chain, "chain-400", alsoLabelProp = false)
     import spark.implicits._
-    val got = ConnectedComponents.alternatingStars(chain.toDF("x", "y"))
+    val got = ConnectedComponents.alternatingStars(chain.toDF("x", "y"),
+        localFinishEdges = 0) // the round-count claim needs real rounds
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.length == 400 && got.forall(_._2 == 0L))
   }
@@ -96,12 +104,29 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     // silent partial labeling would split the component downstream
     val chain = (0L until 63L).map(i => (i, i + 1)).toDF("x", "y")
     val e1 = intercept[IllegalStateException] {
-      ConnectedComponents.alternatingStars(chain, maxRounds = 1).collect()
+      ConnectedComponents.alternatingStars(chain, maxRounds = 1,
+        localFinishEdges = 0).collect()
     }
     assert(e1.getMessage.contains("did not converge"))
     val e2 = intercept[IllegalStateException] {
       ConnectedComponents.labelPropagation(chain, maxRounds = 1).collect()
     }
     assert(e2.getMessage.contains("did not converge"))
+    // the endgame rescues the same graph under the same round cap —
+    // the tail a converged-enough set no longer pays rounds for
+    import spark.implicits._
+    val rescued = ConnectedComponents.alternatingStars(
+        (0L until 63L).map(i => (i, i + 1)).toDF("x", "y"), maxRounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rescued.size == 64 && rescued.values.forall(_ == 0L))
+  }
+
+  test("endgame collect bound is loud: a cap past 2^20 edges is rejected") {
+    import spark.implicits._
+    val df = Seq((1L, 2L)).toDF("x", "y")
+    val ex = intercept[IllegalArgumentException] {
+      ConnectedComponents.alternatingStars(df, localFinishEdges = (1 << 20) + 1)
+    }
+    assert(ex.getMessage.contains("bounded"))
   }
 }
