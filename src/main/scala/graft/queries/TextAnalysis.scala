@@ -620,6 +620,91 @@ object TextAnalysis {
       |    / len(string_split(text, ' ')) AS avg_token_len
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Vocabulary-growth curve (Heaps' law): distinct-word count as a
+    * function of corpus prefix size, at ten doc-id deciles, with the
+    * local Heaps exponent β between adjacent checkpoints (V ∝ T^β —
+    * the curve a tokenizer-budget or dedup-debt analysis reads first;
+    * β falling toward 0 says the corpus is exhausting its vocabulary,
+    * β near 1 says it's still discovering it).
+    *
+    * Scale shape — the reason this is one pass and not ten COUNT
+    * DISTINCTs over growing prefixes: a word contributes to every
+    * checkpoint after its FIRST occurrence, so one word-keyed
+    * aggregate (min doc_id, map-side combinable) reduces the corpus
+    * to vocabulary-sized rows, each assigned its first-occurrence
+    * decile by integer arithmetic; the curve is then a cumulative sum
+    * over TEN rows. Token mass aggregates the same way. The only
+    * corpus-sized shuffle is the word aggregate; everything after is
+    * decile-sized. Deciles key on doc_id against the one-row count
+    * aggregate (a broadcast), so the assignment is a narrow
+    * projection.
+    */
+  private def heapsLaw(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val n = docs.agg(count(lit(1)).as("n"))
+    // integer decile: doc_id d -> d*10 div n + 1 (both engines use
+    // integral division — no double-rounding hazard at a boundary)
+    val wordDec = docs
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(min(col("doc_id")).as("fd"))
+      .crossJoin(broadcast(n))
+      .select((expr("fd * 10 div n") + 1).cast("int").as("dec"))
+      .groupBy(col("dec")).agg(count(lit(1)).as("new_words"))
+    val docDec = docs
+      .select(col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("nt"))
+      .crossJoin(broadcast(n))
+      .select((expr("doc_id * 10 div n") + 1).cast("int").as("dec"),
+        col("nt"))
+      .groupBy(col("dec"))
+      .agg(count(lit(1)).as("new_docs"), sum(col("nt")).as("new_tokens"))
+    val wCum = Window.orderBy(col("dec"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = docDec.join(wordDec, Seq("dec"), "left")
+      .withColumn("new_words", coalesce(col("new_words"), lit(0L)))
+      .select(col("dec"),
+        sum(col("new_docs")).over(wCum).as("n_docs"),
+        sum(col("new_tokens")).over(wCum).as("n_tokens"),
+        sum(col("new_words")).over(wCum).as("vocab_size"))
+    cum
+      .withColumn("beta", round(
+        log(col("vocab_size").cast("double") /
+          lag(col("vocab_size"), 1).over(Window.orderBy(col("dec")))) /
+          log(col("n_tokens").cast("double") /
+            lag(col("n_tokens"), 1).over(Window.orderBy(col("dec")))), 9))
+      .orderBy(col("dec"))
+  }
+
+  private val heapsLawSql =
+    """WITH n AS (SELECT count(*) AS n FROM documents),
+      |word_dec AS (
+      |  SELECT CAST(fd * 10 // n + 1 AS INTEGER) AS dec,
+      |    count(*) AS new_words
+      |  FROM (SELECT w, min(doc_id) AS fd
+      |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |              FROM documents)
+      |        GROUP BY w), n
+      |  GROUP BY 1),
+      |doc_dec AS (
+      |  SELECT CAST(doc_id * 10 // n + 1 AS INTEGER) AS dec,
+      |    count(*) AS new_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS new_tokens
+      |  FROM documents, n GROUP BY 1),
+      |cum AS (
+      |  SELECT d.dec,
+      |    CAST(sum(new_docs) OVER w AS BIGINT) AS n_docs,
+      |    CAST(sum(new_tokens) OVER w AS BIGINT) AS n_tokens,
+      |    CAST(sum(coalesce(new_words, 0)) OVER w AS BIGINT) AS vocab_size
+      |  FROM doc_dec d LEFT JOIN word_dec USING (dec)
+      |  WINDOW w AS (ORDER BY d.dec
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT dec, n_docs, n_tokens, vocab_size,
+      |  round(ln(CAST(vocab_size AS DOUBLE)
+      |      / lag(vocab_size) OVER (ORDER BY dec))
+      |    / ln(CAST(n_tokens AS DOUBLE)
+      |      / lag(n_tokens) OVER (ORDER BY dec)), 9) AS beta
+      |FROM cum ORDER BY dec""".stripMargin
+
   /** Heuristic quality score in [0,1]: length saturation + stopword
     * density + lexical diversity, the standard pre-training quality
     * triplet.
@@ -2269,6 +2354,7 @@ object TextAnalysis {
     QueryDef("ta_perplexity_filter", perplexityFilter,
       Some(perplexityFilterSql)),
     QueryDef("ta_gopher_rules", gopherRules, Some(gopherRulesSql)),
+    QueryDef("ta_heaps_law", heapsLaw, Some(heapsLawSql)),
     QueryDef("ta_kneser_ney", kneserNey, Some(kneserNeySql)),
     QueryDef("ta_tfidf", tfidf, Some(tfidfSql)),
     QueryDef("ta_cooccurrence", cooccurrence, Some(cooccurrenceSql)),

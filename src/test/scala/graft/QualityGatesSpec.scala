@@ -89,6 +89,40 @@ class QualityGatesSpec extends AnyFunSuite {
       "fixture has no cross-doc duplicate grams — signal untested")
   }
 
+  test("heaps law: decile curve equals a sequential-scan vocabulary " +
+      "recount, and beta is finite and positive on the fixture") {
+    val docs = fixtureDocs().sortBy(_._1)
+    val n = docs.length.toLong
+    def dec(id: Long): Int = (id * 10 / n + 1).toInt
+    val seen = scala.collection.mutable.Set.empty[String]
+    val agg = scala.collection.mutable.Map
+      .empty[Int, (Long, Long, Long)].withDefaultValue((0L, 0L, 0L))
+    docs.foreach { case (id, text) =>
+      val ws = text.split(" ", -1)
+      val fresh = ws.count(seen.add)
+      val d = dec(id)
+      val (a, b, c) = agg(d)
+      agg(d) = (a + 1L, b + ws.length, c + fresh)
+    }
+    val want = agg.keys.toSeq.sorted
+      .scanLeft((0, 0L, 0L, 0L)) { case ((_, ad, at, av), d) =>
+        val (nd, nt, nv) = agg(d)
+        (d, ad + nd, at + nt, av + nv)
+      }.tail.map { case (d, nd, nt, nv) => d -> ((nd, nt, nv)) }.toMap
+    val got = SparkEntry.queries("ta_heaps_law")(spark, dir)
+      .collect().map(r => r.getAs[Int]("dec") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("vocab_size"),
+          Option(r.getAs[java.lang.Double]("beta")).map(_.doubleValue))))
+    assert(got.map { case (d, (a, b, c, _)) => d -> ((a, b, c)) }.toMap
+      == want)
+    // first decile has no predecessor: beta null there, finite after
+    val betas = got.sortBy(_._1).map(_._2._4)
+    assert(betas.head.isEmpty)
+    assert(betas.tail.forall(b => b.exists(v => v >= 0.0 && v <= 1.5)),
+      betas.mkString(","))
+  }
+
   test("perplexity filter: per-source tallies equal regrouping the " +
       "ta_lm_perplexity scores through the same band") {
     val (lo, hi) = (3.35, 3.43)
