@@ -776,6 +776,69 @@ object Corpus {
       .withColumn("leaky", col("n_shared") > 0)
   }
 
+  /** CLUSTER-BALANCED sampling — the diversity-preserving selection
+    * step a pipeline runs after near-dup removal (SemDeDup's
+    * published recipe ends exactly here: cluster the embedding space,
+    * then cap each cluster's contribution so dense regions can't
+    * crowd out the tail). Every vector is assigned to its nearest
+    * centroid (one narrow NearestCentroids projection — constant plan
+    * width, no corpus × centroids fan-out), and each cluster keeps
+    * its `budget` lowest salted-hash members: the same
+    * order-independent, re-crawl-stable selection rule as
+    * cp_hash_split, so a re-ingested corpus samples identically.
+    * One cluster-keyed shuffle for the per-cluster rank window;
+    * emitted rows are the kept sample with its rank.
+    */
+  private def clusterBalancedSample(s: SparkSession, dir: String): DataFrame = {
+    val budget = 12
+    val nCents = 16
+    val e = Tables(s, dir, "embeddings")
+    val cm: Seq[Seq[Double]] = e.filter(col("vec_id") < nCents)
+      .select(col("vec_id"), col("embedding")).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val assigned = e.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("cluster",
+        graft.functions.NearestCentroids(col("v"), cm, 1)
+          .getItem(0).getField("cid"))
+      .withColumn("bucket", graft.corpus.CorpusPipeline
+        .hashBucket("vec_id", "cbs:", 1 << 24))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("bucket"), col("vec_id"))
+    assigned
+      .withColumn("smp_rank", row_number().over(w))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster"))))
+      .filter(col("smp_rank") <= budget)
+      .select(col("cluster"), col("vec_id"), col("smp_rank"),
+        col("cluster_size"))
+      .orderBy(col("cluster"), col("smp_rank"))
+  }
+
+  private val clusterBalancedSampleSql =
+    """WITH cents AS (
+      |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cv
+      |  FROM embeddings WHERE vec_id < 16),
+      |vecs AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |assigned AS (
+      |  SELECT vec_id, cent_id AS cluster FROM (
+      |    SELECT vec_id, cent_id,
+      |      row_number() OVER (PARTITION BY vec_id
+      |        ORDER BY list_cosine_similarity(v, cv) DESC, cent_id) AS arnk
+      |    FROM vecs, cents)
+      |  WHERE arnk = 1),
+      |ranked AS (
+      |  SELECT cluster, vec_id,
+      |    row_number() OVER (PARTITION BY cluster ORDER BY
+      |      CAST(('0x' || substring(md5('cbs:' || CAST(vec_id AS VARCHAR)),
+      |        1, 6)) AS BIGINT) % 16777216, vec_id) AS smp_rank,
+      |    count(*) OVER (PARTITION BY cluster) AS cluster_size
+      |  FROM assigned)
+      |SELECT cluster, vec_id, smp_rank, cluster_size
+      |FROM ranked WHERE smp_rank <= 12
+      |ORDER BY cluster, smp_rank""".stripMargin
+
   /** Bloom-PRESCREENED decontamination — the batch screen restated
     * for the regime where even the eval gram SET is too heavy to hand
     * every executor as a broadcast hash relation. The frozen side
@@ -1653,6 +1716,8 @@ object Corpus {
       Some(contaminationIngestStreamSql)),
     QueryDef("cp_bloom_gate", bloomGate,
       Some(contaminationIngestStreamSql)),
+    QueryDef("cp_cluster_balanced_sample", clusterBalancedSample,
+      Some(clusterBalancedSampleSql)),
     QueryDef("cp_contamination_spans", contaminationSpans,
       Some(contaminationSpansSql)),
     QueryDef("cp_contamination_fuzzy", contaminationFuzzy,

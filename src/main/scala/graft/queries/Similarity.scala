@@ -167,6 +167,90 @@ object Similarity {
        |SELECT query_id, neighbor_id, rnk, cosv FROM ranked
        |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin
 
+  /** CORPUS self-k-NN GRAPH — every vector's top-$TopK neighbors
+    * among ALL other vectors, plus the reciprocal-edge flag. This is
+    * the construction step graph-based curation consumes (SNN
+    * clustering, graph dedup, kNN-graph diversity sampling): where
+    * `sim_knn_ivf` answers queries against a corpus, this builds the
+    * corpus's own neighborhood structure. Candidates come from the
+    * same IVF machinery — assign once (narrow NearestCentroids
+    * projection), probe each vector's $NumProbe nearest buckets — so
+    * the pair stream is bucket-keyed and bounded by
+    * Σ bucket_size·probes, never corpus²; the `mutual` flag is one
+    * edge-list-sized self-join (the symmetrization every kNN-graph
+    * consumer performs first). Approximate by design; the oracle runs
+    * the identical probe algorithm, so rows hash-match.
+    */
+  private def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val cm: Seq[Seq[Double]] = e.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id"), col("embedding")).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val base = e.select(col("vec_id"), col("embedding").as("v"))
+    val assigned = base
+      .withColumn("cent_id",
+        graft.functions.NearestCentroids(col("v"), cm, 1)
+          .getItem(0).getField("cid"))
+    val probes = base
+      .select(col("vec_id").as("src_id"), col("v").as("sv"), explode(
+        graft.functions.NearestCentroids(col("v"), cm, NumProbe)).as("nc"))
+      .select(col("src_id"), col("sv"),
+        col("nc").getField("cid").as("cent_id"))
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("cosv").desc, col("vec_id"))
+    val edges = probes.join(assigned, "cent_id")
+      .filter(col("vec_id") =!= col("src_id"))
+      .withColumn("cosv", TextFns.cosine(col("sv"), col("v")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select(col("src_id"), col("vec_id").as("neighbor_id"),
+        col("rnk"), col("cosv"))
+    val rev = edges
+      .select(col("neighbor_id").as("src_id"),
+        col("src_id").as("neighbor_id"), lit(true).as("m"))
+    edges.join(rev, Seq("src_id", "neighbor_id"), "left")
+      .withColumn("mutual", coalesce(col("m"), lit(false))).drop("m")
+      .orderBy(col("src_id"), col("rnk"))
+  }
+
+  private val knnGraphSql =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cv
+       |  FROM embeddings WHERE vec_id < $NumCentroids),
+       |vecs AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |assigned AS (
+       |  SELECT vec_id, v, cent_id FROM (
+       |    SELECT vec_id, v, cent_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY list_cosine_similarity(v, cv) DESC, cent_id) AS arnk
+       |    FROM vecs, cents)
+       |  WHERE arnk = 1),
+       |probes AS (
+       |  SELECT vec_id AS src_id, v AS sv, cent_id FROM (
+       |    SELECT vec_id, v, cent_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY list_cosine_similarity(v, cv) DESC, cent_id) AS prnk
+       |    FROM vecs, cents)
+       |  WHERE prnk <= $NumProbe),
+       |scored AS (
+       |  SELECT p.src_id, a.vec_id AS neighbor_id,
+       |    list_cosine_similarity(p.sv, a.v) AS cosv
+       |  FROM probes p JOIN assigned a USING (cent_id)
+       |  WHERE a.vec_id <> p.src_id),
+       |edges AS (
+       |  SELECT src_id, neighbor_id, rnk, cosv FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY src_id
+       |        ORDER BY cosv DESC, neighbor_id) AS rnk
+       |    FROM scored)
+       |  WHERE rnk <= $TopK)
+       |SELECT e.src_id, e.neighbor_id, e.rnk, e.cosv,
+       |  m.src_id IS NOT NULL AS mutual
+       |FROM edges e LEFT JOIN (SELECT src_id, neighbor_id FROM edges) m
+       |  ON m.src_id = e.neighbor_id AND m.neighbor_id = e.src_id
+       |ORDER BY e.src_id, e.rnk""".stripMargin
+
   /** IVF recall-vs-nprobe sweep: total recall@$TopK against the
     * brute-force ground truth at nprobe ∈ {1, 2, 4} — the
     * operational curve behind the index's one tuning knob. At 100 TB
@@ -1613,6 +1697,7 @@ object Similarity {
     QueryDef("sim_kmeans_ivf", kmeansIvf, Some(kmeansIvfSql)),
     QueryDef("sim_knn_brute", knnBrute, Some(knnBruteSql)),
     QueryDef("sim_knn_ivf", knnIvf, Some(knnIvfSql)),
+    QueryDef("sim_knn_graph", knnGraph, Some(knnGraphSql)),
     QueryDef("sim_range_search", rangeSearch, Some(rangeSearchSql)),
     QueryDef("sim_label_centroids", labelCentroids, Some(labelCentroidsSql)))
 }
