@@ -1175,6 +1175,77 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("word"))
   }
 
+  /** Feature-HASHING document vectorizer (the hashing trick,
+    * Weinberger et al. 2009) — the step that turns the text tier into
+    * the embedding tier without a trained model or a vocabulary
+    * table: each word hashes to one of 64 dimensions (salted md5) with
+    * a ±1 sign hash (the collision-unbiasing trick), and the
+    * dimension's weight is the signed sum of the word's tf·idf mass.
+    * Emitted sparse, one row per non-zero (doc, dim) — the layout an
+    * ANN index ingests directly.
+    *
+    * Scale shape: identical to [[tfidf]] (word-keyed aggregates,
+    * vocabulary-sized df table deliberately NOT broadcast-hinted) plus
+    * one (doc, dim)-keyed aggregate whose key space is docs × 64.
+    * Exactness: each term rounds its transcendental (ln) to 9
+    * decimals then accumulates in DECIMAL — order-independent — and
+    * the final value goes through Quant.qdec.
+    */
+  private def hashingVectorizer(s: SparkSession, dir: String): DataFrame = {
+    val dims = 64
+    val docs = Tables(s, dir, "documents")
+    val words = docs
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("word"))
+    val tf = words.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf_count"))
+    val docLen = words.groupBy(col("doc_id")).agg(count(lit(1)).as("doc_len"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(docLen, "doc_id")
+      .join(df, "word")
+      .crossJoin(broadcast(total))
+      .withColumn("dim",
+        (conv(substring(md5(col("word").cast("binary")), 1, 6), 16, 10)
+          .cast("long") % dims).cast("int"))
+      .withColumn("sign",
+        conv(substring(md5(col("word").cast("binary")), 7, 1), 16, 10)
+          .cast("long") % 2 * 2 - 1)
+      .withColumn("term",
+        (col("sign") * round((col("tf_count").cast("double") / col("doc_len")) *
+          log(col("n_docs").cast("double") / col("df")), 9))
+          .cast(DecimalType(28, 9)))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(sum(col("term")).as("t"), count(lit(1)).as("n_words"))
+      .select(col("doc_id"), col("dim"),
+        Quant.qdec(col("t").cast("double"), 9).as("weight"),
+        col("n_words"))
+      .filter(col("doc_id") < 100)
+      .orderBy(col("doc_id"), col("dim"))
+  }
+
+  private val hashingVectorizerSql =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |tf AS (SELECT doc_id, word, count(*) AS tf_count FROM words GROUP BY 1, 2),
+      |doclen AS (SELECT doc_id, count(*) AS doc_len FROM words GROUP BY 1),
+      |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+      |total AS (SELECT count(*) AS n_docs FROM documents),
+      |terms AS (
+      |  SELECT doc_id,
+      |    CAST(CAST(('0x' || substring(md5(word), 1, 6)) AS BIGINT) % 64
+      |      AS INTEGER) AS dim,
+      |    CAST((CAST(('0x' || substring(md5(word), 7, 1)) AS BIGINT) % 2
+      |        * 2 - 1)
+      |      * round((CAST(tf_count AS DOUBLE) / doc_len)
+      |        * ln(CAST(n_docs AS DOUBLE) / df), 9) AS DECIMAL(28,9))
+      |      AS term
+      |  FROM tf JOIN doclen USING (doc_id) JOIN df USING (word), total)
+      |SELECT doc_id, dim,
+      |  floor(CAST(sum(term) AS DOUBLE) * 1e9 + 0.5) / 1e9 AS weight,
+      |  count(*) AS n_words
+      |FROM terms WHERE doc_id < 100
+      |GROUP BY doc_id, dim ORDER BY doc_id, dim""".stripMargin
+
   private val tfidfSql =
     """WITH words AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
@@ -2357,6 +2428,8 @@ object TextAnalysis {
     QueryDef("ta_heaps_law", heapsLaw, Some(heapsLawSql)),
     QueryDef("ta_kneser_ney", kneserNey, Some(kneserNeySql)),
     QueryDef("ta_tfidf", tfidf, Some(tfidfSql)),
+    QueryDef("ta_hashing_vectorizer", hashingVectorizer,
+      Some(hashingVectorizerSql)),
     QueryDef("ta_cooccurrence", cooccurrence, Some(cooccurrenceSql)),
     QueryDef("ta_pmi_bigrams", pmiBigrams, Some(pmiBigramsSql)),
     QueryDef("ta_vocab_hll", vocabHll, Some(vocabHllSql)),
