@@ -186,6 +186,10 @@ class PlanSpec extends AnyFunSuite {
       // over per-chunk COUNT tables (O(distinct metric buckets) rows,
       // bounded by the metric domain), never over the data table
       "ev_rfm", "cp_curriculum",
+      // cumulative sums + lag over the TEN decile rows (the corpus
+      // reduced to one row per decile by the first-occurrence
+      // aggregate) — fixed-cardinality, never the data table
+      "ta_heaps_law",
       // at-risk reverse-cumulative sum over the AGGREGATED life table
       // (one row per whole-day lifetime bucket — O(observation days),
       // tens of rows at any corpus size), never the raw events
