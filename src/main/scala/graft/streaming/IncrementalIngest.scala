@@ -203,4 +203,112 @@ object IncrementalIngest {
     org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
     out
   }
+
+  /** N-micro-batch generalization of [[ingest]] — the shape that lets
+    * the `compactEvery` knob show its AMORTIZATION side: the r17/r18
+    * two-arrival fixture can only show the fold's cost (one batch ever
+    * screens the compacted artifact, and a 2-delta chain is cheap to
+    * read), while here the delta chain grows to `nBatches` and every
+    * later batch pays the reader fan-in the compaction exists to
+    * bound. Same seed (even docs, reused from [[ingest]]'s staging),
+    * same screen, same batch-START compaction point, same
+    * delta-publish contract; odd docs arrive in `nBatches` real
+    * micro-batches split by ((doc_id−1)/2) mod nBatches — for
+    * nBatches = 2 this is exactly [[ingest]]'s doc_id mod 4 split, so
+    * the two APIs are verdict-identical there (spec-pinned).
+    */
+  def ingestMany(spark: SparkSession, dir: String, threshold: Double,
+      shingleK: Int, maxShingleDf: Int, nBatches: Int,
+      compactEvery: Int): DataFrame = {
+    require(nBatches >= 1, s"ingestMany: nBatches=$nBatches must be >= 1")
+    val ss = spark.newSession()
+    val docs = graft.Tables(ss, dir, "documents")
+    // reuse [[ingest]]'s per-fixture seed; stage this call's batches
+    // under the run dir (cheap: one pass over the odd docs)
+    val staged = stagedDirs.getOrElseUpdate((dir, shingleK), {
+      val st = Files.createTempDirectory("graft_ingest_staged")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(st.toFile): Unit))
+      IncrementalDedup.save(IncrementalDedup.artifacts(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text",
+        shingleK), st.resolve("seed_delta").toString)
+      for ((name, mod4) <- Seq(("batch1", 1), ("batch2", 3)))
+        docs.filter(pmod(col("doc_id"), lit(4)) === mod4)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(st.resolve(name).toString)
+      st.toString
+    })
+    val work = Files.createTempDirectory("graft_ingest_many")
+    val arrivals = work.resolve("arrivals")
+    Files.createDirectories(arrivals)
+    for (b <- 1 to nBatches)
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .filter(pmod(expr("(doc_id - 1) div 2"), lit(nBatches)) === (b - 1))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(work.resolve(s"stage_b$b").toString)
+
+    var deltaPaths = Vector(
+      java.nio.file.Paths.get(staged).resolve("seed_delta").toString)
+    var batchNo = 0
+    var compactNo = 0
+    def loadAccepted(s2: SparkSession): IncrementalDedup.Artifacts =
+      deltaPaths.map(p => IncrementalDedup.load(s2, p))
+        .reduce((x, y) => IncrementalDedup.Artifacts(
+          x.keys.unionByName(y.keys)))
+    def arrive(b: Int): Unit = {
+      val listing = Files.list(work.resolve(s"stage_b$b"))
+      try listing.filter(_.getFileName.toString.endsWith(".parquet"))
+        .forEach { f =>
+          val tmp = arrivals.resolve(s"b${b}_${f.getFileName}.tmp")
+          Files.copy(f, tmp)
+          Files.move(tmp, arrivals.resolve(s"b${b}_${f.getFileName}"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
+      finally listing.close()
+    }
+
+    val q = ss.readStream
+      .schema(docs.schema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(arrivals.toString)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val s2 = batch.sparkSession
+          if (compactEvery > 0 && deltaPaths.size >= compactEvery) {
+            compactNo += 1
+            val cPath = work.resolve(s"compacted_$compactNo").toString
+            IncrementalDedup.compact(s2, deltaPaths, cPath): Unit
+            deltaPaths = Vector(cPath)
+          }
+          val accepted = loadAccepted(s2)
+          val verdicts = IncrementalDedup.screen(batch, accepted,
+            "doc_id", "text", threshold, shingleK, maxShingleDf,
+            ordered = false)
+            .withColumn("arrival_batch",
+              (pmod(expr("(id - 1) div 2"), lit(nBatches)) + 1).cast("int"))
+          batchNo += 1
+          val v = verdicts.localCheckpoint()
+          v.write.parquet(work.resolve(s"verdicts/b$batchNo").toString)
+          val keptIds = v.filter(col("keep")).select(col("id").as("doc_id"))
+          val next = work.resolve(s"artifacts_d$batchNo").toString
+          IncrementalDedup.save(IncrementalDedup.artifacts(
+            batch.join(keptIds, "doc_id"), "doc_id", "text", shingleK), next)
+          deltaPaths :+= next
+        }
+      }
+      .start()
+    try for (b <- 1 to nBatches) { arrive(b); q.processAllAvailable() }
+    finally q.stop()
+
+    val out = ss.read
+      .option("recursiveFileLookup", "true")
+      .parquet(work.resolve("verdicts").toString)
+      .select(col("id").as("doc_id"), col("exact_of"), col("near_of"),
+        col("keep"), col("arrival_batch"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint()
+    org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
+    out
+  }
 }

@@ -133,4 +133,31 @@ class IncrementalIngestSpec extends AnyFunSuite {
     val compacted = rows("evs_ingest_compacted")
     assert(plain.nonEmpty && compacted == plain)
   }
+
+  test("ingestMany: nBatches=2 equals the two-arrival ingest verdict " +
+    "for verdict; a 5-batch chain is cadence-invariant") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    val two = rows(graft.streaming.IncrementalIngest.ingest(
+      spark, dir, threshold = 0.5, shingleK = 3, maxShingleDf = 64,
+      compactEvery = 2))
+    val many2 = rows(graft.streaming.IncrementalIngest.ingestMany(
+      spark, dir, threshold = 0.5, shingleK = 3, maxShingleDf = 64,
+      nBatches = 2, compactEvery = 2))
+    assert(many2.nonEmpty && many2 == two,
+      "((doc_id-1) div 2) mod 2 must equal the doc_id mod 4 split")
+    // five real micro-batches: compacting every 3 deltas must leave
+    // every verdict identical to the never-compacted chain
+    val n5raw = rows(graft.streaming.IncrementalIngest.ingestMany(
+      spark, dir, threshold = 0.5, shingleK = 3, maxShingleDf = 64,
+      nBatches = 5, compactEvery = 0))
+    val n5cad = rows(graft.streaming.IncrementalIngest.ingestMany(
+      spark, dir, threshold = 0.5, shingleK = 3, maxShingleDf = 64,
+      nBatches = 5, compactEvery = 3))
+    assert(n5raw.nonEmpty && n5cad == n5raw)
+    // the N-batch split changes WHICH verdicts arise (arrival order
+    // matters by design), but every odd doc gets exactly one verdict
+    assert(n5raw.size == two.size)
+  }
 }
