@@ -1447,6 +1447,90 @@ object Dedup {
       threshold = 0.5, shingleK = ShingleK, maxShingleDf = MaxShingleDf,
       compactEvery = 2)
 
+  /** FOUR real micro-batches through the ingest gate with compaction
+    * firing repeatedly mid-stream (cadence 2: a LIVE fold at the
+    * start of batches 2, 3 and 4, so every batch screens a
+    * single-artifact chain). Both cadences were measured at sf0.1:
+    * 2 → 9.0 s, 3 → 11.2 s — even at this scale the fold is already
+    * cheaper than reading a longer delta chain, the small-scale echo
+    * of SCALING.md's 12-batch sf1* table (82 s never-compact vs 44 s
+    * cadence 4). The two-arrival queries above pin
+    * the gate's semantics; this one pins the LSM shape the gate
+    * actually runs at on a crawl: the delta chain grows, compaction
+    * collapses it, later batches screen the compacted artifact, and
+    * verdicts stay byte-equal to the never-compacted chain (the
+    * invariance IncrementalIngestSpec proves; SCALING.md's 12-batch
+    * sf1* table prices it — never-compact 82 s vs cadence-4 44 s).
+    * Oracle: the same stage unrolled FOUR times — batch b's screen
+    * sees even docs ∪ kept(1..b−1) ∪ its own earlier-id arrivals,
+    * generated from one loop so the unroll depth cannot drift.
+    */
+  private def ingestMultibatch(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.IncrementalIngest.ingestMany(s, dir,
+      threshold = 0.5, shingleK = ShingleK, maxShingleDf = MaxShingleDf,
+      nBatches = 4, compactEvery = 2)
+
+  private val ingestMultibatchSql = {
+    val N = 4
+    def member(al: String, b: Int) =
+      s"($al.doc_id % 2 = 1 AND (($al.doc_id - 1) // 2) % $N = ${b - 1})"
+    def memberBare(b: Int) =
+      s"(doc_id % 2 = 1 AND ((doc_id - 1) // 2) % $N = ${b - 1})"
+    def keptUnion(b: Int) =
+      (1 until b).map(j => s"SELECT doc_id FROM kept$j").mkString(" UNION ")
+    def priorA(b: Int) = {
+      val kept = if (b == 1) "" else s" OR a.doc_id IN (${keptUnion(b)})"
+      s"(a.doc_id % 2 = 0$kept OR (${member("a", b)}" +
+        " AND a.doc_id < b.doc_id))"
+    }
+    def universe(b: Int) = {
+      val kept = if (b == 1) "" else s" OR doc_id IN (${keptUnion(b)})"
+      s"(doc_id % 2 = 0$kept OR ${memberBare(b)})"
+    }
+    val sb = new StringBuilder
+    sb ++= s"""WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+       |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS g
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+       |  WHERE len(ws) >= 3),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+    for (b <- 1 to N) {
+      sb ++= s""",
+         |gdf$b AS (SELECT g FROM sh WHERE ${universe(b)}
+         |  GROUP BY g HAVING count(*) BETWEEN 2 AND $MaxShingleDf),
+         |inter$b AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+         |  FROM sh a JOIN gdf$b ON a.g = gdf$b.g JOIN sh b ON a.g = b.g
+         |  WHERE ${member("b", b)} AND ${priorA(b)}
+         |  GROUP BY 1, 2),
+         |near$b AS (
+         |  SELECT doc_b AS doc_id, min(doc_a) AS near_of FROM inter$b
+         |    JOIN sizes sa ON doc_a = sa.doc_id
+         |    JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+         |  GROUP BY 1),
+         |exact$b AS (
+         |  SELECT b.doc_id AS doc_id, min(a.doc_id) AS exact_of
+         |  FROM fp b JOIN fp a ON a.fp = b.fp AND ${priorA(b)}
+         |  WHERE ${member("b", b)} GROUP BY 1),
+         |v$b AS (
+         |  SELECT doc_id, exact_of, near_of,
+         |    exact_of IS NULL AND near_of IS NULL AS keep
+         |  FROM (SELECT doc_id FROM documents WHERE ${memberBare(b)})
+         |    LEFT JOIN exact$b USING (doc_id)
+         |    LEFT JOIN near$b USING (doc_id)),
+         |kept$b AS (SELECT doc_id FROM v$b WHERE keep)""".stripMargin
+    }
+    sb ++= "\n"
+    sb ++= (1 to N).map(b =>
+      s"SELECT doc_id, exact_of, near_of, keep, $b AS arrival_batch FROM v$b")
+      .mkString("\nUNION ALL\n")
+    sb ++= "\nORDER BY doc_id"
+    sb.toString
+  }
+
   private val incrementalIngestSql = {
     // one stage of the unrolled gate: `bsel` picks the arriving batch,
     // `prior` decides which docs qualify as the earlier side
@@ -2733,6 +2817,8 @@ object Dedup {
     QueryDef("dd_incremental", incremental, Some(incrementalSql)),
     QueryDef("evs_incremental_ingest", incrementalIngest,
       Some(incrementalIngestSql)),
+    QueryDef("evs_ingest_multibatch", ingestMultibatch,
+      Some(ingestMultibatchSql)),
     QueryDef("evs_ingest_compacted", ingestCompacted,
       Some(incrementalIngestSql)),
     QueryDef("dd_minhash_survivors", minhashSurvivors,

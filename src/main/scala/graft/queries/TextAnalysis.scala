@@ -157,6 +157,41 @@ object TextAnalysis {
     }
   }
 
+  /** Token-ID encoding under the fixed [[BpeMerges]] table — the
+    * integer sequence a training job actually consumes (where
+    * `ta_bpe_token_count` reports counts, this emits the ids): base
+    * symbols keep their code point, rank r's merged symbol is
+    * `256 + r` (the byte range reserved for base vocab — the standard
+    * byte-level-BPE numbering). One codegen replace chain + one
+    * per-char projection; spaces separate pre-tokens and emit no id.
+    */
+  private def bpeTokenIds(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), bpeEncode(col("text")).as("enc"))
+      .select(col("doc_id"),
+        transform(
+          filter(split(col("enc"), ""), c => c =!= " "),
+          c => when(ascii(c) < 32, ascii(c) + 256).otherwise(ascii(c)))
+          .as("token_ids"))
+      .withColumn("n_tokens", size(col("token_ids")))
+      .orderBy(col("doc_id"))
+
+  private val bpeTokenIdsSql = {
+    val enc = bpeEncodeSql("text")
+    """WITH e AS (SELECT doc_id, """ + enc + """ AS s FROM documents)
+      |SELECT doc_id,
+      |  list_transform(
+      |    list_filter(
+      |      list_transform(range(1, length(s) + 1), i -> s[i:i]),
+      |      c -> c <> ' '),
+      |    c -> CASE WHEN ascii(c) < 32 THEN ascii(c) + 256
+      |         ELSE ascii(c) END) AS token_ids,
+      |  CAST(length(s) - (length(text) - length(replace(text, ' ', '')))
+      |    AS INTEGER) AS n_tokens
+      |FROM e JOIN documents USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+  }
+
   private def bpeTrueCount(s: SparkSession, dir: String): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.product[BpeTrueRow]
     val rank: Map[(String, String), Int] =
@@ -2436,6 +2471,7 @@ object TextAnalysis {
     QueryDef("ta_vocab_hll_merge", vocabHllMerge, Some(vocabHllMergeSql)),
     QueryDef("ta_token_stats", tokenStats, Some(tokenStatsSql)),
     QueryDef("ta_bpe_token_count", bpeTokenCount, Some(bpeTokenCountSql)),
+    QueryDef("ta_bpe_token_ids", bpeTokenIds, Some(bpeTokenIdsSql)),
     QueryDef("ta_bpe_true_count", bpeTrueCount, Some(bpeTrueCountSql)),
     QueryDef("ta_bpe_train", bpeTrain, Some(bpeTrainSql)),
     QueryDef("ta_bpe_learned_compression", bpeLearnedCompression,

@@ -75,6 +75,24 @@ final class BpeModel(val rules: Vector[BpeMergeRule]) {
     (length(encode(textCol)) -
       (length(textCol) - length(replace(textCol, lit(" "))))).cast("long")
 
+  /** Token IDS of a text column — the numbering a trained tokenizer
+    * ships: base symbols keep their code point, rank r's merged
+    * symbol is `256 + r` (the byte range is reserved for base vocab,
+    * merged ids are stable across sessions because rank order is the
+    * training order). Spaces separate pre-tokens and emit no id.
+    * One `transform∘filter` over the encoded chars — sentinels decode
+    * back to ranks by band (control band = rank, U+E000.. = rank−32
+    * past it, mirroring [[BpeModel.sentinelOf]]).
+    */
+  def encodeIds(textCol: Column): Column = {
+    val enc = encode(textCol)
+    transform(
+      filter(split(enc, ""), c => c =!= " "),
+      c => when(ascii(c) < 32, ascii(c) + 256)
+        .when(ascii(c) >= 0xE000, ascii(c) - 0xE000 + 32 + 256)
+        .otherwise(ascii(c)))
+  }
+
   /** Rules as a DataFrame in the `ta_bpe_train` output shape. */
   def toDF(spark: SparkSession): DataFrame =
     spark.createDataFrame(rules.map(m =>

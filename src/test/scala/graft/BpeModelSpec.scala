@@ -203,6 +203,32 @@ class BpeModelSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
   }
 
+  test("encodeIds: ids decode back to the exact text (round trip " +
+      "through the learned vocab, PUA sentinel band included)") {
+    val corpus = richCorpus()
+    val docs = toDocs(corpus)
+    val model = BpeModel.train(docs, "text", BpeTrainConfig(48))
+    assert(model.rules.size == 48)
+    // vocab: id -> expanded string (base = code point char,
+    // merged = lhs+rhs expansion)
+    val vocab: Map[Int, String] = model.rules
+      .map(m => (256 + m.rank) -> (m.lhs + m.rhs)).toMap
+      .withDefault(id => id.toChar.toString)
+    val got = docs
+      .select(col("doc_id"), model.encodeIds(col("text")).as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    corpus.foreach { case (id, text) =>
+      val decoded = got(id).map(vocab).mkString
+      assert(decoded == text.replace(" ", ""), s"doc $id")
+      // merged ids only appear past the byte range; every id is a
+      // real vocab entry
+      got(id).foreach(i =>
+        assert(i < 256 || vocab.contains(i), s"doc $id id $i"))
+    }
+    assert(got.values.exists(_.exists(_ >= 256 + 32)),
+      "no PUA-band merged id ever fired — the band crossing is untested")
+  }
+
   test("ta_bpe_saved_compression equals ta_bpe_learned_compression " +
       "row for row (persisted apply == inline-train apply)") {
     val dir = "/root/testdata/sf0.001"
