@@ -1263,7 +1263,25 @@ object Dedup {
     * ConnectedComponents convention). Rounds are a fixed 10 — no
     * convergence probe needed.
     */
-  private def pairPagerank(s: SparkSession, dir: String): DataFrame = {
+  private def pairPagerank(s: SparkSession, dir: String): DataFrame =
+    pairPagerankWith(s, dir, localFinishEdges = 1 << 16)
+
+  /** The fixed-point arithmetic is pure Long (`div` floors, no
+    * doubles), so sums are order-independent and a driver-side
+    * endgame reproduces the distributed loop BIT-EXACTLY — the same
+    * lever as ConnectedComponents' union-find endgame, for the same
+    * measured reason: ten driver-scheduled rounds on a few hundred
+    * cached edges cost ~2.5 s of pure job scheduling at any shuffle
+    * width. Below the loudly-capped bound the pair list is collected
+    * once and the ten iterations run in microseconds; past it the
+    * distributed loop is unchanged (`localFinishEdges = 0` forces it
+    * — the equality path the spec pins).
+    */
+  private[graft] def pairPagerankWith(s: SparkSession, dir: String,
+      localFinishEdges: Int): DataFrame = {
+    require(localFinishEdges <= (1 << 20),
+      s"pairPagerank: localFinishEdges=$localFinishEdges — the endgame " +
+        "collect is bounded at 2^20 edges")
     val Scale = 1000000000000L
     val iters = 10
     cachedJaccard(s, dir).count()
@@ -1271,6 +1289,33 @@ object Dedup {
     s2.conf.set("spark.sql.adaptive.enabled", "false")
     s2.conf.set("spark.sql.shuffle.partitions", "8")
     val pairs = cachedJaccard(s2, dir).select(col("doc_a"), col("doc_b"))
+    if (pairs.count() <= localFinishEdges && localFinishEdges > 0) {
+      val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val bi = es ++ es.map { case (a, b) => (b, a) }
+      val deg = bi.groupBy(_._1).map { case (u, xs) => u -> xs.length.toLong }
+      val nodes = bi.map(_._1).distinct.sorted
+      val n = nodes.length.toLong
+      if (n == 0)
+        return s2.emptyDataFrame
+          .select(lit(0L).as("doc_id"), lit(0L).as("pr")).limit(0)
+      val base = Scale * 15L / 100L / n
+      var pr: Map[Long, Long] = nodes.map(_ -> Scale / n).toMap
+      for (_ <- 1 to iters) {
+        val acc = scala.collection.mutable.Map.empty[Long, Long]
+          .withDefaultValue(0L)
+        bi.foreach { case (u, v) =>
+          // mirror of the distributed round: only nodes present in
+          // the CURRENT pr frame contribute (all of them, here —
+          // every node of a bidirectional pair graph has in-edges)
+          pr.get(u).foreach(p => acc(v) += p / deg(u))
+        }
+        pr = acc.map { case (v, sum) =>
+          v -> (base + 85L * sum / 100L)
+        }.toMap
+      }
+      import s2.implicits._
+      return pr.toSeq.sortBy(_._1).toDF("doc_id", "pr")
+    }
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .cache()

@@ -485,6 +485,18 @@ class QueriesSpec extends AnyFunSuite {
     assert(out.count() == 0)
   }
 
+  test("dd_pair_pagerank: the driver endgame is BIT-EXACT against the " +
+      "forced distributed loop (pure Long fixed-point, order-free)") {
+    def rows(cap: Int) = graft.queries.Dedup
+      .pairPagerankWith(spark, dir, localFinishEdges = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val endgame = rows(1 << 16)
+    val distributed = rows(0)
+    assert(endgame.nonEmpty && endgame == distributed)
+    val ex = intercept[IllegalArgumentException](rows((1 << 20) + 1))
+    assert(ex.getMessage.contains("bounded"))
+  }
+
   test("true BPE count sits inside the pre-token/char bracket") {
     // the planning contract ta_bpe_token_count documents: merges never
     // cross pre-token boundaries, so pre-tokens lower-bound the true
