@@ -1466,6 +1466,81 @@ object Dedup {
       |  count(*) OVER (PARTITION BY cluster) AS cluster_size
       |FROM labels ORDER BY doc_id""".stripMargin
 
+  /** Survivor UPWEIGHTING — dedup-with-counts, the alternative to
+    * dropping duplicates when the duplicate MASS itself is signal
+    * (the standard move when training wants one copy of each
+    * near-dup family sampled proportionally to how often it appeared
+    * in the wild): every document gets a verdict row; cluster
+    * members collapse onto the min-id representative, which carries
+    * `weight = cluster_size`, while its duplicates carry 0 and
+    * singletons keep weight 1. This is the sampling-weights artifact
+    * a pipeline feeds into cp_dsir_resample-style draws instead of a
+    * plain keep mask. Machinery: the minhash pair graph + the
+    * CC endgame (cheap now), one left join back onto the corpus —
+    * singletons never enter the pair graph, so the join is
+    * pair-graph-sized.
+    */
+  private def clusterWeights(s: SparkSession, dir: String): DataFrame = {
+    cachedMinhashPairs(s, dir).count()
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val pairs = cachedMinhashPairs(s2, dir).select(col("id_a"), col("id_b"))
+    val comp = graft.dedup.ConnectedComponents.alternatingStars(pairs)
+      .select(col("node").as("doc_id"), col("component"))
+      .withColumn("csize",
+        count(lit(1)).over(Window.partitionBy(col("component"))))
+    Tables(s2, dir, "documents").select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster"),
+        coalesce(col("csize"), lit(1L)).as("cluster_size"))
+      .withColumn("keep", col("doc_id") === col("cluster"))
+      .withColumn("weight",
+        when(col("keep"), col("cluster_size")).otherwise(lit(0L)))
+      .orderBy(col("doc_id"))
+  }
+
+  private val clusterWeightsSql =
+    """WITH RECURSIVE pairs AS (
+      |  WITH sh AS (
+      |    SELECT doc_id,
+      |      unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS g
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |    WHERE len(ws) >= 3),
+      |  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |  inter AS (
+      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      |    FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      |    GROUP BY 1, 2)
+      |  SELECT doc_a, doc_b FROM inter
+      |    JOIN sizes sa ON doc_a = sa.doc_id
+      |    JOIN sizes sb ON doc_b = sb.doc_id
+      |  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5),
+      |edges AS (
+      |  SELECT doc_a, doc_b FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |walk AS (
+      |  SELECT doc_a AS node, doc_a AS reach FROM edges
+      |  UNION
+      |  SELECT e.doc_a AS node, w.reach
+      |  FROM edges e JOIN walk w ON e.doc_b = w.node),
+      |labels AS (
+      |  SELECT node AS doc_id, min(reach) AS cluster FROM walk GROUP BY node),
+      |sized AS (
+      |  SELECT doc_id, cluster,
+      |    count(*) OVER (PARTITION BY cluster) AS csize
+      |  FROM labels)
+      |SELECT d.doc_id,
+      |  coalesce(cluster, d.doc_id) AS cluster,
+      |  CAST(coalesce(csize, 1) AS BIGINT) AS cluster_size,
+      |  d.doc_id = coalesce(cluster, d.doc_id) AS keep,
+      |  CAST(CASE WHEN d.doc_id = coalesce(cluster, d.doc_id)
+      |    THEN coalesce(csize, 1) ELSE 0 END AS BIGINT) AS weight
+      |FROM documents d LEFT JOIN sized USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Streaming ingest gate — `graft.streaming.IncrementalIngest`
     * drives [[graft.dedup.IncrementalDedup]] through a real
     * multi-micro-batch Structured Streaming run (foreachBatch +
@@ -2870,6 +2945,8 @@ object Dedup {
       Some(minhashSurvivorsSql)),
     QueryDef("dd_minhash_clusters", minhashClusters,
       Some(minhashClustersSql)),
+    QueryDef("dd_cluster_weights", clusterWeights,
+      Some(clusterWeightsSql)),
     QueryDef("dd_pair_pagerank", pairPagerank, Some(pairPagerankSql)),
     QueryDef("dd_jaccard_histogram", jaccardHistogram,
       Some(jaccardHistogramSql)),

@@ -89,6 +89,25 @@ class QualityGatesSpec extends AnyFunSuite {
       "fixture has no cross-doc duplicate grams — signal untested")
   }
 
+  test("cluster weights: mass conservation — weights sum to the doc " +
+      "count, reps carry their cluster, duplicates carry zero") {
+    val rows = SparkEntry.queries("dd_cluster_weights")(spark, dir)
+      .collect()
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.length == nDocs, "every doc gets exactly one verdict row")
+    assert(rows.map(_.getAs[Long]("weight")).sum == nDocs,
+      "upweighting must conserve the corpus mass")
+    rows.foreach { r =>
+      val keep = r.getAs[Boolean]("keep")
+      val w = r.getAs[Long]("weight")
+      if (keep) assert(w == r.getAs[Long]("cluster_size"))
+      else assert(w == 0L)
+      assert(keep == (r.getAs[Long]("doc_id") == r.getAs[Long]("cluster")))
+    }
+    assert(rows.exists(_.getAs[Long]("weight") > 1L),
+      "fixture has no multi-doc cluster — upweighting untested")
+  }
+
   test("heaps law: decile curve equals a sequential-scan vocabulary " +
       "recount, and beta is finite and positive on the fixture") {
     val docs = fixtureDocs().sortBy(_._1)
