@@ -7,25 +7,32 @@ import java.nio.file.{Files, Paths}
 object Verify {
 
   /** Output types the driver's oracle harness provably CANNOT verify,
-    * established by three rounds of mirror-green/driver-red rows:
+    * established by four rounds of mirror-green/driver-red rows:
     * BINARY crashes its pandas row sort (r13: `unhashable type:
-    * 'bytearray'`) and DECIMAL(p,s) hash-reds value-identical results
+    * 'bytearray'`), DECIMAL(p,s) hash-reds value-identical results
     * (r12 money columns, r13 `mig_incremental_rowversion` — byte-equal
-    * to the oracle, still red). Every green precedent uses
-    * INT/BIGINT/SMALLINT/DOUBLE/VARCHAR/BOOLEAN/DATE/TIMESTAMP or
-    * arrays thereof. Refuse the two poison types anywhere in an output
+    * to the oracle, still red), and ANY top-level container column
+    * crashes the same pandas sort (r18 `ta_bpe_token_ids`: array<int>
+    * → `unhashable type: 'numpy.ndarray'` in sort_values, so the
+    * query shipped unverified). Every green precedent uses
+    * INT/BIGINT/SMALLINT/DOUBLE/VARCHAR/BOOLEAN/DATE/TIMESTAMP
+    * scalars only. Refuse the poison types anywhere in an output
     * schema so this bug class fails LOCALLY (spec + mirror) instead of
-    * shipping a red driver row. Render binaries as '0x'||hex and
-    * decimals as exact scale-padded strings (or DOUBLE) instead. */
+    * shipping a red driver row. Render binaries as '0x'||hex, decimals
+    * as exact scale-padded strings (or DOUBLE), and sequences as
+    * delimiter-joined strings or a posexplode'd long form instead. */
   def envelopeViolations(schema: StructType): Seq[String] = {
     def walk(path: String, dt: DataType): Seq[String] = dt match {
       case BinaryType     => Seq(s"$path: BINARY")
       case d: DecimalType => Seq(s"$path: $d")
-      case a: ArrayType   => walk(s"$path[]", a.elementType)
+      case a: ArrayType   =>
+        Seq(s"$path: ${a.simpleString}") ++ walk(s"$path[]", a.elementType)
       case m: MapType     =>
-        walk(s"$path[key]", m.keyType) ++ walk(s"$path[val]", m.valueType)
+        Seq(s"$path: ${m.simpleString}") ++
+          walk(s"$path[key]", m.keyType) ++ walk(s"$path[val]", m.valueType)
       case st: StructType =>
-        st.fields.toSeq.flatMap(f => walk(s"$path.${f.name}", f.dataType))
+        Seq(s"$path: struct") ++
+          st.fields.toSeq.flatMap(f => walk(s"$path.${f.name}", f.dataType))
       case _ => Nil
     }
     schema.fields.toSeq.flatMap(f => walk(f.name, f.dataType))

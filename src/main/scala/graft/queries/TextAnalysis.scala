@@ -164,6 +164,13 @@ object TextAnalysis {
     * `256 + r` (the byte range reserved for base vocab — the standard
     * byte-level-BPE numbering). One codegen replace chain + one
     * per-char projection; spaces separate pre-tokens and emit no id.
+    *
+    * Output contract: `token_ids` is the SPACE-JOINED id string, not
+    * an ArrayType — r18 proved the driver's pandas canonicalizer
+    * cannot sort/hash array cells (`unhashable type: numpy.ndarray`),
+    * so arrays joined BINARY/DECIMAL in the [[graft.Verify]] poison
+    * envelope and every sequence-valued query renders to a string.
+    * Information content is identical (ids are space-free decimals).
     */
   private def bpeTokenIds(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
@@ -172,24 +179,85 @@ object TextAnalysis {
         transform(
           filter(split(col("enc"), ""), c => c =!= " "),
           c => when(ascii(c) < 32, ascii(c) + 256).otherwise(ascii(c)))
-          .as("token_ids"))
-      .withColumn("n_tokens", size(col("token_ids")))
+          .as("ids"))
+      .select(col("doc_id"),
+        array_join(transform(col("ids"), i => i.cast("string")), " ")
+          .as("token_ids"),
+        size(col("ids")).as("n_tokens"))
       .orderBy(col("doc_id"))
 
   private val bpeTokenIdsSql = {
     val enc = bpeEncodeSql("text")
-    """WITH e AS (SELECT doc_id, """ + enc + """ AS s FROM documents)
-      |SELECT doc_id,
+    """WITH e AS (SELECT doc_id, """ + enc + """ AS s FROM documents),
+      |t AS (SELECT doc_id,
       |  list_transform(
       |    list_filter(
       |      list_transform(range(1, length(s) + 1), i -> s[i:i]),
       |      c -> c <> ' '),
       |    c -> CASE WHEN ascii(c) < 32 THEN ascii(c) + 256
-      |         ELSE ascii(c) END) AS token_ids,
-      |  CAST(length(s) - (length(text) - length(replace(text, ' ', '')))
-      |    AS INTEGER) AS n_tokens
-      |FROM e JOIN documents USING (doc_id)
+      |         ELSE ascii(c) END) AS ids
+      |  FROM e)
+      |SELECT doc_id,
+      |  array_to_string(list_transform(ids, x -> CAST(x AS VARCHAR)), ' ')
+      |    AS token_ids,
+      |  CAST(len(ids) AS INTEGER) AS n_tokens
+      |FROM t
       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Token IDS from the PERSISTED tokenizer — the full production
+    * closure in one operator: train on the corpus, `BpeModel.save`,
+    * `load` in-session, and emit each document's id sequence via the
+    * LOADED artifact's [[graft.text.BpeModel.encodeIds]]. Where
+    * `ta_bpe_saved_compression` proves the persisted model reproduces
+    * aggregate counts, this proves it reproduces the EXACT per-token
+    * id stream a training job would consume — the strongest artifact
+    * round-trip check available. Ids follow the shipped numbering:
+    * base symbols keep their code point, learned rank r is `256 + r`
+    * (stable across sessions because rank order is training order).
+    * The oracle replays the same training unroll ([[bpeTrainCtes]])
+    * and id projection in DuckDB, so the learned rules cannot drift
+    * between engines. Joined-string output per the r18 envelope rule.
+    */
+  private def bpeSavedTokenIds(s: SparkSession, dir: String): DataFrame = {
+    val model = graft.text.BpeModel.train(Tables(s, dir, "documents"),
+      "text", graft.text.BpeTrainConfig(BpeTrainMerges))
+    val work = java.nio.file.Files.createTempDirectory("graft_bpe_ids")
+    val path = work.resolve("model").toString
+    model.save(s, path)
+    val loaded = graft.text.BpeModel.load(s, path)
+    org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), loaded.encodeIds(col("text")).as("ids"))
+      .select(col("doc_id"),
+        array_join(transform(col("ids"), i => i.cast("string")), " ")
+          .as("token_ids"),
+        size(col("ids")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  // lazy: references BpeTrainMerges/bpeTrainCtes declared LATER in this
+  // object — an eager val here would unroll against the yet-uninitialized
+  // (0) merge budget and silently emit a no-op chain
+  private lazy val bpeSavedTokenIdsSql: String = {
+    val chain = (1 to BpeTrainMerges).foldLeft("text")((acc, r) =>
+      s"replace($acc, (SELECT pr FROM b$r), chr($r))")
+    s"""${bpeTrainCtes},
+       |enc AS (SELECT doc_id, $chain AS s FROM documents),
+       |t AS (SELECT doc_id,
+       |  list_transform(
+       |    list_filter(
+       |      list_transform(range(1, length(s) + 1), i -> s[i:i]),
+       |      c -> c <> ' '),
+       |    c -> CASE WHEN ascii(c) < 32 THEN ascii(c) + 256
+       |         ELSE ascii(c) END) AS ids
+       |  FROM enc)
+       |SELECT doc_id,
+       |  array_to_string(list_transform(ids, x -> CAST(x AS VARCHAR)), ' ')
+       |    AS token_ids,
+       |  CAST(len(ids) AS INTEGER) AS n_tokens
+       |FROM t
+       |ORDER BY doc_id""".stripMargin
   }
 
   private def bpeTrueCount(s: SparkSession, dir: String): DataFrame = {
@@ -2476,6 +2544,8 @@ object TextAnalysis {
     QueryDef("ta_bpe_train", bpeTrain, Some(bpeTrainSql)),
     QueryDef("ta_bpe_learned_compression", bpeLearnedCompression,
       Some(bpeLearnedCompressionSql)),
+    QueryDef("ta_bpe_saved_token_ids", bpeSavedTokenIds,
+      Some(bpeSavedTokenIdsSql)),
     QueryDef("ta_bpe_saved_compression", bpeSavedCompression,
       Some(bpeLearnedCompressionSql)),
     QueryDef("ta_readability", readability, Some(readabilitySql)),

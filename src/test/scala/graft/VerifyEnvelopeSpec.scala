@@ -5,9 +5,13 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** The Verify output-envelope guard: the driver's oracle harness
   * provably cannot verify BINARY (its pandas row sort crashes on
-  * bytearray — r13) or DECIMAL outputs (value-identical results
-  * hash-red — r12/r13). The guard turns that mirror-green/driver-red
-  * class into a local failure BEFORE a query ships.
+  * bytearray — r13), DECIMAL outputs (value-identical results
+  * hash-red — r12/r13), or ANY container-typed column (r18
+  * `ta_bpe_token_ids`: array<int> crashed the pandas sort with
+  * `unhashable type: 'numpy.ndarray'`, shipping the query
+  * unverified while the builder gate said green). The guard turns
+  * that mirror-green/driver-red class into a local failure BEFORE a
+  * query ships.
   */
 class VerifyEnvelopeSpec extends AnyFunSuite {
 
@@ -20,14 +24,23 @@ class VerifyEnvelopeSpec extends AnyFunSuite {
     StructField("str", StringType),
     StructField("b", BooleanType),
     StructField("dt", DateType),
-    StructField("ts", TimestampType),
-    StructField("arr", ArrayType(DoubleType)),
-    StructField("nested", StructType(Seq(
-      StructField("inner", ArrayType(StringType))
-    )))))
+    StructField("ts", TimestampType)))
 
   test("the proven-verifiable types all pass") {
     assert(Verify.envelopeViolations(ok).isEmpty)
+  }
+
+  test("container columns are refused outright (r18 ndarray crash)") {
+    val bad = StructType(Seq(
+      StructField("ok", LongType),
+      StructField("ids", ArrayType(IntegerType)),
+      StructField("kv", MapType(StringType, LongType)),
+      StructField("pair", StructType(Seq(StructField("x", IntegerType))))))
+    val v = Verify.envelopeViolations(bad)
+    assert(v.exists(m => m.startsWith("ids") && m.contains("array")))
+    assert(v.exists(m => m.startsWith("kv") && m.contains("map")))
+    assert(v.exists(m => m.startsWith("pair") && m.contains("struct")))
+    assert(!v.exists(_.startsWith("ok")))
   }
 
   test("top-level BINARY and DECIMAL are refused with the column name") {
@@ -49,7 +62,6 @@ class VerifyEnvelopeSpec extends AnyFunSuite {
         StructField("deep", ArrayType(StructType(Seq(
           StructField("x", BinaryType))))))))))
     val v = Verify.envelopeViolations(nested)
-    assert(v.size == 3)
     assert(v.exists(_.startsWith("a[]")))
     assert(v.exists(_.startsWith("m[val]")))
     assert(v.exists(_.contains("s.deep[].x")))

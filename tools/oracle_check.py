@@ -95,20 +95,27 @@ def main():
             n_fail += 1
             continue
         # Driver-verifiable output envelope: the driver's harness
-        # crashes on BLOB cells (pandas sort, r13) and hash-reds
-        # value-identical DECIMAL columns (r12/r13) — `norm` below
-        # would happily green both, so REFUSE them on either side
-        # instead of normalizing them away (mirror red ⇔ driver red).
+        # crashes on BLOB cells (pandas sort, r13), hash-reds
+        # value-identical DECIMAL columns (r12/r13), and crashes its
+        # pandas sort on ANY container cell (r18 ta_bpe_token_ids:
+        # LIST → `unhashable type: 'numpy.ndarray'`) — `norm` below
+        # would happily green all of them (it stringifies lists!), so
+        # REFUSE them on either side instead of normalizing them away
+        # (mirror red ⇔ driver red). This is the exact gap that let
+        # the r18 builder gate claim 272/272 while the driver saw 271.
         envelope_bad = [
             (side, c, str(t))
             for side, cols_types in (("oracle", zip(d.columns, d.types)),
                                      ("spark", zip(sres.columns, sres.types)))
             for c, t in cols_types
             if "DECIMAL" in str(t).upper() or "BLOB" in str(t).upper()
-            or "BINARY" in str(t).upper()]
+            or "BINARY" in str(t).upper()
+            or any(k in str(t).upper()
+                   for k in ("LIST", "[]", "STRUCT", "MAP"))]
         if envelope_bad:
             print(f"FAIL {name}: output schema outside the driver-"
-                  f"verifiable envelope (DECIMAL/BLOB): {envelope_bad}")
+                  f"verifiable envelope (DECIMAL/BLOB/LIST/STRUCT/MAP): "
+                  f"{envelope_bad}")
             n_fail += 1
             continue
         dc, dr = table_of(d_rows, d_cols)
