@@ -119,8 +119,13 @@ object ConnectedComponents {
     var sig = signature(e)
     var converged = false
     var rounds = 0
+    // the endgame's union-find works on long ids — a non-integral id
+    // column (string doc keys label fine via least/min in the star
+    // rounds) would cast to null and NPE, so such graphs simply keep
+    // the pure distributed path (r18 advice)
+    val endgameEligible = integralIdType(e)
     while (!converged && rounds < maxRounds) {
-      if (sig._1 <= localFinishEdges) {
+      if (sig._1 <= localFinishEdges && endgameEligible) {
         val out = localLabel(e)
         e.unpersist()
         return out
@@ -158,6 +163,20 @@ object ConnectedComponents {
     e.unpersist()
     out
   }
+
+  /** Endgame eligibility: the collected union-find runs on longs, so
+    * only integral id columns qualify; anything else (string keys,
+    * decimals) stays on the distributed star loop, which orders via
+    * least/min on the native type.
+    */
+  private def integralIdType(e: DataFrame): Boolean =
+    e.schema("a").dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
 
   /** The endgame labeling: union-find over a CAPPED collected edge
     * set (caller checked the bound), roots kept at the component

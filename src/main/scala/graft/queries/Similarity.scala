@@ -181,6 +181,26 @@ object Similarity {
     * consumer performs first). Approximate by design; the oracle runs
     * the identical probe algorithm, so rows hash-match.
     */
+  /** kNN-graph centroid count for an n-vector corpus, loudly capped
+    * (the ConnectedComponents.alternatingStars / pairPagerankWith
+    * convention): nlist grows as corpus/256 (bounded expected bucket
+    * occupancy) and the demo geometry holds the centroid table on the
+    * driver, so bound that collect explicitly — 2^17 centroids ×
+    * 64-dim doubles ≈ 64 MB, the most one node should hold. The cap
+    * trips at ~33M vectors; past it, train centroids distributed
+    * (sim_kmeans_ivf machinery) and broadcast-join the assignment
+    * instead of closing over a driver array.
+    */
+  private[graft] def boundedNlist(corpusRows: Long): Int = {
+    val nlist = math.max(NumCentroids,
+      math.ceil(corpusRows / 256.0).toInt)
+    require(nlist <= (1 << 17),
+      s"knnGraph: nlist=$nlist exceeds the driver-resident centroid " +
+        "cap (2^17) — train centroids with the sim_kmeans_ivf " +
+        "machinery and shard the assignment instead")
+    nlist
+  }
+
   private def knnGraph(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
     // nlist SCALES with the corpus (bounded expected bucket occupancy
@@ -193,8 +213,7 @@ object Similarity {
     // holds them on the driver; a production deployment trains them
     // (sim_kmeans_ivf machinery) and shards the assignment once the
     // centroid table itself outgrows one node.
-    val nlist = math.max(NumCentroids,
-      math.ceil(e.count() / 256.0).toInt)
+    val nlist = boundedNlist(e.count())
     val cm: Seq[Seq[Double]] = e.filter(col("vec_id") < nlist)
       .select(col("vec_id"), col("embedding")).collect()
       .sortBy(_.getLong(0))

@@ -769,8 +769,11 @@ object TextAnalysis {
         sum(col("new_docs")).over(wCum).as("n_docs"),
         sum(col("new_tokens")).over(wCum).as("n_tokens"),
         sum(col("new_words")).over(wCum).as("vocab_size"))
+    // beta through Quant.qdec like every other derived score — beta
+    // CAN land on an exact decimal (vocab ratio a perfect power of
+    // the token ratio), where engine round() tie-breaks diverge
     cum
-      .withColumn("beta", round(
+      .withColumn("beta", Quant.qdec(
         log(col("vocab_size").cast("double") /
           lag(col("vocab_size"), 1).over(Window.orderBy(col("dec")))) /
           log(col("n_tokens").cast("double") /
@@ -802,10 +805,11 @@ object TextAnalysis {
       |  WINDOW w AS (ORDER BY d.dec
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
       |SELECT dec, n_docs, n_tokens, vocab_size,
-      |  round(ln(CAST(vocab_size AS DOUBLE)
+      |  floor((ln(CAST(vocab_size AS DOUBLE)
       |      / lag(vocab_size) OVER (ORDER BY dec))
       |    / ln(CAST(n_tokens AS DOUBLE)
-      |      / lag(n_tokens) OVER (ORDER BY dec)), 9) AS beta
+      |      / lag(n_tokens) OVER (ORDER BY dec))) * 1e9 + 0.5) / 1e9
+      |    AS beta
       |FROM cum ORDER BY dec""".stripMargin
 
   /** Heuristic quality score in [0,1]: length saturation + stopword

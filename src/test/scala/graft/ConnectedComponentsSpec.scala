@@ -97,6 +97,18 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(empty.collect().isEmpty)
   }
 
+  test("string node ids label via the distributed path (endgame is " +
+      "long-only and must not NPE on non-integral keys)") {
+    import spark.implicits._
+    val edges = Seq(("docA", "docB"), ("docB", "docC"), ("docX", "docY"))
+    // default localFinishEdges (1<<16) puts 3 edges squarely in the
+    // endgame regime — eligibility must bounce it to the star loop
+    val got = ConnectedComponents.alternatingStars(edges.toDF("x", "y"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("docA" -> "docA", "docB" -> "docA",
+      "docC" -> "docA", "docX" -> "docX", "docY" -> "docX"))
+  }
+
   test("round-cap exhaustion throws instead of returning a wrong labeling") {
     import spark.implicits._
     // a 64-node path needs several star rounds and ~64 propagation

@@ -20,6 +20,16 @@ class KnnGraphSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("boundedNlist: scales as corpus/256, loud cap at 2^17 centroids") {
+    import graft.queries.Similarity.boundedNlist
+    assert(boundedNlist(1000L) >= 4)                      // floor regime
+    assert(boundedNlist(256L * (1 << 17)) == (1 << 17))   // boundary ok
+    val e = intercept[IllegalArgumentException] {
+      boundedNlist(256L * (1 << 17) + 256L)               // one bucket past
+    }
+    assert(e.getMessage.contains("sim_kmeans_ivf"))
+  }
+
   test("knn graph: ranks contiguous per source, no self-edges, mutual " +
       "flag == reverse-edge membership, and edges beat non-edges in " +
       "the probed candidate set") {
