@@ -271,6 +271,25 @@ object Bench {
     }
     val total = stats.map(_._2).sum
 
+    // Steal-ADJUSTED medians: r18's cross-round comparison was
+    // contamination-limited (278 s of host CPU steal landed on that
+    // run, 139 s on one family), so each rep also gets a counterfactual
+    // wall with the rep's whole-box steal share subtracted —
+    // wall − steal_ms/(cpus·1000): steal_ms sums stolen CPU time over
+    // all cores, so dividing by the core count converts it to the
+    // wall-clock a fully-parallel query lost; for under-parallel
+    // queries it UNDERcorrects, making adj a conservative lower bound,
+    // never an excuse. Cross-round deltas should be read on `adj`
+    // (value_adj); raw medians stay the headline for continuity.
+    val adjStats = byName.map { case (name, _) =>
+      val adj = samples(name).zip(stealDeltas(name)).map {
+        case (w, s) => math.max(0.0, w - s / (cpus.toDouble * 1000.0))
+      }
+      (name, median(adj))
+    }
+    val adjByName = adjStats.toMap
+    val totalAdj = adjStats.map(_._2).sum
+
     // Full per-query med/min/max map → repo file (the durable artifact).
     // `reps` carries the raw per-pass samples in pass order (pass 0 =
     // forward iteration, pass 1 = reverse, ...): the judge can then
@@ -300,11 +319,11 @@ object Bench {
       // spike whose excess sits in jit+gc is warm-up MEASURED, not
       // inferred; excess in exec is genuinely more query cycles.
       def thv(c: String) = threadDeltas(k).map(_(c)).mkString("[", ",", "]")
-      s""""$k":{"med":${js(med)},"min":${js(mn)},"max":${js(mx)},"reps":$raw,"starts":$st,"gc_ms":$gc,"steal_ms":$sl,"cpu_ms":$cp,"iowait_ms":$io,"exec_cpu_ms":${thv("exec")},"gc_cpu_ms":${thv("gc")},"jit_cpu_ms":${thv("jit")},"other_cpu_ms":${thv("other")}}"""
+      s""""$k":{"med":${js(med)},"adj":${js(adjByName(k))},"min":${js(mn)},"max":${js(mx)},"reps":$raw,"starts":$st,"gc_ms":$gc,"steal_ms":$sl,"cpu_ms":$cp,"iowait_ms":$io,"exec_cpu_ms":${thv("exec")},"gc_cpu_ms":${thv("gc")},"jit_cpu_ms":${thv("jit")},"other_cpu_ms":${thv("other")}}"""
     }.mkString("{", ",", "}")
     // header *_total_ms are deltas over THIS run (snapshots above)
     val fullJson =
-      s"""{"metric":"total","value":${js(total)},"unit":"sec","stat":"median","reps":$reps,"t_end":${js(System.currentTimeMillis() / 1e3)},"gc_total_ms":${gcMillis() - runGc0},"steal_total_ms":${stealMillis() - runSteal0},"cpu_total_ms":${if (runCpu0 < 0) -1L else processCpuMillis() - runCpu0},"iowait_total_ms":${iowaitMillis() - runIowait0},"clk_tck":$clkTck,"queries":$fullQs,"sf":"$sfDir","cpus":$cpus}"""
+      s"""{"metric":"total","value":${js(total)},"value_adj":${js(totalAdj)},"unit":"sec","stat":"median","reps":$reps,"t_end":${js(System.currentTimeMillis() / 1e3)},"gc_total_ms":${gcMillis() - runGc0},"steal_total_ms":${stealMillis() - runSteal0},"cpu_total_ms":${if (runCpu0 < 0) -1L else processCpuMillis() - runCpu0},"iowait_total_ms":${iowaitMillis() - runIowait0},"clk_tck":$clkTck,"queries":$fullQs,"sf":"$sfDir","cpus":$cpus}"""
     // SPARK_GRAFT_BENCH_DETAIL_OUT redirects the detail artifact (the
     // contended-bench experiment needs per-rep vectors from FILTERED
     // runs); without it, a filtered run must not clobber the full
@@ -324,13 +343,16 @@ object Bench {
         val p = name.takeWhile(_ != '_')
         if (p.matches("q\\d+")) "q" else p
       }
-      .map { case (fam, rs) => s""""fam_$fam":${js(rs.map(_._2).sum)}""" }
+      .map { case (fam, rs) =>
+        val adjSum = rs.map { case (n, _, _, _) => adjByName(n) }.sum
+        s""""fam_$fam":${js(rs.map(_._2).sum)},"famadj_$fam":${js(adjSum)}"""
+      }
       .toSeq.sorted
     val slowest = stats.sortBy(-_._2).take(10)
       .map { case (k, med, _, _) => s""""$k":${js(med)}""" }
     val compactQs = (famTotals ++ slowest).mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${js(total)},"unit":"sec","stat":"median","reps":$reps,"queries":$compactQs,"sf":"$sfDir","n_queries":${stats.size},"detail":"$detailPath"}""")
+      s"""{"metric":"total","value":${js(total)},"value_adj":${js(totalAdj)},"unit":"sec","stat":"median","reps":$reps,"queries":$compactQs,"sf":"$sfDir","n_queries":${stats.size},"detail":"$detailPath"}""")
     spark.stop()
   }
 }
