@@ -21,11 +21,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * (trailing empties kept — the Spark/DuckDB split convention) and a
   * window is k words joined by single spaces — byte-identical to
   * `md5(CAST(array_join(slice(ws, i, k), ' ') AS BINARY))`.
-  * `words = false`: the input is an already-encoded one-char-per-
-  * symbol string (the sentinel-coded BPE form; printable-ASCII +
-  * control sentinels by the [[graft.queries.TextAnalysis]] bpeEncode
-  * contract, so char windows == code-point windows == DuckDB
-  * substring semantics) and a window is k consecutive chars.
+  * `words = false`: a window is k consecutive CODE POINTS, hashed as
+  * their UTF-8 byte slice — engine-exact `md5(substring(s, i, k))`
+  * semantics on any input (multilingual text, surrogate pairs, the
+  * sentinel-coded BPE form including the U+E000.. band for ranks
+  * past the control sentinels).
   *
   * Fewer than k tokens => empty array (no window fits).
   */
@@ -41,10 +41,7 @@ object GramMd5sHelper {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  private def md5Hex(md: java.security.MessageDigest,
-      s: String): UTF8String = {
-    md.reset()
-    val dig = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  private def hexOf(dig: Array[Byte]): UTF8String = {
     val out = new Array[Byte](32)
     var i = 0
     while (i < 16) {
@@ -53,6 +50,12 @@ object GramMd5sHelper {
       i += 1
     }
     UTF8String.fromBytes(out)
+  }
+
+  private def md5Hex(md: java.security.MessageDigest,
+      s: String): UTF8String = {
+    md.reset()
+    hexOf(md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
   }
 
   def compute(text: UTF8String, k: Int, words: Boolean): GenericArrayData = {
@@ -78,21 +81,38 @@ object GramMd5sHelper {
       }
       new GenericArrayData(out)
     } else {
-      // Char mode windows UTF-16 code units; the DuckDB oracle's
-      // substring/length are code-point based. Equality holds only on
-      // single-byte (ASCII + control-sentinel) input — the bpeEncode
-      // contract — so enforce it loudly instead of letting a non-ASCII
-      // fixture silently diverge and split surrogate pairs.
-      if (text.numBytes != text.numChars) throw new IllegalArgumentException(
-        "gram_md5s char mode requires single-byte (ASCII/control) input " +
-          "per the bpeEncode sentinel contract; got multi-byte code points " +
-          s"(${text.numBytes} bytes, ${text.numChars} chars)")
-      if (s.length < k) return new GenericArrayData(Array.empty[Any])
-      val n = s.length - k + 1
+      // Char mode windows CODE POINTS over the raw UTF-8 byte stream —
+      // both engines' substring/length are code-point based, so this
+      // matches md5(substring(s, i, k)) on ANY input: multilingual
+      // corpora, surrogate-pair emoji, and the U+E000.. BPE sentinel
+      // band (ranks >= 32) all window correctly. (r18 shipped a loud
+      // single-byte guard here; windowing the bytes by lead-byte scan
+      // removes the input contract entirely and is byte-for-byte the
+      // old behavior on ASCII/control input, where offsets are 1:1.)
+      // One scan records each code point's byte offset; window i
+      // hashes bytes [off(i), off(i+k)) — exactly the UTF-8 encoding
+      // of those k code points, no String round-trip at all.
+      val bytes = text.getBytes
+      val nb = bytes.length
+      val offs = new Array[Int](text.numChars + 1)
+      var cp = 0
+      var b = 0
+      while (b < nb) {
+        offs(cp) = b
+        val lead = bytes(b) & 0xff
+        b += (if (lead < 0x80) 1 else if (lead < 0xE0) 2
+              else if (lead < 0xF0) 3 else 4)
+        cp += 1
+      }
+      offs(cp) = nb
+      if (cp < k) return new GenericArrayData(Array.empty[Any])
+      val n = cp - k + 1
       val out = new Array[Any](n)
       var i = 0
       while (i < n) {
-        out(i) = md5Hex(md, s.substring(i, i + k))
+        md.reset()
+        md.update(bytes, offs(i), offs(i + k) - offs(i))
+        out(i) = hexOf(md.digest())
         i += 1
       }
       new GenericArrayData(out)

@@ -105,24 +105,32 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
-  test("GramMd5s char mode rejects multi-byte input loudly (sentinel " +
-      "contract guard) and word mode still accepts it") {
+  test("GramMd5s char mode windows CODE POINTS on multi-byte input — " +
+      "engine-exact md5(substring) on accents, CJK, astral emoji, and " +
+      "the U+E000 sentinel band") {
     import spark.implicits._
     bothPaths {
-      val nonAscii = Seq("héllo wörld grüß gott here").toDF("text")
-      val ex = intercept[Exception] { // SparkException or the raw IAE,
-        // depending on whether local-mode task failure wraps it
-        nonAscii.select(functions.GramMd5s(col("text"), 3, words = false))
-          .collect()
-      }
-      def msgs(t: Throwable): Iterator[String] =
-        Iterator.iterate[Throwable](t)(_.getCause).takeWhile(_ != null)
-          .take(5).map(e => Option(e.getMessage).getOrElse(""))
-      assert(msgs(ex).exists(_.contains("single-byte")))
-      // word mode has no code-unit windowing, so multi-byte is fine
-      assert(nonAscii
+      // 2-byte (é ö ü ß), 3-byte (CJK + U+E000/U+E001 sentinels), and
+      // 4-byte astral (surrogate PAIRS in UTF-16 — the case UTF-16
+      // windowing would split) code points, mixed with ASCII
+      val mixed = Seq("héllo wörld grüß",
+        "漢字かな混じり文",
+        "abc",
+        "x😀y🚀z😀",
+        "né").toDF("text")
+      val ref = when(length(col("text")) < 3,
+        array().cast("array<string>"))
+        .otherwise(expr(
+          "transform(sequence(1, length(text) - 2), " +
+            "i -> md5(CAST(substring(text, i, 3) AS BINARY)))"))
+      assert(mixed
+        .select(functions.GramMd5s(col("text"), 3, words = false).as("fast"),
+          ref.as("ref"))
+        .filter(not(col("fast") === col("ref"))).count() == 0)
+      // word mode unchanged on multi-byte input
+      assert(mixed.limit(1)
         .select(functions.GramMd5s(col("text"), 3, words = true).as("g"))
-        .selectExpr("size(g)").as[Int].head() == 3)
+        .selectExpr("size(g)").as[Int].head() == 1)
     }
   }
 
