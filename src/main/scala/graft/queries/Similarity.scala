@@ -201,7 +201,13 @@ object Similarity {
     nlist
   }
 
-  private def knnGraph(s: SparkSession, dir: String): DataFrame = {
+  /** The kNN-graph edge builder shared by [[knnGraph]] and its two
+    * graph consumers ([[labelNoise]], [[snnClusters]]): unordered
+    * (src_id, neighbor_id, rnk, cosv, mutual) edges. One construction,
+    * three readouts — exactly how a production curation pass uses the
+    * graph (build once, fan the consumers over the edge list).
+    */
+  private def knnGraphEdges(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
     // nlist SCALES with the corpus (bounded expected bucket occupancy
     // ~256) instead of the query tier's fixed 16: a self-join's pair
@@ -242,8 +248,10 @@ object Similarity {
         col("src_id").as("neighbor_id"), lit(true).as("m"))
     edges.join(rev, Seq("src_id", "neighbor_id"), "left")
       .withColumn("mutual", coalesce(col("m"), lit(false))).drop("m")
-      .orderBy(col("src_id"), col("rnk"))
   }
+
+  private def knnGraph(s: SparkSession, dir: String): DataFrame =
+    knnGraphEdges(s, dir).orderBy(col("src_id"), col("rnk"))
 
   private val knnGraphSql =
     s"""WITH nl AS (
@@ -285,6 +293,111 @@ object Similarity {
        |FROM edges e LEFT JOIN (SELECT src_id, neighbor_id FROM edges) m
        |  ON m.src_id = e.neighbor_id AND m.neighbor_id = e.src_id
        |ORDER BY e.src_id, e.rnk""".stripMargin
+
+  /** kNN LABEL-NOISE detection (confident-learning-style curation,
+    * Northcutt et al. JAIR'21 reduced to its kNN-agreement core): for
+    * every vector, the share of its kNN-graph neighbors carrying the
+    * SAME label; vectors whose neighborhood disagrees with their own
+    * label (agreement < 0.5) are flagged `suspect` — the candidates a
+    * labeled-data curation pass re-audits or drops. Consumes the
+    * [[knnGraphEdges]] construction unchanged, so the candidate
+    * generation stays bucket-keyed (never corpus²).
+    *
+    * Scale shape: the label join runs on the EDGE list (n·k rows, k=5
+    * — linear in the corpus) keyed by neighbor_id, then one map-side
+    * combinable per-source aggregation; nothing corpus-sized is
+    * collected or broadcast beyond the centroid table the graph
+    * already bounds ([[boundedNlist]]). The agreement ratio is a
+    * rational of exact counts, so it rides [[graft.Quant.qdec]].
+    */
+  private def labelNoise(s: SparkSession, dir: String): DataFrame = {
+    val labels = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    knnGraphEdges(s, dir)
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label")), "neighbor_id")
+      .join(labels.select(col("vec_id").as("src_id"), col("label")),
+        "src_id")
+      .groupBy(col("src_id"), col("label"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(when(col("n_label") === col("label"), 1L).otherwise(0L))
+          .as("n_agree"))
+      .withColumn("agree_frac", Quant.qdec(
+        col("n_agree").cast("double") / col("n_neighbors"), 9))
+      .withColumn("suspect", col("agree_frac") < 0.5)
+      .select(col("src_id").as("vec_id"), col("label"),
+        col("n_neighbors"), col("n_agree"), col("agree_frac"),
+        col("suspect"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val labelNoiseSql =
+    s"""WITH g AS ($knnGraphSql),
+       |lab AS (SELECT vec_id, label FROM embeddings)
+       |SELECT g.src_id AS vec_id, ls.label,
+       |  count(*) AS n_neighbors,
+       |  CAST(sum(CASE WHEN ln.label = ls.label THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_agree,
+       |  ${Quant.qdecSql(
+      "CAST(sum(CASE WHEN ln.label = ls.label THEN 1 ELSE 0 END) " +
+        "AS DOUBLE) / count(*)", 9)} AS agree_frac,
+       |  ${Quant.qdecSql(
+      "CAST(sum(CASE WHEN ln.label = ls.label THEN 1 ELSE 0 END) " +
+        "AS DOUBLE) / count(*)", 9)} < 0.5 AS suspect
+       |FROM g
+       |  JOIN lab ls ON ls.vec_id = g.src_id
+       |  JOIN lab ln ON ln.vec_id = g.neighbor_id
+       |GROUP BY 1, 2 ORDER BY vec_id""".stripMargin
+
+  /** SNN (shared/mutual-nearest-neighbor) CLUSTERS: connected
+    * components over the kNN graph's MUTUAL edges — the graph-native
+    * semantic clustering (Ertöz et al. SDM'03's core step) that
+    * complements the centroid-based SemDeDup tier: mutual-kNN keeps
+    * only reciprocated affinity, so chains of one-sided neighbors
+    * never glue unrelated regions together. Output labels every
+    * vector that HAS a mutual edge with its component (min member id,
+    * the dd_components convention) and the component's size — the
+    * frame a diversity sampler or per-cluster cap consumes directly.
+    *
+    * Scale shape: edge construction is the bucket-keyed
+    * [[knnGraphEdges]]; the component loop is
+    * [[graft.dedup.ConnectedComponents.alternatingStars]] — O(log² n)
+    * large-star/small-star rounds on any graph shape with the loudly
+    * capped union-find endgame absorbing the converged tail, so a
+    * crawl-scale mutual graph converges in a handful of rounds.
+    */
+  private def snnClusters(s: SparkSession, dir: String): DataFrame = {
+    val mutualPairs = knnGraphEdges(s, dir)
+      .filter(col("mutual") && col("src_id") < col("neighbor_id"))
+      .select(col("src_id"), col("neighbor_id"))
+    val comp = graft.dedup.ConnectedComponents
+      .alternatingStars(mutualPairs)
+      .select(col("node").as("vec_id"), col("component"))
+    comp
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("component"))))
+      .orderBy(col("vec_id"))
+  }
+
+  private val snnClustersSql =
+    s"""WITH RECURSIVE g AS ($knnGraphSql),
+       |mp AS (
+       |  SELECT src_id AS a, neighbor_id AS b FROM g
+       |  WHERE mutual AND src_id < neighbor_id),
+  |-- NOT named `edges`: DuckDB resolves the nested g body's own
+  |-- `FROM edges` against a SAME-NAMED outer CTE (binder error)
+       |und AS (SELECT a, b FROM mp UNION SELECT b AS a, a AS b FROM mp),
+       |walk AS (
+       |  SELECT a AS node, a AS reach FROM und
+       |  UNION
+       |  SELECT e.a AS node, w.reach
+       |  FROM und e JOIN walk w ON e.b = w.node),
+       |comp AS (
+       |  SELECT node AS vec_id, min(reach) AS component
+       |  FROM walk GROUP BY node)
+       |SELECT vec_id, component,
+       |  count(*) OVER (PARTITION BY component) AS n_members
+       |FROM comp ORDER BY vec_id""".stripMargin
 
   /** IVF recall-vs-nprobe sweep: total recall@$TopK against the
     * brute-force ground truth at nprobe ∈ {1, 2, 4} — the
@@ -1733,6 +1846,8 @@ object Similarity {
     QueryDef("sim_knn_brute", knnBrute, Some(knnBruteSql)),
     QueryDef("sim_knn_ivf", knnIvf, Some(knnIvfSql)),
     QueryDef("sim_knn_graph", knnGraph, Some(knnGraphSql)),
+    QueryDef("sim_label_noise", labelNoise, Some(labelNoiseSql)),
+    QueryDef("sim_snn_clusters", snnClusters, Some(snnClustersSql)),
     QueryDef("sim_range_search", rangeSearch, Some(rangeSearchSql)),
     QueryDef("sim_label_centroids", labelCentroids, Some(labelCentroidsSql)))
 }

@@ -55,6 +55,56 @@ class KnnGraphSpec extends AnyFunSuite {
       "fixture exercises only one mutual verdict")
   }
 
+  test("label noise: agreement recomputed from the graph edges and the " +
+      "label table; suspect == agree_frac < 0.5") {
+    val edges = SparkEntry.queries("sim_knn_graph")(spark, dir).collect()
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet")
+      .collect().map(r =>
+        r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val want = edges.groupBy(_.getAs[Long]("src_id")).map { case (src, es) =>
+      val agree = es.count(e =>
+        labels(e.getAs[Long]("neighbor_id")) == labels(src))
+      src -> ((es.length, agree))
+    }
+    val got = SparkEntry.queries("sim_label_noise")(spark, dir).collect()
+    assert(got.map(_.getAs[Long]("vec_id")).toSet == want.keySet)
+    got.foreach { r =>
+      val (n, agree) = want(r.getAs[Long]("vec_id"))
+      assert(r.getAs[Long]("n_neighbors") == n)
+      assert(r.getAs[Long]("n_agree") == agree)
+      assert(r.getAs[Int]("label") == labels(r.getAs[Long]("vec_id")))
+      val frac = math.floor(agree.toDouble / n * 1e9 + 0.5) / 1e9
+      assert(r.getAs[Double]("agree_frac") == frac)
+      assert(r.getAs[Boolean]("suspect") == (frac < 0.5))
+    }
+    assert(got.exists(_.getAs[Boolean]("suspect")) &&
+      got.exists(!_.getAs[Boolean]("suspect")),
+      "fixture exercises only one suspect verdict")
+  }
+
+  test("snn clusters: labeling covers exactly the mutual-edge nodes, " +
+      "mutual endpoints share a component, component is the member min") {
+    val edges = SparkEntry.queries("sim_knn_graph")(spark, dir).collect()
+    val mutualPairs = edges.filter(_.getAs[Boolean]("mutual"))
+      .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("neighbor_id")))
+      .filter { case (a, b) => a < b }
+    val got = SparkEntry.queries("sim_snn_clusters")(spark, dir).collect()
+    val comp = got.map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Long]("component")).toMap
+    assert(comp.keySet == mutualPairs.flatMap(p => Seq(p._1, p._2)).toSet)
+    mutualPairs.foreach { case (a, b) =>
+      assert(comp(a) == comp(b), s"mutual pair ($a,$b) split")
+    }
+    val members = comp.groupBy(_._2).map { case (c, m) => c -> m.keys }
+    members.foreach { case (c, m) => assert(c == m.min, s"component $c") }
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_members") ==
+        members(r.getAs[Long]("component")).size.toLong)
+    }
+    assert(members.size > 1 && members.values.exists(_.size > 2),
+      "fixture graph too degenerate to exercise clustering")
+  }
+
   test("cluster-balanced sample: per-cluster cap respected, selection " +
       "is the lowest salted-hash members, dense clusters truncated") {
     val rows = SparkEntry.queries("cp_cluster_balanced_sample")(spark, dir)
