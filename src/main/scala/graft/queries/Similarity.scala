@@ -7,6 +7,22 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+/** One MMR candidate: a retrieval hit carrying its query-relevance
+  * cosine and its raw vector for the in-group pairwise scoring.
+  * TOP-LEVEL case class — janino rejects serializers generated for
+  * nested ones and Spark silently falls back to interpreted encoders.
+  */
+case class MmrCand(
+    query_id: Long, vec_id: Long, relv: Double, embedding: Array[Float])
+
+/** One MMR selection: rank within the query's diversified list, the
+  * original relevance, and the marginal-relevance score that won the
+  * greedy step (== relv at rank 1 by definition).
+  */
+case class MmrPick(
+    query_id: Long, rnk: Int, vec_id: Long, relv: Double,
+    mmr_score: Double)
+
 /** Similarity search over the `embeddings` table (64-dim float
   * vectors): brute-force cosine top-k as the exactness baseline, an
   * IVF (inverted-file) bucketed variant as the scale path, cosine
@@ -398,6 +414,176 @@ object Similarity {
        |SELECT vec_id, component,
        |  count(*) OVER (PARTITION BY component) AS n_members
        |FROM comp ORDER BY vec_id""".stripMargin
+
+  /** Maximal-marginal-relevance pool / picks / trade-off constants.
+    * The λ literals are kept as STRINGS so the SQL carries "0.7"/"0.3"
+    * verbatim — deriving 1−λ in Scala would print 0.30000000000000004
+    * and the two engines would score different objectives.
+    */
+  private val MmrPool = 16
+  private val MmrK = 5
+  private val MmrLambdaSql = "0.7"
+  private val MmrOneMinusLambdaSql = "0.3"
+
+  /** MMR DIVERSITY RE-RANK (Carbonell & Goldstein, SIGIR'98): each
+    * query's top-$MmrPool cosine candidates are greedily re-ranked by
+    * marginal relevance — step score = λ·cos(q,d) − (1−λ)·max cos(d,s)
+    * over the already-selected s — keeping $MmrK. The retrieval-tier
+    * step RAG/dedup-aware search pipelines run after ANN candidate
+    * generation so near-duplicate hits don't crowd out coverage.
+    *
+    * Scale shape: candidate generation is the broadcast-queries +
+    * bounded [[graft.operators.TopKPairsAgg]] scan of `sim_knn_brute`
+    * (map-side k-lists; the corpus never shuffles), so the sequential
+    * part touches only query_count·$MmrPool rows. The greedy loop is
+    * genuinely order-dependent — each step's scores depend on the
+    * previous pick — so it runs as one typed `flatMapGroups` per
+    * query (≤ $MmrPool² pair cosines per group, embarrassingly
+    * parallel across queries): the canonical "imperative logic only
+    * where Spark genuinely can't express it" placement. Pair cosines
+    * inside the group replicate [[graft.functions.FloatVecDot]]'s
+    * sequential fold + `dot/(√·√)` bit-for-bit, so every double
+    * equals the oracle's `list_cosine_similarity` and the argmax
+    * chain cannot diverge; candidate iteration is vec_id-sorted and
+    * ties break to the lower id on both engines.
+    */
+  private def mmrRerank(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{DoubleSortableBits, SortableBitsToDouble}
+    val e = Tables(s, dir, "embeddings")
+      .withColumn("nrm", TextFns.norm(col("embedding")))
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
+    val corpus = e.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+        col("nrm").as("cn"))
+    val cands = corpus.crossJoin(broadcast(queries))
+      .withColumn("relv", TextFns.cosineFrom(
+        TextFns.dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      .groupBy(col("query_id"))
+      .agg(graft.operators.TopKPairsAgg(
+        DoubleSortableBits(col("relv")), col("cand_id"), MmrPool).as("top"))
+      .select(col("query_id"), explode(col("top")).as("p"))
+      .select(col("query_id"), col("p.tie").as("vec_id"),
+        SortableBitsToDouble(col("p.value")).as("relv"))
+    val pool = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .join(broadcast(cands), "vec_id")
+      .select(col("query_id"), col("vec_id"), col("relv"), col("embedding"))
+    val enc = org.apache.spark.sql.Encoders.product[MmrCand]
+    val outEnc = org.apache.spark.sql.Encoders.product[MmrPick]
+    pool.as[MmrCand](enc)
+      .groupByKey(_.query_id)(org.apache.spark.sql.Encoders.scalaLong)
+      .flatMapGroups { (qid: Long, it: Iterator[MmrCand]) =>
+        // FloatVecDot replica: sequential float->double fold
+        def dot(a: Array[Float], b: Array[Float]): Double = {
+          var acc = 0.0; var i = 0
+          while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+          acc
+        }
+        // cosineFrom replica: dot / (sqrt(aa) * sqrt(bb)) -- NOT
+        // sqrt(aa*bb), which differs in the last ulp
+        def cos(a: MmrCand, b: MmrCand): Double =
+          dot(a.embedding, b.embedding) /
+            (math.sqrt(dot(a.embedding, a.embedding)) *
+              math.sqrt(dot(b.embedding, b.embedding)))
+        val remaining = scala.collection.mutable.ArrayBuffer.from(
+          it.toArray.sortBy(_.vec_id))
+        val selected = scala.collection.mutable.ArrayBuffer.empty[MmrCand]
+        val out = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
+        while (selected.length < MmrK && remaining.nonEmpty) {
+          var bestI = -1
+          var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < remaining.length) {
+            val c = remaining(i)
+            val score =
+              if (selected.isEmpty) c.relv
+              else {
+                var maxSim = Double.NegativeInfinity
+                var j = 0
+                while (j < selected.length) {
+                  val sv = cos(c, selected(j))
+                  if (sv > maxSim) maxSim = sv
+                  j += 1
+                }
+                0.7 * c.relv - 0.3 * maxSim
+              }
+            // strict >: the vec_id-ascending scan makes ties keep the
+            // lower id, matching the oracle's (score DESC, vec_id)
+            if (score > bestScore) { bestScore = score; bestI = i }
+            i += 1
+          }
+          val pick = remaining.remove(bestI)
+          selected += pick
+          out += MmrPick(qid, selected.length, pick.vec_id, pick.relv,
+            bestScore)
+        }
+        out.iterator
+      }(outEnc)
+      .toDF()
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** The same greedy unrolled into $MmrK DuckDB CTE stages (the
+    * ta_bpe_train oracle convention — both sides generated from one
+    * literal): selN picks stage N's argmax, accN accumulates; stage
+    * scores read the candidate-pair cosine table `prs` through a
+    * correlated max over the accumulated picks.
+    */
+  private val mmrRerankSql: String = {
+    val base =
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id < 20),
+         |c AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+         |  FROM embeddings WHERE vec_id >= 20),
+         |cand AS (
+         |  SELECT query_id, vec_id, relv FROM (
+         |    SELECT q.query_id, c.vec_id,
+         |      list_cosine_similarity(q.qv, c.cv) AS relv,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC,
+         |          c.vec_id) AS rn
+         |    FROM q, c)
+         |  WHERE rn <= $MmrPool),
+         |prs AS (
+         |  SELECT a.query_id, a.vec_id AS ia, b.vec_id AS ib,
+         |    list_cosine_similarity(ca.cv, cb.cv) AS cosv
+         |  FROM cand a JOIN cand b
+         |    ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+         |  JOIN c ca ON ca.vec_id = a.vec_id
+         |  JOIN c cb ON cb.vec_id = b.vec_id),
+         |sel1 AS (
+         |  SELECT query_id, 1 AS rnk, vec_id, relv, relv AS mmr_score
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY relv DESC, vec_id) AS rn FROM cand)
+         |  WHERE rn = 1),
+         |acc1 AS (SELECT * FROM sel1)""".stripMargin
+    val steps = (2 to MmrK).map { k =>
+      s"""sc$k AS (
+         |  SELECT cd.query_id, cd.vec_id, cd.relv,
+         |    $MmrLambdaSql * cd.relv - $MmrOneMinusLambdaSql * (
+         |      SELECT max(p.cosv) FROM prs p, acc${k - 1} s
+         |      WHERE p.query_id = cd.query_id AND p.ia = cd.vec_id
+         |        AND s.query_id = cd.query_id AND p.ib = s.vec_id)
+         |      AS mmr_score
+         |  FROM cand cd
+         |  WHERE NOT EXISTS (SELECT 1 FROM acc${k - 1} s
+         |    WHERE s.query_id = cd.query_id AND s.vec_id = cd.vec_id)),
+         |sel$k AS (
+         |  SELECT query_id, $k AS rnk, vec_id, relv, mmr_score
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY mmr_score DESC, vec_id) AS rn FROM sc$k)
+         |  WHERE rn = 1),
+         |acc$k AS (SELECT * FROM acc${k - 1} UNION ALL SELECT * FROM sel$k)"""
+        .stripMargin
+    }
+    base + ",\n" + steps.mkString(",\n") +
+      s"\nSELECT query_id, rnk, vec_id, relv, mmr_score FROM acc$MmrK" +
+      "\nORDER BY query_id, rnk"
+  }
 
   /** IVF recall-vs-nprobe sweep: total recall@$TopK against the
     * brute-force ground truth at nprobe ∈ {1, 2, 4} — the
@@ -1847,6 +2033,7 @@ object Similarity {
     QueryDef("sim_knn_ivf", knnIvf, Some(knnIvfSql)),
     QueryDef("sim_knn_graph", knnGraph, Some(knnGraphSql)),
     QueryDef("sim_label_noise", labelNoise, Some(labelNoiseSql)),
+    QueryDef("sim_mmr_rerank", mmrRerank, Some(mmrRerankSql)),
     QueryDef("sim_snn_clusters", snnClusters, Some(snnClustersSql)),
     QueryDef("sim_range_search", rangeSearch, Some(rangeSearchSql)),
     QueryDef("sim_label_centroids", labelCentroids, Some(labelCentroidsSql)))
