@@ -207,6 +207,50 @@ object Dedup {
       |WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** MODALITY-AGREEMENT diagnostic: do the TEXT near-dup screen
+    * (3-shingle Jaccard ≥ 0.5, [[ngramJaccard]]) and the EMBEDDING
+    * near-dup screen (cosine ≥ 0.45, [[embeddingNearDup]]) flag the
+    * same pairs? The cross-validation a curation pipeline runs before
+    * trusting either modality alone: low agreement means the
+    * embedding space and the lexical space disagree about what
+    * "duplicate" means on this corpus, and the thresholds (or the
+    * encoder) need a second look. Joins on the fixture's
+    * vec_id == doc_id alignment. One row: pair counts per modality,
+    * the intersection, and the pair-set Jaccard (qdec — a rational of
+    * exact counts).
+    *
+    * Scale shape: both pair sets are candidate-bounded (shingle
+    * buckets / centroid buckets — never corpus²); the intersection is
+    * one pair-keyed join between them, and the three aggregates are
+    * single-row broadcasts. Nothing corpus-sized moves.
+    */
+  private def modalityAgreement(s: SparkSession, dir: String): DataFrame = {
+    val txt = cachedJaccard(s, dir).select(col("doc_a").as("id_a"),
+      col("doc_b").as("id_b"))
+    val emb = embeddingNearDup(s, dir).select(col("id_a"), col("id_b"))
+    val nT = txt.agg(count(lit(1)).as("n_text"))
+    val nE = emb.agg(count(lit(1)).as("n_emb"))
+    val nB = txt.join(emb, Seq("id_a", "id_b"))
+      .agg(count(lit(1)).as("n_both"))
+    nT.crossJoin(nE).crossJoin(nB)
+      .withColumn("agreement", graft.Quant.qdec(
+        col("n_both").cast("double") /
+          (col("n_text") + col("n_emb") - col("n_both")), 9))
+  }
+
+  private lazy val modalityAgreementSql =
+    s"""WITH t AS ($jaccardSql),
+       |e AS ($embeddingNearDupSql),
+       |counts AS (
+       |  SELECT (SELECT count(*) FROM t) AS n_text,
+       |    (SELECT count(*) FROM e) AS n_emb,
+       |    (SELECT count(*) FROM t JOIN e
+       |      ON t.doc_a = e.id_a AND t.doc_b = e.id_b) AS n_both)
+       |SELECT n_text, n_emb, n_both,
+       |  floor(CAST(n_both AS DOUBLE) / (n_text + n_emb - n_both)
+       |    * 1e9 + 0.5) / 1e9 AS agreement
+       |FROM counts""".stripMargin
+
   /** b-bit minhash (Li & König 2010): the storage-compression play —
     * keep only the LOWEST BIT of each of 63 min-hashes, so a doc's
     * whole sketch is ONE BIGINT (8 bytes vs the 1 KB full signature;
@@ -2957,6 +3001,8 @@ object Dedup {
     QueryDef("dd_cluster_representatives", clusterRepresentatives,
       Some(clusterRepresentativesSql)),
     QueryDef("dd_components", components, Some(componentsSql)),
+    QueryDef("dd_modality_agreement", modalityAgreement,
+      Some(modalityAgreementSql)),
     QueryDef("dd_exact", exact, Some(exactSql)),
     QueryDef("dd_exact_norm", exactNorm, Some(exactNormSql)),
     QueryDef("dd_chunk_exact", chunkExact, Some(chunkExactSql)),

@@ -1353,6 +1353,74 @@ object TextAnalysis {
       |FROM terms WHERE doc_id < 100
       |GROUP BY doc_id, dim ORDER BY doc_id, dim""".stripMargin
 
+  /** CLASS-based TF-IDF topic terms (c-TF-IDF, the BERTopic cluster
+    * labeling step — Grootendorst 2022): documents grouped by their
+    * embedding-table `label` (the fixture's vec_id == doc_id
+    * alignment is the cross-modal join key), each class scored for
+    * its top-5 distinguishing words by
+    * tf_c(w) · ln(1 + avg_class_len / f_w) — term frequency within
+    * the class against the word's corpus-wide mass. The readout that
+    * turns an opaque cluster id (kmeans, SNN, SemDeDup) into a
+    * human-auditable topic label.
+    *
+    * Scale shape: identical to [[tfidf]] — one explode into
+    * map-side-combined (label, word) counts; the corpus-wide `f_w`
+    * table is VOCABULARY-sized and deliberately not broadcast-hinted
+    * (AQE picks the build side; at 100 TB the word-keyed shuffle join
+    * is the right plan). Classes are bounded, so the per-class
+    * rollup and the top-5 window ride label-keyed partitions.
+    * Exactness: the score has a transcendental (ln) factor, so
+    * engine round(·, 9) is tie-safe; RANKING uses the rounded value
+    * (raw doubles could differ by the ln ulp across engines and flip
+    * an argmax), with word as the deterministic tiebreak.
+    */
+  private def classTfidf(s: SparkSession, dir: String): DataFrame = {
+    val lab = Tables(s, dir, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("label"))
+    val words = Tables(s, dir, "documents")
+      .join(lab, "doc_id")
+      .select(col("label"), explode(TextFns.tokens(col("text"))).as("word"))
+    val cw = words.groupBy(col("label"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+    val cl = words.groupBy(col("label")).agg(count(lit(1)).as("class_len"))
+    val ft = cw.groupBy(col("word")).agg(sum(col("cnt")).as("f_t"))
+    val a = cl.agg((sum(col("class_len")).cast("double") / count(lit(1)))
+      .as("avg_len"))
+    val scored = cw.join(cl, "label").join(ft, "word")
+      .crossJoin(broadcast(a))
+      .withColumn("ctfidf",
+        round((col("cnt").cast("double") / col("class_len")) *
+          log(lit(1.0) + col("avg_len") / col("f_t")), 9))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("ctfidf").desc, col("word"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("label"), col("rnk"), col("word"), col("cnt"),
+        col("ctfidf"))
+      .orderBy(col("label"), col("rnk"))
+  }
+
+  private val classTfidfSql =
+    """WITH lab AS (SELECT vec_id AS doc_id, label FROM embeddings),
+      |words AS (
+      |  SELECT l.label, unnest(string_split(d.text, ' ')) AS word
+      |  FROM documents d JOIN lab l USING (doc_id)),
+      |cw AS (SELECT label, word, count(*) AS cnt FROM words GROUP BY 1, 2),
+      |cl AS (SELECT label, count(*) AS class_len FROM words GROUP BY 1),
+      |ft AS (SELECT word, CAST(sum(cnt) AS BIGINT) AS f_t
+      |  FROM cw GROUP BY 1),
+      |a AS (SELECT CAST(sum(class_len) AS DOUBLE) / count(*) AS avg_len
+      |  FROM cl),
+      |scored AS (
+      |  SELECT cw.label, cw.word, cw.cnt,
+      |    round((CAST(cw.cnt AS DOUBLE) / cl.class_len)
+      |      * ln(1.0 + a.avg_len / ft.f_t), 9) AS ctfidf
+      |  FROM cw JOIN cl USING (label) JOIN ft USING (word), a)
+      |SELECT label, rnk, word, cnt, ctfidf FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY label
+      |    ORDER BY ctfidf DESC, word) AS rnk FROM scored)
+      |WHERE rnk <= 5 ORDER BY label, rnk""".stripMargin
+
   private val tfidfSql =
     """WITH words AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
@@ -2535,6 +2603,7 @@ object TextAnalysis {
     QueryDef("ta_heaps_law", heapsLaw, Some(heapsLawSql)),
     QueryDef("ta_kneser_ney", kneserNey, Some(kneserNeySql)),
     QueryDef("ta_tfidf", tfidf, Some(tfidfSql)),
+    QueryDef("ta_class_tfidf", classTfidf, Some(classTfidfSql)),
     QueryDef("ta_hashing_vectorizer", hashingVectorizer,
       Some(hashingVectorizerSql)),
     QueryDef("ta_cooccurrence", cooccurrence, Some(cooccurrenceSql)),
