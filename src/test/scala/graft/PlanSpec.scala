@@ -595,6 +595,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("mmr rerank: bounded top-k candidate aggregate + one typed group " +
+    "stage — the corpus never sort-merge joins") {
+    val p = plan("sim_mmr_rerank")
+    // candidate generation: broadcast queries, map-side k-lists
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    assert(p.contains("BroadcastNestedLoop") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+    // the greedy chain is exactly one typed group stage over the pool
+    assert(p.contains("MapGroups") || p.contains("FlatMapGroups"),
+      p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      p.take(2000))
+  }
+
+  test("class tfidf + label noise + modality agreement: aggregates " +
+    "combine map-side, no cartesian anywhere") {
+    Seq("ta_class_tfidf", "sim_label_noise", "dd_modality_agreement")
+      .foreach { q =>
+        val p = plan(q)
+        assert(p.contains("partial_count") || p.contains("partial_sum"),
+          s"$q lost map-side combine:\n" + p.take(1200))
+        assert(!p.contains("CartesianProduct"),
+          s"$q grew a cartesian:\n" + p.take(1200))
+      }
+  }
+
   test("dupgram fraction: gram mass shuffles once into the (gram, doc) " +
     "pre-aggregation — map-side combine present, no gram-keyed join") {
     val p = plan("dd_dupgram_fraction")
