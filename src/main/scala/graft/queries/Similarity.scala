@@ -1277,6 +1277,64 @@ object Similarity {
     out
   }
 
+  /** STREAMING index maintenance — the ANN counterpart of the ingest
+    * tier's LSM story: a base IVF index is frozen on disk, then three
+    * real micro-batches of new vectors arrive through `readStream`
+    * (`maxFilesPerTrigger = 1`) and each `foreachBatch` runs
+    * [[graft.similarity.IvfIndex.append]] against the persisted
+    * artifact — assignment to FROZEN centroids, bucket files appended,
+    * no rebuild. The final search serves the fully-caught-up index.
+    *
+    * Exactness: nprobe = nlist makes the probe exhaustive, so the
+    * result must EQUAL brute-force cosine top-k (the
+    * [[ivfAppend]] oracle convention) — any row lost, duplicated, or
+    * mis-bucketed by the streaming appends fails the hash. Append
+    * order cannot matter (buckets are sets under frozen centroids),
+    * so arrival batching is free to vary at scale.
+    *
+    * Scale shape: each micro-batch costs ONE narrow assignment pass
+    * over the batch (never the corpus) + a bucket-keyed append — the
+    * same batch-bounded cost contract as the ingest tier; the search
+    * stage is the loaded index's bounded top-k machinery.
+    */
+  private def ivfAppendStream(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val idx = graft.similarity.IvfIndex.build(
+      e.filter(col("vec_id") >= 20 && col("vec_id") < 300),
+      "vec_id", "embedding", nlist = 8)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivf_stream_q").toString
+    idx.save(s"$root/index")
+    // stage three deterministic arrival files — one per range, so
+    // maxFilesPerTrigger=1 yields three REAL micro-batches
+    val arrivals = e.filter(col("vec_id") >= 300)
+      .select(col("vec_id"), col("embedding"))
+    Seq((300L, 360L), (360L, 420L), (420L, Long.MaxValue)).foreach {
+      case (lo, hi) =>
+        arrivals.filter(col("vec_id") >= lo && col("vec_id") < hi)
+          .coalesce(1).write.mode("append").parquet(s"$root/in")
+    }
+    val q = s.readStream.schema(arrivals.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) graft.similarity.IvfIndex.append(
+          s, s"$root/index", batch, "vec_id", "embedding")
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val loaded = graft.similarity.IvfIndex.load(s, s"$root/index")
+    val out = loaded.search(e.filter(col("vec_id") < 20), "vec_id",
+        "embedding", k = TopK, nprobe = 8)
+      .orderBy(col("query_id"), col("rnk"))
+      .localCheckpoint() // materialize before the temp index is deleted
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    out
+  }
+
   private def indexApi(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
     val idx = graft.similarity.IvfIndex.build(
@@ -2021,6 +2079,7 @@ object Similarity {
     QueryDef("sim_rerank_int8", rerankInt8, Some(rerankInt8Sql)),
     QueryDef("sim_index_api", indexApi, Some(knnBruteSql)),
     QueryDef("sim_ivf_append", ivfAppend, Some(knnBruteSql)),
+    QueryDef("sim_ivf_append_stream", ivfAppendStream, Some(knnBruteSql)),
     QueryDef("sim_quantize_int8", quantizeInt8, Some(quantizeInt8Sql)),
     QueryDef("sim_pq_encode", pqEncode, Some(pqEncodeSql)),
     QueryDef("sim_pq_adc", pqAdc, Some(pqAdcSql)),

@@ -108,6 +108,20 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(appended.nonEmpty && appended == full)
   }
 
+  test("streaming three-batch append equals the one-shot batch append " +
+      "and brute force (the query-level closure)") {
+    val stream = SparkEntry.queries("sim_ivf_append_stream")(spark, dir)
+      .collect().map(_.toString).toSeq
+    val batch = SparkEntry.queries("sim_ivf_append")(spark, dir)
+      .collect().map(_.toString).toSeq
+    val brute = SparkEntry.queries("sim_knn_brute")(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(stream.nonEmpty && stream == batch,
+      "stream-appended index diverged from the batch-appended one")
+    assert(stream == brute,
+      "exhaustive probe over the appended index diverged from brute force")
+  }
+
   test("append to an index with gapped centroid ids fails the same" +
       " validation as search (row index must equal cent_id)") {
     val tmp = Files.createTempDirectory("graft_ivf_gap").toString
