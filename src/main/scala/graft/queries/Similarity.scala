@@ -424,6 +424,10 @@ object Similarity {
   private val MmrK = 5
   private val MmrLambdaSql = "0.7"
   private val MmrOneMinusLambdaSql = "0.3"
+  // the Scala loop parses the SAME literals the SQL carries, so the
+  // two engines' objectives cannot drift apart in a future edit
+  private val MmrLambda = MmrLambdaSql.toDouble
+  private val MmrOneMinusLambda = MmrOneMinusLambdaSql.toDouble
 
   /** MMR DIVERSITY RE-RANK (Carbonell & Goldstein, SIGIR'98): each
     * query's top-$MmrPool cosine candidates are greedily re-ranked by
@@ -507,7 +511,7 @@ object Similarity {
                   if (sv > maxSim) maxSim = sv
                   j += 1
                 }
-                0.7 * c.relv - 0.3 * maxSim
+                MmrLambda * c.relv - MmrOneMinusLambda * maxSim
               }
             // strict >: the vec_id-ascending scan makes ties keep the
             // lower id, matching the oracle's (score DESC, vec_id)
