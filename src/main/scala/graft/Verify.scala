@@ -60,8 +60,11 @@ object Verify {
         val df = fn(spark, sfDir)
         val outside = envelopeViolations(df.schema)
         require(outside.isEmpty, s"output schema outside the driver-" +
-          s"verifiable envelope (no BINARY/DECIMAL — render as " +
-          s"0xhex / scale-padded string): ${outside.mkString(", ")}")
+          s"verifiable envelope (no BINARY / DECIMAL / array / map / " +
+          s"struct — render binaries as 0xhex, decimals as " +
+          s"scale-padded strings or DOUBLE, sequences as " +
+          s"delimiter-joined strings or a posexplode'd long form): " +
+          outside.mkString(", "))
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
       catch { case e: Throwable =>

@@ -25,7 +25,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * their UTF-8 byte slice — engine-exact `md5(substring(s, i, k))`
   * semantics on any input (multilingual text, surrogate pairs, the
   * sentinel-coded BPE form including the U+E000.. band for ranks
-  * past the control sentinels).
+  * past the control sentinels). INVALID UTF-8 frames exactly like
+  * engine substring too (stride = Spark's own numBytesForFirstByte,
+  * which counts stray continuation/0xF5.. lead bytes as one char) —
+  * with ONE documented divergence: on a truncated multi-byte TAIL,
+  * Spark's unsafe substring copies past the logical buffer (an
+  * undefined adjacent byte), while this scan clamps the final window
+  * to the real bytes (ExpressionsSpec pins both behaviors).
   *
   * Fewer than k tokens => empty array (no window fits).
   */
@@ -92,6 +98,12 @@ object GramMd5sHelper {
       // One scan records each code point's byte offset; window i
       // hashes bytes [off(i), off(i+k)) — exactly the UTF-8 encoding
       // of those k code points, no String round-trip at all.
+      // Stride via Spark's OWN numBytesForFirstByte so even INVALID
+      // UTF-8 (stray continuation bytes, 0xF5.., truncated tails)
+      // frames identically to engine substring/numChars — a
+      // hand-rolled lead-byte table counted 0x80..0xC1 as 2-byte
+      // leads where Spark counts them as 1, silently dropping grams
+      // on malformed input.
       val bytes = text.getBytes
       val nb = bytes.length
       val offs = new Array[Int](text.numChars + 1)
@@ -99,11 +111,11 @@ object GramMd5sHelper {
       var b = 0
       while (b < nb) {
         offs(cp) = b
-        val lead = bytes(b) & 0xff
-        b += (if (lead < 0x80) 1 else if (lead < 0xE0) 2
-              else if (lead < 0xF0) 3 else 4)
+        b += UTF8String.numBytesForFirstByte(bytes(b))
         cp += 1
       }
+      // the final boundary is nb even when a truncated multi-byte
+      // tail strode past it — engine substring stops at the buffer too
       offs(cp) = nb
       if (cp < k) return new GenericArrayData(Array.empty[Any])
       val n = cp - k + 1

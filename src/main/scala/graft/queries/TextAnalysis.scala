@@ -177,7 +177,11 @@ object TextAnalysis {
       .select(col("doc_id"), bpeEncode(col("text")).as("enc"))
       .select(col("doc_id"),
         transform(
-          filter(split(col("enc"), ""), c => c =!= " "),
+          // also drop "": split("", "") yields [""] on an EMPTY text,
+          // which would mint a phantom id (ascii('')=0 → 256) where
+          // the oracle's range(1, length(s)+1) is empty — an empty
+          // doc must emit zero ids on both engines
+          filter(split(col("enc"), ""), c => c =!= " " && c =!= ""),
           c => when(ascii(c) < 32, ascii(c) + 256).otherwise(ascii(c)))
           .as("ids"))
       .select(col("doc_id"),

@@ -87,7 +87,9 @@ final class BpeModel(val rules: Vector[BpeMergeRule]) {
   def encodeIds(textCol: Column): Column = {
     val enc = encode(textCol)
     transform(
-      filter(split(enc, ""), c => c =!= " "),
+      // "" must go too: split("", "") is [""] on an empty text and
+      // ascii('') = 0 would mint a phantom id 256 for a zero-token doc
+      filter(split(enc, ""), c => c =!= " " && c =!= ""),
       c => when(ascii(c) < 32, ascii(c) + 256)
         .when(ascii(c) >= 0xE000, ascii(c) - 0xE000 + 32 + 256)
         .otherwise(ascii(c)))

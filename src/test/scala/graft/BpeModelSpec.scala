@@ -229,6 +229,34 @@ class BpeModelSpec extends AnyFunSuite {
       "no PUA-band merged id ever fired — the band crossing is untested")
   }
 
+  test("empty and whitespace-only texts encode to ZERO ids — no " +
+      "phantom id 256 from the split('','') empty cell — and the " +
+      "fixed-table query matches on a corpus containing them") {
+    val corpus = Seq((1L, ""), (2L, " "), (3L, "ab ab"))
+    val docs = toDocs(corpus)
+    val model = BpeModel.train(docs, "text", BpeTrainConfig(1))
+    val got = docs
+      .select(col("doc_id"), model.encodeIds(col("text")).as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got(1L).isEmpty, s"empty text minted ids ${got(1L)}")
+    assert(got(2L).isEmpty, s"space-only text minted ids ${got(2L)}")
+    assert(got(3L).nonEmpty)
+    // the fixed-merge-table query path shares the projection: drive it
+    // through a staged fixture with an empty doc and expect 0 tokens
+    val work = java.nio.file.Files.createTempDirectory("graft_empty_doc")
+    try {
+      docs.select(col("doc_id"), col("text"))
+        .write.parquet(s"$work/documents.parquet")
+      val out = SparkEntry.queries("ta_bpe_token_ids")(spark, work.toString)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("token_ids"), r.getAs[Int]("n_tokens")))).toMap
+      assert(out(1L) == (("", 0)), s"empty doc emitted ${out(1L)}")
+      assert(out(2L) == (("", 0)), s"space-only doc emitted ${out(2L)}")
+      assert(out(3L)._2 > 0)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
+  }
+
   test("ta_bpe_saved_compression equals ta_bpe_learned_compression " +
       "row for row (persisted apply == inline-train apply)") {
     val dir = "/root/testdata/sf0.001"

@@ -134,6 +134,52 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("GramMd5s char mode frames INVALID UTF-8 exactly like engine " +
+      "substring (stray continuation lead, 0xF5 lead, truncated tail)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // malformed bytes cannot ride a DataFrame (the String round-trip
+    // sanitizes them) — compare at eval level against Spark's OWN
+    // substringSQL + md5, the exact reference the scaladoc promises
+    val cases = Seq(
+      Array(0x80, 'a'.toInt, 'b'.toInt, 'c'.toInt),  // stray continuation
+      Array('a'.toInt, 0xF5, 'b'.toInt, 'c'.toInt, 'd'.toInt)) // bad lead
+    cases.foreach { ints =>
+      val bs = ints.map(_.toByte)
+      val s = UTF8String.fromBytes(bs)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val want = (1 to math.max(0, s.numChars - 3 + 1)).map { i =>
+        md.reset()
+        md.digest(s.substringSQL(i, 3).getBytes)
+          .map("%02x".format(_)).mkString
+      }
+      val got = functions.GramMd5sHelper.compute(s, 3, words = false)
+      assert(got.numElements == want.length,
+        s"window count diverged on ${ints.map(_.toHexString).mkString(",")}")
+      (0 until got.numElements()).foreach { j =>
+        assert(got.getUTF8String(j).toString == want(j),
+          s"window $j diverged on ${ints.map(_.toHexString).mkString(",")}")
+      }
+    }
+    // a TRUNCATED multi-byte tail is the one documented divergence:
+    // Spark's unsafe substring copies past the logical buffer there
+    // (empirically b,c,E4,B8,0x00 — whatever byte follows in memory),
+    // which is undefined, not a semantic to reproduce. The compiled
+    // scan clamps the final window to the real bytes.
+    val trunc = UTF8String.fromBytes(
+      Array('a'.toInt, 'b'.toInt, 'c'.toInt, 0xE4, 0xB8).map(_.toByte))
+    val got = functions.GramMd5sHelper.compute(trunc, 3, words = false)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(bs: Array[Byte]) = {
+      md.reset(); md.digest(bs).map("%02x".format(_)).mkString
+    }
+    assert(got.numElements == 2) // numChars = 4 (a, b, c, truncated E4)
+    assert(got.getUTF8String(0).toString == h("abc".getBytes),
+      "window 0 must be the first 3 code points' real bytes")
+    assert(got.getUTF8String(1).toString ==
+      h("bc".getBytes ++ Array(0xE4.toByte, 0xB8.toByte)),
+      "final window must clamp to the buffer, never read past it")
+  }
+
   test("WordShingles edge cases: short docs, k=1") {
     import spark.implicits._
     bothPaths {
