@@ -239,6 +239,57 @@ object Corpus {
        |  FROM r)
        |WHERE rnk <= 50 ORDER BY rnk""".stripMargin
 
+  /** DEDUP-WEIGHTED sampling — the closure of the dedup-with-counts
+    * story: `dd_cluster_weights` collapses each near-dup family onto
+    * its min-id representative carrying `weight = cluster_size`, and
+    * THIS operator performs the draw those weights exist for — an
+    * Efraimidis-Spirtes weighted sample WITHOUT replacement over the
+    * representatives, so a document's sampling probability is
+    * proportional to how often its family appeared in the wild, while
+    * the sample itself contains no duplicates. The standard
+    * alternative to hard-dropping duplicate mass when that mass is
+    * itself signal.
+    *
+    * Scale shape: the weights frame is the cluster-weights machinery
+    * (minhash pair graph + CC endgame, corpus touched once); the draw
+    * is the reservoirSample shape — one narrow projection +
+    * TakeOrderedAndProject (per-partition top-k, single merge, never
+    * a full sort). Exactness: u is an exact 24-bit dyadic double, the
+    * transcendental key rounds to 9 decimals on both sides, ranks
+    * tie-break on doc_id.
+    */
+  private def dedupWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val k = 50
+    val u = (hashBucket("ddw:", 1 << 24).cast("double") + 1.0) /
+      (1 << 24).toDouble
+    val key = round(log(u) / col("weight"), 9)
+    val reps = Dedup.clusterWeights(s, dir)
+      .filter(col("weight") >= 1) // duplicates carry 0 — never drawn
+      .select(col("doc_id"), col("cluster"), col("weight"))
+    val top = reps
+      .select(col("doc_id"), col("cluster"), col("weight"), key.as("key_r"))
+      .orderBy(col("key_r").desc, col("doc_id"))
+      .limit(k)
+    top.withColumn("rnk", row_number().over(
+        Window.orderBy(col("key_r").desc, col("doc_id"))))
+      .select(col("rnk"), col("doc_id"), col("cluster"), col("weight"),
+        col("key_r"))
+      .orderBy(col("rnk"))
+  }
+
+  private lazy val dedupWeightedSampleSql =
+    s"""WITH wts AS (${Dedup.clusterWeightsSql}),
+       |keyed AS (
+       |  SELECT doc_id, cluster, weight,
+       |    round(ln((${bucketSql("ddw:", 1 << 24)} + 1) / 16777216.0)
+       |      / weight, 9) AS key_r
+       |  FROM wts WHERE weight >= 1)
+       |SELECT rnk, doc_id, cluster, weight, key_r FROM (
+       |  SELECT keyed.*, row_number()
+       |    OVER (ORDER BY key_r DESC, doc_id) AS rnk
+       |  FROM keyed)
+       |WHERE rnk <= 50 ORDER BY rnk""".stripMargin
+
   /** Repeated-5-gram quality rule (the Gopher/RefinedWeb family):
     * fraction of 5-grams that are repeats of an earlier 5-gram in the
     * same document. Distinct counting rides the codegen WordShingles
@@ -1736,6 +1787,8 @@ object Corpus {
     QueryDef("cp_source_mix", sourceMix, Some(sourceMixSql)),
     QueryDef("cp_reservoir_sample", reservoirSample,
       Some(reservoirSampleSql)),
+    QueryDef("cp_dedup_weighted_sample", dedupWeightedSample,
+      Some(dedupWeightedSampleSql)),
     QueryDef("cp_mix_entropy", mixEntropy, Some(mixEntropySql)),
     QueryDef("cp_upsample", upsample, Some(upsampleSql)),
     QueryDef("cp_interleave", interleave, Some(interleaveSql)),

@@ -1524,7 +1524,7 @@ object Dedup {
     * singletons never enter the pair graph, so the join is
     * pair-graph-sized.
     */
-  private def clusterWeights(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def clusterWeights(s: SparkSession, dir: String): DataFrame = {
     cachedMinhashPairs(s, dir).count()
     val s2 = s.newSession()
     s2.conf.set("spark.sql.adaptive.enabled", "false")
@@ -1545,7 +1545,7 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  private val clusterWeightsSql =
+  private[queries] val clusterWeightsSql =
     """WITH RECURSIVE pairs AS (
       |  WITH sh AS (
       |    SELECT doc_id,

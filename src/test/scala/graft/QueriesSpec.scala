@@ -525,6 +525,43 @@ class QueriesSpec extends AnyFunSuite {
       f"sample mean weight $sample%.1f not above corpus mean $corpus%.1f")
   }
 
+  test("dedup-weighted sample draws only representatives, keys " +
+      "recompute imperatively, duplicate-mass bias is real") {
+    val sample = SparkEntry.queries("cp_dedup_weighted_sample")(spark, dir)
+      .collect()
+    val weights = SparkEntry.queries("dd_cluster_weights")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster"), r.getAs[Long]("weight")))).toMap
+    assert(sample.length == math.min(50,
+      weights.count(_._2._2 >= 1)))
+    assert(sample.map(_.getAs[Long]("doc_id")).distinct.length ==
+      sample.length)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    sample.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (cluster, w) = weights(id)
+      assert(w >= 1, s"doc $id drawn with weight $w")
+      assert(id == cluster, s"doc $id is not its cluster's representative")
+      assert(r.getAs[Long]("weight") == w)
+      // ES key: round(ln((bucket+1)/2^24) / w, 9), bucket from the
+      // salted md5 — recomputed from scratch
+      val hex = md.digest(s"ddw:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(6)
+      val u = (java.lang.Long.parseLong(hex, 16) % (1 << 24) + 1.0) /
+        (1 << 24).toDouble
+      val key = BigDecimal(math.log(u) / w)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("key_r") - key) <= 1e-9,
+        s"doc $id key diverged")
+    }
+    // no cluster contributes two docs (reps only), and at least one
+    // multi-member family made the sample (the weighting does work)
+    val clusters = sample.map(_.getAs[Long]("cluster"))
+    assert(clusters.distinct.length == clusters.length)
+    assert(sample.exists(_.getAs[Long]("weight") > 1),
+      "no upweighted family sampled — fixture exercises nothing")
+  }
+
   test("sentinel-flushed streaming sessions equal batch sessionization") {
     val streamed = SparkEntry.queries("evs_session_windows")(spark, dir).count()
     val batch = SparkEntry.queries("ev_sessionize")(spark, dir).count()
