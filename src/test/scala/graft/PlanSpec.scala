@@ -182,6 +182,7 @@ class PlanSpec extends AnyFunSuite {
       // rank pass runs AFTER TakeOrderedAndProject cut the set to k=50
       // rows — the windowed input is the sample, never the corpus
       "cp_reservoir_sample",
+      "cp_dedup_weighted_sample", // same shape over the weights frame
       // chunked two-pass quintile ranks: the partition-less windows run
       // over per-chunk COUNT tables (O(distinct metric buckets) rows,
       // bounded by the metric domain), never over the data table
