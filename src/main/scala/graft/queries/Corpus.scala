@@ -779,6 +779,124 @@ object Corpus {
        |ORDER BY a.doc_id""".stripMargin
   }
 
+  /** MULTI-BENCHMARK decontamination matrix — the production shape of
+    * [[contamination]]: a training corpus is screened against a whole
+    * BATTERY of eval benchmarks in ONE pass, and the report is a
+    * per-(benchmark, severity) pivot — exactly what a data-curation
+    * review board reads before a training run ("37 train docs overlap
+    * bench_b heavily; re-split or drop"). Three benchmarks are carved
+    * from the held-out buckets (90–92 / 93–95 / 96–99); severity is
+    * integer-exact: `heavy` when ≥10% of a train doc's distinct
+    * 13-grams appear in the benchmark (n_shared·10 ≥ n_grams), `touch`
+    * for any overlap below that, `clean` otherwise. The full
+    * benchmark×severity grid is emitted (zero counts included) so the
+    * row set is schema-stable across corpora.
+    *
+    * Scale shape: the corpus is scanned ONCE — the benchmark-keyed
+    * gram table (distinct (benchmark, gram), eval sets are small by
+    * construction) is the join's build side, NOT one scan per
+    * benchmark; per-(doc, benchmark) counts are map-side combinable;
+    * the pivot moves 9 rows. Adding a benchmark adds rows to the
+    * build side, not a corpus pass.
+    */
+  private def contaminationMatrix(s: SparkSession, dir: String): DataFrame = {
+    val k = 13
+    val assigned = Tables(s, dir, "documents")
+      .withColumn("bucket", hashBucket("split:", 100))
+    val bench = when(col("bucket") < 93, lit("bench_a"))
+      .when(col("bucket") < 96, lit("bench_b")).otherwise(lit("bench_c"))
+    val evalGrams = assigned.filter(col("bucket") >= 90)
+      .select(bench.as("benchmark"),
+        explode(graft.functions.WordShingles(col("text"), k)).as("g"))
+      .distinct()
+    val trainGrams = assigned.filter(col("bucket") < 80)
+      .select(col("doc_id"),
+        array_distinct(graft.functions.WordShingles(col("text"), k)).as("gs"))
+      .select(col("doc_id"), size(col("gs")).as("n_grams"),
+        explode(col("gs")).as("g"))
+    // one (doc, benchmark) row per contaminated pair; severity from
+    // integer arithmetic only, so both engines classify identically
+    val perDoc = trainGrams.join(evalGrams, Seq("g"))
+      .groupBy(col("doc_id"), col("n_grams"), col("benchmark"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("heavy",
+        (col("n_shared") * 10 >= col("n_grams")).cast("long"))
+    // ONE aggregation consumes the corpus join (a union of severity
+    // pivots would recompute the gram-join subtree per branch); the
+    // 3-row result is widened to the 9-row matrix with stack()
+    val perBench = perDoc.groupBy(col("benchmark"))
+      .agg(sum(col("heavy")).as("heavy_n"),
+        (count(lit(1)) - sum(col("heavy"))).as("touch_n"))
+    val total = assigned.filter(col("bucket") < 80)
+      .agg(count(lit(1)).as("n_train"))
+    import s.implicits._
+    val benches = Seq("bench_a", "bench_b", "bench_c").toDF("benchmark")
+    benches.join(perBench, Seq("benchmark"), "left")
+      .crossJoin(total)
+      .select(col("benchmark"),
+        coalesce(col("heavy_n"), lit(0L)).as("heavy_n"),
+        coalesce(col("touch_n"), lit(0L)).as("touch_n"),
+        col("n_train"))
+      .selectExpr("benchmark",
+        "stack(3, 'clean', n_train - heavy_n - touch_n, " +
+          "'heavy', heavy_n, 'touch', touch_n) AS (severity, n_docs)")
+      .orderBy(col("benchmark"), col("severity"))
+  }
+
+  private val contaminationMatrixSql = {
+    val gram13 = (1 to 13).map(j => s"ws[i+${j - 1}]").mkString(" || ' ' || ")
+    s"""WITH assigned AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws,
+       |    ${bucketSql("split:", 100)} AS bucket
+       |  FROM documents),
+       |eval_grams AS (
+       |  SELECT DISTINCT
+       |    CASE WHEN bucket < 93 THEN 'bench_a'
+       |         WHEN bucket < 96 THEN 'bench_b'
+       |         ELSE 'bench_c' END AS benchmark,
+       |    unnest(list_distinct(list_transform(
+       |      range(1, len(ws) - 11), i -> $gram13))) AS g
+       |  FROM assigned WHERE bucket >= 90 AND len(ws) >= 13),
+       |train_grams AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(ws) >= 13 THEN len(list_distinct(list_transform(
+       |      range(1, len(ws) - 11), i -> $gram13))) ELSE 0 END AS n_grams,
+       |    unnest(list_distinct(list_transform(
+       |      range(1, len(ws) - 11), i -> $gram13))) AS g
+       |  FROM assigned WHERE bucket < 80 AND len(ws) >= 13),
+       |per_doc AS (
+       |  SELECT t.doc_id, t.n_grams, e.benchmark, count(*) AS n_shared
+       |  FROM train_grams t JOIN eval_grams e ON t.g = e.g
+       |  GROUP BY 1, 2, 3),
+       |sev AS (
+       |  SELECT benchmark,
+       |    CASE WHEN n_shared * 10 >= n_grams THEN 'heavy'
+       |         ELSE 'touch' END AS severity,
+       |    doc_id
+       |  FROM per_doc),
+       |contam AS (
+       |  SELECT benchmark, severity, count(*) AS n_docs
+       |  FROM sev GROUP BY 1, 2),
+       |per_bench AS (
+       |  SELECT benchmark, count(DISTINCT doc_id) AS n_contam
+       |  FROM per_doc GROUP BY 1),
+       |total AS (
+       |  SELECT count(*) AS n_train FROM assigned WHERE bucket < 80),
+       |grid AS (
+       |  SELECT b.benchmark, s.severity
+       |  FROM (VALUES ('bench_a'), ('bench_b'), ('bench_c')) b(benchmark),
+       |    (VALUES ('touch'), ('heavy')) s(severity))
+       |SELECT g.benchmark, g.severity, coalesce(c.n_docs, 0) AS n_docs
+       |FROM grid g LEFT JOIN contam c
+       |  ON g.benchmark = c.benchmark AND g.severity = c.severity
+       |UNION ALL
+       |SELECT b.benchmark, 'clean' AS severity,
+       |  (SELECT n_train FROM total) - coalesce(p.n_contam, 0) AS n_docs
+       |FROM (VALUES ('bench_a'), ('bench_b'), ('bench_c')) b(benchmark)
+       |  LEFT JOIN per_bench p ON b.benchmark = p.benchmark
+       |ORDER BY benchmark, severity""".stripMargin
+  }
+
   /** Streaming source over the fixture's documents table, shape-aware
     * (the EventStream dispatch): the driver fixtures store documents
     * as ONE file inside the table dir — filter the shared dir down to
@@ -1773,6 +1891,8 @@ object Corpus {
       Some(contaminationSpansSql)),
     QueryDef("cp_contamination_fuzzy", contaminationFuzzy,
       Some(contaminationFuzzySql)),
+    QueryDef("cp_contamination_matrix", contaminationMatrix,
+      Some(contaminationMatrixSql)),
     QueryDef("cp_chunk", chunk, Some(chunkSql)),
     QueryDef("cp_sequence_pack", sequencePack, Some(sequencePackSql)),
     QueryDef("cp_shard_manifest", shardManifest, Some(shardManifestSql)),

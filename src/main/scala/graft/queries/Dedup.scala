@@ -232,10 +232,15 @@ object Dedup {
     val nE = emb.agg(count(lit(1)).as("n_emb"))
     val nB = txt.join(emb, Seq("id_a", "id_b"))
       .agg(count(lit(1)).as("n_both"))
+    // Guard the empty-union case: an all-unique corpus has zero pairs
+    // in BOTH screens, and 0/0 is NaN in Spark while DuckDB's double
+    // division semantics differ by version — pin both engines to NULL.
+    val union = col("n_text") + col("n_emb") - col("n_both")
     nT.crossJoin(nE).crossJoin(nB)
-      .withColumn("agreement", graft.Quant.qdec(
-        col("n_both").cast("double") /
-          (col("n_text") + col("n_emb") - col("n_both")), 9))
+      .withColumn("agreement",
+        when(union === 0, lit(null).cast("double"))
+          .otherwise(graft.Quant.qdec(
+            col("n_both").cast("double") / union, 9)))
   }
 
   private lazy val modalityAgreementSql =
@@ -247,8 +252,9 @@ object Dedup {
        |    (SELECT count(*) FROM t JOIN e
        |      ON t.doc_a = e.id_a AND t.doc_b = e.id_b) AS n_both)
        |SELECT n_text, n_emb, n_both,
-       |  floor(CAST(n_both AS DOUBLE) / (n_text + n_emb - n_both)
-       |    * 1e9 + 0.5) / 1e9 AS agreement
+       |  CASE WHEN n_text + n_emb - n_both = 0 THEN NULL
+       |    ELSE floor(CAST(n_both AS DOUBLE) / (n_text + n_emb - n_both)
+       |      * 1e9 + 0.5) / 1e9 END AS agreement
        |FROM counts""".stripMargin
 
   /** b-bit minhash (Li & König 2010): the storage-compression play —

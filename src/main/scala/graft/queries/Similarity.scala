@@ -518,6 +518,13 @@ object Similarity {
             if (score > bestScore) { bestScore = score; bestI = i }
             i += 1
           }
+          // NaN guard: a zero-norm embedding makes cos() return 0/0 =
+          // NaN, and strict '>' against NaN never fires — bestI would
+          // stay -1 and remove(-1) would throw. Fall back to the
+          // lowest-vec_id candidate (index 0 of the id-sorted buffer),
+          // which is also what the oracle's (score DESC, vec_id) tiebreak
+          // degenerates to when every score is NULL/NaN.
+          if (bestI < 0) { bestI = 0; bestScore = Double.NaN }
           val pick = remaining.remove(bestI)
           selected += pick
           out += MmrPick(qid, selected.length, pick.vec_id, pick.relv,
@@ -1318,25 +1325,30 @@ object Similarity {
         arrivals.filter(col("vec_id") >= lo && col("vec_id") < hi)
           .coalesce(1).write.mode("append").parquet(s"$root/in")
     }
-    val q = s.readStream.schema(arrivals.schema)
-      .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
-      .writeStream
-      .option("checkpointLocation", s"$root/ckpt")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) graft.similarity.IvfIndex.append(
-          s, s"$root/index", batch, "vec_id", "embedding")
-        ()
-      }
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    val loaded = graft.similarity.IvfIndex.load(s, s"$root/index")
-    val out = loaded.search(e.filter(col("vec_id") < 20), "vec_id",
-        "embedding", k = TopK, nprobe = 8)
-      .orderBy(col("query_id"), col("rnk"))
-      .localCheckpoint() // materialize before the temp index is deleted
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
-    out
+    // try/finally so a failed append/stream/search doesn't leak the
+    // staged index + input files + checkpoint dir on every bad run;
+    // localCheckpoint materializes the result before the delete.
+    try {
+      val q = s.readStream.schema(arrivals.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) graft.similarity.IvfIndex.append(
+            s, s"$root/index", batch, "vec_id", "embedding")
+          ()
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val loaded = graft.similarity.IvfIndex.load(s, s"$root/index")
+      loaded.search(e.filter(col("vec_id") < 20), "vec_id",
+          "embedding", k = TopK, nprobe = 8)
+        .orderBy(col("query_id"), col("rnk"))
+        .localCheckpoint() // materialize before the temp index is deleted
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
   }
 
   private def indexApi(s: SparkSession, dir: String): DataFrame = {

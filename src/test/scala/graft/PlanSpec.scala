@@ -113,6 +113,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), p.take(800))
   }
 
+  test("contamination matrix scans the train corpus ONCE for all benchmarks") {
+    val df = SparkEntry.queries("cp_contamination_matrix")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // exactly TWO shingle explodes in the whole plan — one over the
+    // train corpus, one over the eval split — regardless of how many
+    // benchmarks are in the battery (they ride the build side of a
+    // single gram-keyed join, not one corpus pass per benchmark)
+    val explodes = "Generate explode".r.findAllIn(p).length
+    assert(explodes == 2, s"expected 2 shingle explodes, got $explodes\n" +
+      p.take(1200))
+    // grid/severity joins on tiny sides only; no cartesian over grams
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("PQ search joins codes against the broadcast lookup table — vectors never meet") {
     val p = plan("sim_pq_adc")
     // the code/LUT join must be an equi-join (m, code); no cartesian and
