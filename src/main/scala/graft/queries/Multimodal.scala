@@ -51,6 +51,11 @@ case class PngDecoded(
   */
 case class PhashRow(doc_id: Long, phash: Long)
 
+/** One keyframe fingerprint of a decoded multi-frame payload —
+  * top-level for the same encoder-codegen reason as [[BmpDecoded]].
+  */
+case class VideoKeyframe(doc_id: Long, frame_idx: Int, phash: Long)
+
 /** One luma-histogram bin of a decoded raster — top-level for the
   * same encoder-codegen reason as [[BmpDecoded]].
   */
@@ -330,9 +335,91 @@ object Multimodal {
     * form. 100 TB shape: narrow CPU-bound per-partition map, no
     * shuffle; split size is the only knob.
     */
+  /** Rasterize payload bytes at the given PHASE (pixel i = byte
+    * (i+phase) mod len) and round-trip through the REAL BMP codec
+    * (javax.imageio encode + decode) — the decoded raster is the hash
+    * input. Shared by `mm_phash` (phase 0) and `mm_video_neardup`
+    * (per-frame phases) so the stages can never disagree about what a
+    * decoded frame is.
+    */
+  private def bmpRoundTrip(blob: Array[Byte],
+      phase: Int): java.awt.image.Raster = {
+    val side = 16
+    val img = new java.awt.image.BufferedImage(
+      side, side, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var i = 0
+    while (i < side * side) {
+      img.getRaster.setSample(i % side, i / side, 0,
+        blob((i + phase) % blob.length) & 0xff)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bos.toByteArray)).getRaster
+  }
+
+  /** 60-bit integer-DCT perceptual hash of a decoded 16×16 gray
+    * raster: 2×2 box sums → exact 8×8 2D DCT-II (constants above,
+    * scale 2²⁰) → 60 zigzag AC coefficients → bit i set iff
+    * coefficient i exceeds the lower median. One definition shared by
+    * every pHash consumer.
+    */
+  private def rasterPhash60(ras: java.awt.image.Raster): Long = {
+    // decoded 16×16 luma → 8×8 block sums (2×2 boxes, exact)
+    val m = new Array[Long](64)
+    var b = 0
+    while (b < 64) {
+      val by = (b / 8) * 2
+      val bx = (b % 8) * 2
+      m(b) = ras.getSample(bx, by, 0).toLong +
+        ras.getSample(bx + 1, by, 0) +
+        ras.getSample(bx, by + 1, 0) +
+        ras.getSample(bx + 1, by + 1, 0)
+      b += 1
+    }
+    // separable integer DCT: T = M·Cᵀ then D = C·T, all exact
+    val t = new Array[Long](64)
+    var row = 0
+    while (row < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0L
+        var j = 0
+        while (j < 8) { acc += m(row * 8 + j) * dctC(v * 8 + j); j += 1 }
+        t(row * 8 + v) = acc
+        v += 1
+      }
+      row += 1
+    }
+    val dmat = new Array[Long](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0L
+        var k = 0
+        while (k < 8) { acc += dctC(u * 8 + k) * t(k * 8 + v); k += 1 }
+        dmat(u * 8 + v) = acc
+        v += 1
+      }
+      u += 1
+    }
+    val f = zigzag60.map(dmat)
+    val sorted = f.clone()
+    java.util.Arrays.sort(sorted)
+    val thr = sorted(29) // lower median of the 60 AC coefficients
+    var phash = 0L
+    var i = 0
+    while (i < 60) {
+      if (f(i) > thr) phash |= 1L << (59 - i)
+      i += 1
+    }
+    phash
+  }
+
   private def phashDf(s: SparkSession, dir: String): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.product[PhashRow]
-    val side = 16
     Tables(s, dir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("blob"))
       .mapPartitions { it: Iterator[Row] =>
@@ -341,70 +428,7 @@ object Multimodal {
           val id = r.getLong(0)
           val blob = r.getAs[Array[Byte]](1)
           requirePayload(id, blob)
-          // rasterize payload → REAL BMP encode → REAL decode
-          val img = new java.awt.image.BufferedImage(
-            side, side, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-          var i = 0
-          while (i < side * side) {
-            img.getRaster.setSample(i % side, i / side, 0,
-              blob(i % blob.length) & 0xff)
-            i += 1
-          }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "bmp", bos)
-          val back = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(bos.toByteArray))
-          val ras = back.getRaster
-          // decoded 16×16 luma → 8×8 block sums (2×2 boxes, exact)
-          val m = new Array[Long](64)
-          var b = 0
-          while (b < 64) {
-            val by = (b / 8) * 2
-            val bx = (b % 8) * 2
-            m(b) = ras.getSample(bx, by, 0).toLong +
-              ras.getSample(bx + 1, by, 0) +
-              ras.getSample(bx, by + 1, 0) +
-              ras.getSample(bx + 1, by + 1, 0)
-            b += 1
-          }
-          // separable integer DCT: T = M·Cᵀ then D = C·T, all exact
-          val t = new Array[Long](64)
-          var row = 0
-          while (row < 8) {
-            var v = 0
-            while (v < 8) {
-              var acc = 0L
-              var j = 0
-              while (j < 8) { acc += m(row * 8 + j) * dctC(v * 8 + j); j += 1 }
-              t(row * 8 + v) = acc
-              v += 1
-            }
-            row += 1
-          }
-          val dmat = new Array[Long](64)
-          var u = 0
-          while (u < 8) {
-            var v = 0
-            while (v < 8) {
-              var acc = 0L
-              var k = 0
-              while (k < 8) { acc += dctC(u * 8 + k) * t(k * 8 + v); k += 1 }
-              dmat(u * 8 + v) = acc
-              v += 1
-            }
-            u += 1
-          }
-          val f = zigzag60.map(dmat)
-          val sorted = f.clone()
-          java.util.Arrays.sort(sorted)
-          val thr = sorted(29) // lower median of the 60 AC coefficients
-          var phash = 0L
-          i = 0
-          while (i < 60) {
-            if (f(i) > thr) phash |= 1L << (59 - i)
-            i += 1
-          }
-          PhashRow(id, phash)
+          PhashRow(id, rasterPhash60(bmpRoundTrip(blob, 0)))
         }
       }(enc)
       .toDF()
@@ -1201,7 +1225,144 @@ object Multimodal {
       |  CAST(COALESCE(max(delta), 0) AS BIGINT) AS max_jump
       |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** END-TO-END video near-duplication — the closure of the mm tier's
+    * pieces into the query a video-curation pipeline actually runs:
+    * decode each payload's frames (the [[framesReal]] 4-frame model,
+    * phase 7f, through the REAL BMP codec), pick KEYFRAMES by the
+    * shot-energy rule (frame 0 plus every frame whose decoded-raster
+    * energy jumps > 5,500 from its predecessor — the
+    * [[shotDetect]] boundary semantics on the full-raster energy),
+    * fingerprint each keyframe with the shared 60-bit integer DCT
+    * pHash ([[rasterPhash60]] — one definition with `mm_phash`), then
+    * pair VIDEOS whose keyframes collide: 10 bands × 6 bits pigeonhole
+    * banding (hamming ≤ 8 < 10 bands forces an identical band, so the
+    * banded join finds every pair with NO recall loss), popcount
+    * verify at ≤ 8, and a per-video-pair rollup (matched keyframe
+    * pairs + closest distance). The oracle recomputes the whole chain
+    * arithmetically (BMP gray-8 is lossless) and pairs BRUTE-FORCE —
+    * pinning that the banding loses nothing.
+    *
+    * Scale shape: decode+hash is one narrow CPU-bound mapPartitions
+    * (split size is the only knob); candidates are bounded by band
+    * buckets — never frames² — and the rollup shuffles only verified
+    * pairs. The same plan at production scale just widens the bands
+    * (4×15 at distance 3, the dd_simhash_hamming setting).
+    */
+  private def videoNeardup(s: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.product[VideoKeyframe]
+    val nf = 4
+    val side = 16
+    val thresh = 5500L
+    val kf = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .mapPartitions { it: Iterator[Row] =>
+        imageIoMemoryCache()
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val blob = r.getAs[Array[Byte]](1)
+          requirePayload(id, blob)
+          val rasters = (0 until nf).map(f => bmpRoundTrip(blob, 7 * f))
+          // keyframe rule on DECODED energy: frame 0 + shot boundaries
+          val e = rasters.map { ras =>
+            var acc = 0L
+            var j = 0
+            while (j < side * side) {
+              val p = ras.getSample(j % side, j / side, 0)
+              acc += p.toLong * p
+              j += 1
+            }
+            acc
+          }
+          (0 until nf)
+            .filter(f => f == 0 || math.abs(e(f) - e(f - 1)) > thresh)
+            .map(f => VideoKeyframe(id, f, rasterPhash60(rasters(f))))
+        }
+      }(enc)
+      .toDF()
+    val bands = kf.select(col("doc_id"), col("frame_idx"), col("phash"),
+      posexplode(array((0 until 10).map(b =>
+        shiftright(col("phash"), b * 6).bitwiseAND(lit(0x3fL))): _*))
+        .as(Seq("band_idx", "band_val")))
+    val a = bands.select(col("doc_id").as("doc_a"),
+      col("frame_idx").as("fa"), col("phash").as("ha"),
+      col("band_idx"), col("band_val"))
+    val b = bands.select(col("doc_id").as("doc_b"),
+      col("frame_idx").as("fb"), col("phash").as("hb"),
+      col("band_idx"), col("band_val"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("fa"), col("ha"),
+        col("doc_b"), col("fb"), col("hb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= 8)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_matched"),
+        min(col("hamming")).as("min_hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // full-chain oracle: frame rasters + energies arithmetically (BMP
+  // gray-8 is lossless), the SAME integer DCT/median/packing as the
+  // phash oracle keyed by (doc, frame), then BRUTE-FORCE keyframe
+  // pairing — any pair the banding dropped fails the hash
+  private val videoNeardupSql = {
+    val cList = dctC.mkString("[", ", ", "]")
+    val zzList = zigzag60.mkString("[", ", ", "]")
+    s"""WITH cst AS (SELECT $cList AS c, $zzList AS zz),
+       |base AS (SELECT doc_id, text, length(text) AS len FROM documents),
+       |fpx AS (
+       |  SELECT doc_id, f, list_transform(range(0, 256), i ->
+       |    CAST(ascii(substring(text,
+       |      CAST((i + 7 * f) % len AS INT) + 1, 1)) AS BIGINT)) AS p
+       |  FROM base, (SELECT unnest(range(0, 4)) AS f)),
+       |fe AS (
+       |  SELECT doc_id, f, p,
+       |    list_aggregate(list_transform(p, v -> v * v), 'sum') AS e
+       |  FROM fpx),
+       |kf AS (
+       |  SELECT doc_id, f, p FROM (
+       |    SELECT doc_id, f, p,
+       |      abs(e - lag(e) OVER (PARTITION BY doc_id ORDER BY f)) AS delta
+       |    FROM fe)
+       |  WHERE f = 0 OR delta > 5500),
+       |blk AS (
+       |  SELECT doc_id, f, list_transform(range(0, 64), b ->
+       |      p[CAST((b // 8) * 32 + (b % 8) * 2 AS INT) + 1]
+       |    + p[CAST((b // 8) * 32 + (b % 8) * 2 + 1 AS INT) + 1]
+       |    + p[CAST((b // 8) * 32 + 16 + (b % 8) * 2 AS INT) + 1]
+       |    + p[CAST((b // 8) * 32 + 16 + (b % 8) * 2 + 1 AS INT) + 1]) AS m
+       |  FROM kf),
+       |dct AS (
+       |  SELECT doc_id, f, list_transform(range(0, 64), uv ->
+       |    list_aggregate(list_transform(range(0, 64), ij ->
+       |      c[CAST((uv // 8) * 8 + (ij // 8) AS INT) + 1]
+       |      * m[CAST(ij AS INT) + 1]
+       |      * c[CAST((uv % 8) * 8 + (ij % 8) AS INT) + 1]), 'sum')) AS dm
+       |  FROM blk, cst),
+       |fz AS (
+       |  SELECT doc_id, f,
+       |    list_transform(zz, z -> dm[CAST(z AS INT) + 1]) AS fc
+       |  FROM dct, cst),
+       |ph AS (
+       |  SELECT doc_id, f,
+       |    CAST(list_aggregate(list_transform(range(0, 60), i ->
+       |      CASE WHEN fc[CAST(i AS INT) + 1] > list_sort(fc)[30]
+       |        THEN CAST(power(2, 59 - i) AS BIGINT) ELSE 0 END), 'sum')
+       |      AS BIGINT) AS phash
+       |  FROM fz),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    bit_count(xor(a.phash, b.phash)) AS ham
+       |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.phash, b.phash)) <= 8)
+       |SELECT doc_a, doc_b, count(*) AS n_matched,
+       |  CAST(min(ham) AS INTEGER) AS min_hamming
+       |FROM pairs GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("mm_video_neardup", videoNeardup, Some(videoNeardupSql)),
     QueryDef("mm_shot_detect", shotDetect, Some(shotDetectSql)),
     QueryDef("mm_audio_features", audioFeatures, Some(audioFeaturesSql)),
     QueryDef("mm_frames_real", framesReal, Some(framesRealSql)),
