@@ -1351,6 +1351,45 @@ object Similarity {
     }
   }
 
+  /** GRAPH-BASED ANN — the full [[graft.similarity.HnswIndex]]
+    * lifecycle (build → save → load → search), the index every
+    * vector-serving stack a user migrates from defaults to
+    * (FAISS IndexHNSW / hnswlib / Lucene KNN). Four shards are built
+    * in parallel (one deterministic in-memory HNSW per shard inside
+    * `flatMapGroups`), persisted shard-partitioned, reloaded, and
+    * searched in EXHAUSTIVE mode (`ef = Int.MaxValue`, clamped to the
+    * shard size): the beam then provably visits every node (level-0
+    * chain edges pin connectivity), so the merged top-k must EQUAL
+    * brute-force cosine top-k — the `sim_index_api` oracle convention;
+    * any node the graph loses, mis-links, or mis-scores fails the
+    * hash. Recall at SERVING ef (where the graph actually earns its
+    * keep) is asserted by HnswSpec and tracked in SCALING.md.
+    *
+    * Scale shape: construction is embarrassingly parallel across
+    * shards (a shard's vectors + adjacency are the per-executor memory
+    * contract — nShards grows with the corpus); a search fans out to
+    * the shards and merges nShards·k rows through one rank window —
+    * never corpus-sized.
+    */
+  private def hnsw(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val idx = graft.similarity.HnswIndex.build(
+      e.filter(col("vec_id") >= 20), "vec_id", "embedding",
+      nShards = 4, m = 8, efConstruction = 32)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_hnsw_q").toString
+    try {
+      idx.save(s"$root/index")
+      val loaded = graft.similarity.HnswIndex.load(s, s"$root/index")
+      loaded.search(e.filter(col("vec_id") < 20), "vec_id", "embedding",
+          k = TopK, ef = Int.MaxValue)
+        .orderBy(col("query_id"), col("rnk"))
+        .localCheckpoint() // materialize before the temp index is deleted
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
   private def indexApi(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
     val idx = graft.similarity.IvfIndex.build(
@@ -2094,6 +2133,7 @@ object Similarity {
     QueryDef("sim_mips_topk", mipsTopK, Some(mipsTopKSql)),
     QueryDef("sim_rerank_int8", rerankInt8, Some(rerankInt8Sql)),
     QueryDef("sim_index_api", indexApi, Some(knnBruteSql)),
+    QueryDef("sim_hnsw", hnsw, Some(knnBruteSql)),
     QueryDef("sim_ivf_append", ivfAppend, Some(knnBruteSql)),
     QueryDef("sim_ivf_append_stream", ivfAppendStream, Some(knnBruteSql)),
     QueryDef("sim_quantize_int8", quantizeInt8, Some(quantizeInt8Sql)),

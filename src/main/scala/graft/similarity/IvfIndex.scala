@@ -78,7 +78,11 @@ final class IvfIndex private[similarity] (
         col("rnk"), col("cosv"))
   }
 
-  /** Persist centroids + bucket-partitioned assignments. */
+  /** Persist centroids + bucket-partitioned assignments. `path` is
+    * any Hadoop-FS path; at cluster scale it must be shared lake
+    * storage visible to every executor (see SCALING.md, "Index
+    * persistence needs a shared filesystem").
+    */
   def save(path: String): Unit = {
     val s = assignments.sparkSession
     import s.implicits._
