@@ -733,6 +733,75 @@ object Dedup {
       |SELECT node AS doc_id, min(reach) AS component
       |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin
 
+  /** INCREMENTAL component maintenance — the daily-ingest counterpart
+    * of [[components]]: the corpus arrives as a base build plus two
+    * ingest batches (hash buckets 0–7 / 8 / 9), and each batch updates
+    * the persisted near-dup cluster labels WITHOUT re-running CC over
+    * the full pair graph ([[graft.dedup.IncrementalComponents]]):
+    * delta pairs are batch-bounded (accepted postings semi-joined to
+    * the batch's gram footprint before the bucket shuffle), and only
+    * components TOUCHED by a delta edge are relabeled — old components
+    * enter the rerun as star summaries (root, member), everything
+    * untouched passes through an anti-join by reference. Postings and
+    * labels round-trip through parquet between stages (the LSM
+    * artifact story), so each stage genuinely consumes persisted
+    * state.
+    *
+    * The oracle is the FULL-graph recursive-CTE fixpoint (the
+    * dd_components oracle): connectivity is order-confluent — the
+    * components of an edge union don't depend on arrival order — so
+    * the incremental fixpoint must hash-equal the batch-global one;
+    * a staged replay would be a weaker check, not a stronger one. The
+    * touched-only mechanics are pinned by IncrementalComponentsSpec
+    * (untouched labels survive by reference on random multi-batch
+    * corpora).
+    *
+    * Scale shape per ingest: one accepted-postings scan pruned to the
+    * batch footprint; CC rerun over |delta edges| + |touched members|
+    * — the batch's blast radius, never the corpus. The CC loop runs in
+    * the AQE-off narrow clone (the dd_components pattern).
+    */
+  private def incrementalComponents(s: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.dedup.{IncrementalComponents => IC}
+    val docs = Tables(s, dir, "documents")
+    val bucket = graft.corpus.CorpusPipeline
+      .hashBucket("doc_id", "ingest:", 10)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ddinc_q").toString
+    try {
+      // the CC loop's session: AQE off + narrow shuffles (tiny rounds)
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.adaptive.enabled", "false")
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      // stage 0: initial build — postings + labels persisted
+      IC.postings(docs.filter(bucket < 8), "doc_id", "text")
+        .write.parquet(s"$root/p0")
+      graft.dedup.ConnectedComponents
+        .alternatingStars(IC.pairsWithin(
+          s2.read.parquet(s"$root/p0"), 0.5))
+        .select(col("node").as("doc_id"), col("component"))
+        .write.parquet(s"$root/l0")
+      // two ingest rounds, each consuming the previous stage's state
+      Seq(bucket === 8, bucket === 9).zipWithIndex.foreach {
+        case (pred, i) =>
+          IC.postings(docs.filter(pred), "doc_id", "text")
+            .write.parquet(s"$root/bp${i + 1}")
+          val prior = s2.read.parquet(s"$root/p$i")
+          val batch = s2.read.parquet(s"$root/bp${i + 1}")
+          IC.relabel(s2.read.parquet(s"$root/l$i"),
+              IC.deltaPairs(prior, batch, 0.5))
+            .write.parquet(s"$root/l${i + 1}")
+          prior.unionByName(batch).write.parquet(s"$root/p${i + 1}")
+      }
+      s.read.parquet(s"$root/l2")
+        .orderBy(col("doc_id"))
+        .localCheckpoint() // materialize before the temp state is deleted
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
   /** Chunk-level exact dedup: the corpus is cut into the same 32-word
     * / stride-24 windows as the chunker (graft.queries.Corpus cp_chunk)
     * and deduplicated at chunk granularity — the pass that removes
@@ -3007,6 +3076,8 @@ object Dedup {
     QueryDef("dd_cluster_representatives", clusterRepresentatives,
       Some(clusterRepresentativesSql)),
     QueryDef("dd_components", components, Some(componentsSql)),
+    QueryDef("dd_incremental_components", incrementalComponents,
+      Some(componentsSql)),
     QueryDef("dd_modality_agreement", modalityAgreement,
       Some(modalityAgreementSql)),
     QueryDef("dd_exact", exact, Some(exactSql)),
