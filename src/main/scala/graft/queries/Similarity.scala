@@ -965,6 +965,130 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** OPQ — a LEARNED orthogonal transform before product
+    * quantization (Ge et al., "Optimized Product Quantization", CVPR
+    * 2013): the parametric variant's core mechanism, EIGENVALUE
+    * ALLOCATION, realized as a variance-balancing permutation. Plain
+    * PQ quantizes whatever happens to share a contiguous dim block;
+    * when variance concentrates unevenly, one subspace eats most of
+    * the distortion while others waste codebook entries. The trained
+    * step here: (1) one exact moment pass learns per-dimension
+    * variance (the cov9 diagonal arithmetic — GramMomentsAgg, qdec-9
+    * fixed point, both engines bit-equal); (2) dims sort by variance
+    * and deal SERPENTINE into the 8 subspaces (the standard
+    * deterministic balanced-partition approximation of Ge's greedy
+    * product balancing — block r/M forward on even blocks, reversed
+    * on odd, so every subspace gets one dim from each variance
+    * octile); (3) the resulting permutation IS an orthogonal matrix,
+    * applied as a narrow projection, and the UNCHANGED PqIndex
+    * machinery trains/encodes/searches in the rotated space — same
+    * code budget as sim_pq_adc, rotation is the only delta. The
+    * oracle replays variance → allocation → rotation → encode → ADC
+    * entirely in SQL, so the hash pins the whole trained chain.
+    * Recall vs plain PQ at equal budget is asserted by OpqSpec and
+    * tabled in SCALING.md.
+    *
+    * Scale shape: the moment pass is one 68 KB-buffer aggregate (the
+    * sim_pca_power contract); allocation is driver math over 64
+    * values; rotation is a narrow per-row projection (no shuffle);
+    * everything downstream inherits PqIndex's plan shapes.
+    */
+  private def opqTrained(s: SparkSession, dir: String): DataFrame = {
+    val d = 64
+    val S = 1000000000L
+    val e = Tables(s, dir, "embeddings")
+    val corpus = e.filter(col("vec_id") >= 20)
+    val varCells = corpus
+      .agg(graft.operators.GramMomentsAgg(col("embedding"), d).as("mm"))
+      .select(col("mm.n").as("n_rows"), col("mm.sums").as("sums"),
+        explode(col("mm.gram")).as("g"))
+      .filter(col("g.i") === col("g.j"))
+      .select(col("g.i").as("i"),
+        round(Quant.qdec(col("g.v").cast("double") / col("n_rows") -
+          (element_at(col("sums"), col("g.i") + 1).cast("double") /
+            col("n_rows")) *
+          (element_at(col("sums"), col("g.j") + 1).cast("double") /
+            col("n_rows")), 9) * S, 0).cast("long").as("c"))
+      .collect() // 64 rows — dimension-bounded, not corpus-bounded
+    // serpentine eigenvalue allocation (graft.similarity.Opq): perm
+    // maps rotated position -> original dim
+    val perm = graft.similarity.Opq.allocation(
+      varCells.toSeq.map(r => (r.getInt(0), r.getLong(1))),
+      PqSubspaces, PqSubDims)
+    val rot = array(perm.map(o => element_at(col("embedding"), o + 1)): _*)
+    val idx = graft.similarity.PqIndex.build(
+      corpus.withColumn("rot", rot), "vec_id", "rot",
+      PqSubspaces, PqCodes)
+    idx.searchAdc(
+        e.filter(col("vec_id") < 20).withColumn("rot", rot),
+        "vec_id", "rot", TopK)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  // full-chain replay: variance diagonal (cov9 arithmetic) →
+  // serpentine allocation → permutation as list() ORDER BY slot →
+  // the pqCte encode/ADC tail on the rotated sub-vectors
+  private val opqTrainedSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+       |dim AS (SELECT unnest(range(0, 64)) AS i),
+       |mom AS MATERIALIZED (
+       |  SELECT i,
+       |    sum(CAST(dv[i + 1] * dv[i + 1] AS DECIMAL(38, 18))) AS sxx,
+       |    sum(CAST(dv[i + 1] AS DECIMAL(38, 18))) AS sx,
+       |    count(*) AS n_rows
+       |  FROM e, dim WHERE vec_id >= 20 GROUP BY i),
+       |varr AS (
+       |  SELECT i, CAST(round(floor((CAST(sxx AS DOUBLE) / n_rows -
+       |    (CAST(sx AS DOUBLE) / n_rows) * (CAST(sx AS DOUBLE) / n_rows))
+       |    * 1e9 + 0.5) / 1e9 * 1000000000, 0) AS BIGINT) AS c
+       |  FROM mom),
+       |alloc AS MATERIALIZED (
+       |  SELECT i AS o,
+       |    CAST(CASE WHEN (rn // 8) % 2 = 0 THEN rn % 8
+       |      ELSE 7 - (rn % 8) END AS INT) AS m,
+       |    CAST(rn // 8 AS INT) AS slot
+       |  FROM (SELECT i, row_number() OVER (ORDER BY c DESC, i) - 1 AS rn
+       |        FROM varr)),
+       |corp AS (
+       |  SELECT vec_id AS neighbor_id, m,
+       |    list(dv[o + 1] ORDER BY slot) AS sv
+       |  FROM e, alloc WHERE vec_id >= 20 GROUP BY vec_id, m),
+       |cb AS (
+       |  SELECT vec_id - 20 AS code, m,
+       |    list(dv[o + 1] ORDER BY slot) AS cbv
+       |  FROM e, alloc WHERE vec_id >= 20 AND vec_id < ${20 + PqCodes}
+       |  GROUP BY vec_id, m),
+       |enc AS (
+       |  SELECT neighbor_id, m, code FROM (
+       |    SELECT neighbor_id, m, code,
+       |      row_number() OVER (PARTITION BY neighbor_id, m ORDER BY
+       |        list_aggregate(list_transform(range(1, ${PqSubDims + 1}),
+       |          k -> (sv[k] - cbv[k]) * (sv[k] - cbv[k])), 'sum') ASC,
+       |        code) AS rnk
+       |    FROM corp JOIN cb USING (m))
+       |  WHERE rnk = 1),
+       |qsub AS (
+       |  SELECT vec_id AS query_id, m,
+       |    list(dv[o + 1] ORDER BY slot) AS sv
+       |  FROM e, alloc WHERE vec_id < 20 GROUP BY vec_id, m),
+       |lut AS (
+       |  SELECT query_id, m, code,
+       |    list_aggregate(list_transform(range(1, ${PqSubDims + 1}),
+       |      k -> (sv[k] - cbv[k]) * (sv[k] - cbv[k])), 'sum') AS qd2
+       |  FROM qsub JOIN cb USING (m)),
+       |adc AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(sum(CAST(qd2 AS DECIMAL(18, 9))) AS DOUBLE) AS adc
+       |  FROM enc JOIN lut USING (m, code)
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc ASC, neighbor_id) AS rnk
+       |  FROM adc)
+       |SELECT query_id, neighbor_id, rnk, adc FROM ranked
+       |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin
+
   private val pqAdcSql =
     pqCte + s""",
        |qsub AS (
@@ -2139,6 +2263,7 @@ object Similarity {
     QueryDef("sim_quantize_int8", quantizeInt8, Some(quantizeInt8Sql)),
     QueryDef("sim_pq_encode", pqEncode, Some(pqEncodeSql)),
     QueryDef("sim_pq_adc", pqAdc, Some(pqAdcSql)),
+    QueryDef("sim_opq_trained", opqTrained, Some(opqTrainedSql)),
     QueryDef("sim_pq_index_api", pqIndexApi, Some(pqAdcSql)),
     QueryDef("sim_ivfpq_index_api", ivfPqIndexApi, Some(ivfPqIndexApiSql)),
     QueryDef("sim_ivfpq_append", ivfPqAppend, Some(ivfPqIndexApiSql)),
