@@ -1514,6 +1514,88 @@ object Similarity {
     }
   }
 
+  /** HNSW incremental maintenance — the graph tier's counterpart of
+    * `sim_ivf_append`: a persisted index over vec_id ∈ [20, 300) is
+    * caught up by ONE [[graft.similarity.HnswIndex.append]] batch
+    * (vec_id ≥ 300) — batch inserted in id order through the normal
+    * insertion path, chain-aware pruning keeps old connectivity, and
+    * only the touched shard partitions rewrite (dynamic partition
+    * overwrite). The exhaustive search then hash-equals brute force
+    * over the FULL corpus: any node the append lost, disconnected, or
+    * mis-linked fails the oracle.
+    */
+  private def hnswAppend(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val idx = graft.similarity.HnswIndex.build(
+      e.filter(col("vec_id") >= 20 && col("vec_id") < 300),
+      "vec_id", "embedding", nShards = 4, m = 8, efConstruction = 32)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_hnsw_app_q").toString
+    try {
+      idx.save(s"$root/index")
+      graft.similarity.HnswIndex.append(s, s"$root/index",
+        e.filter(col("vec_id") >= 300), "vec_id", "embedding")
+      val loaded = graft.similarity.HnswIndex.load(s, s"$root/index")
+      loaded.search(e.filter(col("vec_id") < 20), "vec_id", "embedding",
+          k = TopK, ef = Int.MaxValue)
+        .orderBy(col("query_id"), col("rnk"))
+        .localCheckpoint() // materialize before the temp index is deleted
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
+  /** STREAMING HNSW maintenance — the graph tier's counterpart of
+    * `sim_ivf_append_stream`: three REAL micro-batches
+    * (`maxFilesPerTrigger = 1`) each run `HnswIndex.append` against
+    * the persisted graphs via `foreachBatch`, then the exhaustive
+    * search serves the fully-caught-up index and must EQUAL brute
+    * force. Unlike IVF buckets, graph appends are ORDER-DEPENDENT
+    * (each insertion searches the graph so far), so the arrival files
+    * are staged deterministically and processed in order — exactly
+    * how a production graph index consumes an ingest stream (ordered
+    * per-shard application; cross-batch commutativity is what the IVF
+    * tier offers, and the scaladoc contract is honest about the
+    * difference).
+    */
+  private def hnswAppendStream(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val idx = graft.similarity.HnswIndex.build(
+      e.filter(col("vec_id") >= 20 && col("vec_id") < 300),
+      "vec_id", "embedding", nShards = 4, m = 8, efConstruction = 32)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_hnsw_stream_q").toString
+    try {
+      idx.save(s"$root/index")
+      val arrivals = e.filter(col("vec_id") >= 300)
+        .select(col("vec_id"), col("embedding"))
+      Seq((300L, 360L), (360L, 420L), (420L, Long.MaxValue)).foreach {
+        case (lo, hi) =>
+          arrivals.filter(col("vec_id") >= lo && col("vec_id") < hi)
+            .coalesce(1).write.mode("append").parquet(s"$root/in")
+      }
+      val q = s.readStream.schema(arrivals.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) graft.similarity.HnswIndex.append(
+            s, s"$root/index", batch, "vec_id", "embedding")
+          ()
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val loaded = graft.similarity.HnswIndex.load(s, s"$root/index")
+      loaded.search(e.filter(col("vec_id") < 20), "vec_id", "embedding",
+          k = TopK, ef = Int.MaxValue)
+        .orderBy(col("query_id"), col("rnk"))
+        .localCheckpoint()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
   private def indexApi(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
     val idx = graft.similarity.IvfIndex.build(
@@ -2258,6 +2340,9 @@ object Similarity {
     QueryDef("sim_rerank_int8", rerankInt8, Some(rerankInt8Sql)),
     QueryDef("sim_index_api", indexApi, Some(knnBruteSql)),
     QueryDef("sim_hnsw", hnsw, Some(knnBruteSql)),
+    QueryDef("sim_hnsw_append", hnswAppend, Some(knnBruteSql)),
+    QueryDef("sim_hnsw_append_stream", hnswAppendStream,
+      Some(knnBruteSql)),
     QueryDef("sim_ivf_append", ivfAppend, Some(knnBruteSql)),
     QueryDef("sim_ivf_append_stream", ivfAppendStream, Some(knnBruteSql)),
     QueryDef("sim_quantize_int8", quantizeInt8, Some(quantizeInt8Sql)),

@@ -9,10 +9,13 @@ import org.apache.spark.sql.functions._
 /** One persisted HNSW node — top-level so the ExpressionEncoder's
   * generated code can reach the accessors (the janino constraint the
   * multimodal tier documents). `adj(l)` is the node's neighbor-id list
-  * at level l, 0 ≤ l ≤ top_level.
+  * at level l, 0 ≤ l ≤ top_level; `ins` is the node's insertion
+  * ordinal within its shard — consecutive ordinals are chain partners
+  * (see the connectivity contract below), which is what lets a loaded
+  * graph know which level-0 edges are prune-exempt.
   */
 case class HnswNode(shard: Int, id: Long, vec: Array[Float],
-    top_level: Int, adj: Seq[Seq[Long]])
+    top_level: Int, ins: Int, adj: Seq[Seq[Long]])
 
 /** One per-shard search hit before the global merge. */
 case class HnswHit(query_id: Long, neighbor_id: Long, cosv: Double)
@@ -20,7 +23,10 @@ case class HnswHit(query_id: Long, neighbor_id: Long, cosv: Double)
 /** SHARDED HNSW (Malkov & Yashunin, TPAMI 2018) — the graph-based ANN
   * index every vector-serving stack defaults to (FAISS `IndexHNSW`,
   * hnswlib, Lucene/Elasticsearch KNN, Milvus), packaged like
-  * [[IvfIndex]]: build once, persist, load and search many times.
+  * [[IvfIndex]]: build once, persist, load, search — and APPEND:
+  * `HnswIndex.append` inserts a new batch into the persisted graphs
+  * without a rebuild, the same LSM maintenance contract as
+  * `IvfIndex.append` / `IvfPqIndex.append` (graph caveat below).
   *
   * Spark-first layout — HNSW construction is inherently sequential
   * (each insertion searches the graph built so far), so the scale play
@@ -37,24 +43,37 @@ case class HnswHit(query_id: Long, neighbor_id: Long, cosv: Double)
   * shard for serving prunes everything else at the parquet scan.
   *
   * Determinism (the property the oracle gate rides on):
-  *  - insertion order is vec_id ascending within each shard;
+  *  - insertion order is vec_id ascending within each shard (appended
+  *    batches likewise, after everything already inserted);
   *  - a node's level is geometric(1/8) from a splitmix64 hash of its
   *    id (trailing-zero triples — integer-exact, seed-free);
   *  - every comparison orders by (similarity desc, id asc), so equal
   *    similarities break to the lower id on both engines;
   *  - similarities replicate FloatVecDot's sequential float→double
-  *    fold and `dot / (norm · norm)` bit-for-bit.
+  *    fold and `dot / (norm · norm)` bit-for-bit;
+  *  - the serving entry point is the lowest-id node holding the
+  *    maximum level — recomputed identically by build, append, and
+  *    load, so a reloaded graph searches exactly like the one that
+  *    was saved.
   *
   * Exactness escape hatch: searching with `ef ≥ shard size` makes the
   * beam exhaustive over each shard's graph — level-0 connectivity is
   * GUARANTEED by sequential chain edges (each node links its
-  * insertion-order predecessor; appended after construction, exempt
-  * from pruning — the standard practical guard against prune-induced
-  * disconnection), so the merged result EQUALS brute-force cosine
-  * top-k and a plain SQL oracle can hash-check the whole
-  * build→save→load→search chain. Realistic `ef` trades that guarantee
-  * for speed; recall at serving ef is tracked in SCALING.md and
-  * asserted by HnswSpec.
+  * insertion-order predecessor; prune-EXEMPT, the standard practical
+  * guard against prune-induced disconnection), so the merged result
+  * EQUALS brute-force cosine top-k and a plain SQL oracle can
+  * hash-check the whole build→save→load/append→search chain.
+  * Realistic `ef` trades that guarantee for speed; recall at serving
+  * ef is tracked in SCALING.md and asserted by HnswSpec.
+  *
+  * Append cost contract (the graph caveat): inserting a batch mutates
+  * the TOUCHED shards' adjacency (bidirectional links + pruning), so
+  * unlike IVF's pure file-append, an HNSW append REWRITES the touched
+  * shard partitions (dynamic partition overwrite — untouched shards'
+  * files are not rewritten). Per-batch cost = O(batch · log shard)
+  * distance work + O(touched shard) IO — bounded by the shards the
+  * batch lands in, never the index; the same cost class as compacting
+  * one LSM segment.
   */
 final class HnswIndex private[similarity] (
     val m: Int, val efConstruction: Int, val nShards: Int,
@@ -79,7 +98,6 @@ final class HnswIndex private[similarity] (
       s"HNSW search collects the query batch to the driver; got " +
         s"${qRows.length} queries > 65536 — split the batch or run " +
         "searches as a stream of bounded batches")
-    val mLocal = m
     val efLocal = ef
     val hits = nodes.as[HnswNode]
       .groupByKey(_.shard)
@@ -137,9 +155,59 @@ object HnswIndex {
       .flatMapGroups { (shard: Int, it: Iterator[(Int, Long, Array[Float])]) =>
         val rows = it.map { case (_, id, v) => (id, v) }.toArray
           .sortBy(_._1) // fixed insertion order = vec_id ascending
-        Graph.construct(rows, mLocal, efcLocal).toNodes(shard)
+        val g = new Graph()
+        g.insertAll(rows, mLocal, efcLocal)
+        g.toNodes(shard)
       }
     new HnswIndex(m, efConstruction, nShards, built.toDF())
+  }
+
+  /** Insert a batch into a PERSISTED index without rebuilding: each
+    * touched shard's graph is reconstructed in memory (no distance
+    * work — the adjacency is stored), the batch inserts in id order
+    * through the normal HNSW insertion path (chain edges keep the
+    * connectivity guarantee, chain-aware pruning keeps old chains
+    * intact), and ONLY the touched shard partitions are rewritten via
+    * dynamic partition overwrite. Batch ids must be disjoint from the
+    * stored ids — duplicates fail loudly.
+    */
+  def append(spark: SparkSession, path: String, batch: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    val idx = load(spark, path)
+    import spark.implicits._
+    val mLocal = idx.m
+    val efcLocal = idx.efConstruction
+    val b = batch
+      .select(pmod(col(idCol), lit(idx.nShards)).cast("int").as("shard"),
+        col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Int, Long, Array[Float])]
+    val updated = idx.nodes.as[HnswNode]
+      .groupByKey(_.shard)
+      .cogroup(b.groupByKey(_._1)) {
+        (shard: Int, ns: Iterator[HnswNode],
+            bs: Iterator[(Int, Long, Array[Float])]) =>
+          val rows = bs.map { case (_, id, v) => (id, v) }.toArray
+            .sortBy(_._1)
+          if (rows.isEmpty) Iterator.empty // untouched shard: no rewrite
+          else {
+            val g = Graph.fromNodes(ns)
+            g.insertAll(rows, mLocal, efcLocal)
+            g.toNodes(shard)
+          }
+      }
+      .toDF()
+      // eager: detach from the input files BEFORE the overwrite job
+      // deletes the partitions it read from
+      .localCheckpoint()
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try updated.write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$path/nodes")
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** Load a persisted index. */
@@ -166,16 +234,21 @@ object HnswIndex {
   private def levelOf(id: Long): Int =
     math.min(12, java.lang.Long.numberOfTrailingZeros(mix64(id)) / 3)
 
-  /** In-memory per-shard graph: construction, beam search, and the
-    * persisted-row conversion. Package-private for HnswSpec.
+  /** In-memory per-shard graph: growable state so construction and
+    * APPEND share one insertion path. `chainPrev(i) = i - 1` by
+    * construction (consecutive insertion ordinals are chain partners);
+    * chain edges at level 0 are exempt from Mmax pruning, which is
+    * what makes the exhaustive-ef walk provably complete even after
+    * appends prune around old nodes. Package-private for HnswSpec.
     */
-  private[similarity] final class Graph(
-      val ids: Array[Long],
-      val vecs: Array[Array[Float]],
-      val nrms: Array[Double],
-      val lvls: Array[Int],
-      val adj: Array[Array[mutable.ArrayBuffer[Int]]],
-      var entry: Int) {
+  private[similarity] final class Graph {
+    val ids = mutable.ArrayBuffer.empty[Long]
+    val vecs = mutable.ArrayBuffer.empty[Array[Float]]
+    val nrms = mutable.ArrayBuffer.empty[Double]
+    val lvls = mutable.ArrayBuffer.empty[Int]
+    val adj = mutable.ArrayBuffer.empty[Array[mutable.ArrayBuffer[Int]]]
+    var entry: Int = -1
+    private val ord = mutable.HashMap.empty[Long, Int]
 
     // FloatVecDot replica: sequential float→double fold, so every
     // similarity is bit-identical to the codegen expression and the
@@ -187,6 +260,9 @@ object HnswIndex {
       while (i < q.length) { acc += q(i).toDouble * b(i).toDouble; i += 1 }
       acc
     }
+
+    private def sim(a: Int, b: Int): Double =
+      dotQ(vecs(a), b) / (nrms(a) * nrms(b))
 
     private def qNorm(q: Array[Float]): Double = {
       var acc = 0.0
@@ -203,8 +279,7 @@ object HnswIndex {
       * provably exhaustive.
       */
     private[similarity] def searchLayer(qv: Array[Float], qn: Double,
-        eps: Seq[Int],
-        ef: Int, lev: Int,
+        eps: Seq[Int], ef: Int, lev: Int,
         visited: mutable.BitSet): mutable.TreeSet[(Double, Long, Int)] = {
       // key (-sim, id): TreeSet ascending = best first; .last = worst
       def key(o: Int): (Double, Long, Int) =
@@ -247,6 +322,123 @@ object HnswIndex {
       res
     }
 
+    /** One HNSW insertion (Algorithm 1, closest-M selection,
+      * (sim desc, id asc) tie-breaks) followed by the chain link to
+      * the insertion-order predecessor. Chain edges (consecutive
+      * ordinals) survive pruning.
+      */
+    def insert(id: Long, vec: Array[Float], m: Int,
+        efConstruction: Int): Unit = {
+      require(!ord.contains(id),
+        s"HNSW append: id $id already in the index — appends must " +
+          "carry only new ids (dedupe the batch against the index first)")
+      var acc = 0.0
+      var x = 0
+      while (x < vec.length) {
+        acc += vec(x).toDouble * vec(x).toDouble
+        x += 1
+      }
+      val nm = math.sqrt(acc)
+      require(nm > 0, s"HNSW cosine needs nonzero vectors; id $id " +
+        "has norm 0 — filter zero vectors before build/append")
+      val l = levelOf(id)
+      val i = ids.length
+      ids += id
+      vecs += vec
+      nrms += nm
+      lvls += l
+      adj += Array.fill(l + 1)(mutable.ArrayBuffer.empty[Int])
+      ord(id) = i
+      if (entry < 0) { entry = i; chainLink(i); return }
+
+      var ep = entry
+      var lev = lvls(entry)
+      // greedy descent with beam 1 above the node's level
+      while (lev > l) {
+        var improved = true
+        while (improved) {
+          improved = false
+          val nbrs = adj(ep)(lev)
+          var j = 0
+          var best = ep
+          var bestKey = (-sim(i, ep), ids(ep))
+          while (j < nbrs.length) {
+            val nb = nbrs(j)
+            val kn = (-sim(i, nb), ids(nb))
+            if (Ordering[(Double, Long)].lt(kn, bestKey)) {
+              best = nb
+              bestKey = kn
+              improved = true
+            }
+            j += 1
+          }
+          ep = best
+        }
+        lev -= 1
+      }
+      var eps = Seq(ep)
+      var lc = math.min(l, lvls(entry))
+      while (lc >= 0) {
+        // never link a node to itself: seed visited with i
+        val w = searchLayer(vecs(i), nrms(i), eps, efConstruction, lc,
+          mutable.BitSet(i))
+        val nbrs = w.iterator.take(m).map(_._3).toArray
+        var j = 0
+        while (j < nbrs.length) {
+          val nb = nbrs(j)
+          adj(i)(lc) += nb
+          adj(nb)(lc) += i
+          val cap = if (lc == 0) 2 * m else m
+          if (adj(nb)(lc).length > cap) prune(nb, lc, cap)
+          j += 1
+        }
+        eps = w.iterator.map(_._3).toSeq
+        lc -= 1
+      }
+      if (l > lvls(entry)) entry = i
+      chainLink(i)
+    }
+
+    /** Trim a neighbor list to `cap` keeping the most similar (tie
+      * lower id) — PLUS the level-0 chain partners (ordinals i±1),
+      * which are exempt so appends can never disconnect the walk.
+      */
+    private def prune(nb: Int, lc: Int, cap: Int): Unit = {
+      val kept = adj(nb)(lc).distinct
+        .sortBy(o => (-sim(nb, o), ids(o)))
+        .take(cap)
+      val withChains =
+        if (lc != 0) kept
+        else {
+          val chains = adj(nb)(lc).distinct
+            .filter(o => o == nb - 1 || o == nb + 1)
+          (kept ++ chains).distinct
+        }
+      adj(nb)(lc).clear()
+      adj(nb)(lc) ++= withChains
+    }
+
+    /** Chain the node to its insertion-order predecessor at level 0 —
+      * the connectivity backbone (≤ 2 extra edges per node).
+      */
+    private def chainLink(i: Int): Unit = {
+      if (i > 0) {
+        if (!adj(i)(0).contains(i - 1)) adj(i)(0) += (i - 1)
+        if (!adj(i - 1)(0).contains(i)) adj(i - 1)(0) += i
+      }
+    }
+
+    /** Insert a sorted batch, then settle the entry on the
+      * lowest-id/max-level contract shared with [[Graph.fromNodes]] —
+      * so a reloaded graph serves identically to this one.
+      */
+    def insertAll(rows: Array[(Long, Array[Float])], m: Int,
+        efConstruction: Int): Unit = {
+      rows.foreach { case (id, v) => insert(id, v, m, efConstruction) }
+      if (ids.nonEmpty)
+        entry = ids.indices.minBy(i => (-lvls(i), ids(i)))
+    }
+
     /** Top-k (neighbor_id, cosv) for one query, beam width ef clamped
       * to the shard size (Int.MaxValue = exhaustive mode).
       */
@@ -272,148 +464,47 @@ object HnswIndex {
 
     def toNodes(shard: Int): Iterator[HnswNode] =
       ids.indices.iterator.map { i =>
-        HnswNode(shard, ids(i), vecs(i), lvls(i),
+        HnswNode(shard, ids(i), vecs(i), lvls(i), i,
           adj(i).map(_.map(o => ids(o)).toSeq).toSeq)
       }
   }
 
   private[similarity] object Graph {
 
-    /** Rebuild the in-memory graph from persisted rows. The entry
-      * point is reconstructed deterministically as the LOWEST-ID node
-      * holding the maximum level — exactly the node [[construct]]
-      * leaves as entry (entry only advances when a later insertion's
-      * level strictly exceeds it, and insertion order is id-asc).
+    /** Rebuild the in-memory graph from persisted rows: ordinals are
+      * the stored insertion ordinals (`ins`), so chain partners stay
+      * consecutive and pruning protection survives the round-trip.
+      * The entry point is the LOWEST-ID node holding the maximum
+      * level — the contract [[Graph.insertAll]] settles on, so load
+      * and in-memory serving agree.
       */
     def fromNodes(it: Iterator[HnswNode]): Graph = {
-      val rows = it.toArray.sortBy(_.id)
-      val ids = rows.map(_.id)
-      val ord = ids.zipWithIndex.toMap
-      val vecs = rows.map(_.vec)
-      val nrms = vecs.map { v =>
-        var acc = 0.0
-        var i = 0
-        while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
-        math.sqrt(acc)
+      val rows = it.toArray.sortBy(_.ins)
+      val g = new Graph()
+      rows.indices.foreach { i =>
+        require(rows(i).ins == i,
+          s"HNSW shard corrupt: insertion ordinals not contiguous at $i")
       }
-      val lvls = rows.map(_.top_level)
-      val adj = rows.map { nd =>
-        nd.adj.map(l =>
+      val ord = rows.map(_.id).zipWithIndex.toMap
+      rows.foreach { nd =>
+        var acc = 0.0
+        var x = 0
+        while (x < nd.vec.length) {
+          acc += nd.vec(x).toDouble * nd.vec(x).toDouble
+          x += 1
+        }
+        g.ids += nd.id
+        g.vecs += nd.vec
+        g.nrms += math.sqrt(acc)
+        g.lvls += nd.top_level
+        g.adj += nd.adj.map(l =>
           mutable.ArrayBuffer.from(l.iterator.map(ord))).toArray
       }
-      val entry =
-        if (rows.isEmpty) 0
-        else lvls.indices.minBy(i => (-lvls(i), ids(i)))
-      new Graph(ids, vecs, nrms, lvls, adj, entry)
-    }
-
-    /** Deterministic construction over id-sorted (id, vec) rows —
-      * HNSW Algorithm 1 with closest-M neighbor selection and
-      * (sim desc, id asc) tie-breaks, plus the level-0 chain edges.
-      */
-    def construct(rows: Array[(Long, Array[Float])], m: Int,
-        efConstruction: Int): Graph = {
-      val n = rows.length
-      val ids = rows.map(_._1)
-      val vecs = rows.map(_._2)
-      val nrms = vecs.map { v =>
-        var acc = 0.0
-        var i = 0
-        while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
-        val nm = math.sqrt(acc)
-        nm
-      }
-      nrms.zipWithIndex.foreach { case (nm, i) =>
-        require(nm > 0, s"HNSW cosine needs nonzero vectors; id ${ids(i)} " +
-          "has norm 0 — filter zero vectors before build")
-      }
-      val lvls = ids.map(levelOf)
-      val adj = Array.tabulate(n)(i =>
-        Array.fill(lvls(i) + 1)(mutable.ArrayBuffer.empty[Int]))
-      val g = new Graph(ids, vecs, nrms, lvls, adj, 0)
-
-      def sim(a: Int, b: Int): Double = {
-        val va = vecs(a)
-        val vb = vecs(b)
-        var acc = 0.0
-        var i = 0
-        while (i < va.length) {
-          acc += va(i).toDouble * vb(i).toDouble
-          i += 1
-        }
-        acc / (nrms(a) * nrms(b))
-      }
-
-      var i = 1
-      while (i < n) {
-        val l = lvls(i)
-        var ep = g.entry
-        var lev = lvls(g.entry)
-        // greedy descent with beam 1 above the node's level
-        while (lev > l) {
-          var improved = true
-          while (improved) {
-            improved = false
-            val nbrs = adj(ep)(lev)
-            var j = 0
-            var best = ep
-            var bestKey = (-sim(i, ep), ids(ep))
-            while (j < nbrs.length) {
-              val nb = nbrs(j)
-              val kn = (-sim(i, nb), ids(nb))
-              if (Ordering[(Double, Long)].lt(kn, bestKey)) {
-                best = nb
-                bestKey = kn
-                improved = true
-              }
-              j += 1
-            }
-            ep = best
-          }
-          lev -= 1
-        }
-        var eps = Seq(ep)
-        var lc = math.min(l, lvls(g.entry))
-        while (lc >= 0) {
-          val qv = vecs(i)
-          val qn = nrms(i)
-          // never link a node to itself: seed visited with i
-          val w = g.searchLayer(qv, qn, eps, efConstruction, lc,
-            mutable.BitSet(i))
-          val nbrs = w.iterator.take(m).map(_._3).toArray
-          var j = 0
-          while (j < nbrs.length) {
-            val nb = nbrs(j)
-            adj(i)(lc) += nb
-            adj(nb)(lc) += i
-            val cap = if (lc == 0) 2 * m else m
-            if (adj(nb)(lc).length > cap) {
-              val pruned = adj(nb)(lc).distinct
-                .sortBy(o => (-sim(nb, o), ids(o)))
-                .take(cap)
-              adj(nb)(lc).clear()
-              adj(nb)(lc) ++= pruned
-            }
-            j += 1
-          }
-          eps = w.iterator.map(_._3).toSeq
-          lc -= 1
-        }
-        if (l > lvls(g.entry)) g.entry = i
-        i += 1
-      }
-      // level-0 connectivity chain: each node keeps an edge to its
-      // insertion-order predecessor, exempt from pruning — guarantees
-      // the exhaustive-ef walk reaches every node even if Mmax pruning
-      // disconnected a region (≤ 2 extra edges per node)
-      var c = 1
-      while (c < n) {
-        if (!adj(c)(0).contains(c - 1)) adj(c)(0) += (c - 1)
-        if (!adj(c - 1)(0).contains(c)) adj(c - 1)(0) += c
-        c += 1
-      }
+      ord.foreach { case (id, i) => g.ord(id) = i }
+      g.entry =
+        if (rows.isEmpty) -1
+        else g.lvls.indices.minBy(i => (-g.lvls(i), g.ids(i)))
       g
     }
   }
-
 }

@@ -115,6 +115,81 @@ class HnswSpec extends AnyFunSuite {
     }
   }
 
+  test("append == one-shot build at exhaustive ef (both == brute force)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_hnsw_app_spec").toString
+    try {
+      val half = Tables(spark, dir, "embeddings")
+        .filter(col("vec_id") >= 20 && col("vec_id") < 260)
+      val rest = Tables(spark, dir, "embeddings")
+        .filter(col("vec_id") >= 260)
+      HnswIndex.build(half, "vec_id", "embedding", 4, 8, 32)
+        .save(s"$root/index")
+      HnswIndex.append(spark, s"$root/index", rest, "vec_id", "embedding")
+      val got = HnswIndex.load(spark, s"$root/index")
+        .search(queries, "vec_id", "embedding", k = 5, ef = Int.MaxValue)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1))
+        .toMap
+      assert(got == bruteTopK(5))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(root))
+    }
+  }
+
+  test("append stays connected under tiny-M pruning stress") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_hnsw_app_conn").toString
+    try {
+      val half = corpus.filter(col("vec_id") < 260)
+      val rest = corpus.filter(col("vec_id") >= 260)
+      HnswIndex.build(half, "vec_id", "embedding", 4, 2, 4)
+        .save(s"$root/index")
+      HnswIndex.append(spark, s"$root/index", rest, "vec_id", "embedding")
+      val rows = HnswIndex.load(spark, s"$root/index").nodes
+        .select(col("shard"), col("id"), col("adj").getItem(0).as("l0"))
+        .collect()
+      rows.groupBy(_.getInt(0)).foreach { case (_, shardRows) =>
+        val ids = shardRows.map(_.getLong(1)).sorted
+        val adjm = shardRows.map(r =>
+          r.getLong(1) -> r.getSeq[Long](2).toSet).toMap
+        val seen = scala.collection.mutable.Set(ids.head)
+        val stack = scala.collection.mutable.Stack(ids.head)
+        while (stack.nonEmpty) {
+          val c = stack.pop()
+          adjm(c).foreach { nb =>
+            if (!seen.contains(nb)) { seen += nb; stack.push(nb) }
+          }
+        }
+        assert(seen.size == ids.length,
+          s"shard disconnected after append: ${seen.size} of ${ids.length}")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(root))
+    }
+  }
+
+  test("append refuses duplicate ids loudly") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_hnsw_app_dup").toString
+    try {
+      HnswIndex.build(corpus, "vec_id", "embedding", 2, 8, 32)
+        .save(s"$root/index")
+      val ex = intercept[org.apache.spark.SparkException] {
+        HnswIndex.append(spark, s"$root/index",
+          corpus.limit(3), "vec_id", "embedding")
+      }
+      assert(ex.getMessage.contains("already in the index") ||
+        Option(ex.getCause).exists(
+          _.getMessage.contains("already in the index")))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(root))
+    }
+  }
+
   test("level-0 chain edges keep every shard connected") {
     val idx = HnswIndex.build(corpus, "vec_id", "embedding",
       nShards = 4, m = 2, efConstruction = 4) // tiny M stresses pruning
