@@ -11,13 +11,18 @@ import org.apache.spark.sql.functions._
   * pair graph. Only components actually TOUCHED by a delta edge are
   * relabeled; everything else carries forward by reference.
   *
-  * The state is two LSM-style artifacts, both plain parquet:
-  *   - `postings` (doc_id, n, g): the accepted corpus's distinct
-  *     shingles with per-doc set sizes — the same inverted index the
-  *     ingest screen uses;
-  *   - `labels` (doc_id, component): current component labels,
-  *     component = min member doc_id (the dd_components convention —
-  *     only docs participating in at least one pair are labeled).
+  * The state is LSM-style DELTA artifacts, all plain parquet, each
+  * written once and never rewritten (a batch writes O(batch/touched),
+  * never O(corpus)):
+  *   - postings deltas (doc_id, n, g): one file set per batch — the
+  *     accepted corpus's inverted index is the multi-path READ of all
+  *     deltas (compact the chain periodically, the
+  *     IncrementalDedup.compact story);
+  *   - label deltas (retired component ids + relabeled rows): the
+  *     current label view folds the chain in arrival order
+  *     ([[applyDelta]]); labels are (doc_id, component), component =
+  *     min member doc_id (the dd_components convention — only docs
+  *     participating in at least one pair are labeled).
   *
   * Correctness rests on two order-confluence facts, which is also why
   * the oracle can be the FULL-graph fixpoint rather than a staged
@@ -107,29 +112,52 @@ object IncrementalComponents {
         (col("na") + col("nb") - col("n_inter")) >= threshold)
       .select(col("doc_a"), col("doc_b"))
 
-  /** One ingest round: given current labels and the batch's delta
-    * pairs, relabel ONLY the touched components. Returns the full new
-    * labels frame (untouched labels pass through an anti-join — no
-    * recompute). `delta` must be the (doc_a, doc_b) frame from
-    * [[deltaPairs]]; `labels` the persisted (doc_id, component).
+  /** One ingest round in DELTA form — the artifacts a batch actually
+    * WRITES, each O(touched), never O(all labels): `retired` is the
+    * set of component ids whose labels are superseded, `relabeled`
+    * the fresh labels for the touched subgraph (delta edges + star
+    * summaries of the retired components + new batch nodes). The
+    * current label view is `labels anti-join retired ∪ relabeled` —
+    * see [[applyDelta]]; a chain of deltas folds in arrival order
+    * (time-aware: a component id retired at stage k can be recreated
+    * by stage k's own relabel, the min-member-id convention), and
+    * periodic compaction of the chain is the same
+    * `IncrementalDedup.compact` story as the ingest tier.
     */
-  def relabel(labels: DataFrame, delta: DataFrame): DataFrame = {
+  def relabelDelta(labels: DataFrame,
+      delta: DataFrame): (DataFrame, DataFrame) = {
     val ends = delta.select(col("doc_a").as("doc_id"))
       .unionByName(delta.select(col("doc_b").as("doc_id")))
       .distinct()
-    val touched = labels.join(ends, Seq("doc_id"), "left_semi")
+    val retired = labels.join(ends, Seq("doc_id"), "left_semi")
       .select(col("component")).distinct()
     // star summary: an old component is already connected, so edges
     // (root, member) reproduce its connectivity without its pair graph
     val stars = labels
-      .join(touched, Seq("component"), "left_semi")
+      .join(retired, Seq("component"), "left_semi")
       .filter(col("doc_id") =!= col("component"))
       .select(col("component").as("doc_a"), col("doc_id").as("doc_b"))
     val sub = delta.select(col("doc_a"), col("doc_b")).unionByName(stars)
     val relabeled = ConnectedComponents.alternatingStars(sub)
       .select(col("node").as("doc_id"), col("component"))
-    labels.join(touched, Seq("component"), "left_anti")
+    (retired, relabeled)
+  }
+
+  /** Fold one delta onto a label view: untouched labels pass through
+    * the anti-join by reference, the relabeled subgraph replaces the
+    * retired components.
+    */
+  def applyDelta(labels: DataFrame, retired: DataFrame,
+      relabeled: DataFrame): DataFrame =
+    labels.join(retired, Seq("component"), "left_anti")
       .select(col("doc_id"), col("component"))
       .unionByName(relabeled)
+
+  /** One ingest round, materialized form (delta + apply in one call —
+    * for callers that want the full view back).
+    */
+  def relabel(labels: DataFrame, delta: DataFrame): DataFrame = {
+    val (retired, relabeled) = relabelDelta(labels, delta)
+    applyDelta(labels, retired, relabeled)
   }
 }

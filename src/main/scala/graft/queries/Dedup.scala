@@ -742,10 +742,16 @@ object Dedup {
     * the batch's gram footprint before the bucket shuffle), and only
     * components TOUCHED by a delta edge are relabeled — old components
     * enter the rerun as star summaries (root, member), everything
-    * untouched passes through an anti-join by reference. Postings and
-    * labels round-trip through parquet between stages (the LSM
-    * artifact story), so each stage genuinely consumes persisted
-    * state.
+    * untouched passes through an anti-join by reference. The artifact
+    * story is genuinely LSM: a batch WRITES only its own postings
+    * delta and its (retired, relabeled) label delta — each O(batch /
+    * touched), never O(corpus) — and readers fold the delta chain in
+    * arrival order (the accepted postings view is a multi-path read
+    * of all prior deltas; compaction of a long chain is the
+    * IncrementalDedup.compact story). An earlier draft rewrote the
+    * unioned postings and the full label table per stage — O(corpus)
+    * write amplification per ingest, the exact failure mode
+    * "incremental" exists to avoid.
     *
     * The oracle is the FULL-graph recursive-CTE fixpoint (the
     * dd_components oracle): connectivity is order-confluent — the
@@ -774,7 +780,7 @@ object Dedup {
       val s2 = s.newSession()
       s2.conf.set("spark.sql.adaptive.enabled", "false")
       s2.conf.set("spark.sql.shuffle.partitions", "8")
-      // stage 0: initial build — postings + labels persisted
+      // stage 0: initial build — postings delta 0 + base labels
       IC.postings(docs.filter(bucket < 8), "doc_id", "text")
         .write.parquet(s"$root/p0")
       graft.dedup.ConnectedComponents
@@ -782,19 +788,37 @@ object Dedup {
           s2.read.parquet(s"$root/p0"), 0.5))
         .select(col("node").as("doc_id"), col("component"))
         .write.parquet(s"$root/l0")
-      // two ingest rounds, each consuming the previous stage's state
+      // two ingest rounds: each WRITES only its own deltas (batch
+      // postings + retired/relabeled label deltas); the accepted
+      // postings view is a multi-path read of every prior delta
+      val postingPaths = scala.collection.mutable
+        .ArrayBuffer(s"$root/p0")
       Seq(bucket === 8, bucket === 9).zipWithIndex.foreach {
         case (pred, i) =>
           IC.postings(docs.filter(pred), "doc_id", "text")
             .write.parquet(s"$root/bp${i + 1}")
-          val prior = s2.read.parquet(s"$root/p$i")
+          val prior = s2.read.parquet(postingPaths.toSeq: _*)
           val batch = s2.read.parquet(s"$root/bp${i + 1}")
-          IC.relabel(s2.read.parquet(s"$root/l$i"),
-              IC.deltaPairs(prior, batch, 0.5))
-            .write.parquet(s"$root/l${i + 1}")
-          prior.unionByName(batch).write.parquet(s"$root/p${i + 1}")
+          // fold the label-delta chain so far into the current view
+          var view = s2.read.parquet(s"$root/l0")
+          (1 to i).foreach { j =>
+            view = IC.applyDelta(view,
+              s2.read.parquet(s"$root/ret$j"),
+              s2.read.parquet(s"$root/ld$j"))
+          }
+          val (retired, relabeled) = IC.relabelDelta(view,
+            IC.deltaPairs(prior, batch, 0.5))
+          retired.write.parquet(s"$root/ret${i + 1}")
+          relabeled.write.parquet(s"$root/ld${i + 1}")
+          postingPaths += s"$root/bp${i + 1}"
       }
-      s.read.parquet(s"$root/l2")
+      var finalView = s.read.parquet(s"$root/l0")
+      (1 to 2).foreach { j =>
+        finalView = IC.applyDelta(finalView,
+          s.read.parquet(s"$root/ret$j"),
+          s.read.parquet(s"$root/ld$j"))
+      }
+      finalView
         .orderBy(col("doc_id"))
         .localCheckpoint() // materialize before the temp state is deleted
     } finally {

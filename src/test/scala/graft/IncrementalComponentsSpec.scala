@@ -88,6 +88,15 @@ class IncrementalComponentsSpec extends AnyFunSuite {
       "untouched cluster A was recomputed (sentinel lost)")
     assert(got(10L) == 10L && got(11L) == 10L && got(20L) == 10L,
       s"cluster B not relabeled correctly: $got")
+    // the WRITTEN delta artifacts are O(touched), never O(all labels):
+    // retired = {cluster B's component}, relabeled = B's members + the
+    // batch doc — cluster A appears in neither
+    val (retired, relabeled) = IC.relabelDelta(l0, delta)
+    val ret = retired.as[Long].collect().toSet
+    assert(ret == Set(10L), s"retired was $ret")
+    val ld = labelsOf(relabeled)
+    assert(ld.keySet == Set(10L, 11L, 20L) && !ld.contains(0L),
+      s"relabeled delta was $ld")
   }
 
   test("delta pair build prunes accepted postings to the batch footprint") {
