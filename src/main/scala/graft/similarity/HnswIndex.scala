@@ -173,6 +173,7 @@ object HnswIndex {
     */
   def append(spark: SparkSession, path: String, batch: DataFrame,
       idCol: String, vecCol: String): Unit = {
+    if (batch.isEmpty) return // nothing to insert, nothing to rewrite
     val idx = load(spark, path)
     import spark.implicits._
     val mLocal = idx.m
