@@ -36,11 +36,18 @@ import org.apache.spark.sql.functions._
   * Scale shape per ingest: the postings artifact is scanned ONCE and
   * semi-joined down to the batch's gram footprint before anything
   * shuffles (the IncrementalDedup plan shape); bucket pair emission is
-  * capped at `maxShingleDf` exactly like the corpus-wide pair build
-  * (a delta bucket is a subset of the global bucket, so the cap never
-  * binds where the full build's didn't); the CC rerun touches delta
-  * edges + star edges only. Relabeling cost is bounded by the batch's
-  * blast radius — the daily-ingest contract the batch-global
+  * capped at `maxShingleDf` like the corpus-wide pair build. Cap
+  * precision: a stage-local bucket is a SUBSET of the global bucket,
+  * so the incremental path never drops a pair the fixture-green
+  * uncapped oracle has where the global build kept it — but on a
+  * corpus where a bucket exceeds the cap globally while staying under
+  * it stage-locally, the incremental union can keep pairs the
+  * batch-global capped build drops (it sits CLOSER to the uncapped
+  * oracle, not further). The cap contract is inherited from
+  * dd_ngram_jaccard either way: a pair lost to a hot-bucket cap is
+  * boilerplate the exact layer already catches. The CC rerun touches
+  * delta edges + star edges only; relabeling cost is bounded by the
+  * batch's blast radius — the daily-ingest contract the batch-global
   * dd_components can't offer.
   */
 object IncrementalComponents {
@@ -60,7 +67,11 @@ object IncrementalComponents {
   /** Jaccard-threshold pairs WITHIN one postings set (the initial
     * build): bucket by gram, emit each bucket's (lo, hi) pairs, count
     * shared grams, keep J ≥ threshold. Buckets above `maxShingleDf`
-    * drop whole — the cachedScoredPairs contract.
+    * drop whole — the cachedScoredPairs contract. This is a sibling of
+    * queries.Dedup.cachedScoredPairs (struct-carried sizes here vs a
+    * sizes join there — this shape serves the delta variant below);
+    * both are pinned to the same uncapped recursive-CTE oracle, so a
+    * drift between the twins reds the gate rather than hiding.
     */
   def pairsWithin(posts: DataFrame, threshold: Double,
       maxShingleDf: Int = 64): DataFrame = {

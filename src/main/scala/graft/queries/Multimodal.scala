@@ -458,7 +458,9 @@ object Multimodal {
     * image corpus only the rasterization step changes.
     */
   private def phashPairs(s: SparkSession, dir: String): DataFrame = {
-    val ph = phashDf(s, dir)
+    // pin the fingerprints: the banded self-join reads them twice, and
+    // an unpinned subtree re-runs the codec round-trip per side
+    val ph = phashDf(s, dir).localCheckpoint()
     val bands = ph.select(col("doc_id"), col("phash"),
       posexplode(array((0 until 10).map(b =>
         shiftright(col("phash"), b * 6).bitwiseAND(lit(0x3fL))): _*))
@@ -1279,6 +1281,11 @@ object Multimodal {
         }
       }(enc)
       .toDF()
+      // materialize the fingerprints ONCE: the banded self-join below
+      // consumes this subtree on both sides, and without pinning it
+      // Spark re-runs the codec + DCT pass per side (2x the dominant
+      // CPU cost). The keyframe frame is tiny (3 scalars per keyframe).
+      .localCheckpoint()
     val bands = kf.select(col("doc_id"), col("frame_idx"), col("phash"),
       posexplode(array((0 until 10).map(b =>
         shiftright(col("phash"), b * 6).bitwiseAND(lit(0x3fL))): _*))

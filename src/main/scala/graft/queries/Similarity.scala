@@ -493,6 +493,16 @@ object Similarity {
               math.sqrt(dot(b.embedding, b.embedding)))
         val remaining = scala.collection.mutable.ArrayBuffer.from(
           it.toArray.sortBy(_.vec_id))
+        // fail LOUD on zero-norm pool members: their pair cosines are
+        // NaN, and Spark's strict '>' defers NaN scores to last while
+        // DuckDB's ORDER BY sorts NaN first — a silent cross-engine
+        // rank divergence. No fixture vector is zero-norm; a corpus
+        // that ships one should filter it before retrieval.
+        remaining.foreach { c =>
+          require(dot(c.embedding, c.embedding) > 0,
+            s"mmr_rerank: vec_id ${c.vec_id} has zero-norm embedding — " +
+              "filter zero vectors before the candidate scan")
+        }
         val selected = scala.collection.mutable.ArrayBuffer.empty[MmrCand]
         val out = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
         while (selected.length < MmrK && remaining.nonEmpty) {
@@ -518,12 +528,10 @@ object Similarity {
             if (score > bestScore) { bestScore = score; bestI = i }
             i += 1
           }
-          // NaN guard: a zero-norm embedding makes cos() return 0/0 =
-          // NaN, and strict '>' against NaN never fires — bestI would
-          // stay -1 and remove(-1) would throw. Fall back to the
-          // lowest-vec_id candidate (index 0 of the id-sorted buffer),
-          // which is also what the oracle's (score DESC, vec_id) tiebreak
-          // degenerates to when every score is NULL/NaN.
+          // Backstop only (zero norms now fail loud above): if every
+          // score were NaN, strict '>' would never fire and remove(-1)
+          // would throw — fall back to the lowest-vec_id candidate
+          // rather than crash mid-query.
           if (bestI < 0) { bestI = 0; bestScore = Double.NaN }
           val pick = remaining.remove(bestI)
           selected += pick

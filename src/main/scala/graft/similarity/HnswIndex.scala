@@ -90,14 +90,18 @@ final class HnswIndex private[similarity] (
       k: Int, ef: Int): DataFrame = {
     val s = nodes.sparkSession
     import s.implicits._
-    val qRows = queries.select(col(idCol).cast("long"), col(vecCol))
-      .collect()
+    // take() bounds driver memory BEFORE the guard can refuse — a
+    // collect()-then-require would already have materialized an
+    // oversized batch when the message fires
+    val qRaw = queries.select(col(idCol).cast("long"), col(vecCol))
+      .take((1 << 16) + 1)
+    require(qRaw.length <= (1 << 16),
+      "HNSW search collects the query batch to the driver; got " +
+        "more than 65536 queries — split the batch or run " +
+        "searches as a stream of bounded batches")
+    val qRows = qRaw
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
-    require(qRows.length <= (1 << 16),
-      s"HNSW search collects the query batch to the driver; got " +
-        s"${qRows.length} queries > 65536 — split the batch or run " +
-        "searches as a stream of bounded batches")
     val efLocal = ef
     val hits = nodes.as[HnswNode]
       .groupByKey(_.shard)
@@ -182,7 +186,14 @@ object HnswIndex {
       .select(pmod(col(idCol), lit(idx.nShards)).cast("int").as("shard"),
         col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .as[(Int, Long, Array[Float])]
-    val updated = idx.nodes.as[HnswNode]
+    // touched-shard pruning: the O(touched shard) cost contract means
+    // the UNTOUCHED shards must not even be scanned — collect the
+    // batch's shard set (<= nShards values) and let the shard-
+    // partitioned parquet layout prune the rest at the scan
+    val touched = b.map(_._1).distinct().collect().toSeq
+    val updated = idx.nodes
+      .filter(col("shard").isin(touched: _*))
+      .as[HnswNode]
       .groupByKey(_.shard)
       .cogroup(b.groupByKey(_._1)) {
         (shard: Int, ns: Iterator[HnswNode],
