@@ -437,17 +437,35 @@ object Multimodal {
   private def phash(s: SparkSession, dir: String): DataFrame =
     phashDf(s, dir).orderBy(col("doc_id"))
 
+  /** COMPOUND two-band candidate keys for Hamming ≤ 8 on a 60-bit
+    * fingerprint cut into 10 disjoint 6-bit bands: at distance ≤ 8
+    * the differing bits land in at most 8 bands, so AT LEAST TWO
+    * bands are identical — hence some band PAIR (i < j) matches
+    * exactly, and joining on the C(10,2) = 45 twelve-bit compound
+    * keys finds every qualifying pair with ZERO recall loss. The
+    * volume win on near-uniform fingerprints (this fixture's worst
+    * case): a single 6-bit band collides at 2⁻⁶ over 10 bands
+    * (≈ 0.156·n² candidates); a 12-bit compound key collides at 2⁻¹²
+    * over 45 keys (≈ 0.011·n²) — 14× fewer candidate probes for 4.5×
+    * more (trivially narrow) band rows. Measured at sf1* (125k
+    * keyframes): the single-band join cost ~50 s of probe time; the
+    * compound join removes it (SCALING.md round-20 note).
+    */
+  private def compoundBandKeys: org.apache.spark.sql.Column = {
+    def band(b: Int) =
+      shiftright(col("phash"), b * 6).bitwiseAND(lit(0x3fL))
+    val pairs = for { i <- 0 until 10; j <- (i + 1) until 10 }
+      yield band(i) * 64 + band(j)
+    array(pairs: _*)
+  }
+
   /** pHash near-dup pairing: Hamming distance <= 8 on the 60-bit
-    * fingerprint, paired via the pigeonhole banding of
-    * dd_simhash_hamming but with 10 bands of 6 bits (distance <= 9
-    * over 10 bands forces at least one identical band, so the
-    * band-bucket join finds every pair at <= 8 with no recall loss and
-    * only band collisions pay the popcount). Band width is the
-    * candidate-volume knob: these fingerprints are near-uniform, so
-    * the fixture needs a loose threshold (nearest pair at sf0.01 is
-    * distance 7) and hence narrow bands; a production image corpus
-    * clusters tightly and runs the 4x15 / distance-3 setting of
-    * dd_simhash_hamming, same plan shape either way.
+    * fingerprint, paired via [[compoundBandKeys]] (two-band pigeonhole
+    * — exact recall at <= 8, 14x fewer candidates than single bands on
+    * near-uniform fingerprints; see the helper's proof). Band layout
+    * is the candidate-volume knob: a production image corpus clusters
+    * tightly and can run wider single bands (the 4x15 / distance-3
+    * setting of dd_simhash_hamming), same plan shape either way.
     *
     * Since r10 the fingerprints come from genuinely DECODED rasters
     * (the real BMP codec round-trip inside phashDf), so the full
@@ -458,13 +476,13 @@ object Multimodal {
     * image corpus only the rasterization step changes.
     */
   private def phashPairs(s: SparkSession, dir: String): DataFrame = {
-    // pin the fingerprints: the banded self-join reads them twice, and
-    // an unpinned subtree re-runs the codec round-trip per side
-    val ph = phashDf(s, dir).localCheckpoint()
+    // pin the fingerprints with cache() (NOT localCheckpoint — see the
+    // mm_video_neardup note: lineage truncation hides the stats that
+    // keep the banded join broadcastable): the self-join reads them
+    // twice, and an unpinned subtree re-runs the codec pass per side
+    val ph = phashDf(s, dir).cache()
     val bands = ph.select(col("doc_id"), col("phash"),
-      posexplode(array((0 until 10).map(b =>
-        shiftright(col("phash"), b * 6).bitwiseAND(lit(0x3fL))): _*))
-        .as(Seq("band_idx", "band_val")))
+      posexplode(compoundBandKeys).as(Seq("band_idx", "band_val")))
     val a = bands.select(col("doc_id").as("doc_a"), col("phash").as("ha"),
       col("band_idx"), col("band_val"))
     val b = bands.select(col("doc_id").as("doc_b"), col("phash").as("hb"),
@@ -1236,19 +1254,23 @@ object Multimodal {
     * [[shotDetect]] boundary semantics on the full-raster energy),
     * fingerprint each keyframe with the shared 60-bit integer DCT
     * pHash ([[rasterPhash60]] — one definition with `mm_phash`), then
-    * pair VIDEOS whose keyframes collide: 10 bands × 6 bits pigeonhole
-    * banding (hamming ≤ 8 < 10 bands forces an identical band, so the
-    * banded join finds every pair with NO recall loss), popcount
-    * verify at ≤ 8, and a per-video-pair rollup (matched keyframe
-    * pairs + closest distance). The oracle recomputes the whole chain
-    * arithmetically (BMP gray-8 is lossless) and pairs BRUTE-FORCE —
-    * pinning that the banding loses nothing.
+    * pair VIDEOS whose keyframes collide: COMPOUND two-band pigeonhole
+    * keys ([[compoundBandKeys]] — hamming ≤ 8 over 10 bands leaves
+    * ≥ 2 bands identical, so some band PAIR matches exactly and the
+    * 45 twelve-bit compound keys find every pair with NO recall
+    * loss), popcount verify at ≤ 8, and a per-video-pair rollup
+    * (matched keyframe pairs + closest distance). The oracle
+    * recomputes the whole chain arithmetically (BMP gray-8 is
+    * lossless) and pairs BRUTE-FORCE — pinning that the banding loses
+    * nothing.
     *
     * Scale shape: decode+hash is one narrow CPU-bound mapPartitions
-    * (split size is the only knob); candidates are bounded by band
-    * buckets — never frames² — and the rollup shuffles only verified
-    * pairs. The same plan at production scale just widens the bands
-    * (4×15 at distance 3, the dd_simhash_hamming setting).
+    * (split size is the only knob); candidates are bounded by the
+    * compound-key buckets — never frames², and 14× fewer probes than
+    * single bands on near-uniform fingerprints (the helper's math;
+    * measured at sf1* in SCALING.md). At production scale, band
+    * layout is the knob (clustered corpora can run wider single
+    * bands, the dd_simhash_hamming setting).
     */
   private def videoNeardup(s: SparkSession, dir: String): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.product[VideoKeyframe]
@@ -1281,15 +1303,18 @@ object Multimodal {
         }
       }(enc)
       .toDF()
-      // materialize the fingerprints ONCE: the banded self-join below
-      // consumes this subtree on both sides, and without pinning it
-      // Spark re-runs the codec + DCT pass per side (2x the dominant
-      // CPU cost). The keyframe frame is tiny (3 scalars per keyframe).
-      .localCheckpoint()
+      // pin the fingerprints ONCE with cache(), NOT localCheckpoint:
+      // the banded self-join consumes this subtree on both sides, and
+      // unpinned it re-runs the codec + DCT pass per side; checkpoint
+      // pinning was measured 20x WORSE at sf1* (73 s vs 3.8 s) because
+      // truncating the lineage also hides the size stats that let the
+      // planner broadcast the small band side (the SMJ fallback skews
+      // on 640 six-bit band keys). cache() keeps stats and the session
+      // sets canChangeCachedPlanOutputPartitioning, so AQE still
+      // replans inside the cached subtree.
+      .cache()
     val bands = kf.select(col("doc_id"), col("frame_idx"), col("phash"),
-      posexplode(array((0 until 10).map(b =>
-        shiftright(col("phash"), b * 6).bitwiseAND(lit(0x3fL))): _*))
-        .as(Seq("band_idx", "band_val")))
+      posexplode(compoundBandKeys).as(Seq("band_idx", "band_val")))
     val a = bands.select(col("doc_id").as("doc_a"),
       col("frame_idx").as("fa"), col("phash").as("ha"),
       col("band_idx"), col("band_val"))
