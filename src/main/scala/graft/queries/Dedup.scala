@@ -600,7 +600,18 @@ object Dedup {
     * shared top buckets and survives. Measured post-fix at sf1*:
     * 104 s → ~7 s for 10× sf0.1's data (SCALING.md).
     */
-  private def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+  /** The embedding near-dup pair set is consumed by both
+    * `dd_embedding_neardup` and `dd_modality_agreement`; within one
+    * session the verified pair set is built and cached once (the
+    * cachedJaccard convention — one index build per session, shared by
+    * every consumer).
+    */
+  private val embPairsCache = new graft.SessionCache[DataFrame]
+
+  private def embeddingNearDup(s: SparkSession, dir: String): DataFrame =
+    embPairsCache.getOrElseUpdate(s, dir)(embeddingNearDupBuild(s, dir).cache())
+
+  private def embeddingNearDupBuild(s: SparkSession, dir: String): DataFrame = {
     val nProbe = 8
     val e = Tables(s, dir, "embeddings")
       .withColumn("nrm", TextFns.norm(col("embedding")))
@@ -764,8 +775,25 @@ object Dedup {
     *
     * Scale shape per ingest: one accepted-postings scan pruned to the
     * batch footprint; CC rerun over |delta edges| + |touched members|
-    * — the batch's blast radius, never the corpus. The CC loop runs in
-    * the AQE-off narrow clone (the dd_components pattern).
+    * — the batch's blast radius, never the corpus.
+    *
+    * Round-21 floor shave (the r20 verdict's ask; clean-window warm
+    * pass 11.9 → 8.9 s at sf0.1, measured phase by phase): (1) the
+    * three postings deltas are staged in ONE batch-partitioned pass
+    * (disjoint pure functions of the fixture, so the per-delta file
+    * sets are byte-equivalent to three sequential corpus scans); (2)
+    * each ingest's delta pairs are pinned with localCheckpoint so the
+    * bucket-join plan executes once per batch instead of re-running
+    * inside both the CC fixpoint and the retired-delta write; (3) the
+    * delta-pair builds — pure functions of the postings, never of
+    * labels — run as concurrent jobs overlapping the base CC (guide
+    * §2.6), while the label-delta chain still folds strictly in
+    * arrival order; (4) the AQE-off narrow clone is gone (see the
+    * inline note — the union-find endgame absorbs every CC call here,
+    * so the clone only throttled the heavy pair builds). None of this
+    * changes what any artifact contains or the O(batch) per-ingest
+    * write contract — only how many synchronous jobs the demo
+    * schedules.
     */
   private def incrementalComponents(s: SparkSession, dir: String)
       : DataFrame = {
@@ -776,41 +804,71 @@ object Dedup {
     val root = java.nio.file.Files
       .createTempDirectory("graft_ddinc_q").toString
     try {
-      // the CC loop's session: AQE off + narrow shuffles (tiny rounds)
-      val s2 = s.newSession()
-      s2.conf.set("spark.sql.adaptive.enabled", "false")
-      s2.conf.set("spark.sql.shuffle.partitions", "8")
-      // stage 0: initial build — postings delta 0 + base labels
-      IC.postings(docs.filter(bucket < 8), "doc_id", "text")
-        .write.parquet(s"$root/p0")
+      // No AQE-off narrow clone here (unlike dd_components): the
+      // distributed star rounds it exists for never run on this
+      // operator at oracle-gated scale — the union-find endgame
+      // absorbs every CC call at the FIRST signature — so the clone
+      // only pinned the heavy pair builds to 8 fixed-width shuffles
+      // on a 32-core box (the IncrementalIngest width lesson: the
+      // bucket HOF expansion is compute-bound and wants the full
+      // session width + AQE coalescing).
+      // postings staging: the three per-batch postings deltas are
+      // disjoint pure functions of the fixture (hash buckets 0–7 / 8 /
+      // 9), so ONE batch-partitioned pass writes all three file sets —
+      // byte-equivalent per delta to three sequential scans of the
+      // corpus, at a third of the scan/write jobs (r20 verdict: the
+      // 14 s floor was stage machinery, not data). The per-INGEST
+      // write amplification story is untouched: a live batch still
+      // writes only its own postings + label deltas, O(batch).
+      IC.postings(docs, "doc_id", "text")
+        .withColumn("b", when(bucket < 8, 0)
+          .otherwise(bucket - 7).cast("int"))
+        .write.partitionBy("b").parquet(s"$root/p")
+      val p0 = s"$root/p/b=0"
+      // Overlap the INDEPENDENT jobs (guide §2.6): each batch's delta
+      // pairs are a pure function of the postings deltas — they never
+      // read labels — so both pair builds run concurrently with the
+      // base CC instead of serializing behind it. The label-delta
+      // chain itself still folds strictly in arrival order below (the
+      // dependency that actually exists).
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val deltaF = (1 to 2).map { i =>
+        i -> Future {
+          val prior = s.read.parquet(
+            (0 until i).map(j => s"$root/p/b=$j"): _*)
+          val batch = s.read.parquet(s"$root/p/b=$i")
+          IC.deltaPairs(prior, batch, 0.5).localCheckpoint()
+        }
+      }.toMap
+      // stage 0: base labels from the seed postings delta
       graft.dedup.ConnectedComponents
         .alternatingStars(IC.pairsWithin(
-          s2.read.parquet(s"$root/p0"), 0.5))
+          s.read.parquet(p0), 0.5))
         .select(col("node").as("doc_id"), col("component"))
         .write.parquet(s"$root/l0")
-      // two ingest rounds: each WRITES only its own deltas (batch
-      // postings + retired/relabeled label deltas); the accepted
-      // postings view is a multi-path read of every prior delta
-      val postingPaths = scala.collection.mutable
-        .ArrayBuffer(s"$root/p0")
-      Seq(bucket === 8, bucket === 9).zipWithIndex.foreach {
-        case (pred, i) =>
-          IC.postings(docs.filter(pred), "doc_id", "text")
-            .write.parquet(s"$root/bp${i + 1}")
-          val prior = s2.read.parquet(postingPaths.toSeq: _*)
-          val batch = s2.read.parquet(s"$root/bp${i + 1}")
-          // fold the label-delta chain so far into the current view
-          var view = s2.read.parquet(s"$root/l0")
-          (1 to i).foreach { j =>
-            view = IC.applyDelta(view,
-              s2.read.parquet(s"$root/ret$j"),
-              s2.read.parquet(s"$root/ld$j"))
-          }
-          val (retired, relabeled) = IC.relabelDelta(view,
-            IC.deltaPairs(prior, batch, 0.5))
-          retired.write.parquet(s"$root/ret${i + 1}")
-          relabeled.write.parquet(s"$root/ld${i + 1}")
-          postingPaths += s"$root/bp${i + 1}"
+      // two ingest rounds: each WRITES only its own label deltas
+      // (retired/relabeled)
+      (1 to 2).foreach { i =>
+        // fold the label-delta chain so far into the current view
+        var view = s.read.parquet(s"$root/l0")
+        (1 until i).foreach { j =>
+          view = IC.applyDelta(view,
+            s.read.parquet(s"$root/ret$j"),
+            s.read.parquet(s"$root/ld$j"))
+        }
+        // the pinned delta pairs: relabelDelta consumes them in the CC
+        // run AND in the retired-delta write — unpinned, the whole
+        // bucket-join plan executed twice per ingest (half the old
+        // stage floor was exactly this re-execution)
+        val delta = Await.result(deltaF(i), Duration.Inf)
+        val (retired, relabeled) = IC.relabelDelta(view, delta)
+        // the two label-delta writes are independent of each other —
+        // overlap them too
+        val retF = Future { retired.write.parquet(s"$root/ret$i") }
+        relabeled.write.parquet(s"$root/ld$i")
+        Await.result(retF, Duration.Inf)
       }
       var finalView = s.read.parquet(s"$root/l0")
       (1 to 2).foreach { j =>
@@ -2057,12 +2115,16 @@ object Dedup {
       shingles: DataFrame, t: Double): DataFrame = {
     val sh = shingles // (doc_id, g) distinct
     val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    // per-doc rarity-sorted shingle array + its prefix
+    // per-doc rarity-sorted shingle array + its prefix — pinned:
+    // three consumers read it (the prefix explode and both sides of
+    // the verification join), and unpinned each re-runs the df join +
+    // sort aggregate; released below once the result materializes
     val docs = sh.join(dfreq, "g")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("g"))))
         .as("sorted"), count(lit(1)).as("n"))
       .withColumn("p", col("n") - ceil(lit(t) * col("n")).cast("int") + 1)
+      .cache()
     val prefixes = docs
       .select(col("doc_id"), col("n"),
         posexplode(slice(col("sorted"), lit(1), col("p").cast("int")))
@@ -2118,7 +2180,7 @@ object Dedup {
     // more rows for the same intersection counts
     val docArrs = docs.select(col("doc_id"),
       transform(col("sorted"), x => x.getField("g")).as("gs"))
-    cands
+    val out = cands
       .join(docArrs.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("gs", "ga"), "doc_a")
       .join(docArrs.withColumnRenamed("doc_id", "doc_b")
@@ -2131,6 +2193,12 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
         col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+      // materialize (pair-scale rows), then release the per-doc index —
+      // a per-invocation cache left pinned pressures the shared dd
+      // SessionCache blocks (the r11 eviction lesson)
+      .localCheckpoint()
+    docs.unpersist()
+    out
   }
 
   /** Triangle census of the near-dup CANDIDATE graph — pairs sharing

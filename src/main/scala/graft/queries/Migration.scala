@@ -1912,9 +1912,16 @@ object Migration {
       .agg(count(lit(1)).as("n"), sum(col("rh")).as("cks"))
     // 256-row summaries, materialized once so neither side re-scans
     // for the clean-bucket total (at 100 TB each is one aggregation
-    // pass over its table; everything downstream reads 256 rows)
-    val sb = buckets(sh).localCheckpoint()
+    // pass over its table; everything downstream reads 256 rows).
+    // The two sides are independent single-table passes — run them as
+    // concurrent jobs (guide §2.6) instead of serializing two eager
+    // checkpoints
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val sbF = Future { buckets(sh).localCheckpoint() }
     val tb = buckets(th).localCheckpoint()
+    val sb = Await.result(sbF, Duration.Inf)
     val dirty = sb.as("sb")
       .join(tb.as("tb"), Seq("bkt"), "full_outer")
       .filter(coalesce(col("sb.n"), lit(-1L)) =!=

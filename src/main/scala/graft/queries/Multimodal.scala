@@ -434,8 +434,19 @@ object Multimodal {
       .toDF()
   }
 
+  /** The fingerprint table is consumed by both `mm_phash` and
+    * `mm_phash_pairs` — one codec pass serves both within a session
+    * (the dedup tier's cachedJaccard convention). Cached per
+    * (session, dir) so repeated invocations stop accumulating one
+    * orphaned `.cache()` per call (r20 advice).
+    */
+  private val phashCache = new graft.SessionCache[DataFrame]
+
+  private def cachedPhash(s: SparkSession, dir: String): DataFrame =
+    phashCache.getOrElseUpdate(s, dir)(phashDf(s, dir).cache())
+
   private def phash(s: SparkSession, dir: String): DataFrame =
-    phashDf(s, dir).orderBy(col("doc_id"))
+    cachedPhash(s, dir).orderBy(col("doc_id"))
 
   /** COMPOUND two-band candidate keys for Hamming ≤ 8 on a 60-bit
     * fingerprint cut into 10 disjoint 6-bit bands: at distance ≤ 8
@@ -476,11 +487,12 @@ object Multimodal {
     * image corpus only the rasterization step changes.
     */
   private def phashPairs(s: SparkSession, dir: String): DataFrame = {
-    // pin the fingerprints with cache() (NOT localCheckpoint — see the
-    // mm_video_neardup note: lineage truncation hides the stats that
-    // keep the banded join broadcastable): the self-join reads them
-    // twice, and an unpinned subtree re-runs the codec pass per side
-    val ph = phashDf(s, dir).cache()
+    // fingerprints pinned via the session cache (NOT localCheckpoint —
+    // see the mm_video_neardup note: lineage truncation hides the stats
+    // that keep the banded join broadcastable): the self-join reads
+    // them twice, and an unpinned subtree re-runs the codec pass per
+    // side
+    val ph = cachedPhash(s, dir)
     val bands = ph.select(col("doc_id"), col("phash"),
       posexplode(compoundBandKeys).as(Seq("band_idx", "band_val")))
     val a = bands.select(col("doc_id").as("doc_a"), col("phash").as("ha"),
@@ -1321,7 +1333,7 @@ object Multimodal {
     val b = bands.select(col("doc_id").as("doc_b"),
       col("frame_idx").as("fb"), col("phash").as("hb"),
       col("band_idx"), col("band_val"))
-    a.join(b, Seq("band_idx", "band_val"))
+    val out = a.join(b, Seq("band_idx", "band_val"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("fa"), col("ha"),
         col("doc_b"), col("fb"), col("hb"))
@@ -1332,6 +1344,12 @@ object Multimodal {
       .agg(count(lit(1)).as("n_matched"),
         min(col("hamming")).as("min_hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
+      // materialize (tiny: one row per video pair), then release the
+      // keyframe cache — the per-call cache() otherwise accumulates one
+      // pinned codec pass per invocation in a long session (r20 advice)
+      .localCheckpoint()
+    kf.unpersist()
+    out
   }
 
   // full-chain oracle: frame rasters + energies arithmetically (BMP

@@ -502,6 +502,14 @@ object Similarity {
           require(dot(c.embedding, c.embedding) > 0,
             s"mmr_rerank: vec_id ${c.vec_id} has zero-norm embedding — " +
               "filter zero vectors before the candidate scan")
+          // the QUERY vector's zero-norm case surfaces as NaN relevance
+          // on every pool row (cosineFrom divides by the query norm);
+          // fail as loudly as the pool-member case instead of letting
+          // the bestI backstop silently pick the lowest-index candidate
+          // (r20 advice)
+          require(!c.relv.isNaN,
+            s"mmr_rerank: query $qid has NaN relevance (zero-norm query " +
+              "embedding) — filter zero vectors before retrieval")
         }
         val selected = scala.collection.mutable.ArrayBuffer.empty[MmrCand]
         val out = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
@@ -1440,6 +1448,42 @@ object Similarity {
     * same batch-bounded cost contract as the ingest tier; the search
     * stage is the loaded index's bounded top-k machinery.
     */
+  /** Stage the shared three-micro-batch arrival layout (vec_id ranges
+    * [300,360) / [360,420) / [420,∞)) for the streaming append
+    * queries: ONE batch-partitioned write job builds all three files
+    * (the old shape re-scanned the source once per range), and each is
+    * published into `$root/in` with an explicit strictly increasing
+    * mtime — FileStreamSource orders files by modification time, and
+    * sequential writes landing in one mtime tick could tie and reorder
+    * (r20 advice; the HNSW append is order-dependent, so the persisted
+    * graph's reproducibility rides on this). A range empty at small
+    * scale factors stages no file — the stream then simply sees fewer
+    * micro-batches, same as an empty batch's no-op append.
+    */
+  private def stageArrivalFiles(arrivals: DataFrame, root: String): Unit = {
+    val staged = s"$root/stage"
+    arrivals
+      .withColumn("b", when(col("vec_id") < 360, 1)
+        .when(col("vec_id") < 420, 2).otherwise(3))
+      .coalesce(1)
+      .write.partitionBy("b").parquet(staged)
+    val inDir = java.nio.file.Paths.get(root, "in")
+    java.nio.file.Files.createDirectories(inDir)
+    (1 to 3).foreach { b =>
+      val parts = Option(new java.io.File(s"$staged/b=$b").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.endsWith(".parquet"))
+      require(parts.length <= 1, // coalesce(1): one writer task per range
+        s"staging wrote ${parts.length} files for batch $b — expected <= 1")
+      parts.foreach { p =>
+        val dst = inDir.resolve(s"b$b.parquet")
+        java.nio.file.Files.move(p.toPath, dst)
+        require(dst.toFile.setLastModified(b * 60000L),
+          s"could not pin arrival mtime on $dst")
+      }
+    }
+  }
+
   private def ivfAppendStream(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
     val idx = graft.similarity.IvfIndex.build(
@@ -1449,14 +1493,14 @@ object Similarity {
       .createTempDirectory("graft_ivf_stream_q").toString
     idx.save(s"$root/index")
     // stage three deterministic arrival files — one per range, so
-    // maxFilesPerTrigger=1 yields three REAL micro-batches
+    // maxFilesPerTrigger=1 yields three REAL micro-batches. ONE
+    // batch-partitioned write (instead of three jobs re-scanning the
+    // source), then publish into the stream dir with explicit strictly
+    // increasing mtimes: FileStreamSource orders by modification time,
+    // and same-tick writes would otherwise tie (r20 advice)
     val arrivals = e.filter(col("vec_id") >= 300)
       .select(col("vec_id"), col("embedding"))
-    Seq((300L, 360L), (360L, 420L), (420L, Long.MaxValue)).foreach {
-      case (lo, hi) =>
-        arrivals.filter(col("vec_id") >= lo && col("vec_id") < hi)
-          .coalesce(1).write.mode("append").parquet(s"$root/in")
-    }
+    stageArrivalFiles(arrivals, root)
     // try/finally so a failed append/stream/search doesn't leak the
     // staged index + input files + checkpoint dir on every bad run;
     // localCheckpoint materializes the result before the delete.
@@ -1560,8 +1604,13 @@ object Similarity {
     * search serves the fully-caught-up index and must EQUAL brute
     * force. Unlike IVF buckets, graph appends are ORDER-DEPENDENT
     * (each insertion searches the graph so far), so the arrival files
-    * are staged deterministically and processed in order — exactly
-    * how a production graph index consumes an ingest stream (ordered
+    * are staged with explicit strictly increasing mtimes
+    * ([[stageArrivalFiles]]) — FileStreamSource orders by modification
+    * time, and without pinned stamps two files landing in one mtime
+    * tick could reorder, making the persisted graph run-dependent
+    * (r20 advice; the gate holds either way — exhaustive-ef search
+    * equals brute force for ANY insertion order). This mirrors how a
+    * production graph index consumes an ingest stream (ordered
     * per-shard application; cross-batch commutativity is what the IVF
     * tier offers, and the scaladoc contract is honest about the
     * difference).
@@ -1577,11 +1626,7 @@ object Similarity {
       idx.save(s"$root/index")
       val arrivals = e.filter(col("vec_id") >= 300)
         .select(col("vec_id"), col("embedding"))
-      Seq((300L, 360L), (360L, 420L), (420L, Long.MaxValue)).foreach {
-        case (lo, hi) =>
-          arrivals.filter(col("vec_id") >= lo && col("vec_id") < hi)
-            .coalesce(1).write.mode("append").parquet(s"$root/in")
-      }
+      stageArrivalFiles(arrivals, root)
       val q = s.readStream.schema(arrivals.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
         .writeStream

@@ -178,8 +178,13 @@ object HnswIndex {
   def append(spark: SparkSession, path: String, batch: DataFrame,
       idCol: String, vecCol: String): Unit = {
     if (batch.isEmpty) return // nothing to insert, nothing to rewrite
-    val idx = load(spark, path)
-    import spark.implicits._
+    // cloned session: the dynamic-partition-overwrite conf below must
+    // not leak to concurrent writers on the caller's session (the
+    // dd_components isolation pattern; r20 advice)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val idx = load(ss, path)
+    import ss.implicits._
     val mLocal = idx.m
     val efcLocal = idx.efConstruction
     val b = batch
@@ -211,15 +216,8 @@ object HnswIndex {
       // eager: detach from the input files BEFORE the overwrite job
       // deletes the partitions it read from
       .localCheckpoint()
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try updated.write.mode("overwrite").partitionBy("shard")
+    updated.write.mode("overwrite").partitionBy("shard")
       .parquet(s"$path/nodes")
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
   }
 
   /** Load a persisted index. */

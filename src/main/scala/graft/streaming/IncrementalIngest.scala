@@ -174,7 +174,15 @@ object IncrementalIngest {
           val batchVerdicts =
             work.resolve(s"verdicts/b$batchNo").toString
           val v = verdicts.localCheckpoint() // screen executes ONCE
-          v.write.parquet(batchVerdicts) // audit log from blocks
+          // audit-log write and keeper-delta publish both consume the
+          // pinned verdict blocks and are independent of each other —
+          // overlap them (guide §2.6)
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          import scala.concurrent.duration.Duration
+          val auditF = Future {
+            v.write.parquet(batchVerdicts) // audit log from blocks
+          }
           val keptIds = v // keepers from blocks, no parquet read-back
             .filter(col("keep")).select(col("id").as("doc_id"))
           // publish ONLY this batch's keepers as the next delta —
@@ -182,6 +190,7 @@ object IncrementalIngest {
           val next = work.resolve(s"artifacts_d$batchNo").toString
           IncrementalDedup.save(IncrementalDedup.artifacts(
             batch.join(keptIds, "doc_id"), "doc_id", "text", shingleK), next)
+          Await.result(auditF, Duration.Inf)
           deltaPaths :+= next
         }
       }
@@ -241,11 +250,16 @@ object IncrementalIngest {
     val work = Files.createTempDirectory("graft_ingest_many")
     val arrivals = work.resolve("arrivals")
     Files.createDirectories(arrivals)
-    for (b <- 1 to nBatches)
-      docs.filter(pmod(col("doc_id"), lit(2)) === 1)
-        .filter(pmod(expr("(doc_id - 1) div 2"), lit(nBatches)) === (b - 1))
-        .coalesce(1).write.mode("overwrite")
-        .parquet(work.resolve(s"stage_b$b").toString)
+    // one batch-partitioned pass stages every arrival file set (the
+    // old shape re-scanned the odd docs once per batch — nBatches scan
+    // + write jobs for one partitioned write's worth of bytes); the
+    // per-batch file sets are identical, the data files carry exactly
+    // docs.schema (the partition column stays in the directory name)
+    docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .withColumn("b",
+        (pmod(expr("(doc_id - 1) div 2"), lit(nBatches)) + 1).cast("int"))
+      .coalesce(1).write.mode("overwrite")
+      .partitionBy("b").parquet(work.resolve("stage").toString)
 
     var deltaPaths = Vector(
       java.nio.file.Paths.get(staged).resolve("seed_delta").toString)
@@ -256,7 +270,12 @@ object IncrementalIngest {
         .reduce((x, y) => IncrementalDedup.Artifacts(
           x.keys.unionByName(y.keys)))
     def arrive(b: Int): Unit = {
-      val listing = Files.list(work.resolve(s"stage_b$b"))
+      val stageDir = work.resolve(s"stage/b=$b")
+      // a batch empty at tiny scale factors stages no partition dir:
+      // no arrival file, the stream sees one fewer micro-batch — same
+      // verdicts as the old empty-file arrival (batch.isEmpty no-op)
+      if (!Files.isDirectory(stageDir)) return
+      val listing = Files.list(stageDir)
       try listing.filter(_.getFileName.toString.endsWith(".parquet"))
         .forEach { f =>
           val tmp = arrivals.resolve(s"b${b}_${f.getFileName}.tmp")
@@ -289,11 +308,18 @@ object IncrementalIngest {
               (pmod(expr("(id - 1) div 2"), lit(nBatches)) + 1).cast("int"))
           batchNo += 1
           val v = verdicts.localCheckpoint()
-          v.write.parquet(work.resolve(s"verdicts/b$batchNo").toString)
+          // audit write ∥ keeper-delta publish (see ingest's note)
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          import scala.concurrent.duration.Duration
+          val auditF = Future {
+            v.write.parquet(work.resolve(s"verdicts/b$batchNo").toString)
+          }
           val keptIds = v.filter(col("keep")).select(col("id").as("doc_id"))
           val next = work.resolve(s"artifacts_d$batchNo").toString
           IncrementalDedup.save(IncrementalDedup.artifacts(
             batch.join(keptIds, "doc_id"), "doc_id", "text", shingleK), next)
+          Await.result(auditF, Duration.Inf)
           deltaPaths :+= next
         }
       }
