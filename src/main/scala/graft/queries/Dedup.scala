@@ -2102,8 +2102,19 @@ object Dedup {
     * `dd_ngram_jaccard` (same space, same threshold) — by two
     * different algorithms, which is itself a cross-check.
     */
+  /** The per-doc rarity-sorted shingle index feeds THREE consumers
+    * inside one prefixJaccardPairs run (the prefix explode and both
+    * sides of the verification join); a per-invocation `.cache()`
+    * left pinned per call is the r11 eviction lesson and an eager
+    * checkpoint re-materializes the sorted output the bench action
+    * never needs — so the index is pinned once per (session, dir),
+    * the orientedEdgesCache convention.
+    */
+  private val prefixDocsCache = new graft.SessionCache[DataFrame]
+
   private def prefixJaccard(s: SparkSession, dir: String): DataFrame =
-    prefixJaccardPairs(cachedShingles(s, dir), 0.5)
+    prefixJaccardPairsFrom(prefixDocsCache.getOrElseUpdate(s, dir)(
+      prefixDocsIndex(cachedShingles(s, dir), 0.5).cache()), 0.5)
 
   /** The AllPairs/PPJoin core over an arbitrary distinct (doc_id, g)
     * shingle relation — factored so PrefixJaccardSpec can check the
@@ -2112,19 +2123,24 @@ object Dedup {
     * sets, identical sets, prefix length 1 — need adversarial input).
     */
   private[graft] def prefixJaccardPairs(
+      shingles: DataFrame, t: Double): DataFrame =
+    prefixJaccardPairsFrom(prefixDocsIndex(shingles, t), t)
+
+  /** Per-doc rarity-sorted shingle array + its prefix — the index the
+    * pair join reads three times (pin it; see prefixDocsCache).
+    */
+  private[graft] def prefixDocsIndex(
       shingles: DataFrame, t: Double): DataFrame = {
-    val sh = shingles // (doc_id, g) distinct
-    val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    // per-doc rarity-sorted shingle array + its prefix — pinned:
-    // three consumers read it (the prefix explode and both sides of
-    // the verification join), and unpinned each re-runs the df join +
-    // sort aggregate; released below once the result materializes
-    val docs = sh.join(dfreq, "g")
+    val dfreq = shingles.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    shingles.join(dfreq, "g")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("g"))))
         .as("sorted"), count(lit(1)).as("n"))
       .withColumn("p", col("n") - ceil(lit(t) * col("n")).cast("int") + 1)
-      .cache()
+  }
+
+  private[graft] def prefixJaccardPairsFrom(
+      docs: DataFrame, t: Double): DataFrame = {
     val prefixes = docs
       .select(col("doc_id"), col("n"),
         posexplode(slice(col("sorted"), lit(1), col("p").cast("int")))
@@ -2193,11 +2209,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
         col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
-      // materialize (pair-scale rows), then release the per-doc index —
-      // a per-invocation cache left pinned pressures the shared dd
-      // SessionCache blocks (the r11 eviction lesson)
-      .localCheckpoint()
-    docs.unpersist()
     out
   }
 

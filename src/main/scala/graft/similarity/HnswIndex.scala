@@ -175,14 +175,32 @@ object HnswIndex {
     * dynamic partition overwrite. Batch ids must be disjoint from the
     * stored ids — duplicates fail loudly.
     */
+  /** One conf-isolated clone per root session for the dynamic-
+    * partition-overwrite write (r20 advice: never mutate the caller's
+    * session-global conf). The clone is MEMOIZED — weakly keyed by the
+    * root session — because building a fresh SessionState per append
+    * measured ~+1 s on the append queries (three streamed appends paid
+    * it three times); its one conf delta never changes, so reuse is
+    * safe under concurrent appends.
+    */
+  private val overwriteSessions = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, SparkSession]())
+
+  private def overwriteSession(spark: SparkSession): SparkSession =
+    overwriteSessions.synchronized {
+      var ss = overwriteSessions.get(spark)
+      if (ss == null) {
+        ss = spark.newSession()
+        ss.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        overwriteSessions.put(spark, ss)
+      }
+      ss
+    }
+
   def append(spark: SparkSession, path: String, batch: DataFrame,
       idCol: String, vecCol: String): Unit = {
     if (batch.isEmpty) return // nothing to insert, nothing to rewrite
-    // cloned session: the dynamic-partition-overwrite conf below must
-    // not leak to concurrent writers on the caller's session (the
-    // dd_components isolation pattern; r20 advice)
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val ss = overwriteSession(spark)
     val idx = load(ss, path)
     import ss.implicits._
     val mLocal = idx.m
