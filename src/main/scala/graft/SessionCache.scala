@@ -5,10 +5,23 @@ import org.apache.spark.sql.SparkSession
 /** Per-(session, key) memo for DataFrames that act as shared indexes
   * across queries (shingle rows, jaccard pairs, PQ codes): built once,
   * `.cache()`d, and served to every consumer in the session — the way
-  * a production pipeline builds an index once per run. Keyed weakly by
-  * the session object so an ended session and its cached blocks can be
-  * collected; a fixture dir mutated mid-session serves the stale
-  * index, as any index would.
+  * a production pipeline builds an index once per run. A fixture dir
+  * mutated mid-session serves the stale index, as any index would.
+  *
+  * LIFECYCLE CONTRACT (r21 advice): although the per-session map is
+  * keyed weakly, the cached DataFrames strongly reference their
+  * SparkSession (every Dataset holds its session), so the weak entry
+  * can never be collected while a memo exists — an ABANDONED session
+  * keeps its pinned blocks for process lifetime unless the owner calls
+  * [[SessionCache.invalidate]] (as ScaleCurve does between scale
+  * points). Long-lived multi-corpus processes must treat invalidate as
+  * the session's close(). Pressure behavior within a live session is
+  * bounded by Spark itself: every memo is `.cache()` =
+  * MEMORY_AND_DISK, so the storage region evicts hot-memory blocks to
+  * disk rather than growing the heap, and the worst case of an
+  * unbounded key set is disk-resident index copies, not an OOM —
+  * SCALING.md ("SessionCache lifetime at 100 TB") records the sizing
+  * arithmetic.
   */
 final class SessionCache[A] {
   SessionCache.register(this)

@@ -206,9 +206,17 @@ object ConnectedComponents {
       if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
     }
     import spark.implicits._
+    // coalesce(1): a driver-local relation otherwise parallelizes to
+    // min(rows, defaultParallelism) slices — the endgame's ≤ 2^20-row
+    // label set fanned out as 32 fifteen-row partitions on a 32-core
+    // box, and every downstream join/union/sort over the labels paid a
+    // 32-task stage for KBs of data (§2: size partitions by data, not
+    // core count). One partition is the honest size for a
+    // driver-collected result.
     nodes.toSeq.map(n => (n, find(n))).toDF("node", "component")
       .select(col("node").cast(dt).as("node"),
         col("component").cast(dt).as("component"))
+      .coalesce(1)
   }
 
   /** Iterative min-label propagation (the O(diameter) baseline kept

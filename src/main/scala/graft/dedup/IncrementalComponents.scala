@@ -140,8 +140,15 @@ object IncrementalComponents {
     val ends = delta.select(col("doc_a").as("doc_id"))
       .unionByName(delta.select(col("doc_b").as("doc_id")))
       .distinct()
+    // retired is consumed at least twice by every caller (the star
+    // summary below, the artifact write, the applyDelta anti-join) and
+    // is bounded by the batch's touched-component count — pin it so
+    // the labels semi-join runs once per ingest, not once per consumer
+    // (alternatingStars already runs eager jobs here, so pinning adds
+    // no new eagerness to this call)
     val retired = labels.join(ends, Seq("doc_id"), "left_semi")
       .select(col("component")).distinct()
+      .localCheckpoint()
     // star summary: an old component is already connected, so edges
     // (root, member) reproduce its connectivity without its pair graph
     val stars = labels
@@ -149,8 +156,11 @@ object IncrementalComponents {
       .filter(col("doc_id") =!= col("component"))
       .select(col("component").as("doc_a"), col("doc_id").as("doc_b"))
     val sub = delta.select(col("doc_a"), col("doc_b")).unionByName(stars)
+    // relabeled (bounded by the touched subgraph) is likewise consumed
+    // by both the artifact write and the view fold — pin it too
     val relabeled = ConnectedComponents.alternatingStars(sub)
       .select(col("node").as("doc_id"), col("component"))
+      .localCheckpoint()
     (retired, relabeled)
   }
 

@@ -115,7 +115,22 @@ object IncrementalDedup {
   def screen(batch: DataFrame, accepted: Artifacts,
       idCol: String, textCol: String, threshold: Double = 0.5,
       shingleK: Int = 3, maxShingleDf: Int = 64,
-      ordered: Boolean = true): DataFrame = {
+      ordered: Boolean = true): DataFrame =
+    screenWithKeys(batch, accepted, idCol, textCol, threshold, shingleK,
+      maxShingleDf, ordered)._1
+
+  /** [[screen]] plus the batch's own pinned postings (id, key, n) —
+    * for callers that publish the keepers' artifact delta afterwards:
+    * `bKeys` filtered to the keeper ids is row-for-row
+    * `artifacts(kept docs)`, so the publisher reuses the expansion the
+    * screen already materialized instead of re-scanning the batch and
+    * re-running md5/shingling (one fewer corpus-side pass per ingest
+    * batch).
+    */
+  def screenWithKeys(batch: DataFrame, accepted: Artifacts,
+      idCol: String, textCol: String, threshold: Double = 0.5,
+      shingleK: Int = 3, maxShingleDf: Int = 64,
+      ordered: Boolean = true): (DataFrame, DataFrame) = {
     // (1) the shared batch expansion, executed exactly once
     val bKeys = artifacts(batch, idCol, textCol, shingleK).keys
       .localCheckpoint(false)
@@ -182,7 +197,7 @@ object IncrementalDedup {
     // ordered=false skips the global sort (a sampling pass + range
     // exchange per call) for callers that re-order downstream anyway,
     // e.g. the streaming ingest gate's per-batch verdict log
-    if (ordered) out.orderBy(col("id")) else out
+    (if (ordered) out.orderBy(col("id")) else out, bKeys)
   }
 
   /** Merge the kept batch docs into the accepted artifacts (the next

@@ -1134,8 +1134,12 @@ object Corpus {
     val out = ss.read.option("recursiveFileLookup", "true")
       .parquet(verdictDir)
       .select(col("doc_id"), col("n_grams"), col("n_shared"), col("leaky"))
-      .orderBy(col("doc_id"))
+      // pin BEFORE the sort: the checkpoint exists to outlive the run
+      // dir's deletion, and pinning the pre-sort rows lets the final
+      // order-by stay lazy (computed only by consumers that need row
+      // order, exactly as every lazy query's terminal sort already is)
       .localCheckpoint() // materialize before the run dir is deleted
+      .orderBy(col("doc_id"))
     org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
     out
   }

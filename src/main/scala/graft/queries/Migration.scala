@@ -944,8 +944,8 @@ object Migration {
           coalesce(col("n_incremental"), lit(0L)).as("n_incremental"),
           (coalesce(col("n_initial"), lit(0L)) +
             coalesce(col("n_incremental"), lit(0L))).as("n_total"))
-        .orderBy(col("o_orderstatus"))
         .localCheckpoint() // materialize before the database is dropped
+        .orderBy(col("o_orderstatus"))
     } finally {
       try java.sql.DriverManager.getConnection(
         srcUrl.replace(";create=true", ";drop=true"))

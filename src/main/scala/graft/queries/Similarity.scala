@@ -1190,8 +1190,8 @@ object Similarity {
     val loaded = graft.similarity.IvfPqIndex.load(s, s"$path/index")
     val out = loaded.search(e.filter(col("vec_id") < 20), "vec_id",
         "embedding", k = TopK, nprobe = NumProbe)
-      .orderBy(col("query_id"), col("rnk"))
       .localCheckpoint() // materialize before the temp index is deleted
+      .orderBy(col("query_id"), col("rnk"))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
     out
   }
@@ -1422,8 +1422,8 @@ object Similarity {
     val loaded = graft.similarity.IvfIndex.load(s, s"$path/index")
     val out = loaded.search(e.filter(col("vec_id") < 20), "vec_id",
         "embedding", k = TopK, nprobe = 8)
-      .orderBy(col("query_id"), col("rnk"))
       .localCheckpoint() // materialize before the temp index is deleted
+      .orderBy(col("query_id"), col("rnk"))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
     out
   }
@@ -1462,6 +1462,7 @@ object Similarity {
     */
   private def stageArrivalFiles(arrivals: DataFrame, root: String): Unit = {
     val staged = s"$root/stage"
+    val stageT0 = System.currentTimeMillis()
     arrivals
       .withColumn("b", when(col("vec_id") < 360, 1)
         .when(col("vec_id") < 420, 2).otherwise(3))
@@ -1478,7 +1479,12 @@ object Similarity {
       parts.foreach { p =>
         val dst = inDir.resolve(s"b$b.parquet")
         java.nio.file.Files.move(p.toPath, dst)
-        require(dst.toFile.setLastModified(b * 60000L),
+        // strictly increasing mtimes RELATIVE TO NOW (r21 advice): an
+        // absolute epoch stamp put the staged files 50+ years behind
+        // any future wall-clock-stamped arrival, outside
+        // FileStreamSource's 7-day maxFileAge horizon; now-anchored
+        // offsets keep the ordering deterministic AND the files young
+        require(dst.toFile.setLastModified(stageT0 + b * 60000L),
           s"could not pin arrival mtime on $dst")
       }
     }
@@ -1520,8 +1526,8 @@ object Similarity {
       val loaded = graft.similarity.IvfIndex.load(s, s"$root/index")
       loaded.search(e.filter(col("vec_id") < 20), "vec_id",
           "embedding", k = TopK, nprobe = 8)
-        .orderBy(col("query_id"), col("rnk"))
         .localCheckpoint() // materialize before the temp index is deleted
+        .orderBy(col("query_id"), col("rnk"))
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     }
@@ -1559,8 +1565,8 @@ object Similarity {
       val loaded = graft.similarity.HnswIndex.load(s, s"$root/index")
       loaded.search(e.filter(col("vec_id") < 20), "vec_id", "embedding",
           k = TopK, ef = Int.MaxValue)
-        .orderBy(col("query_id"), col("rnk"))
         .localCheckpoint() // materialize before the temp index is deleted
+        .orderBy(col("query_id"), col("rnk"))
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     }
@@ -1590,8 +1596,8 @@ object Similarity {
       val loaded = graft.similarity.HnswIndex.load(s, s"$root/index")
       loaded.search(e.filter(col("vec_id") < 20), "vec_id", "embedding",
           k = TopK, ef = Int.MaxValue)
-        .orderBy(col("query_id"), col("rnk"))
         .localCheckpoint() // materialize before the temp index is deleted
+        .orderBy(col("query_id"), col("rnk"))
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     }
@@ -1642,8 +1648,8 @@ object Similarity {
       val loaded = graft.similarity.HnswIndex.load(s, s"$root/index")
       loaded.search(e.filter(col("vec_id") < 20), "vec_id", "embedding",
           k = TopK, ef = Int.MaxValue)
-        .orderBy(col("query_id"), col("rnk"))
         .localCheckpoint()
+        .orderBy(col("query_id"), col("rnk"))
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     }

@@ -182,6 +182,14 @@ object HnswIndex {
     * measured ~+1 s on the append queries (three streamed appends paid
     * it three times); its one conf delta never changes, so reuse is
     * safe under concurrent appends.
+    *
+    * Conf-snapshot semantics (r21 advice): `newSession()` snapshots
+    * SQLConf from the SparkContext conf at creation, so RUNTIME conf
+    * set later on the caller's session (shuffle width, AQE toggles)
+    * does NOT apply to append's scan/cogroup/write jobs — they run
+    * under the clone's defaults plus the one overwrite-mode key.
+    * Callers that tune runtime conf around appends must set it on the
+    * SparkContext conf before the first append instead.
     */
   private val overwriteSessions = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, SparkSession]())
@@ -199,7 +207,6 @@ object HnswIndex {
 
   def append(spark: SparkSession, path: String, batch: DataFrame,
       idCol: String, vecCol: String): Unit = {
-    if (batch.isEmpty) return // nothing to insert, nothing to rewrite
     val ss = overwriteSession(spark)
     val idx = load(ss, path)
     import ss.implicits._
@@ -212,8 +219,11 @@ object HnswIndex {
     // touched-shard pruning: the O(touched shard) cost contract means
     // the UNTOUCHED shards must not even be scanned — collect the
     // batch's shard set (<= nShards values) and let the shard-
-    // partitioned parquet layout prune the rest at the scan
+    // partitioned parquet layout prune the rest at the scan. An empty
+    // set doubles as the empty-batch check (nothing to insert, nothing
+    // to rewrite), so no separate isEmpty job runs.
     val touched = b.map(_._1).distinct().collect().toSeq
+    if (touched.isEmpty) return
     val updated = idx.nodes
       .filter(col("shard").isin(touched: _*))
       .as[HnswNode]

@@ -181,8 +181,8 @@ object CdcApply {
         sum(col("k")).as("sum_keys"),
         sum(col("price").cast(DecimalType(18, 2))).cast("double")
           .as("sum_price"))
-      .orderBy(col("st"))
       .localCheckpoint() // materialize before staging is deleted
+      .orderBy(col("st"))
     org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
     out
   }

@@ -835,8 +835,8 @@ object EventStream {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(DecimalType(18, 6))).cast("double")
             .as("total_value"))
-        .orderBy(col("event_type"))
         .localCheckpoint() // materialize before the database is dropped
+        .orderBy(col("event_type"))
     } finally {
       try java.sql.DriverManager.getConnection(
         url.replace(";create=true", ";drop=true"))

@@ -104,7 +104,6 @@ object IncrementalIngest {
     val work = Files.createTempDirectory("graft_ingest_stream")
     val arrivals = work.resolve("arrivals")
     Files.createDirectories(arrivals)
-    val verdictDir = work.resolve("verdicts").toString
 
     // the persisted accepted set = union of all published deltas
     // (d0 = the staged seed; later deltas publish into the run dir)
@@ -138,6 +137,15 @@ object IncrementalIngest {
     }
     arrive("batch1")
 
+    // each batch's pinned verdict blocks, appended by the stream
+    // thread and folded into the result after the stream stops — the
+    // blocks ARE what the audit log was written from, so the union
+    // equals the old read-back of the verdict parquet log without
+    // re-listing and re-scanning it (the write itself stays: it is the
+    // audit-log contract)
+    val verdictFrames =
+      scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
     val q = ss.readStream
       .schema(docs.schema)
       .option("pathGlobFilter", "*.parquet")
@@ -159,13 +167,13 @@ object IncrementalIngest {
             deltaPaths = Vector(cPath)
           }
           val accepted = loadAccepted(s2)
-          val verdicts = IncrementalDedup.screen(batch, accepted,
-            "doc_id", "text", threshold, shingleK, maxShingleDf,
-            ordered = false)
-            // batch identity derived from the deterministic split, so
-            // the verdict log is stable however the source batches
-            .withColumn("arrival_batch",
-              when(pmod(col("id"), lit(4)) === 1, 1).otherwise(2))
+          val (verdictsRaw, bKeys) = IncrementalDedup.screenWithKeys(
+            batch, accepted, "doc_id", "text", threshold, shingleK,
+            maxShingleDf, ordered = false)
+          // batch identity derived from the deterministic split, so
+          // the verdict log is stable however the source batches
+          val verdicts = verdictsRaw.withColumn("arrival_batch",
+            when(pmod(col("id"), lit(4)) === 1, 1).otherwise(2))
           // the audit log partitions BY BATCH, so the keeper read-back
           // below (and any later per-batch audit) scans O(batch) — an
           // append-then-rescan of the whole log would creep to
@@ -176,22 +184,30 @@ object IncrementalIngest {
           val v = verdicts.localCheckpoint() // screen executes ONCE
           // audit-log write and keeper-delta publish both consume the
           // pinned verdict blocks and are independent of each other —
-          // overlap them (guide §2.6)
-          import scala.concurrent.{Await, Future}
+          // overlap them (guide §2.6); the audit future is awaited in
+          // a finally so a failed publish never leaves an orphaned
+          // write job racing the run-dir cleanup (r21 advice)
+          import scala.concurrent.{Await, Future, blocking}
           import scala.concurrent.ExecutionContext.Implicits.global
           import scala.concurrent.duration.Duration
-          val auditF = Future {
+          val auditF = Future(blocking {
             v.write.parquet(batchVerdicts) // audit log from blocks
-          }
-          val keptIds = v // keepers from blocks, no parquet read-back
-            .filter(col("keep")).select(col("id").as("doc_id"))
-          // publish ONLY this batch's keepers as the next delta —
-          // O(batch) written, the corpus-sized union is never rewritten
-          val next = work.resolve(s"artifacts_d$batchNo").toString
-          IncrementalDedup.save(IncrementalDedup.artifacts(
-            batch.join(keptIds, "doc_id"), "doc_id", "text", shingleK), next)
-          Await.result(auditF, Duration.Inf)
-          deltaPaths :+= next
+          })
+          try {
+            val keptIds = v // keepers from blocks, no parquet read-back
+              .filter(col("keep")).select(col("id").as("doc_id"))
+            // publish ONLY this batch's keepers as the next delta —
+            // O(batch) written, the corpus-sized union never rewritten;
+            // the delta rows are the screen's own pinned batch postings
+            // filtered to the keepers (row-for-row what re-expanding
+            // the kept docs produced before, minus the re-scan)
+            val next = work.resolve(s"artifacts_d$batchNo").toString
+            IncrementalDedup.save(IncrementalDedup.Artifacts(
+              bKeys.join(keptIds, col("id") === col("doc_id"),
+                "left_semi")), next)
+            deltaPaths :+= next
+          } finally Await.result(auditF, Duration.Inf)
+          verdictFrames.synchronized { verdictFrames += v; () }
         }
       }
       .start()
@@ -201,14 +217,18 @@ object IncrementalIngest {
       q.processAllAvailable()
     } finally q.stop()
 
-    val out = ss.read
-      .option("recursiveFileLookup", "true").parquet(verdictDir)
+    val vs = verdictFrames.synchronized { verdictFrames.toVector }
+    require(vs.nonEmpty,
+      s"ingest: no micro-batch arrived from $dir — fixture too small " +
+        "to stage either arrival batch")
+    val out = vs.reduce(_.unionByName(_))
       .select(col("id").as("doc_id"), col("exact_of"), col("near_of"),
         col("keep"), col("arrival_batch"))
-      .orderBy(col("doc_id"))
       // materialize before the run's staging (arrivals + deltas +
-      // verdict log) is deleted
+      // verdict log) is deleted; pinned pre-sort so the terminal
+      // order-by stays lazy like every other query's
       .localCheckpoint()
+      .orderBy(col("doc_id"))
     org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
     out
   }
@@ -286,6 +306,11 @@ object IncrementalIngest {
       finally listing.close()
     }
 
+    // pinned per-batch verdict blocks, folded after the stream stops
+    // (see ingest's note — the audit-log writes stay)
+    val verdictFrames =
+      scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
     val q = ss.readStream
       .schema(docs.schema)
       .option("pathGlobFilter", "*.parquet")
@@ -301,39 +326,45 @@ object IncrementalIngest {
             deltaPaths = Vector(cPath)
           }
           val accepted = loadAccepted(s2)
-          val verdicts = IncrementalDedup.screen(batch, accepted,
-            "doc_id", "text", threshold, shingleK, maxShingleDf,
-            ordered = false)
-            .withColumn("arrival_batch",
-              (pmod(expr("(id - 1) div 2"), lit(nBatches)) + 1).cast("int"))
+          val (verdictsRaw, bKeys) = IncrementalDedup.screenWithKeys(
+            batch, accepted, "doc_id", "text", threshold, shingleK,
+            maxShingleDf, ordered = false)
+          val verdicts = verdictsRaw.withColumn("arrival_batch",
+            (pmod(expr("(id - 1) div 2"), lit(nBatches)) + 1).cast("int"))
           batchNo += 1
           val v = verdicts.localCheckpoint()
           // audit write ∥ keeper-delta publish (see ingest's note)
-          import scala.concurrent.{Await, Future}
+          import scala.concurrent.{Await, Future, blocking}
           import scala.concurrent.ExecutionContext.Implicits.global
           import scala.concurrent.duration.Duration
-          val auditF = Future {
+          val auditF = Future(blocking {
             v.write.parquet(work.resolve(s"verdicts/b$batchNo").toString)
-          }
-          val keptIds = v.filter(col("keep")).select(col("id").as("doc_id"))
-          val next = work.resolve(s"artifacts_d$batchNo").toString
-          IncrementalDedup.save(IncrementalDedup.artifacts(
-            batch.join(keptIds, "doc_id"), "doc_id", "text", shingleK), next)
-          Await.result(auditF, Duration.Inf)
-          deltaPaths :+= next
+          })
+          try {
+            val keptIds = v.filter(col("keep"))
+              .select(col("id").as("doc_id"))
+            val next = work.resolve(s"artifacts_d$batchNo").toString
+            IncrementalDedup.save(IncrementalDedup.Artifacts(
+              bKeys.join(keptIds, col("id") === col("doc_id"),
+                "left_semi")), next)
+            deltaPaths :+= next
+          } finally Await.result(auditF, Duration.Inf)
+          verdictFrames.synchronized { verdictFrames += v; () }
         }
       }
       .start()
     try for (b <- 1 to nBatches) { arrive(b); q.processAllAvailable() }
     finally q.stop()
 
-    val out = ss.read
-      .option("recursiveFileLookup", "true")
-      .parquet(work.resolve("verdicts").toString)
+    val vs = verdictFrames.synchronized { verdictFrames.toVector }
+    require(vs.nonEmpty,
+      s"ingestMany: no micro-batch arrived from $dir — fixture too " +
+        "small to stage any arrival batch")
+    val out = vs.reduce(_.unionByName(_))
       .select(col("id").as("doc_id"), col("exact_of"), col("near_of"),
         col("keep"), col("arrival_batch"))
-      .orderBy(col("doc_id"))
       .localCheckpoint()
+      .orderBy(col("doc_id"))
     org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
     out
   }
