@@ -1942,14 +1942,21 @@ object Migration {
           .when(col("trh").isNull, "missing_in_target")
           .when(col("srh") =!= col("trh"), "changed")
           .otherwise("identical_drilled"))
-    val drilled = rowDiff.filter(col("class") =!= "identical_drilled")
+    // ONE per-class aggregation over the drill join, pinned (≤ 4
+    // rows): the defect rows and the identical total both read it —
+    // the old shape put the whole drill subtree under BOTH union
+    // branches, so the expensive full-outer join executed twice per
+    // action (§2.4: the exchanges were reused, the join was not)
+    val perClass = rowDiff
       .groupBy(col("class"))
       .agg(count(lit(1)).as("n_rows"), min(col("o_orderkey")).as("min_key"),
         max(col("o_orderkey")).as("max_key"))
-    // ungrouped count so the identical row survives even when every
-    // drilled row is a defect (small fixtures)
-    val identical = rowDiff
-      .agg(sum(when(col("class") === "identical_drilled", 1L)
+      .localCheckpoint()
+    val drilled = perClass.filter(col("class") =!= "identical_drilled")
+    // aggregate over the pinned per-class rows so the identical row
+    // survives even when every drilled row is a defect (small fixtures)
+    val identical = perClass
+      .agg(sum(when(col("class") === "identical_drilled", col("n_rows"))
         .otherwise(0L)).as("di"))
       .crossJoin(broadcast(cleanSrcRows))
       .select(lit("identical").as("class"),

@@ -39,11 +39,19 @@ object EventStream {
     * Sentinel/probe batches are staged in the SAME vintage as the
     * fixture they share a stream with (one source, one schema).
     */
+  private val vintageMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
   private def eventsTsIsLegacyNanos(ss: SparkSession, dir: String): Boolean = {
     if (!ss.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
         .contains("true"))
       ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ss.read.parquet(s"$dir/events.parquet").schema("ts").dataType == LongType
+    // the observed footer type is a pure fixture function — memoize it
+    // (content-stamped key) so the 21 evs queries stop re-reading the
+    // footer per invocation; the conf set above stays per-session
+    vintageMemo.getOrElseUpdate(graft.StagedFixture.key("events_ts", dir),
+      ss.read.parquet(s"$dir/events.parquet").schema("ts").dataType ==
+        LongType)
   }
 
   private def rawSchema(legacyNanos: Boolean) = StructType(Seq(
@@ -189,6 +197,12 @@ object EventStream {
     */
   private val maxTsMemo =
     scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** windowedTopK's validated (event_type, packed-long) dim — a pure
+    * fixture function memoized like maxTsMemo (content-stamped key).
+    */
+  private val wtopkDimMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Array[(String, Long)]]
   private def maxEventMicros(ss: SparkSession, dir: String): Long =
     // content-stamped key (the StagedFixture convention): a fixture
     // regenerated mid-JVM gets a fresh scan, never a stale constant
@@ -586,25 +600,35 @@ object EventStream {
       .groupBy(window(window_time(col("w")), "1 hour").as("w2"))
       .agg(graft.operators.TopKPairsAgg(col("n"), col("pt"), 3).as("top"))
     val sunk = runToCompletion(ss, top, "evs_wtopk_sink", "append")
-    val dim = graft.Tables(ss, dir, "events")
-      .select(col("event_type")).distinct()
-      .select(col("event_type"), packedType(col("event_type")).as("pt"))
-      .localCheckpoint()
-    // the long pack is only injective for ASCII types ≤ 8 chars; a
-    // longer type sharing an 8-char prefix would collide in `pt` and
-    // silently fan out the join below, so fail the dim build loudly
-    // instead (the dim is bounded by type cardinality, not data size)
-    val dimRows = dim.collect()
-    val dup = dimRows.groupBy(_.getLong(1)).find(_._2.length > 1)
-    require(dup.isEmpty,
-      s"windowedTopK: event types collide in the 8-byte pack: " +
-        dup.get._2.map(_.getString(0)).mkString(", "))
-    dimRows.foreach { r =>
-      val t = r.getString(0)
-      require(t.length <= 8 && t.forall(c => c >= 0 && c < 128),
-        s"windowedTopK: event_type '$t' is not ASCII ≤ 8 chars; " +
-          "the long pack cannot represent it")
-    }
+    // the (event_type, packed) dim is a pure fixture function (type
+    // cardinality, not data size) — collect and validate it once per
+    // (JVM, fixture), the maxTsMemo convention; each invocation then
+    // rebuilds the broadcast side as a driver-local relation with no
+    // distinct/collect jobs
+    val dimPairs = wtopkDimMemo.getOrElseUpdate(
+      graft.StagedFixture.key("wtopk_dim", dir), {
+        val rows = graft.Tables(ss, dir, "events")
+          .select(col("event_type")).distinct()
+          .select(col("event_type"), packedType(col("event_type")).as("pt"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+        // the long pack is only injective for ASCII types ≤ 8 chars; a
+        // longer type sharing an 8-char prefix would collide in `pt`
+        // and silently fan out the join below, so fail the dim build
+        // loudly instead
+        val dup = rows.groupBy(_._2).find(_._2.length > 1)
+        require(dup.isEmpty,
+          s"windowedTopK: event types collide in the 8-byte pack: " +
+            dup.get._2.map(_._1).mkString(", "))
+        rows.foreach { case (t, _) =>
+          require(t.length <= 8 && t.forall(c => c >= 0 && c < 128),
+            s"windowedTopK: event_type '$t' is not ASCII ≤ 8 chars; " +
+              "the long pack cannot represent it")
+        }
+        rows
+      })
+    import ss.implicits._
+    val dim = dimPairs.toSeq.toDF("event_type", "pt").coalesce(1)
     sunk.select(col("w2.start").as("hour"),
         posexplode(col("top")).as(Seq("i", "p")))
       .select(col("hour"), (col("i") + 1).as("rnk"),

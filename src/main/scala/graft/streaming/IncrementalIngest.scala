@@ -250,6 +250,11 @@ object IncrementalIngest {
       shingleK: Int, maxShingleDf: Int, nBatches: Int,
       compactEvery: Int): DataFrame = {
     require(nBatches >= 1, s"ingestMany: nBatches=$nBatches must be >= 1")
+    // AQE stays ON in the clone: an r22 A/B (3 reps, 32 cores) measured
+    // AQE-off at 45 jobs but 509 tasks / ~115 s summed task time vs
+    // AQE-on's 59 jobs / 99 tasks / ~15 s — fixed 32-wide shuffles
+    // replicate the bucket-expansion work across mostly-empty tasks,
+    // and the fewer job boundaries don't pay for it
     val ss = spark.newSession()
     val docs = graft.Tables(ss, dir, "documents")
     // reuse [[ingest]]'s per-fixture seed; stage this call's batches
@@ -319,8 +324,10 @@ object IncrementalIngest {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val s2 = batch.sparkSession
+          val sc = s2.sparkContext
           if (compactEvery > 0 && deltaPaths.size >= compactEvery) {
             compactNo += 1
+            sc.setJobDescription(s"ingestMany: compact $compactNo")
             val cPath = work.resolve(s"compacted_$compactNo").toString
             IncrementalDedup.compact(s2, deltaPaths, cPath): Unit
             deltaPaths = Vector(cPath)
@@ -332,15 +339,18 @@ object IncrementalIngest {
           val verdicts = verdictsRaw.withColumn("arrival_batch",
             (pmod(expr("(id - 1) div 2"), lit(nBatches)) + 1).cast("int"))
           batchNo += 1
+          sc.setJobDescription(s"ingestMany: screen b$batchNo")
           val v = verdicts.localCheckpoint()
           // audit write ∥ keeper-delta publish (see ingest's note)
           import scala.concurrent.{Await, Future, blocking}
           import scala.concurrent.ExecutionContext.Implicits.global
           import scala.concurrent.duration.Duration
           val auditF = Future(blocking {
+            sc.setJobDescription(s"ingestMany: audit b$batchNo")
             v.write.parquet(work.resolve(s"verdicts/b$batchNo").toString)
           })
           try {
+            sc.setJobDescription(s"ingestMany: publish b$batchNo")
             val keptIds = v.filter(col("keep"))
               .select(col("id").as("doc_id"))
             val next = work.resolve(s"artifacts_d$batchNo").toString
@@ -348,7 +358,10 @@ object IncrementalIngest {
               bKeys.join(keptIds, col("id") === col("doc_id"),
                 "left_semi")), next)
             deltaPaths :+= next
-          } finally Await.result(auditF, Duration.Inf)
+          } finally {
+            Await.result(auditF, Duration.Inf)
+            sc.setJobDescription(null)
+          }
           verdictFrames.synchronized { verdictFrames += v; () }
         }
       }
