@@ -145,6 +145,11 @@ object IncrementalIngest {
     // audit-log contract)
     val verdictFrames =
       scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // eagerly-started compaction of a finished chain (see below):
+    // (future of the compacted path, the exact delta list it covers)
+    var pendingCompact: Option[(scala.concurrent.Future[String],
+      Vector[String])] = None
+    val nArrivals = 2
 
     val q = ss.readStream
       .schema(docs.schema)
@@ -154,16 +159,30 @@ object IncrementalIngest {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val s2 = batch.sparkSession
-          // LSM maintenance runs at batch START, when the chain is
-          // about to be READ — compacting after a publish would also
-          // fold the run's final delta into an artifact nothing ever
-          // reads. Atomic publish: a crash here leaves the raw chain
-          // intact (see compact's scaladoc), restart contract
-          // unchanged.
+          val sc = s2.sparkContext
+          import scala.concurrent.{Await, Future, blocking}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          import scala.concurrent.duration.Duration
+          // LSM maintenance takes effect at batch START, when the
+          // chain is about to be READ — but the FOLD itself is a pure
+          // function of the published deltas, so it was started right
+          // after the publish that completed the chain (overlapping
+          // the inter-batch idle, §2.6) and is only awaited and
+          // swapped in here. The swap still happens at batch start, so
+          // a crash between batches leaves the raw chain authoritative
+          // and the restart contract unchanged.
           if (compactEvery > 0 && deltaPaths.size >= compactEvery) {
-            compactNo += 1
-            val cPath = work.resolve(s"compacted_$compactNo").toString
-            IncrementalDedup.compact(s2, deltaPaths, cPath): Unit
+            val cPath = pendingCompact match {
+              case Some((f, covered)) if covered == deltaPaths =>
+                Await.result(f, Duration.Inf)
+              case _ => // fallback: no pre-started fold for this chain
+                compactNo += 1
+                sc.setJobDescription(s"ingest: compact $compactNo")
+                val p = work.resolve(s"compacted_$compactNo").toString
+                IncrementalDedup.compact(s2, deltaPaths, p)
+                p
+            }
+            pendingCompact = None
             deltaPaths = Vector(cPath)
           }
           val accepted = loadAccepted(s2)
@@ -181,16 +200,15 @@ object IncrementalIngest {
           batchNo += 1
           val batchVerdicts =
             work.resolve(s"verdicts/b$batchNo").toString
+          sc.setJobDescription(s"ingest: screen b$batchNo")
           val v = verdicts.localCheckpoint() // screen executes ONCE
           // audit-log write and keeper-delta publish both consume the
           // pinned verdict blocks and are independent of each other —
           // overlap them (guide §2.6); the audit future is awaited in
           // a finally so a failed publish never leaves an orphaned
           // write job racing the run-dir cleanup (r21 advice)
-          import scala.concurrent.{Await, Future, blocking}
-          import scala.concurrent.ExecutionContext.Implicits.global
-          import scala.concurrent.duration.Duration
           val auditF = Future(blocking {
+            sc.setJobDescription(s"ingest: audit b$batchNo")
             v.write.parquet(batchVerdicts) // audit log from blocks
           })
           try {
@@ -202,11 +220,31 @@ object IncrementalIngest {
             // filtered to the keepers (row-for-row what re-expanding
             // the kept docs produced before, minus the re-scan)
             val next = work.resolve(s"artifacts_d$batchNo").toString
+            sc.setJobDescription(s"ingest: publish b$batchNo")
             IncrementalDedup.save(IncrementalDedup.Artifacts(
               bKeys.join(keptIds, col("id") === col("doc_id"),
                 "left_semi")), next)
             deltaPaths :+= next
-          } finally Await.result(auditF, Duration.Inf)
+          } finally {
+            Await.result(auditF, Duration.Inf)
+            sc.setJobDescription(null)
+          }
+          // pre-start the fold the NEXT batch will swap in — never
+          // after the LAST arrival (it would fold the run's final
+          // delta into an artifact nothing reads, the waste the
+          // batch-START convention exists to avoid)
+          if (compactEvery > 0 && deltaPaths.size >= compactEvery &&
+              batchNo < nArrivals) {
+            compactNo += 1
+            val p = work.resolve(s"compacted_$compactNo").toString
+            val covered = deltaPaths
+            pendingCompact = Some((Future(blocking {
+              sc.setJobDescription(s"ingest: compact $compactNo (eager)")
+              IncrementalDedup.compact(s2, covered, p)
+              sc.setJobDescription(null)
+              p
+            }), covered))
+          }
           verdictFrames.synchronized { verdictFrames += v; () }
         }
       }
@@ -215,7 +253,15 @@ object IncrementalIngest {
       q.processAllAvailable()
       arrive("batch2")
       q.processAllAvailable()
-    } finally q.stop()
+    } finally {
+      q.stop()
+      // drain an unconsumed eager fold before the run dir is deleted
+      pendingCompact.foreach { case (f, _) =>
+        try { scala.concurrent.Await.ready(f,
+          scala.concurrent.duration.Duration.Inf); () }
+        catch { case _: Throwable => () }
+      }
+    }
 
     val vs = verdictFrames.synchronized { verdictFrames.toVector }
     require(vs.nonEmpty,
@@ -315,6 +361,11 @@ object IncrementalIngest {
     // (see ingest's note — the audit-log writes stay)
     val verdictFrames =
       scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // eagerly-started chain fold (see ingest's note): started after
+    // the publish that completed the chain, awaited + swapped in at
+    // the next batch's start
+    var pendingCompact: Option[(scala.concurrent.Future[String],
+      Vector[String])] = None
 
     val q = ss.readStream
       .schema(docs.schema)
@@ -325,11 +376,21 @@ object IncrementalIngest {
         if (!batch.isEmpty) {
           val s2 = batch.sparkSession
           val sc = s2.sparkContext
+          import scala.concurrent.{Await, Future, blocking}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          import scala.concurrent.duration.Duration
           if (compactEvery > 0 && deltaPaths.size >= compactEvery) {
-            compactNo += 1
-            sc.setJobDescription(s"ingestMany: compact $compactNo")
-            val cPath = work.resolve(s"compacted_$compactNo").toString
-            IncrementalDedup.compact(s2, deltaPaths, cPath): Unit
+            val cPath = pendingCompact match {
+              case Some((f, covered)) if covered == deltaPaths =>
+                Await.result(f, Duration.Inf)
+              case _ =>
+                compactNo += 1
+                sc.setJobDescription(s"ingestMany: compact $compactNo")
+                val p = work.resolve(s"compacted_$compactNo").toString
+                IncrementalDedup.compact(s2, deltaPaths, p)
+                p
+            }
+            pendingCompact = None
             deltaPaths = Vector(cPath)
           }
           val accepted = loadAccepted(s2)
@@ -342,9 +403,6 @@ object IncrementalIngest {
           sc.setJobDescription(s"ingestMany: screen b$batchNo")
           val v = verdicts.localCheckpoint()
           // audit write ∥ keeper-delta publish (see ingest's note)
-          import scala.concurrent.{Await, Future, blocking}
-          import scala.concurrent.ExecutionContext.Implicits.global
-          import scala.concurrent.duration.Duration
           val auditF = Future(blocking {
             sc.setJobDescription(s"ingestMany: audit b$batchNo")
             v.write.parquet(work.resolve(s"verdicts/b$batchNo").toString)
@@ -362,12 +420,33 @@ object IncrementalIngest {
             Await.result(auditF, Duration.Inf)
             sc.setJobDescription(null)
           }
+          // pre-start the fold the NEXT batch will swap in (never
+          // after the last arrival — see ingest's note)
+          if (compactEvery > 0 && deltaPaths.size >= compactEvery &&
+              batchNo < nBatches) {
+            compactNo += 1
+            val p = work.resolve(s"compacted_$compactNo").toString
+            val covered = deltaPaths
+            pendingCompact = Some((Future(blocking {
+              sc.setJobDescription(s"ingestMany: compact $compactNo (eager)")
+              IncrementalDedup.compact(s2, covered, p)
+              sc.setJobDescription(null)
+              p
+            }), covered))
+          }
           verdictFrames.synchronized { verdictFrames += v; () }
         }
       }
       .start()
     try for (b <- 1 to nBatches) { arrive(b); q.processAllAvailable() }
-    finally q.stop()
+    finally {
+      q.stop()
+      pendingCompact.foreach { case (f, _) =>
+        try { scala.concurrent.Await.ready(f,
+          scala.concurrent.duration.Duration.Inf); () }
+        catch { case _: Throwable => () }
+      }
+    }
 
     val vs = verdictFrames.synchronized { verdictFrames.toVector }
     require(vs.nonEmpty,
