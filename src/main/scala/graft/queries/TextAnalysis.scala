@@ -1132,15 +1132,31 @@ object TextAnalysis {
     * fixture scale, shuffled hash join once the model outgrows the
     * broadcast threshold — never forced).
     */
+  /** Per-(session, dir) cached per-document bigram instances
+    * (doc_id, w1, w2) — the relation FOUR bigram-LM queries
+    * (ta_bigram_lm_score, ta_lm_perplexity, ta_perplexity_filter,
+    * ta_kneser_ney) each rebuilt per invocation and then consumed
+    * 3-4 times inside one plan (per-doc counts, bigram-type counts,
+    * unigram counts): the corpus tokenize+explode ran up to four
+    * times per action. One cached build serves every consumer — the
+    * cachedShingles convention (§5 multi-consumer pinning).
+    */
+  private val docBigramsCache = new graft.SessionCache[DataFrame]
+
+  private def cachedDocBigrams(s: SparkSession, dir: String): DataFrame =
+    docBigramsCache.getOrElseUpdate(s, dir)(
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(2, size(toks)), i -> " +
+            "struct(element_at(toks, i - 1) AS w1, " +
+            "element_at(toks, i) AS w2))")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .cache())
+
   private def bigramLmScore(s: SparkSession, dir: String): DataFrame = {
-    val bi = Tables(s, dir, "documents")
-      .withColumn("ws", TextFns.tokens(col("text")))
-      .filter(size(col("ws")) >= 2)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(0), size(col("ws")) - 2),
-        i => struct(element_at(col("ws"), i + 1).as("w1"),
-          element_at(col("ws"), i + 2).as("w2")))).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bi = cachedDocBigrams(s, dir)
     val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     bi.join(c12, Seq("w1", "w2"))
@@ -1559,14 +1575,7 @@ object TextAnalysis {
     * could tie.
     */
   private def lmPerplexity(s: SparkSession, dir: String): DataFrame = {
-    val bi = Tables(s, dir, "documents")
-      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(2, size(toks)), i -> " +
-          "struct(element_at(toks, i - 1) AS w1, " +
-          "element_at(toks, i) AS w2))")).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bi = cachedDocBigrams(s, dir)
     val docBi = bi.groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("cd"))
     val lm2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
@@ -1599,14 +1608,7 @@ object TextAnalysis {
     */
   private def perplexityFilter(s: SparkSession, dir: String): DataFrame = {
     val (lo, hi) = (3.35, 3.43)
-    val bi = Tables(s, dir, "documents")
-      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(2, size(toks)), i -> " +
-          "struct(element_at(toks, i - 1) AS w1, " +
-          "element_at(toks, i) AS w2))")).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bi = cachedDocBigrams(s, dir)
     val docBi = bi.groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("cd"))
     val lm2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
@@ -1707,14 +1709,7 @@ object TextAnalysis {
     */
   private def kneserNey(s: SparkSession, dir: String): DataFrame = {
     val D = 0.75
-    val bi = Tables(s, dir, "documents")
-      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(2, size(toks)), i -> " +
-          "struct(element_at(toks, i - 1) AS w1, " +
-          "element_at(toks, i) AS w2))")).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bi = cachedDocBigrams(s, dir)
     val docBi = bi.groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("cd"))
     val lm2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
