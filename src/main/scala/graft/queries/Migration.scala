@@ -1942,28 +1942,37 @@ object Migration {
           .when(col("trh").isNull, "missing_in_target")
           .when(col("srh") =!= col("trh"), "changed")
           .otherwise("identical_drilled"))
-    // ONE per-class aggregation over the drill join, pinned (≤ 4
-    // rows): the defect rows and the identical total both read it —
-    // the old shape put the whole drill subtree under BOTH union
-    // branches, so the expensive full-outer join executed twice per
-    // action (§2.4: the exchanges were reused, the join was not)
+    // ONE per-class aggregation over the drill join: the old shape put
+    // the whole drill subtree under BOTH branches of the final union
+    // (defect classes + identical total), so the expensive full-outer
+    // join executed twice per action (§2.4: the exchanges were reused,
+    // the join was not). Instead of a second pass, the clean-bucket
+    // total rides in as a SEED ROW under the identical_drilled class
+    // and one tiny re-aggregation renames/merges it — the drill tree
+    // appears exactly once in the plan (and stays visible to the plan
+    // spec), and the identical row survives even when every drilled
+    // row is a defect (the seed row always exists).
     val perClass = rowDiff
       .groupBy(col("class"))
       .agg(count(lit(1)).as("n_rows"), min(col("o_orderkey")).as("min_key"),
         max(col("o_orderkey")).as("max_key"))
-      .localCheckpoint()
-    val drilled = perClass.filter(col("class") =!= "identical_drilled")
-    // aggregate over the pinned per-class rows so the identical row
-    // survives even when every drilled row is a defect (small fixtures)
-    val identical = perClass
-      .agg(sum(when(col("class") === "identical_drilled", col("n_rows"))
-        .otherwise(0L)).as("di"))
-      .crossJoin(broadcast(cleanSrcRows))
-      .select(lit("identical").as("class"),
-        (coalesce(col("di"), lit(0L)) + col("clean_n")).as("n_rows"),
-        lit(null).cast("long").as("min_key"),
-        lit(null).cast("long").as("max_key"))
-    drilled.unionByName(identical)
+    val seed = cleanSrcRows.select(
+      lit("identical_drilled").as("class"), col("clean_n").as("n_rows"),
+      lit(null).cast("long").as("min_key"),
+      lit(null).cast("long").as("max_key"))
+    perClass.unionByName(seed)
+      .withColumn("class", when(col("class") === "identical_drilled",
+        "identical").otherwise(col("class")))
+      .groupBy(col("class"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        min(col("min_key")).as("mk"), max(col("max_key")).as("xk"))
+      .select(col("class"), col("n_rows"),
+        // the identical row reports no key range (its mass is mostly
+        // undrilled clean buckets), exactly as before
+        when(col("class") === "identical", lit(null).cast("long"))
+          .otherwise(col("mk")).as("min_key"),
+        when(col("class") === "identical", lit(null).cast("long"))
+          .otherwise(col("xk")).as("max_key"))
       .orderBy(col("class"))
   }
 
